@@ -1,0 +1,144 @@
+package graft.jobs
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Geo
+import graft.operators.NearestNeighborJoin
+
+/** Step 3 — friend-recommendation mart (reference
+  * `/root/reference/src/scripts/project_step_3.py`).
+  *
+  * Pairs of users who share a subscription channel, have never messaged each other,
+  * and whose last known positions on `date` are within `maxDistanceKm`.
+  *
+  * Reference quirks preserved (SURVEY.md §7): both `user_left` and `user_right`
+  * carry the *left* user's id (project_step_3.py:134-135); pair canonicalization is
+  * `user_id > message_to` (:80,:127); `local_time` is Sydney of current_timestamp
+  * (:161).
+  *
+  * Scale notes: the per-channel self-join (J6) is the blow-up risk — quadratic in
+  * channel membership. The shape is kept for parity, but candidate volume is halved
+  * up-front by the theta filter, and a skewed "mega-channel" would be handled by
+  * AQE skew-join splitting or by salting the channel key (no semantic change).
+  */
+object RecommendationJob {
+
+  /** Distinct (user, channel) subscriptions (project_step_3.py:23-34). */
+  def subscribers(events: DataFrame): DataFrame =
+    events
+      .filter(col("event_type") === lit("subscription") &&
+        col("event.subscription_channel").isNotNull)
+      .select(col("event.user").as("user_id"), col("event.subscription_channel"))
+      .distinct()
+
+  /** Canonicalized pairs of subscribers who already messaged each other within a
+    * shared channel (project_step_3.py:36-96).
+    */
+  def communicatingSubscribers(events: DataFrame, subs: DataFrame): DataFrame = {
+    val subscriberIds = subs.select(col("user_id")).distinct()
+    val messagePairs = events
+      .filter(col("event_type") === lit("message"))
+      .select(col("event.message_from"), col("event.message_to"))
+      .join(subscriberIds.select(col("user_id").as("message_from")),
+        Seq("message_from"), "inner")
+      .join(subscriberIds.select(col("user_id").as("message_to")),
+        Seq("message_to"), "inner")
+      .distinct()
+    val senderSide = subs.join(
+      messagePairs.select(col("message_from").as("user_id"), col("message_to")),
+      Seq("user_id"), "left")
+    val receiverSide = subs.join(
+      messagePairs.select(col("message_to").as("user_id"), col("message_from")),
+      Seq("user_id"), "left")
+    val communicate = senderSide
+      .join(receiverSide.select(col("subscription_channel"),
+          col("user_id").as("message_to"), col("message_from").as("user_id")),
+        Seq("subscription_channel", "user_id", "message_to"), "inner")
+      .drop("subscription_channel")
+      .distinct()
+    communicate
+      .unionByName(communicate.select(
+        col("user_id").as("message_to"), col("message_to").as("user_id")))
+      .filter(col("user_id") > col("message_to"))
+  }
+
+  /** Candidate pairs for `date`: share a channel, never messaged, within
+    * `maxDistanceKm` of each other's last position (project_step_3.py:98-141).
+    */
+  def possibleSubscribersToCommunicate(subs: DataFrame,
+                                       communicating: DataFrame,
+                                       eventsAtDate: DataFrame,
+                                       date: String,
+                                       maxDistanceKm: Double): DataFrame = {
+    val wUser = Window.partitionBy("user_id")
+    val lastPosition = eventsAtDate
+      .filter(col("lat").isNotNull && col("lon").isNotNull)
+      .select(
+        coalesce(col("event.message_from"), col("event.reaction_from"),
+          col("event.user")).as("user_id"),
+        coalesce(col("event.datetime"), col("event.message_ts")).as("datetime"),
+        col("lat"), col("lon"))
+      .withColumn("dt_max", max(col("datetime")).over(wUser))
+      .filter(col("datetime") === col("dt_max"))
+      .drop("dt_max", "datetime")
+      .groupBy("user_id")
+      .agg(first("lat").as("last_lat"), first("lon").as("last_lon"))
+    val positionedSubs = lastPosition.join(subs, Seq("user_id"), "inner")
+    positionedSubs
+      .join(positionedSubs.select(
+          col("subscription_channel"),
+          col("user_id").as("message_to"),
+          col("last_lat").as("last_lat_to"),
+          col("last_lon").as("last_lon_to")),
+        Seq("subscription_channel"), "left")
+      .filter(col("user_id") > col("message_to"))
+      .drop("subscription_channel")
+      .distinct()
+      .join(communicating, Seq("user_id", "message_to"), "left_anti")
+      .withColumn("distance",
+        Geo.haversineKm("last_lat", "last_lat_to", "last_lon", "last_lon_to"))
+      .filter(col("distance") < maxDistanceKm)
+      .select(
+        col("user_id").as("user_left"),
+        col("user_id").as("user_right"), // reference quirk: both sides = left user
+        ((col("last_lat") + col("last_lat_to")) / lit(2)).as("lat_avg"),
+        ((col("last_lon") + col("last_lon_to")) / lit(2)).as("lon_avg"),
+        lit(date).as("processed_dttm"))
+  }
+
+  /** Attach the zone (nearest city to the pair midpoint) (project_step_3.py:143-164). */
+  def withZone(geo: DataFrame, candidates: DataFrame): DataFrame = {
+    val cities = geo.select(col("id").as("city_id"),
+      col("lat").as("lat_city"), col("lon").as("lon_city"))
+    NearestNeighborJoin
+      .nearestAllTies(candidates, cities, "lat_avg", "lat_city", "lon_avg", "lon_city")
+      .select(col("user_left"), col("user_right"),
+        col("city_id").as("zone_id"), col("processed_dttm"),
+        from_utc_timestamp(current_timestamp(), "Australia/Sydney").as("local_time"))
+  }
+
+  def transform(events: DataFrame, eventsAtDate: DataFrame, geo: DataFrame,
+                date: String, maxDistanceKm: Double): DataFrame = {
+    val subs = subscribers(events).cache() // reused 2x (ref :32)
+    val communicating = communicatingSubscribers(events, subs)
+    val candidates = possibleSubscribersToCommunicate(
+      subs, communicating, eventsAtDate, date, maxDistanceKm)
+    withZone(geo, candidates)
+  }
+
+  /** CLI parity with project_step_3.py:167-195: date maxDistance events geo out.
+    * The date slice is read by partition path, as the reference does (:13-16).
+    */
+  def main(args: Array[String]): Unit = {
+    val Array(date, maxDistance, eventsPath, geoPath, outPath) = args.take(5)
+    val spark = JobSession.create("graft step_3 recommendations")
+    val events = spark.read.parquet(eventsPath)
+    val eventsAtDate = spark.read.parquet(s"$eventsPath/date=$date")
+    transform(events, eventsAtDate, spark.read.parquet(geoPath),
+      date, maxDistance.toDouble)
+      .write.mode("overwrite").parquet(outPath)
+    spark.stop()
+  }
+}

@@ -1,0 +1,119 @@
+package graft.jobs
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.NearestNeighborJoin
+
+/** Step 1 — user mart (reference `/root/reference/src/scripts/project_step_1.py`).
+  *
+  * Input: a reference-shaped `events` table (nested `event` struct, `event_type`,
+  * `lat`, `lon`) and a `geo` city dimension (`id`, `city`, `lat`, `lon`).
+  * Output: `user_id, local_time, act_city, home_city, travel_count, travel_array`.
+  *
+  * Semantics preserved deliberately (SURVEY.md §7 "hard parts"):
+  *  - argmax/argmin keep all tied rows, then `first()` resolves ties — matching the
+  *    reference's nondeterministic tie behavior (project_step_1.py:47,51,81-82);
+  *  - `local_time` is hard-coded Australia/Sydney (project_step_1.py:49);
+  *  - the home-city rule counts `minDays` consecutive *event* days, not calendar
+  *    days (project_step_1.py:56-62).
+  *
+  * Scale notes: `messageGeo` is cached because three branches fan out of it
+  * (project_step_1.py:35); the nearest-city join broadcasts the city dim; every
+  * window partitions by `user_id` (high cardinality — no skew hot-spot unless one
+  * user dominates, which salting could address without changing results).
+  */
+object UserMartJob {
+
+  /** Messages with their nearest city (project_step_1.py:19-37). */
+  def messageGeo(events: DataFrame, geo: DataFrame): DataFrame = {
+    val msgs = events
+      .filter(col("event_type") === "message")
+      .select(
+        col("event.message_from").as("user_id"),
+        col("event.message_id"),
+        coalesce(col("event.message_ts"), col("event.datetime"))
+          .cast("timestamp").as("datetime"),
+        col("lat").as("lat_message"),
+        col("lon").as("lon_message"))
+    NearestNeighborJoin
+      .nearestAllTies(msgs, geo, "lat_message", "lat", "lon_message", "lon")
+      .drop("lat_message", "lon_message", "lat", "lon")
+  }
+
+  /** Latest message's city + Sydney-local time per user (project_step_1.py:40-54). */
+  def lastGeo(messageGeo: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id")
+    messageGeo
+      .select("user_id", "datetime", "city")
+      .withColumn("dt_max", max("datetime").over(w))
+      .filter(col("datetime") === col("dt_max"))
+      .drop("dt_max")
+      .withColumn("local_time",
+        from_utc_timestamp(col("datetime"), "Australia/Sydney"))
+      .drop("datetime")
+      .groupBy("user_id", "local_time")
+      .agg(first("city").as("act_city"))
+  }
+
+  /** Home city: latest run of >= minDays consecutive event-days in one city
+    * (project_step_1.py:56-85 — the gaps-and-islands query).
+    */
+  def homeGeo(messageGeo: DataFrame, minDays: Int = 27): DataFrame = {
+    val wDense = Window.partitionBy("user_id").orderBy(col("date").desc)
+    val wCity  = Window.partitionBy("user_id", "city").orderBy(col("date").desc)
+    val wUser  = Window.partitionBy("user_id")
+    messageGeo
+      .select(col("user_id"), col("datetime").cast("date").as("date"), col("city"))
+      .distinct()
+      .withColumn("dense_rank", dense_rank().over(wDense))
+      .withColumn("lag_dense_rank", lag("dense_rank", 1, 0).over(wCity))
+      .filter(col("dense_rank") === col("lag_dense_rank") + lit(1))
+      .withColumn("row_number", row_number().over(wCity))
+      .withColumn("diff", col("dense_rank") - col("row_number"))
+      .groupBy("user_id", "city", "diff")
+      .agg(max("date").as("date"), count(lit(1)).as("count"))
+      .filter(col("count") >= lit(minDays))
+      .withColumn("max_dt", max("date").over(wUser))
+      .filter(col("date") === col("max_dt"))
+      .groupBy("user_id")
+      .agg(first("city").as("home_city"))
+  }
+
+  /** Ordered list of visited cities, home city excluded (project_step_1.py:87-105). */
+  def travel(messageGeo: DataFrame, homeCity: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("datetime"), col("city"))
+    messageGeo
+      .select("user_id", "datetime", "city")
+      .distinct()
+      .withColumn("lag_city", lag("city", 1).over(w))
+      .filter(col("city") =!= col("lag_city") || col("lag_city").isNull)
+      .join(homeCity.withColumnRenamed("home_city", "city"),
+        Seq("user_id", "city"), "left_anti")
+      .groupBy("user_id")
+      .agg(count("city").as("travel_count"),
+        collect_list("city").as("travel_array"))
+  }
+
+  /** Reassemble the three branches (project_step_1.py:107-112). */
+  def userMart(last: DataFrame, home: DataFrame, travel: DataFrame): DataFrame =
+    last.join(home, Seq("user_id"), "left").join(travel, Seq("user_id"), "left")
+
+  /** Full step-1 transform. */
+  def transform(events: DataFrame, geo: DataFrame, minDays: Int = 27): DataFrame = {
+    val mg = messageGeo(events, geo).cache() // 3 branches fan out (ref :35)
+    val home = homeGeo(mg, minDays).cache() // reused by travel + final join (ref :83)
+    userMart(lastGeo(mg), home, travel(mg, home))
+  }
+
+  /** CLI parity with project_step_1.py:114-140: events geo out. */
+  def main(args: Array[String]): Unit = {
+    val Array(eventsPath, geoPath, outPath) = args.take(3)
+    val spark = JobSession.create("graft step_1 user_mart")
+    val out = transform(
+      spark.read.parquet(eventsPath), spark.read.parquet(geoPath))
+    out.write.mode("overwrite").parquet(outPath)
+    spark.stop()
+  }
+}

@@ -1,0 +1,51 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Readers for the driver's synthetic TPC-H-ish tables (see /root/repo/TESTDATA.md).
+  *
+  * Design notes for scale: every reader returns a plain column-pruned parquet scan —
+  * no caching, no repartition — so Catalyst keeps pushdown/pruning freedom and the
+  * same code works whether the "directory" is a local path or an HDFS/S3 URI with
+  * thousands of files.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** `events.parquet` carries INT64 TIMESTAMP(NANOS,false), which Spark's parquet
+    * converter rejects by default ([PARQUET_TYPE_ILLEGAL]). The legacy flag reads the
+    * physical int64 as a plain long (nanoseconds since epoch); [[events]] then converts
+    * to a microsecond timestamp, which matches DuckDB's ns->us truncation of the same
+    * file, keeping the oracle comparable.
+    */
+  def configure(spark: SparkSession): Unit =
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+  def read(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    if (name == "events") configure(spark)
+    spark.read.parquet(s"$sfDir/$name.parquet")
+  }
+
+  def region(spark: SparkSession, d: String): DataFrame    = read(spark, d, "region")
+  def nation(spark: SparkSession, d: String): DataFrame    = read(spark, d, "nation")
+  def customer(spark: SparkSession, d: String): DataFrame  = read(spark, d, "customer")
+  def supplier(spark: SparkSession, d: String): DataFrame  = read(spark, d, "supplier")
+  def part(spark: SparkSession, d: String): DataFrame      = read(spark, d, "part")
+  def orders(spark: SparkSession, d: String): DataFrame    = read(spark, d, "orders")
+  def lineitem(spark: SparkSession, d: String): DataFrame  = read(spark, d, "lineitem")
+  def documents(spark: SparkSession, d: String): DataFrame = read(spark, d, "documents")
+  def embeddings(spark: SparkSession, d: String): DataFrame = read(spark, d, "embeddings")
+
+  /** events with `ts` converted long-nanos -> timestamp(µs). `ts DIV 1000` is integer
+    * division: a double roundtrip would lose precision above 2^53 and scramble µs.
+    */
+  def events(spark: SparkSession, d: String): DataFrame =
+    read(spark, d, "events")
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+
+  /** events with the raw long-nanos ts (for callers that want the physical value). */
+  def eventsRaw(spark: SparkSession, d: String): DataFrame = read(spark, d, "events")
+}
