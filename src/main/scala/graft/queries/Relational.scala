@@ -1,0 +1,373 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+import XDet._
+
+/** Core relational coverage of SURVEY.md §2 re-expressed over the driver's
+  * synthetic tables: scans with pushdown (S1-S3), projections/filters
+  * (P1-P12), every join shape (J2-J7), aggregations incl. pivot and
+  * collect_list (A1-A8), window functions (W2-W5), sort/limit, set ops (U1),
+  * and the scalar-function surface (F2-F10).
+  *
+  * Every query has a DuckDB oracle. Cross-engine float rules: raw stored
+  * doubles may be projected/compared as-is; SUMs of doubles go through
+  * [[XDet.moneySum]]; counts/ranks are cast to long (DuckDB counts are
+  * BIGINT, Spark's `datediff`/`rank` are int32 — dtypes must line up).
+  */
+object Relational extends Catalog {
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- scans + aggregation -------------------------------------------
+    "q01_pricing_summary" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") <= lit("1999-12-31").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum("l_quantity").as("sum_qty"),
+          moneySum(col("l_extendedprice"), 2).as("sum_base_price"),
+          moneySum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
+            .as("sum_disc_price"),
+          avg("l_quantity").as("avg_qty"),
+          moneyAvg(col("l_extendedprice"), 2).as("avg_price"),
+          count(lit(1)).as("count_order"))
+    }),
+
+    // ---- filter + projection pushdown (P2/P10/P12, S1) ------------------
+    "q02_filter_scan" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .filter(col("l_quantity").between(10, 20) &&
+          col("l_returnflag") === "R" &&
+          col("l_shipdate") >= lit("1999-01-01").cast("timestamp"))
+        .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+          col("l_quantity"), date_format(col("l_shipdate"), "yyyy-MM-dd").as("ship_date"))
+    }),
+
+    // ---- 3-way join + groupBy + global sort + limit (J2, top-k) ---------
+    "q03_top_revenue_orders" -> ((s, d) => {
+      val c = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+      val o = Tables.orders(s, d)
+      val l = Tables.lineitem(s, d)
+      c.join(o, c("c_custkey") === o("o_custkey"))
+        .join(l, o("o_orderkey") === l("l_orderkey"))
+        .groupBy(o("o_orderkey").as("o_orderkey"),
+          date_format(o("o_orderdate"), "yyyy-MM-dd").as("order_date"))
+        .agg(moneySum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderkey"))
+        .limit(10)
+    }),
+
+    // ---- left outer join + null-skipping count (J3) ---------------------
+    "q04_orders_per_customer" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left")
+        .groupBy(c("c_custkey").as("c_custkey"), c("c_mktsegment").as("c_mktsegment"))
+        .agg(count(o("o_orderkey")).as("order_count"),
+          moneySum(o("o_totalprice"), 2).as("spend"))
+    }),
+
+    // ---- anti join (J4) --------------------------------------------------
+    "q05_customers_without_orders" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d)
+      c.join(o.select(col("o_custkey").as("c_custkey")), Seq("c_custkey"), "left_anti")
+        .select("c_custkey", "c_name", "c_mktsegment")
+    }),
+
+    // ---- semi join (J7) --------------------------------------------------
+    "q06_open_order_customers" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d).filter(col("o_orderstatus") === "O")
+      c.join(o.select(col("o_custkey").as("c_custkey")), Seq("c_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+    }),
+
+    // ---- window top-1-per-group (W3 + P5) --------------------------------
+    "q07_top_order_per_customer" -> ((s, d) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables.orders(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+    }),
+
+    // ---- window lag + date arithmetic (W5, F3) ----------------------------
+    "q08_order_gaps" -> ((s, d) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      Tables.orders(s, d)
+        .withColumn("order_date", to_date(col("o_orderdate")))
+        .withColumn("prev_date", lag("order_date", 1).over(w))
+        .select(col("o_custkey"), col("o_orderkey"),
+          date_format(col("order_date"), "yyyy-MM-dd").as("order_date"),
+          datediff(col("order_date"), col("prev_date")).cast("long").as("gap_days"))
+    }),
+
+    // ---- dense_rank over join aggregate (W4, J2) --------------------------
+    "q09_nation_customer_rank" -> ((s, d) => {
+      val n = Tables.nation(s, d)
+      val c = Tables.customer(s, d)
+      n.join(c, n("n_nationkey") === c("c_nationkey"))
+        .groupBy(n("n_name").as("n_name"))
+        .agg(count(lit(1)).as("customers"),
+          moneySum(col("c_acctbal"), 2).as("acctbal_total"))
+        .withColumn("rnk",
+          dense_rank().over(Window.orderBy(col("customers").desc)).cast("long"))
+    }),
+
+    // ---- gaps-and-islands (W6: dense_rank + lag + row_number − trick) -----
+    "q10_event_islands" -> ((s, d) => {
+      val minDays = 3
+      val wDense = Window.partitionBy("user_id").orderBy(col("d").desc)
+      val wType = Window.partitionBy("user_id", "event_type").orderBy(col("d").desc)
+      Tables.events(s, d)
+        .select(col("user_id"), to_date(col("ts")).as("d"), col("event_type"))
+        .distinct()
+        .withColumn("dr", dense_rank().over(wDense))
+        .withColumn("lag_dr", lag("dr", 1, 0).over(wType))
+        .filter(col("dr") === col("lag_dr") + lit(1))
+        .withColumn("rn", row_number().over(wType))
+        .withColumn("grp", col("dr") - col("rn"))
+        .groupBy("user_id", "event_type", "grp")
+        .agg(max("d").as("last_date"), count(lit(1)).as("island_days"))
+        .filter(col("island_days") >= minDays)
+        .select(col("user_id"), col("event_type"),
+          date_format(col("last_date"), "yyyy-MM-dd").as("last_date"),
+          col("island_days"))
+    }),
+
+    // ---- pivot with pinned values (A5, P11) --------------------------------
+    "q11_weekly_type_pivot" -> ((s, d) => {
+      val types = Seq("click", "view", "signup", "error", "purchase")
+      val p = Tables.events(s, d)
+        .select(weekofyear(col("ts")).cast("long").as("week"), col("event_type"))
+        .groupBy("week")
+        .pivot("event_type", types)
+        .count()
+      types.foldLeft(p)((df, t) => df.withColumn(t, coalesce(col(t), lit(0L))))
+    }),
+
+    // ---- self-join on key + symmetrize + canonicalize (J6, U1, P7) ---------
+    "q12_supplier_part_pairs" -> ((s, d) => {
+      val sp = Tables.lineitem(s, d)
+        .select("l_partkey", "l_suppkey").distinct()
+      val directed = sp.join(
+          sp.select(col("l_partkey"), col("l_suppkey").as("peer")),
+          Seq("l_partkey"))
+        .filter(col("l_suppkey") < col("peer"))
+      val sym = directed.unionByName(directed.select(
+        col("l_partkey"), col("peer").as("l_suppkey"),
+        col("l_suppkey").as("peer")))
+      sym.filter(col("l_suppkey") > col("peer"))
+        .groupBy(col("l_suppkey").as("supplier_a"), col("peer").as("supplier_b"))
+        .agg(countDistinct("l_partkey").as("shared_parts"))
+    }),
+
+    // ---- distinct (A8) ------------------------------------------------------
+    "q13_distinct_user_days" -> ((s, d) => {
+      Tables.events(s, d)
+        .select(col("user_id"),
+          date_format(col("ts"), "yyyy-MM-dd").as("event_date"),
+          col("event_type"))
+        .distinct()
+    }),
+
+    // ---- collect_list with deterministic order (A6) -------------------------
+    "q14_user_event_dates" -> ((s, d) => {
+      Tables.events(s, d)
+        .select(col("user_id"),
+          date_format(to_date(col("ts")), "yyyy-MM-dd").as("ds"))
+        .distinct()
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_days"),
+          array_sort(collect_list("ds")).as("dates"))
+    }),
+
+    // ---- string/scalar function surface (F2-F10 analogue) -------------------
+    "q15_doc_strings" -> ((s, d) => {
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        upper(substring(col("text"), 1, 12)).as("head"),
+        length(col("text")).cast("long").as("len"),
+        size(filter(split(col("text"), " "), x => x =!= "")).cast("long")
+          .as("word_count"),
+        col("text").contains("spark").as("has_spark"),
+        concat(col("lang"), lit(":"), col("source")).as("lang_source"))
+    }),
+
+    // ---- JSON extraction (semi-structured props) -----------------------------
+    "q16_json_props" -> ((s, d) => {
+      Tables.events(s, d)
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("cnt"), min("k").as("k_min"), max("k").as("k_max"),
+          sum("k").as("k_sum"))
+    }),
+
+    // ---- timezone + calendar functions (F4/F6) -------------------------------
+    "q17_sydney_days" -> ((s, d) => {
+      Tables.events(s, d)
+        .select(
+          date_format(from_utc_timestamp(col("ts"), "Australia/Sydney"),
+            "yyyy-MM-dd").as("sydney_date"),
+          col("user_id"))
+        .groupBy("sydney_date")
+        .agg(count(lit(1)).as("events"),
+          countDistinct("user_id").as("users"))
+    }),
+  )
+
+  override def oracles: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  sum(l_quantity) AS sum_qty,
+         |  ${moneySumSql("l_extendedprice", 2)} AS sum_base_price,
+         |  ${moneySumSql("l_extendedprice*(1-l_discount)", 4)} AS sum_disc_price,
+         |  avg(l_quantity) AS avg_qty,
+         |  ${moneyAvgSql("l_extendedprice", 2)} AS avg_price,
+         |  count(*) AS count_order
+         |FROM lineitem
+         |WHERE l_shipdate <= TIMESTAMP '1999-12-31'
+         |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q02_filter_scan" ->
+      """SELECT l_orderkey, l_partkey, l_suppkey, l_quantity,
+        |  strftime(l_shipdate, '%Y-%m-%d') AS ship_date
+        |FROM lineitem
+        |WHERE l_quantity BETWEEN 10 AND 20 AND l_returnflag = 'R'
+        |  AND l_shipdate >= TIMESTAMP '1999-01-01'""".stripMargin,
+
+    "q03_top_revenue_orders" ->
+      s"""SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+         |  ${moneySumSql("l_extendedprice*(1-l_discount)", 4)} AS revenue
+         |FROM customer
+         |JOIN orders ON c_custkey = o_custkey
+         |JOIN lineitem ON o_orderkey = l_orderkey
+         |WHERE c_mktsegment = 'BUILDING'
+         |GROUP BY o_orderkey, strftime(o_orderdate, '%Y-%m-%d')
+         |ORDER BY revenue DESC, o_orderkey
+         |LIMIT 10""".stripMargin,
+
+    "q04_orders_per_customer" ->
+      s"""SELECT c_custkey, c_mktsegment,
+         |  count(o_orderkey) AS order_count,
+         |  ${moneySumSql("o_totalprice", 2)} AS spend
+         |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+         |GROUP BY c_custkey, c_mktsegment""".stripMargin,
+
+    "q05_customers_without_orders" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+
+    "q06_open_order_customers" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_orderstatus = 'O')""".stripMargin,
+
+    "q07_top_order_per_customer" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice FROM orders
+        |QUALIFY row_number() OVER (PARTITION BY o_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey) = 1""".stripMargin,
+
+    "q08_order_gaps" ->
+      """SELECT o_custkey, o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+        |  date_diff('day',
+        |    lag(CAST(o_orderdate AS DATE)) OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate, o_orderkey),
+        |    CAST(o_orderdate AS DATE)) AS gap_days
+        |FROM orders""".stripMargin,
+
+    "q09_nation_customer_rank" ->
+      s"""SELECT n_name, count(*) AS customers,
+         |  ${moneySumSql("c_acctbal", 2)} AS acctbal_total,
+         |  CAST(dense_rank() OVER (ORDER BY count(*) DESC) AS BIGINT) AS rnk
+         |FROM nation JOIN customer ON n_nationkey = c_nationkey
+         |GROUP BY n_name""".stripMargin,
+
+    "q10_event_islands" ->
+      """WITH days AS (
+        |  SELECT DISTINCT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d,
+        |    event_type
+        |  FROM events),
+        |ranked AS (
+        |  SELECT *,
+        |    dense_rank() OVER (PARTITION BY user_id ORDER BY d DESC) AS dr
+        |  FROM days),
+        |lagged AS (
+        |  SELECT *,
+        |    coalesce(lag(dr) OVER (PARTITION BY user_id, event_type
+        |      ORDER BY d DESC), 0) AS lag_dr
+        |  FROM ranked),
+        |runs AS (
+        |  SELECT *,
+        |    row_number() OVER (PARTITION BY user_id, event_type
+        |      ORDER BY d DESC) AS rn
+        |  FROM lagged WHERE dr = lag_dr + 1)
+        |SELECT user_id, event_type, strftime(max(d), '%Y-%m-%d') AS last_date,
+        |  count(*) AS island_days
+        |FROM runs GROUP BY user_id, event_type, dr - rn
+        |HAVING count(*) >= 3""".stripMargin,
+
+    "q11_weekly_type_pivot" ->
+      """SELECT CAST(weekofyear(CAST(ts AS TIMESTAMP)) AS BIGINT) AS week,
+        |  count(*) FILTER (event_type = 'click') AS click,
+        |  count(*) FILTER (event_type = 'view') AS view,
+        |  count(*) FILTER (event_type = 'signup') AS signup,
+        |  count(*) FILTER (event_type = 'error') AS error,
+        |  count(*) FILTER (event_type = 'purchase') AS purchase
+        |FROM events GROUP BY 1""".stripMargin,
+
+    "q12_supplier_part_pairs" ->
+      """WITH sp AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+        |d AS (SELECT a.l_partkey AS p, a.l_suppkey AS sa, b.l_suppkey AS sb
+        |      FROM sp a JOIN sp b USING (l_partkey)
+        |      WHERE a.l_suppkey < b.l_suppkey),
+        |sym AS (SELECT p, sa, sb FROM d
+        |        UNION ALL SELECT p, sb AS sa, sa AS sb FROM d)
+        |SELECT sa AS supplier_a, sb AS supplier_b,
+        |  count(DISTINCT p) AS shared_parts
+        |FROM sym WHERE sa > sb GROUP BY 1, 2""".stripMargin,
+
+    "q13_distinct_user_days" ->
+      """SELECT DISTINCT user_id,
+        |  strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS event_date, event_type
+        |FROM events""".stripMargin,
+
+    "q14_user_event_dates" ->
+      """WITH dd AS (SELECT DISTINCT user_id,
+        |  strftime(CAST(CAST(ts AS TIMESTAMP) AS DATE), '%Y-%m-%d') AS ds
+        |  FROM events)
+        |SELECT user_id, count(*) AS n_days, list(ds ORDER BY ds) AS dates
+        |FROM dd GROUP BY user_id""".stripMargin,
+
+    "q15_doc_strings" ->
+      """SELECT doc_id,
+        |  upper(substring(text, 1, 12)) AS head,
+        |  length(text) AS len,
+        |  len(list_filter(string_split(text, ' '), x -> x != '')) AS word_count,
+        |  text LIKE '%spark%' AS has_spark,
+        |  lang || ':' || source AS lang_source
+        |FROM documents""".stripMargin,
+
+    "q16_json_props" ->
+      """SELECT event_type, count(*) AS cnt,
+        |  min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_min,
+        |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_max,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+        |    AS k_sum
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    "q17_sydney_days" ->
+      """SELECT strftime(((CAST(ts AS TIMESTAMP) AT TIME ZONE 'UTC')
+        |    AT TIME ZONE 'Australia/Sydney'), '%Y-%m-%d') AS sydney_date,
+        |  count(*) AS events, count(DISTINCT user_id) AS users
+        |FROM events GROUP BY 1""".stripMargin,
+  )
+}
