@@ -11,7 +11,7 @@ import graft.queries._
   * parquet tables; entries without an oracle get a rows-only check.
   */
 object SparkEntry {
-  private val catalogs: Seq[Catalog] = Seq(Relational)
+  private val catalogs: Seq[Catalog] = Seq(Relational, GeoQueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
