@@ -51,8 +51,12 @@ object GeoQueries extends Catalog {
     "q18_nearest_city" -> ((s, d) => {
       val pts = customerPoints(s, d)
       val cities = nationCities(s, d)
+      // argmin ordered on the quantized distance: JVM and DuckDB libm may
+      // differ by ≤1 ulp in sin/cos/asin, and a raw-double ORDER BY would let
+      // a near-tie pick different cities per engine. At 1e-9 km both engines
+      // agree; genuine ties fall to the n_nationkey tiebreak.
       val w = Window.partitionBy("c_custkey")
-        .orderBy(col("distance"), col("n_nationkey"))
+        .orderBy(round(col("distance"), 9), col("n_nationkey"))
       pts.crossJoin(broadcast(cities))
         .withColumn("distance",
           Geo.haversineKmDet(col("lat"), col("city_lat"), col("lon"), col("city_lon")))
@@ -90,7 +94,7 @@ object GeoQueries extends Catalog {
       val pts = customerPoints(s, d)
       val cities = nationCities(s, d)
       val w = Window.partitionBy("c_custkey")
-        .orderBy(col("distance"), col("n_nationkey"))
+        .orderBy(round(col("distance"), 9), col("n_nationkey"))
       val zoneOf = pts.crossJoin(broadcast(cities))
         .withColumn("distance",
           Geo.haversineKmDet(col("lat"), col("city_lat"), col("lon"), col("city_lon")))
@@ -113,7 +117,7 @@ object GeoQueries extends Catalog {
          |  round($havCity, 4) AS dist_km
          |FROM pts CROSS JOIN cities
          |QUALIFY row_number() OVER (PARTITION BY c_custkey
-         |  ORDER BY $havCity, n_nationkey) = 1""".stripMargin,
+         |  ORDER BY round($havCity, 9), n_nationkey) = 1""".stripMargin,
 
     "q19_radius_pairs" ->
       s"""WITH pts AS ($customerPointsSql)
@@ -138,7 +142,7 @@ object GeoQueries extends Catalog {
          |  SELECT c_custkey AS o_custkey, n_name AS zone
          |  FROM pts CROSS JOIN cities
          |  QUALIFY row_number() OVER (PARTITION BY c_custkey
-         |    ORDER BY $havCity, n_nationkey) = 1)
+         |    ORDER BY round($havCity, 9), n_nationkey) = 1)
          |SELECT zone, month, CAST(sum(orders) AS BIGINT) AS orders,
          |  ${moneySumSql("spend", 2)} AS spend
          |FROM per_customer JOIN zone_of USING (o_custkey)

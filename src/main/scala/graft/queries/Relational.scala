@@ -153,20 +153,22 @@ object Relational extends Catalog {
       types.foldLeft(p)((df, t) => df.withColumn(t, coalesce(col(t), lit(0L))))
     }),
 
-    // ---- self-join on key + symmetrize + canonicalize (J6, U1, P7) ---------
+    // ---- self-join on key + canonicalize (J6, P7) --------------------------
+    // Round-1 shape unioned `directed` with its swap then filtered a > b —
+    // the first branch was dead by construction and the distinct+join subtree
+    // ran twice (47% of the round-1 bench). The canonical pair set is just
+    // `directed` relabeled; U1 symmetrize coverage lives in q28.
     "q12_supplier_part_pairs" -> ((s, d) => {
       val sp = Tables.lineitem(s, d)
         .select("l_partkey", "l_suppkey").distinct()
-      val directed = sp.join(
+      sp.join(
           sp.select(col("l_partkey"), col("l_suppkey").as("peer")),
           Seq("l_partkey"))
         .filter(col("l_suppkey") < col("peer"))
-      val sym = directed.unionByName(directed.select(
-        col("l_partkey"), col("peer").as("l_suppkey"),
-        col("l_suppkey").as("peer")))
-      sym.filter(col("l_suppkey") > col("peer"))
-        .groupBy(col("l_suppkey").as("supplier_a"), col("peer").as("supplier_b"))
-        .agg(countDistinct("l_partkey").as("shared_parts"))
+        // (l_partkey, pair) is unique after the distinct, so count(*) ==
+        // count(DISTINCT l_partkey) without the distinct-aggregate expand.
+        .groupBy(col("peer").as("supplier_a"), col("l_suppkey").as("supplier_b"))
+        .agg(count(lit(1)).as("shared_parts"))
     }),
 
     // ---- distinct (A8) ------------------------------------------------------
@@ -179,6 +181,8 @@ object Relational extends Catalog {
     }),
 
     // ---- collect_list with deterministic order (A6) -------------------------
+    // The array is emitted as a comma-joined string: the driver's comparator
+    // hashes cells and array/map cells are unhashable (round-1 q14 failure).
     "q14_user_event_dates" -> ((s, d) => {
       Tables.events(s, d)
         .select(col("user_id"),
@@ -186,7 +190,7 @@ object Relational extends Catalog {
         .distinct()
         .groupBy("user_id")
         .agg(count(lit(1)).as("n_days"),
-          array_sort(collect_list("ds")).as("dates"))
+          concat_ws(",", array_sort(collect_list("ds"))).as("dates"))
     }),
 
     // ---- string/scalar function surface (F2-F10 analogue) -------------------
@@ -325,15 +329,12 @@ object Relational extends Catalog {
         |FROM events GROUP BY 1""".stripMargin,
 
     "q12_supplier_part_pairs" ->
-      """WITH sp AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
-        |d AS (SELECT a.l_partkey AS p, a.l_suppkey AS sa, b.l_suppkey AS sb
-        |      FROM sp a JOIN sp b USING (l_partkey)
-        |      WHERE a.l_suppkey < b.l_suppkey),
-        |sym AS (SELECT p, sa, sb FROM d
-        |        UNION ALL SELECT p, sb AS sa, sa AS sb FROM d)
-        |SELECT sa AS supplier_a, sb AS supplier_b,
-        |  count(DISTINCT p) AS shared_parts
-        |FROM sym WHERE sa > sb GROUP BY 1, 2""".stripMargin,
+      """WITH sp AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+        |SELECT b.l_suppkey AS supplier_a, a.l_suppkey AS supplier_b,
+        |  count(*) AS shared_parts
+        |FROM sp a JOIN sp b ON a.l_partkey = b.l_partkey
+        |WHERE a.l_suppkey < b.l_suppkey
+        |GROUP BY 1, 2""".stripMargin,
 
     "q13_distinct_user_days" ->
       """SELECT DISTINCT user_id,
@@ -344,7 +345,8 @@ object Relational extends Catalog {
       """WITH dd AS (SELECT DISTINCT user_id,
         |  strftime(CAST(CAST(ts AS TIMESTAMP) AS DATE), '%Y-%m-%d') AS ds
         |  FROM events)
-        |SELECT user_id, count(*) AS n_days, list(ds ORDER BY ds) AS dates
+        |SELECT user_id, count(*) AS n_days,
+        |  array_to_string(list(ds ORDER BY ds), ',') AS dates
         |FROM dd GROUP BY user_id""".stripMargin,
 
     "q15_doc_strings" ->
