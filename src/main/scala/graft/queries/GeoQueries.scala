@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.ext.GridNearestJoin
 import graft.functions.Geo
 import graft.sources.Tables
 import XDet._
@@ -15,8 +16,9 @@ import XDet._
   * DuckDB oracle, so both engines see the same points.
   *
   * Scale shape: the "city" dimension is tiny (nation, 25 rows) and is
-  * broadcast; the per-nation self-join in q19 is the reference's J6
-  * blow-up-then-filter pattern, bounded by nation cardinality.
+  * broadcast in q18/q20; q19 (pair radius search) and q24 (nearest over a
+  * ~2000-row dimension) run on [[graft.ext.GridNearestJoin]]'s band/cell
+  * equi-joins — the plans that survive a 100× scale-up.
   */
 object GeoQueries extends Catalog {
 
@@ -46,6 +48,20 @@ object GeoQueries extends Catalog {
       |  -170 + n_nationkey*211 % 340 AS city_lon
       |FROM nation""".stripMargin
 
+  /** parts → a dimension of "sites" large enough that broadcast cross join is
+    * the wrong plan (~2000 rows at sf0.01, scales with sf) */
+  private def partSites(s: SparkSession, d: String): DataFrame =
+    Tables.part(s, d).select(
+      col("p_partkey"),
+      (lit(-60) + (col("p_partkey") * 73 % 1200) / lit(10.0)).as("site_lat"),
+      (lit(-170) + (col("p_partkey") * 179 % 3400) / lit(10.0)).as("site_lon"))
+
+  private val partSitesSql =
+    """SELECT p_partkey,
+      |  -60 + (p_partkey*73 % 1200) / 10.0 AS site_lat,
+      |  -170 + (p_partkey*179 % 3400) / 10.0 AS site_lon
+      |FROM part""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- J1: nearest-neighbor join (cross join + windowed argmin) ---------
     "q18_nearest_city" -> ((s, d) => {
@@ -67,19 +83,17 @@ object GeoQueries extends Catalog {
     }),
 
     // ---- P7/P8/F8: canonical pairs within radius + midpoint ----------------
+    // Round 1 joined per nation (quadratic in group size); now the same-nation
+    // constraint rides along as an extra equi-key on the band join, so the
+    // candidate set is bounded by band geometry, not nation cardinality.
     "q19_radius_pairs" -> ((s, d) => {
-      val pts = customerPoints(s, d)
-      val peers = pts.select(col("c_nationkey"),
-        col("c_custkey").as("peer"), col("lat").as("lat2"), col("lon").as("lon2"))
-      pts.join(peers, Seq("c_nationkey"))
-        .filter(col("c_custkey") < col("peer"))
-        .withColumn("distance",
-          Geo.haversineKmDet(col("lat"), col("lat2"), col("lon"), col("lon2")))
-        .filter(col("distance") < 1500.0)
+      GridNearestJoin.radiusPairs(customerPoints(s, d),
+          key = "c_custkey", lat = "lat", lon = "lon",
+          radiusKm = 1500.0, maxAbsLatDeg = 60.0, extraKeys = Seq("c_nationkey"))
         .select(
-          col("c_custkey").as("cust_a"), col("peer").as("cust_b"),
-          ((col("lat") + col("lat2")) / lit(2)).as("mid_lat"),
-          ((col("lon") + col("lon2")) / lit(2)).as("mid_lon"),
+          col("c_custkey").as("cust_a"), col("c_custkey_b").as("cust_b"),
+          ((col("lat") + col("lat_b")) / lit(2)).as("mid_lat"),
+          ((col("lon") + col("lon_b")) / lit(2)).as("mid_lon"),
           round(col("distance"), 4).as("dist_km"))
     }),
 
@@ -104,6 +118,20 @@ object GeoQueries extends Catalog {
       perCustomer.join(zoneOf, Seq("o_custkey"))
         .groupBy("zone", "month")
         .agg(sum("orders").as("orders"), moneySum(col("spend"), 2).as("spend"))
+    }),
+
+    // ---- grid-bucketed nearest-neighbor join (J1 scale path) ---------------
+    // Spark runs the cell equi-join + certified-argmin + exact fallback; the
+    // oracle brute-forces the same argmin, proving the grid path is exact.
+    "q24_grid_nearest" -> ((s, d) => {
+      GridNearestJoin.nearest(
+          customerPoints(s, d), partSites(s, d),
+          srcLat = "lat", dimLat = "site_lat",
+          srcLon = "lon", dimLon = "site_lon",
+          srcKey = Seq("c_custkey"), tieBreak = Seq(col("p_partkey")),
+          cellDeg = 12.0, maxAbsLatDeg = 60.0)
+        .select(col("c_custkey"), col("p_partkey").as("site_key"),
+          round(col("distance"), 4).as("dist_km"))
     }),
   )
 
@@ -147,5 +175,16 @@ object GeoQueries extends Catalog {
          |  ${moneySumSql("spend", 2)} AS spend
          |FROM per_customer JOIN zone_of USING (o_custkey)
          |GROUP BY zone, month""".stripMargin,
+
+    "q24_grid_nearest" ->
+      s"""WITH pts AS ($customerPointsSql),
+         |sites AS ($partSitesSql)
+         |SELECT c_custkey, p_partkey AS site_key,
+         |  round(${Geo.haversineSqlText("lat", "site_lat", "lon", "site_lon")}, 4)
+         |    AS dist_km
+         |FROM pts CROSS JOIN sites
+         |QUALIFY row_number() OVER (PARTITION BY c_custkey
+         |  ORDER BY round(${Geo.haversineSqlText("lat", "site_lat", "lon", "site_lon")}, 9),
+         |    p_partkey) = 1""".stripMargin,
   )
 }
