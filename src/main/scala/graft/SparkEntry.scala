@@ -11,7 +11,8 @@ import graft.queries._
   * parquet tables; entries without an oracle get a rows-only check.
   */
 object SparkEntry {
-  private val catalogs: Seq[Catalog] = Seq(Relational, GeoQueries)
+  private val catalogs: Seq[Catalog] =
+    Seq(Relational, GeoQueries, DataPipelineQueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

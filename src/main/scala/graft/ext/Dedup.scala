@@ -1,0 +1,191 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Document deduplication for LLM-training-data pipelines: exact (normalized
+  * fingerprint), n-gram Jaccard (inverted index), MinHash + LSH banding, and
+  * SimHash — all as built-in Catalyst column expressions (no UDFs), all
+  * candidate generation via equi-joins on content-derived keys so no step is
+  * ever all-pairs.
+  *
+  * Scale shapes (the 100 TB contract):
+  *  - exact dedup: one hash-shuffle on the 16-byte fingerprint;
+  *  - Jaccard: the self-join is on the shingle inverted index — candidate
+  *    count is Σ per-shingle df², bounded by dropping stop-shingles above
+  *    `maxShingleDf`, never |docs|²;
+  *  - MinHash/LSH: signatures are k min-aggregates in a single pass over
+  *    exploded shingles; candidates meet only inside (band, bucket) groups;
+  *  - SimHash: 64 sign-sums in one aggregation; candidates share a 16-bit
+  *    chunk (pigeonhole: hamming ≤ 3 pairs must collide on one of 4 chunks).
+  */
+object Dedup {
+
+  /** whitespace-collapsed, trimmed, lowercased text */
+  def normalizeText(c: Column): Column = lower(trim(regexp_replace(c, "\\s+", " ")))
+
+  /** 32-hex-char exact-dup fingerprint of the normalized text */
+  def fingerprint(c: Column): Column = md5(normalizeText(c))
+
+  /** Per-doc exact-dup group assignment: fingerprint, group size, and the
+    * canonical (minimum) doc id of the group. One shuffle, keyed by the
+    * fingerprint — uniform unless the corpus is one giant duplicate class.
+    */
+  def exactDupGroups(docs: DataFrame, id: String, text: String): DataFrame = {
+    val byFp = Window.partitionBy("fp")
+    docs.select(col(id), fingerprint(col(text)).as("fp"))
+      .withColumn("group_size", count(lit(1)).over(byFp))
+      .withColumn("canonical_id", min(col(id)).over(byFp))
+  }
+
+  /** Distinct word `n`-gram shingles per doc: (id, shingle). Docs shorter
+    * than `n` words produce none (sequence(0, negative) would DESCEND in
+    * Spark, hence the explicit guard).
+    */
+  def wordShingles(docs: DataFrame, id: String, text: String, n: Int): DataFrame = {
+    val words = filter(split(normalizeText(col(text)), " "), w => w =!= "")
+    val shingleArr = when(size(words) >= n,
+      transform(sequence(lit(0), size(words) - lit(n)),
+        i => concat_ws(" ", slice(words, i + lit(1), lit(n)))))
+      .otherwise(array())
+    docs.select(col(id), explode(shingleArr).as("shingle")).distinct()
+  }
+
+  /** Candidate pairs from the shingle inverted index with their true Jaccard
+    * similarity; only pairs sharing ≥1 shingle are ever materialized, and
+    * shingles occurring in more than `maxShingleDf` docs are dropped from
+    * candidate *generation* (stop-shingle guard for the df² blow-up) while
+    * still counting toward the true Jaccard via the intersection recount.
+    */
+  def jaccardPairs(docs: DataFrame, id: String, text: String, n: Int,
+                   minJaccard: Double, maxShingleDf: Long = Long.MaxValue): DataFrame = {
+    val sh = wordShingles(docs, id, text, n)
+    val sizes = sh.groupBy(col(id)).agg(count(lit(1)).as("n_sh"))
+    val gen =
+      if (maxShingleDf == Long.MaxValue) sh
+      else {
+        val byShingle = Window.partitionBy("shingle")
+        sh.withColumn("df", count(lit(1)).over(byShingle))
+          .filter(col("df") <= maxShingleDf).drop("df")
+      }
+    val a = gen.select(col(id).as("id_a"), col("shingle"))
+    val b = gen.select(col(id).as("id_b"), col("shingle"))
+    val candidates = a.join(b, Seq("shingle"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    // exact intersection recount over the full (unfiltered) shingle sets
+    val withInter = candidates
+      .join(sh.select(col(id).as("id_a"), col("shingle")), Seq("id_a"))
+      .join(sh.select(col(id).as("id_b"), col("shingle")), Seq("id_b", "shingle"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+    withInter
+      .join(sizes.select(col(id).as("id_a"), col("n_sh").as("n_a")), Seq("id_a"))
+      .join(sizes.select(col(id).as("id_b"), col("n_sh").as("n_b")), Seq("id_b"))
+      .withColumn("jaccard",
+        col("inter") / (col("n_a") + col("n_b") - col("inter")))
+      .filter(col("jaccard") >= minJaccard)
+  }
+
+  /** MinHash signatures: (id, sig array<long> of length `numHashes`).
+    * Hash family i is `xxhash64(i, shingle)`; all minima are computed in ONE
+    * aggregation pass (k min expressions), not k passes.
+    */
+  def minHashSignatures(docs: DataFrame, id: String, text: String,
+                        n: Int, numHashes: Int): DataFrame = {
+    val sh = wordShingles(docs, id, text, n)
+    val mins = (0 until numHashes).map(i =>
+      min(xxhash64(lit(i), col("shingle"))).as(s"h$i"))
+    sh.groupBy(col(id))
+      .agg(mins.head, mins.tail: _*)
+      .select(col(id), array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"))
+  }
+
+  /** LSH band buckets: (id, band, bucket). Docs agreeing on all rows of any
+    * band share a bucket; `bands * rowsPerBand` must equal the signature
+    * length.
+    */
+  def lshBuckets(signatures: DataFrame, id: String,
+                 bands: Int, rowsPerBand: Int): DataFrame =
+    signatures.select(col(id),
+        explode(transform(sequence(lit(0), lit(bands - 1)), b =>
+          struct(b.as("band"),
+            xxhash64(b, concat_ws(",",
+              slice(col("sig"), b * lit(rowsPerBand) + lit(1), lit(rowsPerBand))
+                .cast("array<string>")))
+              .as("bucket")))).as("bb"))
+      .select(col(id), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+
+  /** Near-dup candidate pairs from MinHash LSH: pairs meeting in ≥1 (band,
+    * bucket) group. Never all-pairs — the join key is (band, bucket).
+    */
+  def minHashCandidates(docs: DataFrame, id: String, text: String,
+                        n: Int, numHashes: Int, bands: Int): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val buckets = lshBuckets(
+      minHashSignatures(docs, id, text, n, numHashes), id, bands, numHashes / bands)
+    buckets.select(col(id).as("id_a"), col("band"), col("bucket"))
+      .join(buckets.select(col(id).as("id_b"), col("band"), col("bucket")),
+        Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+  }
+
+  /** LSH candidates verified by true n-gram Jaccard ≥ `minJaccard`. */
+  def minHashNearDups(docs: DataFrame, id: String, text: String,
+                      n: Int, numHashes: Int, bands: Int,
+                      minJaccard: Double): DataFrame = {
+    val sh = wordShingles(docs, id, text, n)
+    val sizes = sh.groupBy(col(id)).agg(count(lit(1)).as("n_sh"))
+    minHashCandidates(docs, id, text, n, numHashes, bands)
+      .join(sh.select(col(id).as("id_a"), col("shingle")), Seq("id_a"))
+      .join(sh.select(col(id).as("id_b"), col("shingle")), Seq("id_b", "shingle"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col(id).as("id_a"), col("n_sh").as("n_a")), Seq("id_a"))
+      .join(sizes.select(col(id).as("id_b"), col("n_sh").as("n_b")), Seq("id_b"))
+      .withColumn("jaccard",
+        col("inter") / (col("n_a") + col("n_b") - col("inter")))
+      .filter(col("jaccard") >= minJaccard)
+  }
+
+  /** 64-bit SimHash per doc: sign of the per-bit sum of word-hash bits,
+    * computed as 64 conditional sums in a single aggregation.
+    */
+  def simHash64(docs: DataFrame, id: String, text: String): DataFrame = {
+    val words = docs.select(col(id),
+      explode(filter(split(normalizeText(col(text)), " "), w => w =!= "")).as("w"))
+      .withColumn("h", xxhash64(col("w")))
+    val bitSums = (0 until 64).map(i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(lit(1L)) === 1L, 1)
+        .otherwise(-1)).as(s"b$i"))
+    val fp = (0 until 64).map(i =>
+      when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+      .reduce(_ + _) // bit positions are disjoint, so + is bitwise-or
+    words.groupBy(col(id))
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col(id), fp.as("simhash"))
+  }
+
+  /** SimHash near-dup pairs with hamming distance ≤ `maxHamming` (≤ 3 for
+    * guaranteed recall: 4 chunks of 16 bits — pigeonhole — so any pair within
+    * hamming 3 agrees on ≥1 chunk and meets in that equi-join bucket).
+    */
+  def simHashNearDups(docs: DataFrame, id: String, text: String,
+                      maxHamming: Int): DataFrame = {
+    val fps = simHash64(docs, id, text)
+    val chunks = fps.select(col(id), col("simhash"),
+        explode(array((0 until 4).map(c =>
+          struct(lit(c).as("chunk"),
+            shiftright(col("simhash"), c * 16).bitwiseAND(lit(0xFFFFL))
+              .as("v"))): _*)).as("cc"))
+      .select(col(id), col("simhash"), col("cc.chunk").as("chunk"), col("cc.v").as("v"))
+    chunks.select(col(id).as("id_a"), col("simhash").as("sh_a"), col("chunk"), col("v"))
+      .join(chunks.select(col(id).as("id_b"), col("simhash").as("sh_b"),
+        col("chunk"), col("v")), Seq("chunk", "v"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+}

@@ -1,0 +1,140 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (`array<float>`).
+  *
+  * All similarity math runs on embeddings quantized to scaled longs
+  * (`round(x · 1e6)`): every product and partial sum stays an exact integer
+  * below 2^53, so the dot product is order-independent and bit-identical in
+  * any engine, and the cosine derived from it (exact ints → correctly-rounded
+  * sqrt/divide) is deterministic enough for hash-exact oracle comparison —
+  * the same trick as `XDet.moneySum` for money columns.
+  *
+  * Scale shapes: [[knnExact]] is the O(|corpus|·|queries|) correctness
+  * baseline (queries broadcast — use only with a bounded query set);
+  * [[knnIvf]] is the 100 TB path — corpus rows are partitioned into coarse
+  * cells (nearest centroid), queries probe only their `nprobe` closest
+  * cells, and the candidate join is an equi-join on the cell id.
+  */
+object Similarity {
+
+  val DefaultScale: Double = 1e6
+
+  /** embedding → scaled-long vector. Quantized via `floor(x·scale + 0.5)`,
+    * NOT `round`: Spark's round goes through BigDecimal on the shortest
+    * decimal representation while DuckDB rounds the binary double, and the
+    * two disagree on values a hair under .5 boundaries. floor(+0.5) is plain
+    * IEEE arithmetic — bit-identical in every engine.
+    */
+  def quantize(vec: Column, scale: Double = DefaultScale): Column =
+    transform(vec, x => floor(x * scale + lit(0.5)).cast("long"))
+
+  /** exact integer dot product of two scaled-long vectors */
+  def dotLong(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (s, x) => s + x)
+
+  /** cosine from scaled-long vectors and their precomputed self-dots */
+  def cosineFromQuantized(a: Column, b: Column, na: Column, nb: Column): Column =
+    dotLong(a, b) / (sqrt(na.cast("double")) * sqrt(nb.cast("double")))
+
+  /** (idAlias, __qv quantized vector, __qn self-dot) projection */
+  private def prep(df: DataFrame, id: String, vec: String, idAlias: String,
+                   scale: Double): DataFrame =
+    df.select(col(id).as(idAlias), quantize(col(vec), scale).as("__qv"))
+      .withColumn("__qn", dotLong(col("__qv"), col("__qv")))
+
+  /** Exact top-k cosine neighbors of each query vector, brute force.
+    * Output: (query_id, neighbor_id, rank, cosine). Self-matches excluded.
+    */
+  def knnExact(corpus: DataFrame, queries: DataFrame,
+               corpusId: String, corpusVec: String,
+               queryId: String, queryVec: String,
+               k: Int, scale: Double = DefaultScale): DataFrame = {
+    val c = prep(corpus, corpusId, corpusVec, "neighbor_id", scale)
+      .withColumnRenamed("__qv", "__cv").withColumnRenamed("__qn", "__cn")
+    val q = prep(queries, queryId, queryVec, "query_id", scale)
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    c.crossJoin(broadcast(q))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine",
+        cosineFromQuantized(col("__qv"), col("__cv"), col("__qn"), col("__cn")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cosine")
+  }
+
+  /** Assign every corpus row to its nearest centroid (max cosine, centroid id
+    * tiebreak). Output: corpus columns + `cell`. Centroids are broadcast —
+    * they are the coarse quantizer and stay small by construction.
+    */
+  def assignCells(corpus: DataFrame, corpusId: String, corpusVec: String,
+                  centroids: DataFrame, centroidId: String, centroidVec: String,
+                  scale: Double = DefaultScale): DataFrame = {
+    val cent = prep(centroids, centroidId, centroidVec, "cell", scale)
+      .withColumnRenamed("__qv", "__ctv").withColumnRenamed("__qn", "__ctn")
+    val withQ = corpus
+      .withColumn("__qv", quantize(col(corpusVec), scale))
+      .withColumn("__qn", dotLong(col("__qv"), col("__qv")))
+    val w = Window.partitionBy(corpusId).orderBy(col("__cos").desc, col("cell"))
+    withQ.crossJoin(broadcast(cent))
+      .withColumn("__cos",
+        cosineFromQuantized(col("__qv"), col("__ctv"), col("__qn"), col("__ctn")))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn", "__cos", "__ctv", "__ctn", "__qv", "__qn")
+  }
+
+  /** IVF approximate top-k: queries probe their `nprobe` nearest cells and
+    * rank only corpus rows assigned there. The candidate join is
+    * (cell = cell) — an equi-join that scales with cell sizes, never
+    * |corpus| × |queries|. Output: (query_id, rank, neighbor_id, cosine).
+    */
+  def knnIvf(corpus: DataFrame, queries: DataFrame,
+             corpusId: String, corpusVec: String,
+             queryId: String, queryVec: String,
+             centroids: DataFrame, centroidId: String, centroidVec: String,
+             k: Int, nprobe: Int, scale: Double = DefaultScale): DataFrame = {
+    val assigned = assignCells(corpus, corpusId, corpusVec,
+        centroids, centroidId, centroidVec, scale)
+      .select(col(corpusId).as("neighbor_id"), col(corpusVec).as("__v"), col("cell"))
+      .withColumn("__cv", quantize(col("__v"), scale)).drop("__v")
+      .withColumn("__cn", dotLong(col("__cv"), col("__cv")))
+    // per query: its nprobe closest centroids
+    val cent = prep(centroids, centroidId, centroidVec, "cell", scale)
+      .withColumnRenamed("__qv", "__ctv").withColumnRenamed("__qn", "__ctn")
+    val q = prep(queries, queryId, queryVec, "query_id", scale)
+    val wProbe = Window.partitionBy("query_id").orderBy(col("__cos").desc, col("cell"))
+    val probes = q.crossJoin(broadcast(cent))
+      .withColumn("__cos",
+        cosineFromQuantized(col("__qv"), col("__ctv"), col("__qn"), col("__ctn")))
+      .withColumn("__rn", row_number().over(wProbe))
+      .filter(col("__rn") <= nprobe)
+      .select(col("query_id"), col("cell"), col("__qv"), col("__qn"))
+    val wRank = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    probes.join(assigned, Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine",
+        cosineFromQuantized(col("__qv"), col("__cv"), col("__qn"), col("__cn")))
+      .withColumn("rank", row_number().over(wRank).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cosine")
+  }
+
+  /** DuckDB SQL text for the identical scaled-integer dot product. */
+  /** DuckDB multiplies FLOAT×DOUBLE in float precision — the element must be
+    * cast to DOUBLE first to match Spark's float→double promotion. */
+  def dotSqlText(a: String, b: String, scale: Double = DefaultScale): String =
+    s"CAST(list_sum([CAST(floor(CAST(($a)[i] AS DOUBLE)*$scale + 0.5) AS BIGINT)" +
+      s"*CAST(floor(CAST(($b)[i] AS DOUBLE)*$scale + 0.5) AS BIGINT) " +
+      s"FOR i IN range(1, len($a)+1)]) AS BIGINT)"
+
+  /** DuckDB SQL text for the identical cosine (exact ints → IEEE sqrt/div). */
+  def cosineSqlText(a: String, b: String, scale: Double = DefaultScale): String =
+    s"(${dotSqlText(a, b, scale)} / (sqrt(CAST(${dotSqlText(a, a, scale)} AS DOUBLE))" +
+      s" * sqrt(CAST(${dotSqlText(b, b, scale)} AS DOUBLE))))"
+}

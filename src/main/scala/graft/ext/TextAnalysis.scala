@@ -1,0 +1,85 @@
+package graft.ext
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-quality operators for training-data curation: token counting
+  * (whitespace and regex "BPE-ish" subtokens), quality stats (punctuation /
+  * stopword ratios, average token length), a stopword-based language-ID
+  * heuristic, and document fingerprints. Pure Catalyst column expressions —
+  * every ratio is an exact-integer quotient so the doubles are reproducible
+  * in any engine.
+  */
+object TextAnalysis {
+
+  /** Small English function-word list for the language heuristic (public
+    * knowledge; any real pipeline would plug a per-language table here).
+    */
+  val EnglishStopwords: Seq[String] = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "are", "was",
+    "for", "on", "with", "as", "by", "at", "it", "this", "that", "be")
+
+  /** whitespace tokens of the normalized text */
+  def tokens(text: Column): Column =
+    filter(split(Dedup.normalizeText(text), " "), w => w =!= "")
+
+  /** whitespace token count, as long */
+  def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
+
+  /** "BPE-ish" subtoken count: alpha runs, digit runs, and single other
+    * non-space chars — the pre-merge word pieces of a byte-pair tokenizer.
+    * The regex is shared verbatim with the DuckDB oracle (RE2 and Java agree
+    * on this subset).
+    */
+  val SubtokenRegex = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+  def subtokenCount(text: Column): Column =
+    size(regexp_extract_all(Dedup.normalizeText(text), lit(SubtokenRegex), lit(0)))
+      .cast("long")
+
+  /** characters of punctuation / total characters of the normalized text */
+  def punctRatio(text: Column): Column = {
+    val norm = Dedup.normalizeText(text)
+    (length(norm) - length(regexp_replace(norm, "[\\p{Punct}]", ""))).cast("double") /
+      length(norm)
+  }
+
+  /** fraction of whitespace tokens that are stopwords */
+  def stopwordRatio(text: Column, stopwords: Seq[String] = EnglishStopwords): Column = {
+    val ts = tokens(text)
+    size(filter(ts, t => array_contains(typedLit(stopwords), t))).cast("double") /
+      size(ts)
+  }
+
+  /** mean token length (exact-int quotient) */
+  def avgTokenLen(text: Column): Column = {
+    val ts = tokens(text)
+    aggregate(transform(ts, t => length(t).cast("long")), lit(0L), (s, x) => s + x)
+      .cast("double") / size(ts)
+  }
+
+  /** n-gram language-ID heuristic: enough stopword mass → the candidate
+    * language, else "unknown". One language here; production would argmax
+    * over per-language stopword tables.
+    */
+  def langGuess(text: Column, lang: String = "en",
+                stopwords: Seq[String] = EnglishStopwords,
+                minRatio: Double = 0.02): Column =
+    when(stopwordRatio(text, stopwords) >= minRatio, lit(lang))
+      .otherwise(lit("unknown"))
+
+  /** exact-dup fingerprint (md5 of normalized text) — see [[Dedup.fingerprint]] */
+  def fingerprint(text: Column): Column = Dedup.fingerprint(text)
+
+  /** Rolling-hash document sketch: the minimum `xxhash64` over word
+    * `n`-gram windows (winnowing with w = ∞). Engine-portable only within
+    * Spark (xxhash64), so spec-tested rather than oracle-checked.
+    */
+  def rollingMinHash(text: Column, n: Int): Column = {
+    val ts = tokens(text)
+    val shingles = when(size(ts) >= n,
+      transform(sequence(lit(0), size(ts) - lit(n)),
+        i => xxhash64(concat_ws(" ", slice(ts, i + lit(1), lit(n))))))
+      .otherwise(array(xxhash64(concat_ws(" ", ts))))
+    array_min(shingles)
+  }
+}

@@ -1,0 +1,204 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ext.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.sources.Tables
+
+/** LLM-training-data pipeline coverage over `documents` and `embeddings`:
+  * dedup (exact / n-gram Jaccard / MinHash LSH / SimHash), similarity search
+  * (exact and IVF-bucketed cosine top-k), text quality analysis, and
+  * multimodal binary-payload plumbing.
+  *
+  * Hash-family-dependent operators (MinHash, SimHash — xxhash64 has no DuckDB
+  * twin) are deterministic but rows-only checked; everything else carries a
+  * cell-exact DuckDB oracle, including the IVF path (the scaled-integer
+  * cosine of [[graft.ext.Similarity]] is bit-identical across engines).
+  */
+object DataPipelineQueries extends Catalog {
+
+  private val normSql = """lower(trim(regexp_replace(text, '\s+', ' ', 'g')))"""
+  private val wordsSql = s"list_filter(string_split($normSql, ' '), x -> x != '')"
+  private val stopListSql =
+    TextAnalysis.EnglishStopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- exact dedup: one shuffle on the normalized-text fingerprint -------
+    "q21_exact_dup_groups" -> ((s, d) => {
+      Dedup.exactDupGroups(Tables.documents(s, d), "doc_id", "text")
+    }),
+
+    // ---- n-gram Jaccard near-dup via shingle inverted index ----------------
+    "q22_jaccard_near_dups" -> ((s, d) => {
+      Dedup.jaccardPairs(Tables.documents(s, d), "doc_id", "text",
+          n = 3, minJaccard = 0.1)
+        .select(col("id_a"), col("id_b"), col("inter").as("shared"),
+          round(col("jaccard"), 6).as("jaccard"))
+    }),
+
+    // ---- MinHash + LSH banded near-dup (scale path; spec-verified recall) --
+    "q23_minhash_near_dups" -> ((s, d) => {
+      Dedup.minHashNearDups(Tables.documents(s, d), "doc_id", "text",
+          n = 3, numHashes = 64, bands = 16, minJaccard = 0.5)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+    }),
+
+    // ---- exact cosine top-k over embeddings (brute-force baseline) ---------
+    "q25_knn_exact" -> ((s, d) => {
+      val vecs = Tables.embeddings(s, d)
+      Similarity.knnExact(vecs, vecs.filter(col("vec_id") % 50 === 0),
+          "vec_id", "embedding", "vec_id", "embedding", k = 10)
+        .select(col("query_id"), col("rank").as("rnk"), col("neighbor_id"),
+          (floor(col("cosine") * 1e6 + 0.5) / 1e6).as("cosine"))
+    }),
+
+    // ---- IVF-bucketed approximate top-k (the 100 TB path) ------------------
+    "q26_knn_ivf" -> ((s, d) => {
+      val vecs = Tables.embeddings(s, d)
+      Similarity.knnIvf(vecs, vecs.filter(col("vec_id") % 50 === 0),
+          "vec_id", "embedding", "vec_id", "embedding",
+          centroids = vecs.filter(col("vec_id") % 50 === 7),
+          "vec_id", "embedding", k = 5, nprobe = 3)
+        .select(col("query_id"), col("rank").as("rnk"), col("neighbor_id"),
+          (floor(col("cosine") * 1e6 + 0.5) / 1e6).as("cosine"))
+    }),
+
+    // ---- SimHash near-dup (chunk-bucketed hamming; spec-verified) ----------
+    "q27_simhash_near_dups" -> ((s, d) => {
+      Dedup.simHashNearDups(Tables.documents(s, d), "doc_id", "text",
+        maxHamming = 10)
+    }),
+
+    // ---- text quality analysis --------------------------------------------
+    "q28_text_stats" -> ((s, d) => {
+      val t = col("text")
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        TextAnalysis.tokenCount(t).as("n_tokens"),
+        TextAnalysis.subtokenCount(t).as("n_subtokens"),
+        round(TextAnalysis.punctRatio(t), 6).as("punct_ratio"),
+        round(TextAnalysis.stopwordRatio(t), 6).as("stop_ratio"),
+        round(TextAnalysis.avgTokenLen(t), 6).as("avg_token_len"),
+        TextAnalysis.langGuess(t).as("lang_guess"),
+        TextAnalysis.fingerprint(t).as("fp"))
+    }),
+
+    // ---- multimodal payload plumbing --------------------------------------
+    "q29_multimodal_bytes" -> ((s, d) => {
+      val packed = Multimodal.packPayload(Tables.documents(s, d), "text")
+      val bytes = col("payload.bytes")
+      val hist = Multimodal.nibbleHistogram(bytes)
+      packed.select(
+        col("doc_id"),
+        col("payload.meta.mime").as("mime"),
+        col("payload.meta.n_bytes").as("n_bytes"),
+        col("payload.meta.checksum").as("checksum"),
+        lower(hex(Multimodal.head(bytes, 8))).as("head_hex"),
+        size(Multimodal.frameSample(bytes, 4, 16)).cast("long").as("n_frames"),
+        element_at(hist, 1).as("hist_0"),
+        element_at(hist, 8).as("hist_7"),
+        element_at(hist, 16).as("hist_f"))
+    }),
+  )
+
+  override def oracles: Map[String, String] = Map(
+    "q21_exact_dup_groups" ->
+      s"""SELECT doc_id, md5($normSql) AS fp,
+         |  count(*) OVER (PARTITION BY md5($normSql)) AS group_size,
+         |  min(doc_id) OVER (PARTITION BY md5($normSql)) AS canonical_id
+         |FROM documents""".stripMargin,
+
+    "q22_jaccard_near_dups" ->
+      s"""WITH w AS (SELECT doc_id, $wordsSql AS ws FROM documents),
+         |idx AS (SELECT doc_id, ws, unnest(range(len(ws)-2)) AS i
+         |        FROM w WHERE len(ws) >= 3),
+         |sh AS (SELECT DISTINCT doc_id,
+         |         array_to_string(ws[i+1:i+3], ' ') AS shingle FROM idx),
+         |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+         |cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+         |         FROM sh a JOIN sh b USING (shingle)
+         |         WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+         |SELECT id_a, id_b, inter AS shared,
+         |  round(CAST(inter AS DOUBLE)/(na.n_sh + nb.n_sh - inter), 6) AS jaccard
+         |FROM cand
+         |JOIN sizes na ON id_a = na.doc_id
+         |JOIN sizes nb ON id_b = nb.doc_id
+         |WHERE CAST(inter AS DOUBLE)/(na.n_sh + nb.n_sh - inter) >= 0.1""".stripMargin,
+
+    "q25_knn_exact" -> {
+      val cos = Similarity.cosineSqlText("qe", "embedding")
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+         |           FROM embeddings WHERE vec_id % 50 = 0)
+         |SELECT query_id, CAST(row_number() OVER w AS BIGINT) AS rnk,
+         |  vec_id AS neighbor_id, floor(($cos)*1000000.0 + 0.5)/1000000.0 AS cosine
+         |FROM embeddings CROSS JOIN q
+         |WHERE vec_id != query_id
+         |WINDOW w AS (PARTITION BY query_id ORDER BY $cos DESC, vec_id)
+         |QUALIFY row_number() OVER w <= 10""".stripMargin
+    },
+
+    "q26_knn_ivf" -> {
+      val cosCent = Similarity.cosineSqlText("embedding", "ce")
+      val cosQCent = Similarity.cosineSqlText("qe", "ce")
+      val cosQN = Similarity.cosineSqlText("qe", "ne")
+      s"""WITH cent AS (SELECT vec_id AS cell, embedding AS ce
+         |              FROM embeddings WHERE vec_id % 50 = 7),
+         |q AS (SELECT vec_id AS query_id, embedding AS qe
+         |      FROM embeddings WHERE vec_id % 50 = 0),
+         |assigned AS (
+         |  SELECT vec_id AS neighbor_id, embedding AS ne, cell
+         |  FROM embeddings CROSS JOIN cent
+         |  QUALIFY row_number() OVER (PARTITION BY vec_id
+         |    ORDER BY $cosCent DESC, cell) = 1),
+         |probes AS (
+         |  SELECT query_id, qe, cell
+         |  FROM q CROSS JOIN cent
+         |  QUALIFY row_number() OVER (PARTITION BY query_id
+         |    ORDER BY $cosQCent DESC, cell) <= 3)
+         |SELECT query_id, CAST(row_number() OVER w AS BIGINT) AS rnk,
+         |  neighbor_id, floor(($cosQN)*1000000.0 + 0.5)/1000000.0 AS cosine
+         |FROM probes JOIN assigned USING (cell)
+         |WHERE neighbor_id != query_id
+         |WINDOW w AS (PARTITION BY query_id ORDER BY $cosQN DESC, neighbor_id)
+         |QUALIFY row_number() OVER w <= 5""".stripMargin
+    },
+
+    "q28_text_stats" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, $normSql AS norm, $wordsSql AS ws FROM documents),
+         |stats AS (
+         |  SELECT doc_id, norm, ws,
+         |    CAST(len(list_filter(ws, x -> list_contains($stopListSql, x)))
+         |      AS DOUBLE) / len(ws) AS stop_raw
+         |  FROM base)
+         |SELECT doc_id,
+         |  CAST(len(ws) AS BIGINT) AS n_tokens,
+         |  CAST(len(regexp_extract_all(norm, '[a-z]+|[0-9]+|[^a-z0-9 ]'))
+         |    AS BIGINT) AS n_subtokens,
+         |  round(CAST(len(norm) - len(regexp_replace(norm, '[[:punct:]]', '', 'g'))
+         |    AS DOUBLE) / len(norm), 6) AS punct_ratio,
+         |  round(stop_raw, 6) AS stop_ratio,
+         |  round(CAST(list_sum(list_transform(ws, x -> len(x))) AS DOUBLE)
+         |    / len(ws), 6) AS avg_token_len,
+         |  CASE WHEN stop_raw >= 0.02 THEN 'en' ELSE 'unknown' END AS lang_guess,
+         |  md5(norm) AS fp
+         |FROM stats""".stripMargin,
+
+    "q29_multimodal_bytes" ->
+      """WITH p AS (
+        |  SELECT doc_id, encode(text) AS bytes,
+        |    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |    lower(hex(encode(text))) AS h, md5(text) AS checksum
+        |  FROM documents)
+        |SELECT doc_id, 'text/plain' AS mime, n_bytes, checksum,
+        |  substring(h, 1, 16) AS head_hex,
+        |  CAST(len(list_filter(range(0, 4),
+        |    i -> i * greatest(n_bytes // 4, 1) + 1 <= n_bytes)) AS BIGINT)
+        |    AS n_frames,
+        |  CAST(len(h) - len(replace(h, '0', '')) AS BIGINT) AS hist_0,
+        |  CAST(len(h) - len(replace(h, '7', '')) AS BIGINT) AS hist_7,
+        |  CAST(len(h) - len(replace(h, 'f', '')) AS BIGINT) AS hist_f
+        |FROM p""".stripMargin,
+  )
+}

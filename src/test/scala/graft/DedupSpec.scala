@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ext.Dedup
+
+class DedupSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  // corpus with one exact-dup class (1, 2), one near-dup pair (3, 4: one word
+  // changed), and unrelated docs
+  private lazy val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the old river bank"),
+    (2L, "  The  quick  brown fox jumps over the lazy dog near the old river bank "),
+    (3L, "a stitch in time saves nine and a rolling stone gathers no moss at all"),
+    (4L, "a stitch in time saves nine and a rolling stone gathers some moss at all"),
+    (5L, "completely different content about spark catalyst optimizer internals"),
+    (6L, "yet another unrelated document mentioning parquet column pruning only")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups whitespace/case variants together") {
+    val g = Dedup.exactDupGroups(docs, "doc_id", "text")
+      .select("doc_id", "group_size", "canonical_id")
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(g.filter(r => r._1 == 1 || r._1 == 2)
+      .forall(r => r._2 == 2 && r._3 == 1))
+    assert(g.filter(r => r._1 >= 3).forall(r => r._2 == 1 && r._3 == r._1))
+  }
+
+  test("word shingles: count and short-doc guard") {
+    val sh = Dedup.wordShingles(docs, "doc_id", "text", 3)
+    // doc 5 has 8 words -> 6 trigrams, all distinct
+    assert(sh.filter($"doc_id" === 5).count() === 6)
+    val tiny = Seq((9L, "only two")).toDF("doc_id", "text")
+    assert(Dedup.wordShingles(tiny, "doc_id", "text", 3).count() === 0)
+  }
+
+  test("jaccard pairs find the near-dup pair and score the exact dups 1.0") {
+    val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.3)
+      .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)]
+      .collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(pairs((1L, 2L)) === 1.0)
+    assert(pairs.contains((3L, 4L)) && pairs((3L, 4L)) > 0.5 && pairs((3L, 4L)) < 1.0)
+    assert(pairs.size === 2)
+  }
+
+  test("LSH candidates contain every high-jaccard pair (no false negatives here)") {
+    val cand = Dedup.minHashCandidates(docs, "doc_id", "text",
+        n = 3, numHashes = 64, bands = 16)
+      .as[(Long, Long)].collect().toSet
+    assert(cand.contains((1L, 2L)) && cand.contains((3L, 4L)))
+    // and the banded verify pipeline agrees with exact jaccard at tau=0.5
+    val near = Dedup.minHashNearDups(docs, "doc_id", "text", 3, 64, 16, 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(near === Set((1L, 2L), (3L, 4L)))
+  }
+
+  test("LSH bucket join is never all-pairs on the sf0.001 corpus") {
+    val d = "/root/testdata/sf0.001"
+    val n = graft.sources.Tables.documents(spark, d).count()
+    val cand = Dedup.minHashCandidates(
+      graft.sources.Tables.documents(spark, d), "doc_id", "text", 3, 64, 16).count()
+    assert(cand < n * (n - 1) / 2 / 10, s"candidates=$cand for n=$n docs")
+  }
+
+  test("simhash: exact dups have hamming 0, near dups small, unrelated large") {
+    val fps = Dedup.simHash64(docs, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(fps(a) ^ fps(b))
+    assert(ham(1, 2) === 0)
+    assert(ham(3, 4) <= 12)
+    assert(ham(1, 5) > 12)
+    val pairs = Dedup.simHashNearDups(docs, "doc_id", "text", maxHamming = 12)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+  }
+}

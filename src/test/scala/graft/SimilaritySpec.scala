@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ext.Similarity
+import graft.sources.Tables
+
+class SimilaritySpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+  private lazy val vecs = Tables.embeddings(spark, sf)
+  private lazy val queries = vecs.filter($"vec_id" % 20 === 0)
+
+  test("quantized cosine matches a driver-side double computation") {
+    val rows = vecs.filter($"vec_id".isin(0, 1)).orderBy("vec_id")
+      .select("embedding").as[Seq[Float]].collect()
+    val (a, b) = (rows(0).map(_.toDouble), rows(1).map(_.toDouble))
+    def q(v: Seq[Double]) = v.map(x => math.floor(x * 1e6 + 0.5).toLong)
+    val (qa, qb) = (q(a), q(b))
+    val dot = qa.zip(qb).map { case (x, y) => x * y }.sum
+    val expected = dot / (math.sqrt(qa.map(x => x * x).sum.toDouble) *
+      math.sqrt(qb.map(x => x * x).sum.toDouble))
+    val got = vecs.filter($"vec_id" === 0).select($"embedding".as("a"))
+      .crossJoin(vecs.filter($"vec_id" === 1).select($"embedding".as("b")))
+      .select(Similarity.cosineFromQuantized(
+        Similarity.quantize($"a"), Similarity.quantize($"b"),
+        Similarity.dotLong(Similarity.quantize($"a"), Similarity.quantize($"a")),
+        Similarity.dotLong(Similarity.quantize($"b"), Similarity.quantize($"b")))
+        .as("cos"))
+      .as[Double].head()
+    assert(got === expected) // exact, not approximate: same IEEE ops
+  }
+
+  test("knnExact returns k ranked neighbors per query, self excluded") {
+    val k = 5
+    val res = Similarity.knnExact(vecs, queries,
+      "vec_id", "embedding", "vec_id", "embedding", k)
+    val n = queries.count()
+    assert(res.count() === n * k)
+    assert(res.filter($"query_id" === $"neighbor_id").count() === 0)
+    // ranks are 1..k and cosines non-increasing within each query
+    val bad = res.withColumn("prev",
+        lag("cosine", 1).over(org.apache.spark.sql.expressions.Window
+          .partitionBy("query_id").orderBy("rank")))
+      .filter($"prev".isNotNull && $"prev" < $"cosine")
+    assert(bad.count() === 0)
+  }
+
+  test("IVF recall beats the scanned-fraction baseline; full probe = exact") {
+    val k = 5
+    val centroids = vecs.filter($"vec_id" % 20 === 7)
+    val nCells = centroids.count().toInt
+    val exact = Similarity.knnExact(vecs, queries,
+        "vec_id", "embedding", "vec_id", "embedding", k)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.knnIvf(vecs, queries,
+        "vec_id", "embedding", "vec_id", "embedding",
+        centroids, "vec_id", "embedding", k = k, nprobe = 3)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & ivf).size.toDouble / exact.size
+    // these embeddings are near-unstructured, so the bar is "cells carry
+    // signal": recall well above the ~nprobe/nCells scanned fraction
+    assert(recall >= 2.0 * 3.0 / nCells, s"recall=$recall cells=$nCells")
+    assert(ivf.size === exact.size) // still returns full k per query
+    // probing every cell must reproduce the exact result identically
+    val full = Similarity.knnIvf(vecs, queries,
+        "vec_id", "embedding", "vec_id", "embedding",
+        centroids, "vec_id", "embedding", k = k, nprobe = nCells)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(full === exact)
+  }
+
+  test("IVF candidate join is an equi-join on the cell id (no cartesian)") {
+    val centroids = vecs.filter($"vec_id" % 20 === 7)
+    val plan = Similarity.knnIvf(vecs, queries,
+        "vec_id", "embedding", "vec_id", "embedding",
+        centroids, "vec_id", "embedding", k = 5, nprobe = 3)
+      .queryExecution.executedPlan.toString
+    // the only nested-loop allowed is against the broadcast centroid set;
+    // corpus-vs-query candidates must come from the cell equi-join
+    assert(plan.contains("cell"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+}
