@@ -1,0 +1,154 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Geo
+import graft.sources.Tables
+
+/** Oracle coverage for the reference-job operators that round 1 exercised
+  * only in unit tests: P1 nested-struct projection, W2 unordered-window
+  * argmax + A1/A7 `first()` (made deterministic by a two-stage argmax that
+  * leaves exactly one row per group), J5 3-key self-join, U1 `unionByName`
+  * symmetrize (moved here from q12), and W1 coordinate-partitioned window-min
+  * with the all-ties filter.
+  *
+  * Reference shapes: `project_step_1.py:22-26,42`, `project_step_3.py:63-69,
+  * 76-80`, `common_func.py:17,21-22`.
+  */
+object ParityQueries extends Catalog {
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- P1 + W2 + P5 + A1/A7: struct projection, argmax, first -----------
+    "q30_struct_last_event" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(
+        struct(col("user_id").as("uid"), col("ts").as("ts"),
+          col("event_type").as("et"), col("value").as("v"),
+          col("event_id").as("eid")).as("event"))
+      val flat = ev.select(
+        col("event.uid").as("user_id"), col("event.ts").as("ts"),
+        col("event.et").as("event_type"), col("event.v").as("value"),
+        col("event.eid").as("event_id"))
+      val wu = Window.partitionBy("user_id")
+      flat
+        .withColumn("max_ts", max("ts").over(wu))
+        .filter(col("ts") === col("max_ts"))
+        .withColumn("max_eid", max("event_id").over(wu))
+        .filter(col("event_id") === col("max_eid"))
+        .groupBy("user_id")
+        .agg(first("event_type").as("last_type"),
+          first("value").as("last_value"),
+          first(unix_micros(col("ts"))).as("last_ts_us"))
+    }),
+
+    // ---- J5: 3-key equi self-join ------------------------------------------
+    "q31_three_key_active" -> ((s, d) => {
+      val days = Tables.events(s, d).select(
+        col("event_type"), col("user_id"),
+        date_format(to_date(col("ts")), "yyyy-MM-dd").as("d"), col("event_id"))
+      val a = days.filter(col("event_id") % 2 === 0)
+        .select("event_type", "user_id", "d").distinct()
+      val b = days.filter(col("event_id") % 2 === 1)
+        .select("event_type", "user_id", "d").distinct()
+      a.join(b, Seq("event_type", "user_id", "d"))
+    }),
+
+    // ---- U1 + P7 + P3 + A8: symmetrize, canonicalize, distinct -------------
+    "q32_sym_edges" -> ((s, d) => {
+      val edges = Tables.events(s, d).select(
+          col("user_id").as("user_a"),
+          (get_json_object(col("props"), "$.k").cast("long") % 200).as("user_b"))
+        .filter(col("user_b").isNotNull && col("user_b") =!= col("user_a"))
+      val sym = edges.unionByName(edges.select(
+        col("user_b").as("user_a"), col("user_a").as("user_b")))
+      sym.filter(col("user_a") < col("user_b")).distinct()
+    }),
+
+    // ---- W1 + P5: coordinate-partitioned window-min, all ties kept ---------
+    "q33_coord_argmin" -> ((s, d) => {
+      val coords = Tables.customer(s, d).select(
+        ((col("c_custkey") % 7) * 10 - 30).cast("double").as("glat"),
+        ((col("c_custkey") % 13) * 20 - 120).cast("double").as("glon"))
+        .distinct()
+      val cities = Tables.nation(s, d).select(col("n_nationkey"),
+        (lit(-60) + col("n_nationkey") * 137 % 120).as("city_lat"),
+        (lit(-170) + col("n_nationkey") * 211 % 340).as("city_lon"))
+      val w = Window.partitionBy("glat", "glon")
+      coords.crossJoin(broadcast(cities))
+        .withColumn("dist", round(Geo.haversineKmDet(
+          col("glat"), col("city_lat"), col("glon"), col("city_lon")), 9))
+        .withColumn("dmin", min("dist").over(w))
+        .filter(col("dist") === col("dmin"))
+        .groupBy("glat", "glon")
+        .agg(min("n_nationkey").as("city_key"), count(lit(1)).as("n_tied"))
+    }),
+  )
+
+  override def oracles: Map[String, String] = Map(
+    "q30_struct_last_event" ->
+      """WITH ev AS (
+        |  SELECT {'uid': user_id, 'ts': CAST(ts AS TIMESTAMP),
+        |          'et': event_type, 'v': value, 'eid': event_id} AS event
+        |  FROM events),
+        |flat AS (
+        |  SELECT (event).uid AS user_id, (event).ts AS ts,
+        |         (event).et AS event_type, (event).v AS value,
+        |         (event).eid AS event_id
+        |  FROM ev),
+        |m1 AS (SELECT * FROM (
+        |  SELECT *, max(ts) OVER (PARTITION BY user_id) AS mts FROM flat)
+        |  WHERE ts = mts),
+        |m2 AS (SELECT * FROM (
+        |  SELECT *, max(event_id) OVER (PARTITION BY user_id) AS meid FROM m1)
+        |  WHERE event_id = meid)
+        |SELECT user_id, first(event_type) AS last_type,
+        |  first(value) AS last_value, first(epoch_us(ts)) AS last_ts_us
+        |FROM m2 GROUP BY user_id""".stripMargin,
+
+    "q31_three_key_active" ->
+      """WITH days AS (
+        |  SELECT event_type, user_id,
+        |    strftime(CAST(CAST(ts AS TIMESTAMP) AS DATE), '%Y-%m-%d') AS d,
+        |    event_id
+        |  FROM events),
+        |a AS (SELECT DISTINCT event_type, user_id, d FROM days
+        |      WHERE event_id % 2 = 0),
+        |b AS (SELECT DISTINCT event_type, user_id, d FROM days
+        |      WHERE event_id % 2 = 1)
+        |SELECT event_type, user_id, d FROM a JOIN b
+        |  USING (event_type, user_id, d)""".stripMargin,
+
+    "q32_sym_edges" ->
+      """WITH e AS (
+        |  SELECT user_id AS user_a,
+        |    CAST(json_extract_string(props, '$.k') AS BIGINT) % 200 AS user_b
+        |  FROM events),
+        |f AS (SELECT * FROM e WHERE user_b IS NOT NULL AND user_b != user_a),
+        |sym AS (SELECT user_a, user_b FROM f
+        |        UNION ALL SELECT user_b AS user_a, user_a AS user_b FROM f)
+        |SELECT DISTINCT user_a, user_b FROM sym WHERE user_a < user_b""".stripMargin,
+
+    "q33_coord_argmin" -> {
+      val hav = Geo.haversineSqlText("glat", "city_lat", "glon", "city_lon")
+      s"""WITH coords AS (
+         |  SELECT DISTINCT CAST((c_custkey % 7) * 10 - 30 AS DOUBLE) AS glat,
+         |    CAST((c_custkey % 13) * 20 - 120 AS DOUBLE) AS glon
+         |  FROM customer),
+         |cities AS (
+         |  SELECT n_nationkey,
+         |    -60 + n_nationkey*137 % 120 AS city_lat,
+         |    -170 + n_nationkey*211 % 340 AS city_lon
+         |  FROM nation),
+         |dists AS (
+         |  SELECT glat, glon, n_nationkey, round($hav, 9) AS dist
+         |  FROM coords CROSS JOIN cities),
+         |mins AS (SELECT * FROM (
+         |  SELECT *, min(dist) OVER (PARTITION BY glat, glon) AS dmin
+         |  FROM dists) WHERE dist = dmin)
+         |SELECT glat, glon, min(n_nationkey) AS city_key,
+         |  count(*) AS n_tied
+         |FROM mins GROUP BY glat, glon""".stripMargin
+    },
+  )
+}
