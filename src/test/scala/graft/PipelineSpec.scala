@@ -1,0 +1,82 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.jobs.Pipeline
+
+/** End-to-end chain test: fixture events/geo parquet on disk (events
+  * partitioned by `date`, as the reference lake is) -> Pipeline.run in one
+  * session -> all three marts read back and checked. Covers S3 (partition-
+  * path read), S4 (overwrite sinks), and the O1-O3 orchestration surface.
+  */
+class PipelineSpec extends AnyFunSuite with SparkTestBase {
+  import Fixtures._
+  import spark.implicits._
+
+  private val runDate = "2022-06-15"
+
+  private lazy val outBase: String = {
+    val dir = Files.createTempDirectory("graft-pipeline").toString
+    val eventsPath = s"$dir/events"
+    val geoPath = s"$dir/geo"
+
+    val rows =
+      // user 1: 30-day Sydney residency (home), then Melbourne + Brisbane trips
+      dailyRun(1L, "Sydney", "2022-05-01", 30) ++ Seq(
+        msg(1L, "2022-06-01 09:00:00", cityCoord("Melbourne")._1,
+          cityCoord("Melbourne")._2, id = 2001),
+        msg(1L, "2022-06-02 09:00:00", cityCoord("Brisbane")._1,
+          cityCoord("Brisbane")._2, id = 2002),
+        // users 2,3: share channel alpha, never messaged, both near Sydney on runDate
+        subscription(2L, "alpha", s"$runDate 10:00:00", -33.87, 151.21),
+        subscription(3L, "alpha", s"$runDate 11:00:00", -33.86, 151.22),
+        // users 4,5: share channel beta near Perth, but they messaged -> excluded
+        subscription(4L, "beta", s"$runDate 10:00:00", -31.95, 115.86),
+        subscription(5L, "beta", s"$runDate 10:30:00", -31.94, 115.87),
+        msg(4L, s"$runDate 12:00:00", -31.95, 115.86, id = 2003, to = 5L))
+
+    eventsDf(spark, rows).write.partitionBy("date").parquet(eventsPath)
+    geoDf(spark).write.parquet(geoPath)
+
+    Pipeline.run(spark, eventsPath, geoPath, s"$dir/marts", runDate, 100.0)
+    s"$dir/marts"
+  }
+
+  test("user mart: schema, home/act city, travel route") {
+    val um = spark.read.parquet(s"$outBase/user_mart")
+    assert(um.columns.sorted.toSeq === Seq("act_city", "home_city", "local_time",
+      "travel_array", "travel_count", "user_id"))
+    val u1 = um.filter($"user_id" === 1)
+      .select("act_city", "home_city", "travel_count", "travel_array")
+      .as[(String, String, Long, Seq[String])].head()
+    assert(u1 === (("Brisbane", "Sydney", 2L, Seq("Melbourne", "Brisbane"))))
+    // user 4 sent a message (act city Perth, no home); user 5 only received
+    assert(um.filter($"user_id" === 4).select("act_city").as[String].head() === "Perth")
+    assert(um.filter($"user_id" === 5).count() === 0)
+  }
+
+  test("zone mart: pivot columns present, counts land in the right zones") {
+    val zm = spark.read.parquet(s"$outBase/zone_mart")
+    val expected = Seq("month", "week", "city_id",
+      "week_message", "week_reaction", "week_subscription", "week_user",
+      "month_message", "month_reaction", "month_subscription", "month_user")
+    assert(zm.columns.sorted.toSeq === expected.sorted)
+    // user 1's 30 Sydney messages all pre-aggregate into city_id 1 rows
+    val sydneyMsgs = zm.filter($"city_id" === 1)
+      .agg(sum("week_message")).as[Long].head()
+    assert(sydneyMsgs === 30L)
+  }
+
+  test("recommendations: only the non-communicating same-channel pair, Sydney zone") {
+    val rec = spark.read.parquet(s"$outBase/recommendations")
+    assert(rec.columns.sorted.toSeq ===
+      Seq("local_time", "processed_dttm", "user_left", "user_right", "zone_id"))
+    val rows = rec.select("user_left", "user_right", "zone_id", "processed_dttm")
+      .as[(Long, Long, Long, String)].collect()
+    // reference quirk: both output columns carry the LEFT (greater) user id
+    assert(rows.toSeq === Seq((3L, 3L, 1L, runDate)))
+  }
+}
