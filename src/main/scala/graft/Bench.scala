@@ -22,6 +22,14 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Untimed warmup: initialize codegen, the vectorized parquet reader, and
+    // shuffle machinery so the first timed query measures the query, not JVM
+    // startup (round-1 q01 carried ~5 s of warmup).
+    try {
+      spark.read.parquet(s"$sfDir/region.parquet")
+        .groupBy("r_regionkey").count()
+        .write.format("noop").mode("overwrite").save()
+    } catch { case _: Throwable => () }
     var failed = List.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()

@@ -62,23 +62,28 @@ object Dedup {
                    minJaccard: Double, maxShingleDf: Long = Long.MaxValue): DataFrame = {
     val sh = wordShingles(docs, id, text, n)
     val sizes = sh.groupBy(col(id)).agg(count(lit(1)).as("n_sh"))
-    val gen =
-      if (maxShingleDf == Long.MaxValue) sh
-      else {
+    val withInter =
+      if (maxShingleDf == Long.MaxValue) {
+        // unguarded: every shared shingle is already in the index join, so
+        // count(*) per pair IS the intersection — one join, no recount
+        sh.select(col(id).as("id_a"), col("shingle"))
+          .join(sh.select(col(id).as("id_b"), col("shingle")), Seq("shingle"))
+          .filter(col("id_a") < col("id_b"))
+          .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+      } else {
+        // guarded: stop-shingles are dropped from candidate GENERATION only;
+        // the true intersection is recounted over the full shingle sets
         val byShingle = Window.partitionBy("shingle")
-        sh.withColumn("df", count(lit(1)).over(byShingle))
+        val gen = sh.withColumn("df", count(lit(1)).over(byShingle))
           .filter(col("df") <= maxShingleDf).drop("df")
+        gen.select(col(id).as("id_a"), col("shingle"))
+          .join(gen.select(col(id).as("id_b"), col("shingle")), Seq("shingle"))
+          .filter(col("id_a") < col("id_b"))
+          .select("id_a", "id_b").distinct()
+          .join(sh.select(col(id).as("id_a"), col("shingle")), Seq("id_a"))
+          .join(sh.select(col(id).as("id_b"), col("shingle")), Seq("id_b", "shingle"))
+          .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
       }
-    val a = gen.select(col(id).as("id_a"), col("shingle"))
-    val b = gen.select(col(id).as("id_b"), col("shingle"))
-    val candidates = a.join(b, Seq("shingle"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
-    // exact intersection recount over the full (unfiltered) shingle sets
-    val withInter = candidates
-      .join(sh.select(col(id).as("id_a"), col("shingle")), Seq("id_a"))
-      .join(sh.select(col(id).as("id_b"), col("shingle")), Seq("id_b", "shingle"))
-      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
     withInter
       .join(sizes.select(col(id).as("id_a"), col("n_sh").as("n_a")), Seq("id_a"))
       .join(sizes.select(col(id).as("id_b"), col("n_sh").as("n_b")), Seq("id_b"))

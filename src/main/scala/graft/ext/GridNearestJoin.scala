@@ -102,12 +102,15 @@ object GridNearestJoin {
     val srcC = withNeighborCells(src, srcLat, srcLon, cellDeg, Some(cellDeg))
     val w = Window.partitionBy(srcKey.map(col): _*)
       .orderBy(round(col("distance"), 9).asc +: tieBreak.map(_.asc): _*)
+    // cached: both the certified output and the uncovered anti-join read it —
+    // without the cache Spark recomputes the whole grid join twice
     val best = srcC.join(dimC, Seq("__cell_lat", "__cell_lon"))
       .withColumn("distance", Geo.haversineKmDet(
         col(srcLat), col(dimLat), col(srcLon), col(dimLon)))
       .withColumn("__nn_rank", row_number().over(w))
       .filter(col("__nn_rank") === 1)
       .drop("__nn_rank", "__cell_lat", "__cell_lon")
+      .cache()
 
     val certified = best.filter(col("distance") <= lit(rGuard))
     // Rows whose best candidate is beyond the guarantee (or had no candidate

@@ -129,7 +129,7 @@ object GeoQueries extends Catalog {
           srcLat = "lat", dimLat = "site_lat",
           srcLon = "lon", dimLon = "site_lon",
           srcKey = Seq("c_custkey"), tieBreak = Seq(col("p_partkey")),
-          cellDeg = 12.0, maxAbsLatDeg = 60.0)
+          cellDeg = 6.0, maxAbsLatDeg = 60.0)
         .select(col("c_custkey"), col("p_partkey").as("site_key"),
           round(col("distance"), 4).as("dist_km"))
     }),
