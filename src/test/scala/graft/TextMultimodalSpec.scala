@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ext.{Multimodal, TextAnalysis}
+
+class TextMultimodalSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "The quick brown fox, it jumps over the lazy dog!"),
+    (2L, "rij tuin fiets gracht kaas molen klomp dijk")
+  ).toDF("doc_id", "text")
+
+  test("token and subtoken counts") {
+    val m = docs.select($"doc_id", TextAnalysis.tokenCount($"text"),
+      TextAnalysis.subtokenCount($"text")).as[(Long, Long, Long)]
+      .collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(m(1L) === ((10L, 12L))) // 10 words; comma and bang are subtokens
+    assert(m(2L) === ((8L, 8L)))
+  }
+
+  test("ratios, language guess, fingerprint equality for case variants") {
+    val r = docs.select($"doc_id",
+        TextAnalysis.stopwordRatio($"text").as("sr"),
+        TextAnalysis.punctRatio($"text").as("pr"),
+        TextAnalysis.langGuess($"text").as("lang"))
+      .as[(Long, Double, Double, String)].collect()
+      .map(x => x._1 -> (x._2, x._3, x._4)).toMap
+    assert(r(1L)._1 === 3.0 / 10) // the, it, the
+    assert(r(1L)._2 === 2.0 / 48) // ',' and '!' over 48 normalized chars
+    assert(r(1L)._3 === "en")
+    assert(r(2L)._1 === 0.0 && r(2L)._3 === "unknown")
+    val fps = Seq(("a b", 1), ("A  b ", 2)).toDF("text", "i")
+      .select(TextAnalysis.fingerprint($"text")).as[String].collect()
+    assert(fps(0) === fps(1))
+  }
+
+  test("rolling min-hash sketch is content-determined") {
+    val twice = Seq(("x", "one two three four five"), ("y", "one two three four five"),
+        ("z", "six seven eight nine ten")).toDF("id", "text")
+      .select($"id", TextAnalysis.rollingMinHash($"text", 3).as("h"))
+      .as[(String, Long)].collect().toMap
+    assert(twice("x") === twice("y"))
+    assert(twice("x") !== twice("z"))
+  }
+
+  test("payload packing: metadata, frame sampling, nibble histogram, stub decode") {
+    val p = Multimodal.packPayload(docs.filter($"doc_id" === 1), "text")
+    val meta = p.select($"payload.meta.mime", $"payload.meta.n_bytes",
+      $"payload.meta.checksum").as[(String, Long, String)].head()
+    assert(meta._1 === "text/plain" && meta._2 === 48L && meta._3.length === 32)
+
+    val frames = p.select(Multimodal.frameSample($"payload.bytes", 4, 16))
+      .as[Seq[Array[Byte]]].head()
+    assert(frames.size === 4)
+    assert(new String(frames.head, "UTF-8") === "The quick brown ")
+
+    val hist = p.select(Multimodal.nibbleHistogram($"payload.bytes"))
+      .as[Seq[Long]].head()
+    assert(hist.size === 16 && hist.sum === 96L) // 48 bytes = 96 nibbles
+
+    val dec = p.select(Multimodal.decodeStub($"payload.bytes").as("d"))
+      .select("d.width", "d.height", "d.channels")
+      .as[(Long, Long, Long)].head()
+    assert(dec._1 >= 1 && dec._1 <= 1920 && dec._2 >= 1 && dec._2 <= 1080 &&
+      dec._3 === 3L)
+  }
+}
