@@ -1,0 +1,60 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.EventStream
+
+class EventStreamSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("windowed type counts aggregate by event-time window under a watermark") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String, Long)]
+    val events = in.toDF().toDF("ts", "event_type", "user_id")
+    val q = EventStream.startToMemory(
+      EventStream.windowedTypeCounts(events, watermark = "10 minutes",
+        windowLen = "1 hour"),
+      "win_counts", OutputMode.Update())
+    try {
+      in.addData(
+        (ts("2022-06-15 10:05:00"), "click", 1L),
+        (ts("2022-06-15 10:20:00"), "click", 2L),
+        (ts("2022-06-15 10:40:00"), "view", 1L),
+        (ts("2022-06-15 11:10:00"), "click", 3L))
+      q.processAllAvailable()
+      val rows = spark.table("win_counts")
+        .select("window_start", "event_type", "events")
+        .as[(Timestamp, String, Long)].collect().toSet
+      assert(rows.contains((ts("2022-06-15 10:00:00"), "click", 2L)))
+      assert(rows.contains((ts("2022-06-15 10:00:00"), "view", 1L)))
+      assert(rows.contains((ts("2022-06-15 11:00:00"), "click", 1L)))
+    } finally q.stop()
+  }
+
+  test("mapGroupsWithState keeps per-user running counts across micro-batches") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[(Long, Long)]
+    val q = EventStream.startToMemory(
+      EventStream.sessionize(in.toDS()).toDF(), "sessions_state",
+      OutputMode.Update())
+    try {
+      in.addData((1L, 100L), (1L, 200L), (2L, 150L))
+      q.processAllAvailable()
+      in.addData((1L, 300L))
+      q.processAllAvailable()
+      val last = spark.table("sessions_state")
+        .groupBy("user_id")
+        .agg(max("events").as("events"), max("last_ts_micros").as("last"))
+        .as[(Long, Long, Long)].collect().toSet
+      assert(last.contains((1L, 3L, 300L))) // 2 events batch 1 + 1 in batch 2
+      assert(last.contains((2L, 1L, 150L)))
+    } finally q.stop()
+  }
+}
