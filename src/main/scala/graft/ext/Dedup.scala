@@ -153,8 +153,17 @@ object Dedup {
       .filter(col("jaccard") >= minJaccard)
   }
 
+  /** 64-bit SimHash per doc via the native single-pass Catalyst expression
+    * ([[graft.plans.SimHash64Expression]]): per-row scalar, no explode, no
+    * shuffle — bit-identical to [[simHash64]] and the default path.
+    */
+  def simHash64Native(docs: DataFrame, id: String, text: String): DataFrame =
+    docs.select(col(id), graft.plans.SimHash64Expression.simhash64(
+      filter(split(normalizeText(col(text)), " "), w => w =!= "")).as("simhash"))
+
   /** 64-bit SimHash per doc: sign of the per-bit sum of word-hash bits,
-    * computed as 64 conditional sums in a single aggregation.
+    * computed as 64 conditional sums in a single aggregation. Reference
+    * formulation for [[simHash64Native]]; same output.
     */
   def simHash64(docs: DataFrame, id: String, text: String): DataFrame = {
     val words = docs.select(col(id),
@@ -177,7 +186,7 @@ object Dedup {
     */
   def simHashNearDups(docs: DataFrame, id: String, text: String,
                       maxHamming: Int): DataFrame = {
-    val fps = simHash64(docs, id, text)
+    val fps = simHash64Native(docs, id, text)
     val chunks = fps.select(col(id), col("simhash"),
         explode(array((0 until 4).map(c =>
           struct(lit(c).as("chunk"),

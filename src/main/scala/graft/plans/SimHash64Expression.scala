@@ -1,0 +1,112 @@
+package graft.plans
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+
+/** Native Catalyst expression: 64-bit SimHash of a token array in ONE pass.
+  *
+  * [[graft.ext.Dedup.simHash64]] computes the same fingerprint with built-ins
+  * by exploding tokens and aggregating 64 conditional sums — correct, but it
+  * shuffles |tokens| rows per document and the aggregate carries 64 buffer
+  * slots. This expression folds the whole computation into a per-row scalar
+  * (no explode, no shuffle, stays inside WholeStageCodegen), the
+  * "custom Expression beats composition" case reserved for operators the
+  * built-ins can't express efficiently.
+  *
+  * Bit semantics are identical to the aggregation form: token hash is
+  * xxhash64 (seed 42, same as `functions.xxhash64`), bit b of the result is
+  * set iff the count of set bits at position b across tokens exceeds half.
+  */
+case class SimHash64Expression(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string>, got ${other.catalogString}")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_simhash64"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val sums = new Array[Int](64)
+    var i = 0
+    while (i < arr.numElements()) {
+      if (!arr.isNullAt(i)) {
+        val h = XXH64.hashUTF8String(arr.getUTF8String(i), 42L)
+        var b = 0
+        while (b < 64) {
+          sums(b) += (if (((h >>> b) & 1L) == 1L) 1 else -1); b += 1
+        }
+      }
+      i += 1
+    }
+    var fp = 0L
+    var b = 0
+    while (b < 64) { if (sums(b) > 0) fp |= 1L << b; b += 1 }
+    fp
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val sums = ctx.freshName("sums")
+      val i = ctx.freshName("i")
+      val b = ctx.freshName("b")
+      val h = ctx.freshName("h")
+      val fp = ctx.freshName("fp")
+      s"""
+         |int[] $sums = new int[64];
+         |for (int $i = 0; $i < $c.numElements(); $i++) {
+         |  if (!$c.isNullAt($i)) {
+         |    long $h = org.apache.spark.sql.catalyst.expressions.XXH64
+         |      .hashUTF8String($c.getUTF8String($i), 42L);
+         |    for (int $b = 0; $b < 64; $b++) {
+         |      $sums[$b] += ((($h >>> $b) & 1L) == 1L) ? 1 : -1;
+         |    }
+         |  }
+         |}
+         |long $fp = 0L;
+         |for (int $b = 0; $b < 64; $b++) {
+         |  if ($sums[$b] > 0) $fp |= 1L << $b;
+         |}
+         |${ev.value} = $fp;
+         |""".stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object SimHash64Expression {
+  /** DataFrame-API entry point: `simhash64(tokensArrayColumn)`. */
+  def simhash64(tokens: Column): Column =
+    ColumnBridge.column(SimHash64Expression(ColumnBridge.expression(tokens)))
+}
+
+/** Session extension registering `graft_simhash64` for SQL callers:
+  * `spark.sql.extensions=graft.plans.GraftExtensions` or
+  * `builder.withExtensions(new GraftExtensions)`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    ext.injectFunction(GraftExtensions.simhashFunction)
+}
+
+object GraftExtensions {
+  private val simhashFunction = (
+    new FunctionIdentifier("graft_simhash64"),
+    new ExpressionInfo(classOf[SimHash64Expression].getName, "graft_simhash64"),
+    (args: Seq[Expression]) => SimHash64Expression(args.head): Expression)
+
+  /** Register `graft_simhash64` on an already-running session. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    ColumnBridge.registerFunction(spark, simhashFunction._1,
+      simhashFunction._2, simhashFunction._3)
+}

@@ -1,0 +1,57 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ext.Dedup
+import graft.plans.GraftExtensions
+
+/** The native single-pass SimHash expression must be bit-identical to the
+  * explode+aggregate formulation, under both codegen and interpreted eval,
+  * and callable from SQL via the session extension.
+  */
+class SimHashExpressionSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy dog"),
+    (3L, "pack my box with five dozen liquor jugs"),
+    (4L, "sphinx of black quartz judge my vow"),
+    (5L, "sphinx of black quartz judge my vow now")
+  ).toDF("doc_id", "text")
+
+  test("native expression equals the aggregation formulation bit-for-bit") {
+    val agg = Dedup.simHash64(docs, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    val native = Dedup.simHash64Native(docs, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    assert(native === agg)
+    assert(native(1L) === native(2L)) // identical docs, identical fingerprints
+  }
+
+  test("codegen and interpreted evaluation agree") {
+    val withCodegen = Dedup.simHash64Native(docs, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    val prev = spark.conf.getOption("spark.sql.codegen.factoryMode")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try {
+      val interpreted = Dedup.simHash64Native(docs, "doc_id", "text")
+        .as[(Long, Long)].collect().toMap
+      assert(interpreted === withCodegen)
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.codegen.factoryMode", v)
+      case None => spark.conf.unset("spark.sql.codegen.factoryMode")
+    }
+  }
+
+  test("graft_simhash64 is callable from SQL once registered") {
+    GraftExtensions.register(spark)
+    val viaSql = spark.sql(
+      "SELECT graft_simhash64(array('the', 'quick', 'brown')) AS h")
+      .collect().head.getLong(0)
+    val viaApi = Seq(Tuple1(Seq("the", "quick", "brown"))).toDF("t")
+      .select(graft.plans.SimHash64Expression.simhash64($"t"))
+      .as[Long].head()
+    assert(viaSql === viaApi)
+  }
+}
