@@ -97,8 +97,12 @@ object Dedup {
     * aggregation pass (k min expressions), not k passes.
     */
   def minHashSignatures(docs: DataFrame, id: String, text: String,
-                        n: Int, numHashes: Int): DataFrame = {
-    val sh = wordShingles(docs, id, text, n)
+                        n: Int, numHashes: Int): DataFrame =
+    minHashSignaturesFromShingles(wordShingles(docs, id, text, n), id, numHashes)
+
+  /** [[minHashSignatures]] over an existing (id, shingle) frame. */
+  def minHashSignaturesFromShingles(sh: DataFrame, id: String,
+                                    numHashes: Int): DataFrame = {
     val mins = (0 until numHashes).map(i =>
       min(xxhash64(lit(i), col("shingle"))).as(s"h$i"))
     sh.groupBy(col(id))
@@ -127,8 +131,15 @@ object Dedup {
   def minHashCandidates(docs: DataFrame, id: String, text: String,
                         n: Int, numHashes: Int, bands: Int): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
-    val buckets = lshBuckets(
-      minHashSignatures(docs, id, text, n, numHashes), id, bands, numHashes / bands)
+    minHashCandidatesFromSignatures(
+      minHashSignatures(docs, id, text, n, numHashes), id, bands,
+      numHashes / bands)
+  }
+
+  /** [[minHashCandidates]] over precomputed signatures. */
+  def minHashCandidatesFromSignatures(sigs: DataFrame, id: String,
+                                      bands: Int, rowsPerBand: Int): DataFrame = {
+    val buckets = lshBuckets(sigs, id, bands, rowsPerBand)
     buckets.select(col(id).as("id_a"), col("band"), col("bucket"))
       .join(buckets.select(col(id).as("id_b"), col("band"), col("bucket")),
         Seq("band", "bucket"))
@@ -140,9 +151,14 @@ object Dedup {
   def minHashNearDups(docs: DataFrame, id: String, text: String,
                       n: Int, numHashes: Int, bands: Int,
                       minJaccard: Double): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    // NOT cached deliberately: the shingle frame is read 4x (signatures,
+    // sizes, two verify joins) but recomputing the codegen explode pipeline
+    // measured cheaper than materializing it (bench: 6.3s vs 9.9s at sf0.1)
     val sh = wordShingles(docs, id, text, n)
     val sizes = sh.groupBy(col(id)).agg(count(lit(1)).as("n_sh"))
-    minHashCandidates(docs, id, text, n, numHashes, bands)
+    val sigs = minHashSignaturesFromShingles(sh, id, numHashes)
+    minHashCandidatesFromSignatures(sigs, id, bands, numHashes / bands)
       .join(sh.select(col(id).as("id_a"), col("shingle")), Seq("id_a"))
       .join(sh.select(col(id).as("id_b"), col("shingle")), Seq("id_b", "shingle"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
