@@ -125,6 +125,34 @@ object Similarity {
       .select("query_id", "rank", "neighbor_id", "cosine")
   }
 
+  /** Embedding-cosine near-duplicate pairs, bucketed by IVF cell: vectors
+    * are assigned to their nearest centroid and only same-cell pairs are
+    * compared — the all-pairs comparison never happens. Near-identical
+    * vectors land in the same cell with high probability (they agree on
+    * their nearest centroid unless they straddle a cell boundary); like all
+    * single-probe LSH-style dedup this trades boundary recall for the
+    * |corpus|²→Σ|cell|² cost cut. Output: (id_a, id_b, cosine).
+    */
+  def cosineNearDups(corpus: DataFrame, corpusId: String, corpusVec: String,
+                     centroids: DataFrame, centroidId: String, centroidVec: String,
+                     minCosine: Double, scale: Double = DefaultScale): DataFrame = {
+    val assigned = assignCells(corpus, corpusId, corpusVec,
+        centroids, centroidId, centroidVec, scale)
+      .select(col(corpusId), col(corpusVec), col("cell"))
+      .withColumn("__qv", quantize(col(corpusVec), scale))
+      .withColumn("__qn", dotLong(col("__qv"), col("__qv")))
+    val a = assigned.select(col(corpusId).as("id_a"), col("cell"),
+      col("__qv").as("__va"), col("__qn").as("__na"))
+    val b = assigned.select(col(corpusId).as("id_b"), col("cell"),
+      col("__qv").as("__vb"), col("__qn").as("__nb"))
+    a.join(b, Seq("cell"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cosine",
+        cosineFromQuantized(col("__va"), col("__vb"), col("__na"), col("__nb")))
+      .filter(col("cosine") >= minCosine)
+      .select("id_a", "id_b", "cosine")
+  }
+
   /** DuckDB SQL text for the identical scaled-integer dot product. */
   /** DuckDB multiplies FLOAT×DOUBLE in float precision — the element must be
     * cast to DOUBLE first to match Spark's float→double promotion. */

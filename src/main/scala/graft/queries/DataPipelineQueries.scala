@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ext.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ext.{Dedup, Multimodal, Similarity, Skew, TextAnalysis}
 import graft.sources.Tables
 
 /** LLM-training-data pipeline coverage over `documents` and `embeddings`:
@@ -99,6 +99,28 @@ object DataPipelineQueries extends Catalog {
         element_at(hist, 1).as("hist_0"),
         element_at(hist, 8).as("hist_7"),
         element_at(hist, 16).as("hist_f"))
+    }),
+
+    // ---- salted two-phase aggregation (skew-safe rollup) -------------------
+    "q34_salted_rollup" -> ((s, d) => {
+      Skew.saltedAggregate(Tables.lineitem(s, d), Seq("l_suppkey"),
+          saltBuckets = 16,
+          partial = Seq(
+            sum(round(col("l_quantity") * 100).cast("long")).as("q100"),
+            count(lit(1)).as("n")),
+          merge = Seq(sum("q100").as("q100"), sum("n").as("n")))
+        .select(col("l_suppkey"), (col("q100") / 100.0).as("qty_sum"),
+          col("n").as("line_count"))
+    }),
+
+    // ---- embedding-cosine near-dup, bucketed by IVF cell -------------------
+    "q35_cosine_near_dups" -> ((s, d) => {
+      val vecs = Tables.embeddings(s, d)
+      Similarity.cosineNearDups(vecs, "vec_id", "embedding",
+          centroids = vecs.filter(col("vec_id") % 50 === 7),
+          "vec_id", "embedding", minCosine = 0.4)
+        .select(col("id_a"), col("id_b"),
+          (floor(col("cosine") * 1e6 + 0.5) / 1e6).as("cosine"))
     }),
   )
 
@@ -200,5 +222,33 @@ object DataPipelineQueries extends Catalog {
         |  CAST(len(h) - len(replace(h, '7', '')) AS BIGINT) AS hist_7,
         |  CAST(len(h) - len(replace(h, 'f', '')) AS BIGINT) AS hist_f
         |FROM p""".stripMargin,
+
+    "q34_salted_rollup" ->
+      """SELECT l_suppkey,
+        |  CAST(sum(CAST(round(l_quantity*100) AS BIGINT)) AS BIGINT) / 100.0
+        |    AS qty_sum,
+        |  count(*) AS line_count
+        |FROM lineitem GROUP BY l_suppkey""".stripMargin,
+
+    "q35_cosine_near_dups" -> {
+      val cosCent = Similarity.cosineSqlText("embedding", "ce")
+      val cosAB = Similarity.cosineSqlText("ea", "eb")
+      s"""WITH cent AS (SELECT vec_id AS cell, embedding AS ce
+         |              FROM embeddings WHERE vec_id % 50 = 7),
+         |assigned AS (
+         |  SELECT vec_id, embedding, cell
+         |  FROM embeddings CROSS JOIN cent
+         |  QUALIFY row_number() OVER (PARTITION BY vec_id
+         |    ORDER BY $cosCent DESC, cell) = 1),
+         |pairs AS (
+         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |    a.embedding AS ea, b.embedding AS eb
+         |  FROM assigned a JOIN assigned b USING (cell)
+         |  WHERE a.vec_id < b.vec_id)
+         |SELECT id_a, id_b,
+         |  floor(($cosAB)*1000000.0 + 0.5)/1000000.0 AS cosine
+         |FROM pairs
+         |WHERE $cosAB >= 0.4""".stripMargin
+    },
   )
 }
