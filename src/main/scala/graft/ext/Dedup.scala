@@ -100,12 +100,17 @@ object Dedup {
                         n: Int, numHashes: Int): DataFrame =
     minHashSignaturesFromShingles(wordShingles(docs, id, text, n), id, numHashes)
 
-  /** [[minHashSignatures]] over an existing (id, shingle) frame. */
+  /** [[minHashSignatures]] over an existing (id, shingle) frame. Each
+    * shingle string is hashed ONCE; the k-member hash family then mixes the
+    * resulting long (`xxhash64(i, baseHash)`), which is far cheaper than k
+    * string hashes and equally min-wise independent.
+    */
   def minHashSignaturesFromShingles(sh: DataFrame, id: String,
                                     numHashes: Int): DataFrame = {
+    val base = sh.withColumn("__h", xxhash64(col("shingle")))
     val mins = (0 until numHashes).map(i =>
-      min(xxhash64(lit(i), col("shingle"))).as(s"h$i"))
-    sh.groupBy(col(id))
+      min(xxhash64(lit(i), col("__h"))).as(s"h$i"))
+    base.groupBy(col(id))
       .agg(mins.head, mins.tail: _*)
       .select(col(id), array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"))
   }

@@ -65,6 +65,21 @@ object ParityQueries extends Catalog {
       sym.filter(col("user_a") < col("user_b")).distinct()
     }),
 
+    // ---- P4 + W5: route-change detection (lag with null first row) ---------
+    // The reference's travel-route shape (project_step_1.py:98-99): keep rows
+    // where the value differs from its lag OR the lag is null.
+    "q36_route_changes" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          unix_micros(col("ts")).as("ts_us"))
+        .withColumn("prev_type", lag("event_type", 1).over(w))
+        .filter(col("event_type") =!= col("prev_type") ||
+          col("prev_type").isNull)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_changes"))
+    }),
+
     // ---- W1 + P5: coordinate-partitioned window-min, all ties kept ---------
     "q33_coord_argmin" -> ((s, d) => {
       val coords = Tables.customer(s, d).select(
@@ -128,6 +143,20 @@ object ParityQueries extends Catalog {
         |sym AS (SELECT user_a, user_b FROM f
         |        UNION ALL SELECT user_b AS user_a, user_a AS user_b FROM f)
         |SELECT DISTINCT user_a, user_b FROM sym WHERE user_a < user_b""".stripMargin,
+
+    "q36_route_changes" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, event_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+        |  FROM events),
+        |lagged AS (
+        |  SELECT *, lag(event_type) OVER (PARTITION BY user_id
+        |    ORDER BY ts_us, event_id) AS prev_type
+        |  FROM e)
+        |SELECT user_id, count(*) AS n_changes
+        |FROM lagged
+        |WHERE event_type != prev_type OR prev_type IS NULL
+        |GROUP BY user_id""".stripMargin,
 
     "q33_coord_argmin" -> {
       val hav = Geo.haversineSqlText("glat", "city_lat", "glon", "city_lon")
