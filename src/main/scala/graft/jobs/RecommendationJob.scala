@@ -67,11 +67,16 @@ object RecommendationJob {
   /** Candidate pairs for `date`: share a channel, never messaged, within
     * `maxDistanceKm` of each other's last position (project_step_3.py:98-141).
     */
+  /** `emitPeerId = false` reproduces the reference quirk exactly (both
+    * output columns carry the left user, project_step_3.py:134-135); with
+    * `emitPeerId = true`, `user_right` carries the actual peer.
+    */
   def possibleSubscribersToCommunicate(subs: DataFrame,
                                        communicating: DataFrame,
                                        eventsAtDate: DataFrame,
                                        date: String,
-                                       maxDistanceKm: Double): DataFrame = {
+                                       maxDistanceKm: Double,
+                                       emitPeerId: Boolean = false): DataFrame = {
     val wUser = Window.partitionBy("user_id")
     val lastPosition = eventsAtDate
       .filter(col("lat").isNotNull && col("lon").isNotNull)
@@ -102,7 +107,7 @@ object RecommendationJob {
       .filter(col("distance") < maxDistanceKm)
       .select(
         col("user_id").as("user_left"),
-        col("user_id").as("user_right"), // reference quirk: both sides = left user
+        (if (emitPeerId) col("message_to") else col("user_id")).as("user_right"),
         ((col("last_lat") + col("last_lat_to")) / lit(2)).as("lat_avg"),
         ((col("last_lon") + col("last_lon_to")) / lit(2)).as("lon_avg"),
         lit(date).as("processed_dttm"))

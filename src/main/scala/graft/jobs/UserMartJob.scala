@@ -81,19 +81,36 @@ object UserMartJob {
       .agg(first("city").as("home_city"))
   }
 
-  /** Ordered list of visited cities, home city excluded (project_step_1.py:87-105). */
-  def travel(messageGeo: DataFrame, homeCity: DataFrame): DataFrame = {
+  /** Ordered list of visited cities, home city excluded (project_step_1.py:87-105).
+    *
+    * `strictOrder = false` reproduces the reference exactly: `collect_list`
+    * ordering is inherited from the upstream exchange, which is only stable
+    * on a single partition (SURVEY.md §7). With `strictOrder = true` the
+    * route is rebuilt from (datetime, city) structs sorted inside the
+    * aggregation — deterministic on any cluster, same elements.
+    */
+  def travel(messageGeo: DataFrame, homeCity: DataFrame,
+             strictOrder: Boolean = false): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy(col("datetime"), col("city"))
-    messageGeo
+    val stops = messageGeo
       .select("user_id", "datetime", "city")
       .distinct()
       .withColumn("lag_city", lag("city", 1).over(w))
       .filter(col("city") =!= col("lag_city") || col("lag_city").isNull)
       .join(homeCity.withColumnRenamed("home_city", "city"),
         Seq("user_id", "city"), "left_anti")
-      .groupBy("user_id")
-      .agg(count("city").as("travel_count"),
-        collect_list("city").as("travel_array"))
+    if (strictOrder)
+      stops
+        .groupBy("user_id")
+        .agg(count("city").as("travel_count"),
+          org.apache.spark.sql.functions.transform(
+            array_sort(collect_list(struct(col("datetime"), col("city")))),
+            s => s.getField("city")).as("travel_array"))
+    else
+      stops
+        .groupBy("user_id")
+        .agg(count("city").as("travel_count"),
+          collect_list("city").as("travel_array"))
   }
 
   /** Reassemble the three branches (project_step_1.py:107-112). */

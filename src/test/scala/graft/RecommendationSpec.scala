@@ -56,6 +56,16 @@ class RecommendationSpec extends AnyFunSuite with SparkTestBase {
     assert(wide.count() === 3) // (3,1),(3,2) plus the chB pair (5,4)
   }
 
+  test("emitPeerId=true carries the real peer instead of the quirk") {
+    val subs = RecommendationJob.subscribers(allEvents)
+    val communicating = RecommendationJob.communicatingSubscribers(allEvents, subs)
+    val cands = RecommendationJob.possibleSubscribersToCommunicate(
+      subs, communicating, eventsAtDate, d, 100.0, emitPeerId = true)
+    val pairs = cands.select("user_left", "user_right")
+      .as[(Long, Long)].collect().toSet
+    assert(pairs === Set((3L, 1L), (3L, 2L)))
+  }
+
   test("zone is the nearest city to the pair midpoint") {
     assert(mart.select("zone_id").distinct().as[Long].head() === 1L) // Sydney
     assert(mart.select("processed_dttm").distinct().as[String].head() === d)

@@ -59,6 +59,20 @@ class UserMartSpec extends AnyFunSuite with SparkTestBase {
       === Seq("Melbourne"))
   }
 
+  test("strictOrder travel rebuilds the same route deterministically") {
+    val mg = UserMartJob.messageGeo(events, geo)
+    val home = UserMartJob.homeGeo(mg)
+    val strict = UserMartJob.travel(mg, home, strictOrder = true)
+    assert(strict.filter($"user_id" === 5).select("travel_array")
+      .as[Seq[String]].head() === Seq("Sydney", "Brisbane", "Perth"))
+    // same elements and counts as the reference-shaped path for every user
+    val loose = UserMartJob.travel(mg, home)
+      .select($"user_id", $"travel_count").as[(Long, Long)].collect().toMap
+    val strictCounts = strict
+      .select($"user_id", $"travel_count").as[(Long, Long)].collect().toMap
+    assert(strictCounts === loose)
+  }
+
   test("local_time converts UTC to Australia/Sydney (+10h in May)") {
     val lt = row(5).select("local_time").as[java.sql.Timestamp].head()
     assert(lt.toString.startsWith("2022-05-03 22:00:00")) // 12:00 UTC + 10h AEST
