@@ -122,6 +122,38 @@ object DataPipelineQueries extends Catalog {
         .select(col("id_a"), col("id_b"),
           (floor(col("cosine") * 1e6 + 0.5) / 1e6).as("cosine"))
     }),
+
+    // ---- exact interpolated percentiles of doc length per language ---------
+    // (the quality-score distribution cut a curation pipeline filters on;
+    // exact `percentile`, not approx — deterministic and oracle-matched)
+    "q37_length_quantiles" -> ((s, d) => {
+      Tables.documents(s, d)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("docs"),
+          percentile(col("n_chars"), lit(0.25)).as("p25"),
+          percentile(col("n_chars"), lit(0.5)).as("p50"),
+          percentile(col("n_chars"), lit(0.75)).as("p75"))
+    }),
+
+    // ---- rollup subtotals (grouping-set aggregate surface) -----------------
+    "q38_rollup_orders" -> ((s, d) => {
+      Tables.orders(s, d)
+        .rollup(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("orders"),
+          XDet.moneySum(col("o_totalprice"), 2).as("total"))
+    }),
+
+    // ---- intersect / except set operations ---------------------------------
+    "q39_set_ops" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      val building = c.filter(col("c_mktsegment") === "BUILDING")
+        .select("c_custkey")
+      val openOrders = Tables.orders(s, d)
+        .filter(col("o_orderstatus") === "O")
+        .select(col("o_custkey").as("c_custkey"))
+      val inDebt = c.filter(col("c_acctbal") < 0).select("c_custkey")
+      building.intersect(openOrders).except(inDebt)
+    }),
   )
 
   override def oracles: Map[String, String] = Map(
@@ -250,5 +282,26 @@ object DataPipelineQueries extends Catalog {
          |FROM pairs
          |WHERE $cosAB >= 0.4""".stripMargin
     },
+
+    "q37_length_quantiles" ->
+      """SELECT lang, count(*) AS docs,
+        |  quantile_cont(n_chars, 0.25) AS p25,
+        |  quantile_cont(n_chars, 0.5) AS p50,
+        |  quantile_cont(n_chars, 0.75) AS p75
+        |FROM documents GROUP BY lang""".stripMargin,
+
+    "q38_rollup_orders" ->
+      s"""SELECT o_orderstatus, o_orderpriority, count(*) AS orders,
+         |  ${XDet.moneySumSql("o_totalprice", 2)} AS total
+         |FROM orders
+         |GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""".stripMargin,
+
+    "q39_set_ops" ->
+      """SELECT c_custkey FROM (
+        |  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |  INTERSECT
+        |  SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'O')
+        |EXCEPT
+        |SELECT c_custkey FROM customer WHERE c_acctbal < 0""".stripMargin,
   )
 }
