@@ -80,6 +80,32 @@ object ParityQueries extends Catalog {
         .agg(count(lit(1)).as("n_changes"))
     }),
 
+    // ---- from_json with an explicit schema (vs q16's path extraction) ------
+    "q40_json_schema" -> ((s, d) => {
+      val schema = "k LONG"
+      Tables.events(s, d)
+        .select(col("user_id"),
+          from_json(col("props"), org.apache.spark.sql.types.StructType.fromDDL(schema))
+            .getField("k").as("k"))
+        .filter(col("k").isNotNull)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n"), sum("k").as("k_sum"), max("k").as("k_max"))
+    }),
+
+    // ---- explicit window frame: trailing moving sum (rowsBetween) ----------
+    // The reference uses only default frames; this covers the frame-spec
+    // surface with an exact-integer trailing sum (deterministic order).
+    "q41_moving_sum" -> ((s, d) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(-3, Window.currentRow)
+      Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+          round(col("o_totalprice") * 100).cast("long").as("p100"))
+        .withColumn("trailing_4", (sum("p100").over(w) / 100.0))
+        .select(col("o_custkey"), col("o_orderkey"), col("trailing_4"))
+    }),
+
     // ---- W1 + P5: coordinate-partitioned window-min, all ties kept ---------
     "q33_coord_argmin" -> ((s, d) => {
       val coords = Tables.customer(s, d).select(
@@ -157,6 +183,22 @@ object ParityQueries extends Catalog {
         |FROM lagged
         |WHERE event_type != prev_type OR prev_type IS NULL
         |GROUP BY user_id""".stripMargin,
+
+    "q40_json_schema" ->
+      """SELECT user_id, count(*) AS n,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+        |    AS BIGINT) AS k_sum,
+        |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_max
+        |FROM events
+        |WHERE json_extract_string(props, '$.k') IS NOT NULL
+        |GROUP BY user_id""".stripMargin,
+
+    "q41_moving_sum" ->
+      """SELECT o_custkey, o_orderkey,
+        |  sum(CAST(round(o_totalprice*100) AS BIGINT)) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) / 100.0 AS trailing_4
+        |FROM orders""".stripMargin,
 
     "q33_coord_argmin" -> {
       val hav = Geo.haversineSqlText("glat", "city_lat", "glon", "city_lon")
