@@ -52,6 +52,21 @@ object Dedup {
     docs.select(col(id), explode(shingleArr).as("shingle")).distinct()
   }
 
+  /** Distinct character `n`-gram shingles of the normalized text — the
+    * whitespace-free dedup grain for languages without word boundaries (or
+    * for catching word-level edits word shingles miss). Same (id, shingle)
+    * contract as [[wordShingles]], so every downstream operator (Jaccard,
+    * MinHash, LSH) composes unchanged.
+    */
+  def charShingles(docs: DataFrame, id: String, text: String, n: Int): DataFrame = {
+    val norm = normalizeText(col(text))
+    val shingleArr = when(length(norm) >= n,
+      transform(sequence(lit(1), length(norm) - lit(n - 1)),
+        i => substr(norm, i, lit(n))))
+      .otherwise(array())
+    docs.select(col(id), explode(shingleArr).as("shingle")).distinct()
+  }
+
   /** Candidate pairs from the shingle inverted index with their true Jaccard
     * similarity; only pairs sharing ≥1 shingle are ever materialized, and
     * shingles occurring in more than `maxShingleDf` docs are dropped from

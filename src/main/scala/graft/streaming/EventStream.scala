@@ -38,6 +38,23 @@ object EventStream {
         col("window.end").as("window_end"),
         col("event_type"), col("events"), col("approx_users"))
 
+  /** Session-window aggregation: events gapped less than `gap` apart merge
+    * into one variable-length window per user — the "visit" grain a
+    * fixed-length tumbling window cannot express. Works identically on
+    * batch and streaming frames.
+    */
+  def sessionWindowCounts(events: DataFrame,
+                          watermark: String = "1 hour",
+                          gap: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("events"))
+      .select(
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("user_id"), col("events"))
+
   /** Per-user running session state maintained across micro-batches. */
   case class UserSession(userId: Long, events: Long, lastTsMicros: Long)
   case class SessionUpdate(user_id: Long, events: Long, last_ts_micros: Long,

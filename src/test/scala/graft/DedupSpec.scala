@@ -64,6 +64,18 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(cand < n * (n - 1) / 2 / 10, s"candidates=$cand for n=$n docs")
   }
 
+  test("char shingles: whitespace-free grain, composes with jaccard") {
+    val cjk = Seq((1L, "abcdefg"), (2L, "abcdefg"), (3L, "abcxefg"),
+      (4L, "zzzzzzz")).toDF("doc_id", "text")
+    val sh = Dedup.charShingles(cjk, "doc_id", "text", 3)
+    assert(sh.filter($"doc_id" === 1).count() === 5) // 7 chars -> 5 trigrams
+    // the shingle contract composes: same-text docs at jaccard 1.0
+    val a = sh.filter($"doc_id" === 1).select("shingle").as[String].collect().toSet
+    val b = sh.filter($"doc_id" === 2).select("shingle").as[String].collect().toSet
+    val c = sh.filter($"doc_id" === 4).select("shingle").as[String].collect().toSet
+    assert(a === b && (a & c).isEmpty)
+  }
+
   test("simhash: exact dups have hamming 0, near dups small, unrelated large") {
     val fps = Dedup.simHash64(docs, "doc_id", "text")
       .as[(Long, Long)].collect().toMap

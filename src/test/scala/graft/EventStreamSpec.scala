@@ -38,6 +38,30 @@ class EventStreamSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("session windows merge events gapped under 30 minutes") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String, Long)]
+    val events = in.toDF().toDF("ts", "event_type", "user_id")
+    // session merging cannot update rows in place -> Append/Complete only
+    val q = EventStream.startToMemory(
+      EventStream.sessionWindowCounts(events, gap = "30 minutes"),
+      "sessions_win", OutputMode.Complete())
+    try {
+      in.addData(
+        (ts("2022-06-15 10:00:00"), "click", 1L),
+        (ts("2022-06-15 10:20:00"), "view", 1L),  // merges (20 min gap)
+        (ts("2022-06-15 12:00:00"), "click", 1L)) // new session
+      q.processAllAvailable()
+      val rows = spark.table("sessions_win")
+        .select("session_start", "session_end", "user_id", "events")
+        .as[(Timestamp, Timestamp, Long, Long)].collect().toSet
+      assert(rows.contains(
+        (ts("2022-06-15 10:00:00"), ts("2022-06-15 10:50:00"), 1L, 2L)))
+      assert(rows.contains(
+        (ts("2022-06-15 12:00:00"), ts("2022-06-15 12:30:00"), 1L, 1L)))
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState keeps per-user running counts across micro-batches") {
     implicit val ctx = spark.sqlContext
     val in = MemoryStream[(Long, Long)]
