@@ -21,9 +21,9 @@ import graft.functions.Geo
   * distance is below the guarantee radius (any point outside the
   * neighborhood is provably farther); the uncertified remainder — empty when
   * `cellDeg` suits the data density — falls back to the exact broadcast
-  * search. Longitude wraparound at ±180° is not handled (the synthetic and
-  * reference data stay well inside); a production build would take lonCell
-  * modulo the cell count.
+  * search. Longitude cells are modular (cell 0 adjoins cell N-1), so
+  * antimeridian pairs are found and the certification argument holds at
+  * every longitude.
   */
 object GridNearestJoin {
 
@@ -45,16 +45,35 @@ object GridNearestJoin {
   /** Lat band guaranteeing |Δlat| > band ⟹ distance > radiusKm. */
   def latBandDegFor(radiusKm: Double): Double = radiusKm / KmPerLatDegFloor
 
+  /** Longitude cells are MODULAR: the circle is divided into
+    * `floor(360/width)` cells of ≥ `width` degrees, so cell 0 and cell N-1
+    * are neighbors and a pair straddling ±180° still meets (haversine is
+    * wraparound-correct, so the cells must be too — missing this dropped
+    * antimeridian pairs at sf0.1).
+    */
+  private def lonCellCount(widthDeg: Double): Int =
+    math.max(1, math.floor(360.0 / widthDeg).toInt)
+
+  private def lonCellOf(lon: Column, widthDeg: Double): Column = {
+    val n = lonCellCount(widthDeg)
+    val width = 360.0 / n
+    pmod(floor((lon + lit(180.0)) / lit(width)).cast("long"), lit(n.toLong))
+  }
+
   private def withCells(df: DataFrame, lat: String, lon: String,
                         latDeg: Double, lonDeg: Option[Double]): DataFrame = {
     val base = df.withColumn("__cell_lat", floor(col(lat) / lit(latDeg)).cast("long"))
     lonDeg match {
-      case Some(w) => base.withColumn("__cell_lon", floor(col(lon) / lit(w)).cast("long"))
+      case Some(w) => base.withColumn("__cell_lon", lonCellOf(col(lon), w))
       case None    => base.withColumn("__cell_lon", lit(0L))
     }
   }
 
-  /** Explode each row to its 3×3 (or 3×1 without lon banding) neighborhood. */
+  /** Explode each row to its 3×3 (or 3×1 without lon banding) neighborhood.
+    * Lon neighbors are taken modulo the cell count and deduplicated — with
+    * ≤3 cells the ±1 neighbors alias the same cell and a plain explode
+    * would emit duplicate join matches.
+    */
   private def withNeighborCells(df: DataFrame, lat: String, lon: String,
                                 latDeg: Double, lonDeg: Option[Double]): DataFrame = {
     val base = df
@@ -63,11 +82,12 @@ object GridNearestJoin {
         floor(col(lat) / lit(latDeg)).cast("long") + col("__o_lat"))
       .drop("__o_lat")
     lonDeg match {
-      case Some(w) => base
-        .withColumn("__o_lon", explode(typedLit(Seq(-1L, 0L, 1L))))
-        .withColumn("__cell_lon",
-          floor(col(lon) / lit(w)).cast("long") + col("__o_lon"))
-        .drop("__o_lon")
+      case Some(w) =>
+        val n = lit(lonCellCount(w).toLong)
+        val c = lonCellOf(col(lon), w)
+        base
+          .withColumn("__cell_lon", explode(array_distinct(array(
+            pmod(c - 1 + n, n), c, pmod(c + 1, n)))))
       case None => base.withColumn("__cell_lon", lit(0L))
     }
   }

@@ -77,6 +77,34 @@ class GridNearestJoinSpec extends AnyFunSuite with SparkTestBase {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("antimeridian pairs are found: lon cells wrap at 180 degrees") {
+    // points hugging both sides of the date line, physically ~11-22° apart
+    val pts = Seq(
+      (1L, 10.0, -179.5), (2L, 10.0, 179.5),  // 1° apart across the line
+      (3L, -20.0, -170.0), (4L, -20.0, 172.0), // 18° apart across the line
+      (5L, 30.0, 0.0)                          // far from everything
+    ).toDF("id", "lat", "lon")
+    val got = GridNearestJoin.radiusPairs(pts, "id", "lat", "lon",
+        radiusKm = 2500.0, maxAbsLatDeg = 35.0)
+      .select($"id", $"id_b").as[(Long, Long)].collect().toSet
+    val b = pts.select($"id".as("id_b"), $"lat".as("lat_b"), $"lon".as("lon_b"))
+    val brute = pts.crossJoin(b).filter($"id" < $"id_b")
+      .withColumn("d", Geo.haversineKmDet($"lat", $"lat_b", $"lon", $"lon_b"))
+      .filter($"d" < 2500.0)
+      .select($"id", $"id_b").as[(Long, Long)].collect().toSet
+    assert(brute.contains((1L, 2L)) && brute.contains((3L, 4L)))
+    assert(got === brute)
+    // and nearest() certifies correctly across the line too
+    val src = Seq((10L, 10.0, -179.9)).toDF("id", "lat", "lon")
+    val dim = Seq((20L, 10.0, 179.8), (21L, 10.0, -150.0))
+      .toDF("site", "site_lat", "site_lon")
+    val nn = GridNearestJoin.nearest(src, dim, "lat", "site_lat",
+        "lon", "site_lon", Seq("id"), Seq(col("site")),
+        cellDeg = 5.0, maxAbsLatDeg = 15.0)
+      .select("site").as[Long].head()
+    assert(nn === 20L) // the cross-line site is the true nearest
+  }
+
   test("lon banding disables itself near the poles and stays safe") {
     assert(GridNearestJoin.lonBandDegFor(500.0, 89.9).isEmpty)
     val band = GridNearestJoin.lonBandDegFor(1500.0, 60.0)
