@@ -22,8 +22,13 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** whitespace-collapsed, trimmed, lowercased text */
-  def normalizeText(c: Column): Column = lower(trim(regexp_replace(c, "\\s+", " ")))
+  /** whitespace-collapsed, trimmed, lowercased text. The whitespace class is
+    * spelled out because Java `\s` includes \x0B while RE2 (DuckDB) `\s`
+    * does not — an explicit class keeps both engines byte-identical.
+    */
+  val WhitespaceClass = "[ \\t\\n\\x0B\\f\\r]+"
+  def normalizeText(c: Column): Column =
+    lower(trim(regexp_replace(c, WhitespaceClass, " ")))
 
   /** 32-hex-char exact-dup fingerprint of the normalized text */
   def fingerprint(c: Column): Column = md5(normalizeText(c))
@@ -191,11 +196,17 @@ object Dedup {
 
   /** 64-bit SimHash per doc via the native single-pass Catalyst expression
     * ([[graft.plans.SimHash64Expression]]): per-row scalar, no explode, no
-    * shuffle — bit-identical to [[simHash64]] and the default path.
+    * shuffle — bit-identical to [[simHash64]] and the default path. Docs
+    * with zero tokens are dropped, matching the aggregate form (whose
+    * explode emits no rows for them).
     */
-  def simHash64Native(docs: DataFrame, id: String, text: String): DataFrame =
-    docs.select(col(id), graft.plans.SimHash64Expression.simhash64(
-      filter(split(normalizeText(col(text)), " "), w => w =!= "")).as("simhash"))
+  def simHash64Native(docs: DataFrame, id: String, text: String): DataFrame = {
+    val tokens = filter(split(normalizeText(col(text)), " "), w => w =!= "")
+    docs.select(col(id), tokens.as("__tokens"))
+      .filter(size(col("__tokens")) > 0)
+      .select(col(id),
+        graft.plans.SimHash64Expression.simhash64(col("__tokens")).as("simhash"))
+  }
 
   /** 64-bit SimHash per doc: sign of the per-bit sum of word-hash bits,
     * computed as 64 conditional sums in a single aggregation. Reference

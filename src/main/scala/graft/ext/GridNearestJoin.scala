@@ -123,7 +123,10 @@ object GridNearestJoin {
     val w = Window.partitionBy(srcKey.map(col): _*)
       .orderBy(round(col("distance"), 9).asc +: tieBreak.map(_.asc): _*)
     // cached: both the certified output and the uncovered anti-join read it —
-    // without the cache Spark recomputes the whole grid join twice
+    // without the cache Spark recomputes the whole grid join twice. The
+    // entry lives until evicted or `spark.catalog.clearCache()` — callers
+    // invoking this repeatedly in one long session should clear between runs
+    // (graft.Bench does).
     val best = srcC.join(dimC, Seq("__cell_lat", "__cell_lon"))
       .withColumn("distance", Geo.haversineKmDet(
         col(srcLat), col(dimLat), col(srcLon), col(dimLon)))

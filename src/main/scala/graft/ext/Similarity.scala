@@ -73,7 +73,16 @@ object Similarity {
     */
   def assignCells(corpus: DataFrame, corpusId: String, corpusVec: String,
                   centroids: DataFrame, centroidId: String, centroidVec: String,
-                  scale: Double = DefaultScale): DataFrame = {
+                  scale: Double = DefaultScale): DataFrame =
+    assignCellsQ(corpus, corpusId, corpusVec, centroids, centroidId,
+      centroidVec, scale).drop("__qv", "__qn")
+
+  /** [[assignCells]] retaining the quantized vector (`__qv`) and self-dot
+    * (`__qn`) so downstream ranking does not recompute them per corpus row.
+    */
+  private def assignCellsQ(corpus: DataFrame, corpusId: String, corpusVec: String,
+                           centroids: DataFrame, centroidId: String,
+                           centroidVec: String, scale: Double): DataFrame = {
     val cent = prep(centroids, centroidId, centroidVec, "cell", scale)
       .withColumnRenamed("__qv", "__ctv").withColumnRenamed("__qn", "__ctn")
     val withQ = corpus
@@ -85,7 +94,7 @@ object Similarity {
         cosineFromQuantized(col("__qv"), col("__ctv"), col("__qn"), col("__ctn")))
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
-      .drop("__rn", "__cos", "__ctv", "__ctn", "__qv", "__qn")
+      .drop("__rn", "__cos", "__ctv", "__ctn")
   }
 
   /** IVF approximate top-k: queries probe their `nprobe` nearest cells and
@@ -98,11 +107,10 @@ object Similarity {
              queryId: String, queryVec: String,
              centroids: DataFrame, centroidId: String, centroidVec: String,
              k: Int, nprobe: Int, scale: Double = DefaultScale): DataFrame = {
-    val assigned = assignCells(corpus, corpusId, corpusVec,
+    val assigned = assignCellsQ(corpus, corpusId, corpusVec,
         centroids, centroidId, centroidVec, scale)
-      .select(col(corpusId).as("neighbor_id"), col(corpusVec).as("__v"), col("cell"))
-      .withColumn("__cv", quantize(col("__v"), scale)).drop("__v")
-      .withColumn("__cn", dotLong(col("__cv"), col("__cv")))
+      .select(col(corpusId).as("neighbor_id"), col("cell"),
+        col("__qv").as("__cv"), col("__qn").as("__cn"))
     // per query: its nprobe closest centroids
     val cent = prep(centroids, centroidId, centroidVec, "cell", scale)
       .withColumnRenamed("__qv", "__ctv").withColumnRenamed("__qn", "__ctn")
@@ -136,11 +144,8 @@ object Similarity {
   def cosineNearDups(corpus: DataFrame, corpusId: String, corpusVec: String,
                      centroids: DataFrame, centroidId: String, centroidVec: String,
                      minCosine: Double, scale: Double = DefaultScale): DataFrame = {
-    val assigned = assignCells(corpus, corpusId, corpusVec,
+    val assigned = assignCellsQ(corpus, corpusId, corpusVec,
         centroids, centroidId, centroidVec, scale)
-      .select(col(corpusId), col(corpusVec), col("cell"))
-      .withColumn("__qv", quantize(col(corpusVec), scale))
-      .withColumn("__qn", dotLong(col("__qv"), col("__qv")))
     val a = assigned.select(col(corpusId).as("id_a"), col("cell"),
       col("__qv").as("__va"), col("__qn").as("__na"))
     val b = assigned.select(col(corpusId).as("id_b"), col("cell"),

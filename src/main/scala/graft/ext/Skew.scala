@@ -41,6 +41,13 @@ object Skew {
     */
   def saltedJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
                  saltBuckets: Int, joinType: String = "inner"): DataFrame = {
+    // replicating the right side is only semantics-preserving when unmatched
+    // RIGHT rows never surface — a right/full join would emit each of them
+    // saltBuckets times
+    val allowed = Set("inner", "left", "leftouter", "leftsemi", "leftanti")
+    require(allowed.contains(joinType.toLowerCase.replace("_", "")),
+      s"saltedJoin preserves semantics only for inner/left-family joins, " +
+        s"got $joinType")
     val saltedLeft = left.withColumn("__salt",
       pmod(hash(monotonically_increasing_id()), lit(saltBuckets)))
     val saltedRight = right.withColumn("__salt",

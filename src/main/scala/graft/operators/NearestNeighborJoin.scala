@@ -50,8 +50,10 @@ object NearestNeighborJoin {
                  srcLat: String, geoLat: String,
                  srcLon: String, geoLon: String,
                  srcKey: Seq[String], tieBreak: Seq[Column]): DataFrame = {
+    // argmin on the quantized distance, matching GridNearestJoin.nearest —
+    // the two operators must pick the same row on near-ties
     val w = Window.partitionBy(srcKey.map(col): _*)
-      .orderBy(col("distance").asc +: tieBreak.map(_.asc): _*)
+      .orderBy(round(col("distance"), 9).asc +: tieBreak.map(_.asc): _*)
     src.crossJoin(broadcast(geo))
       .withColumn("distance", Geo.haversineKm(srcLat, geoLat, srcLon, geoLon))
       .withColumn("__nn_rank", row_number().over(w))

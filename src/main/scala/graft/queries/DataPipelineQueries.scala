@@ -18,7 +18,9 @@ import graft.sources.Tables
   */
 object DataPipelineQueries extends Catalog {
 
-  private val normSql = """lower(trim(regexp_replace(text, '\s+', ' ', 'g')))"""
+  // explicit whitespace class: Java \s includes \x0B, RE2 \s does not
+  private val normSql =
+    """lower(trim(regexp_replace(text, '[ \t\n\x0B\f\r]+', ' ', 'g')))"""
   private val wordsSql = s"list_filter(string_split($normSql, ' '), x -> x != '')"
   private val stopListSql =
     TextAnalysis.EnglishStopwords.map(w => s"'$w'").mkString("[", ", ", "]")
@@ -34,7 +36,7 @@ object DataPipelineQueries extends Catalog {
       Dedup.jaccardPairs(Tables.documents(s, d), "doc_id", "text",
           n = 3, minJaccard = 0.1)
         .select(col("id_a"), col("id_b"), col("inter").as("shared"),
-          round(col("jaccard"), 6).as("jaccard"))
+          (floor(col("jaccard") * 1e6 + 0.5) / 1e6).as("jaccard"))
     }),
 
     // ---- MinHash + LSH banded near-dup (scale path; spec-verified recall) --
@@ -65,9 +67,12 @@ object DataPipelineQueries extends Catalog {
     }),
 
     // ---- SimHash near-dup (chunk-bucketed hamming; spec-verified) ----------
+    // maxHamming = 3: the 4x16-bit chunk pigeonhole guarantees full recall
+    // only up to hamming 3 — a larger bound would silently drop pairs that
+    // collide on no chunk.
     "q27_simhash_near_dups" -> ((s, d) => {
       Dedup.simHashNearDups(Tables.documents(s, d), "doc_id", "text",
-        maxHamming = 10)
+        maxHamming = 3)
     }),
 
     // ---- text quality analysis --------------------------------------------
@@ -77,9 +82,9 @@ object DataPipelineQueries extends Catalog {
         col("doc_id"),
         TextAnalysis.tokenCount(t).as("n_tokens"),
         TextAnalysis.subtokenCount(t).as("n_subtokens"),
-        round(TextAnalysis.punctRatio(t), 6).as("punct_ratio"),
-        round(TextAnalysis.stopwordRatio(t), 6).as("stop_ratio"),
-        round(TextAnalysis.avgTokenLen(t), 6).as("avg_token_len"),
+        (floor(TextAnalysis.punctRatio(t) * 1e6 + 0.5) / 1e6).as("punct_ratio"),
+        (floor(TextAnalysis.stopwordRatio(t) * 1e6 + 0.5) / 1e6).as("stop_ratio"),
+        (floor(TextAnalysis.avgTokenLen(t) * 1e6 + 0.5) / 1e6).as("avg_token_len"),
         TextAnalysis.langGuess(t).as("lang_guess"),
         TextAnalysis.fingerprint(t).as("fp"))
     }),
@@ -174,7 +179,8 @@ object DataPipelineQueries extends Catalog {
          |         FROM sh a JOIN sh b USING (shingle)
          |         WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
          |SELECT id_a, id_b, inter AS shared,
-         |  round(CAST(inter AS DOUBLE)/(na.n_sh + nb.n_sh - inter), 6) AS jaccard
+         |  floor(CAST(inter AS DOUBLE)/(na.n_sh + nb.n_sh - inter)*1000000.0
+         |    + 0.5)/1000000.0 AS jaccard
          |FROM cand
          |JOIN sizes na ON id_a = na.doc_id
          |JOIN sizes nb ON id_b = nb.doc_id
@@ -230,11 +236,11 @@ object DataPipelineQueries extends Catalog {
          |  CAST(len(ws) AS BIGINT) AS n_tokens,
          |  CAST(len(regexp_extract_all(norm, '[a-z]+|[0-9]+|[^a-z0-9 ]'))
          |    AS BIGINT) AS n_subtokens,
-         |  round(CAST(len(norm) - len(regexp_replace(norm, '[[:punct:]]', '', 'g'))
-         |    AS DOUBLE) / len(norm), 6) AS punct_ratio,
-         |  round(stop_raw, 6) AS stop_ratio,
-         |  round(CAST(list_sum(list_transform(ws, x -> len(x))) AS DOUBLE)
-         |    / len(ws), 6) AS avg_token_len,
+         |  floor(CAST(len(norm) - len(regexp_replace(norm, '[[:punct:]]', '', 'g'))
+         |    AS DOUBLE) / len(norm) * 1000000.0 + 0.5)/1000000.0 AS punct_ratio,
+         |  floor(stop_raw * 1000000.0 + 0.5)/1000000.0 AS stop_ratio,
+         |  floor(CAST(list_sum(list_transform(ws, x -> len(x))) AS DOUBLE)
+         |    / len(ws) * 1000000.0 + 0.5)/1000000.0 AS avg_token_len,
          |  CASE WHEN stop_raw >= 0.02 THEN 'en' ELSE 'unknown' END AS lang_guess,
          |  md5(norm) AS fp
          |FROM stats""".stripMargin,

@@ -157,7 +157,7 @@ object Relational extends Catalog {
     // Round-1 shape unioned `directed` with its swap then filtered a > b —
     // the first branch was dead by construction and the distinct+join subtree
     // ran twice (47% of the round-1 bench). The canonical pair set is just
-    // `directed` relabeled; U1 symmetrize coverage lives in q28.
+    // `directed` relabeled; U1 symmetrize coverage lives in q32_sym_edges.
     "q12_supplier_part_pairs" -> ((s, d) => {
       val sp = Tables.lineitem(s, d)
         .select("l_partkey", "l_suppkey").distinct()
