@@ -7,6 +7,9 @@ import org.apache.spark.sql.functions._
 import graft.functions.Geo
 import graft.sources.Tables
 
+/** Typed row for the Dataset[T] façade (q42). */
+case class OrderRow(o_custkey: Long, o_orderkey: Long, cents: Long)
+
 /** Oracle coverage for the reference-job operators that round 1 exercised
   * only in unit tests: P1 nested-struct projection, W2 unordered-window
   * argmax + A1/A7 `first()` (made deterministic by a two-stage argmax that
@@ -106,6 +109,25 @@ object ParityQueries extends Catalog {
         .select(col("o_custkey"), col("o_orderkey"), col("trailing_4"))
     }),
 
+    // ---- typed Dataset[T] façade: case-class encoder + groupByKey ----------
+    // mapGroups is deliberately the OPAQUE path (object iteration, outside
+    // codegen) — the catalog's one demonstration of the typed API; every
+    // other query stays declarative so Catalyst can optimize.
+    "q42_typed_orders" -> ((s, d) => {
+      import s.implicits._
+      Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"))
+        .as[OrderRow]
+        .groupByKey(_.o_custkey)
+        .mapGroups { (custkey, rows) =>
+          val rs = rows.toSeq
+          (custkey, rs.size.toLong, rs.map(_.cents).sum / 100.0,
+            rs.map(_.o_orderkey).max)
+        }
+        .toDF("o_custkey", "n_orders", "total", "max_orderkey")
+    }),
+
     // ---- W1 + P5: coordinate-partitioned window-min, all ties kept ---------
     "q33_coord_argmin" -> ((s, d) => {
       val coords = Tables.customer(s, d).select(
@@ -199,6 +221,13 @@ object ParityQueries extends Catalog {
         |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
         |    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) / 100.0 AS trailing_4
         |FROM orders""".stripMargin,
+
+    "q42_typed_orders" ->
+      """SELECT o_custkey, count(*) AS n_orders,
+        |  CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) / 100.0
+        |    AS total,
+        |  max(o_orderkey) AS max_orderkey
+        |FROM orders GROUP BY o_custkey""".stripMargin,
 
     "q33_coord_argmin" -> {
       val hav = Geo.haversineSqlText("glat", "city_lat", "glon", "city_lon")
