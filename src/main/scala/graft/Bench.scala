@@ -31,15 +31,23 @@ object Bench {
         .write.format("noop").mode("overwrite").save()
     } catch { case _: Throwable => () }
     var failed = List.empty[String]
-    // best-of-2 per query: a single pass carries ±10% scheduler/GC noise at
-    // this scale; the reported figure is the minimum of two full
-    // materializations (documented via "runs_per_query")
-    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // median-of-3 per query: best-of-2 let one loaded-machine outlier swing
+    // the round-3 total by +64% on an inert diff — the median absorbs one
+    // bad run in either direction. All raw per-run times are reported
+    // ("runs" field) so outliers stay visible instead of silently folded.
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
+    // comma-separated name filter for iterating on single queries locally,
+    // e.g. SPARK_GRAFT_BENCH_ONLY=q22_jaccard_near_dups
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       val times = (1 to runs).flatMap { _ =>
         // operators that cache internally (e.g. GridNearestJoin) must not
         // hand their warm cache to the next timed run
         spark.catalog.clearCache()
+        graft.ext.Caches.releaseAll()
         val t0 = System.nanoTime()
         try {
           fn(spark, sfDir).write.format("noop").mode("overwrite").save()
@@ -51,13 +59,19 @@ object Bench {
           None
         }
       }
-      name -> (if (times.nonEmpty) times.min else -1.0)
+      val median =
+        if (times.isEmpty) -1.0
+        else times.sorted.apply((times.size - 1) / 2)
+      (name, median, times)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    val raw = results.map { case (k, _, ts) =>
+      s"\"" + k + "\":" + ts.mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    val total = results.collect { case (_, v, _) if v >= 0 => v }.sum
     val errs = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"runs_per_query":$runs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$raw,"errors":$errs,"runs_per_query":$runs,"agg":"median","sf":"$sfDir"}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

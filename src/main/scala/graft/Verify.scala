@@ -21,6 +21,10 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // drop frames pinned by cache-internally operators (GridNearestJoin
+      // rings, Dedup's hot-shingle set) so 42 queries don't accumulate
+      // pinned storage
+      graft.ext.Caches.releaseAll()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

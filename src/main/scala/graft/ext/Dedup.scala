@@ -79,8 +79,16 @@ object Dedup {
     * still counting toward the true Jaccard via the intersection recount.
     */
   def jaccardPairs(docs: DataFrame, id: String, text: String, n: Int,
-                   minJaccard: Double, maxShingleDf: Long = Long.MaxValue): DataFrame = {
-    val sh = wordShingles(docs, id, text, n)
+                   minJaccard: Double, maxShingleDf: Long = Long.MaxValue): DataFrame =
+    jaccardPairsFromShingles(wordShingles(docs, id, text, n), id,
+      minJaccard, maxShingleDf)
+
+  /** [[jaccardPairs]] over an existing (id, shingle) frame — the composition
+    * point for alternative grains ([[charShingles]], external tokenizers).
+    */
+  def jaccardPairsFromShingles(sh: DataFrame, id: String,
+                               minJaccard: Double,
+                               maxShingleDf: Long = Long.MaxValue): DataFrame = {
     val sizes = sh.groupBy(col(id)).agg(count(lit(1)).as("n_sh"))
     val withInter =
       if (maxShingleDf == Long.MaxValue) {
@@ -91,18 +99,34 @@ object Dedup {
           .filter(col("id_a") < col("id_b"))
           .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
       } else {
-        // guarded: stop-shingles are dropped from candidate GENERATION only;
-        // the true intersection is recounted over the full shingle sets
-        val byShingle = Window.partitionBy("shingle")
-        val gen = sh.withColumn("df", count(lit(1)).over(byShingle))
-          .filter(col("df") <= maxShingleDf).drop("df")
-        gen.select(col(id).as("id_a"), col("shingle"))
+        // guarded: stop-shingles are dropped from candidate GENERATION only,
+        // but still count toward the true Jaccard. The cold index join
+        // counts the non-hot intersection directly (same shape as the
+        // unguarded branch); only the hot contribution — bounded by
+        // |hot shingles| x docs, small by construction (fewer than
+        // |sh|/maxShingleDf shingles can exceed the threshold) — is added
+        // back via a per-pair recount restricted to hot shingles. Measured
+        // at sf0.1: this inner-join df-mark shape beats both a window-df +
+        // full-recount formulation (3x slower) and an anti/semi-join
+        // against the aggregated hot set (1.3x slower), with or without
+        // pinning the shingle frame.
+        val dfs = sh.groupBy("shingle").agg(count(lit(1)).as("__df"))
+        val mark = sh.join(dfs, Seq("shingle"))
+          .withColumn("__hot", col("__df") > maxShingleDf).drop("__df")
+        val gen = mark.filter(!col("__hot")).drop("__hot")
+        val hot = mark.filter(col("__hot")).drop("__hot")
+        val coldInter = gen.select(col(id).as("id_a"), col("shingle"))
           .join(gen.select(col(id).as("id_b"), col("shingle")), Seq("shingle"))
           .filter(col("id_a") < col("id_b"))
-          .select("id_a", "id_b").distinct()
-          .join(sh.select(col(id).as("id_a"), col("shingle")), Seq("id_a"))
-          .join(sh.select(col(id).as("id_b"), col("shingle")), Seq("id_b", "shingle"))
-          .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+          .groupBy("id_a", "id_b").agg(count(lit(1)).as("__cold"))
+        val hotInter = coldInter.select("id_a", "id_b")
+          .join(hot.select(col(id).as("id_a"), col("shingle")), Seq("id_a"))
+          .join(hot.select(col(id).as("id_b"), col("shingle")), Seq("id_b", "shingle"))
+          .groupBy("id_a", "id_b").agg(count(lit(1)).as("__hot_n"))
+        coldInter.join(hotInter, Seq("id_a", "id_b"), "left")
+          .withColumn("inter",
+            col("__cold") + coalesce(col("__hot_n"), lit(0L)))
+          .drop("__cold", "__hot_n")
       }
     withInter
       .join(sizes.select(col(id).as("id_a"), col("n_sh").as("n_a")), Seq("id_a"))
@@ -114,22 +138,34 @@ object Dedup {
 
   /** MinHash signatures: (id, sig array<long> of length `numHashes`).
     * Hash family i is `xxhash64(i, shingle)`; all minima are computed in ONE
-    * aggregation pass (k min expressions), not k passes.
+    * aggregation pass (k min expressions), not k passes. `portable = true`
+    * swaps the family to code-point FNV-1a 64
+    * ([[graft.plans.Fnv1a64Expression]]) — same shape, slightly slower, but
+    * bit-reproducible in DuckDB SQL so signatures can be oracle-checked.
     */
   def minHashSignatures(docs: DataFrame, id: String, text: String,
-                        n: Int, numHashes: Int): DataFrame =
-    minHashSignaturesFromShingles(wordShingles(docs, id, text, n), id, numHashes)
+                        n: Int, numHashes: Int,
+                        portable: Boolean = false): DataFrame =
+    minHashSignaturesFromShingles(wordShingles(docs, id, text, n), id,
+      numHashes, portable)
 
   /** [[minHashSignatures]] over an existing (id, shingle) frame. Each
     * shingle string is hashed ONCE; the k-member hash family then mixes the
-    * resulting long (`xxhash64(i, baseHash)`), which is far cheaper than k
-    * string hashes and equally min-wise independent.
+    * resulting long (`xxhash64(i, baseHash)` or, portable,
+    * `fnv1a64(i, baseHash)`), which is far cheaper than k string hashes and
+    * equally min-wise independent.
     */
   def minHashSignaturesFromShingles(sh: DataFrame, id: String,
-                                    numHashes: Int): DataFrame = {
-    val base = sh.withColumn("__h", xxhash64(col("shingle")))
-    val mins = (0 until numHashes).map(i =>
-      min(xxhash64(lit(i), col("__h"))).as(s"h$i"))
+                                    numHashes: Int,
+                                    portable: Boolean = false): DataFrame = {
+    import graft.plans.Fnv1a64Expression.fnv1a64
+    val baseHash = if (portable) fnv1a64(col("shingle")) else xxhash64(col("shingle"))
+    val base = sh.withColumn("__h", baseHash)
+    val mins = (0 until numHashes).map { i =>
+      val fam = if (portable) fnv1a64(lit(i.toLong), col("__h"))
+                else xxhash64(lit(i), col("__h"))
+      min(fam).as(s"h$i")
+    }
     base.groupBy(col(id))
       .agg(mins.head, mins.tail: _*)
       .select(col(id), array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"))
@@ -175,14 +211,15 @@ object Dedup {
   /** LSH candidates verified by true n-gram Jaccard ≥ `minJaccard`. */
   def minHashNearDups(docs: DataFrame, id: String, text: String,
                       n: Int, numHashes: Int, bands: Int,
-                      minJaccard: Double): DataFrame = {
+                      minJaccard: Double,
+                      portable: Boolean = false): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     // NOT cached deliberately: the shingle frame is read 4x (signatures,
     // sizes, two verify joins) but recomputing the codegen explode pipeline
     // measured cheaper than materializing it (bench: 6.3s vs 9.9s at sf0.1)
     val sh = wordShingles(docs, id, text, n)
     val sizes = sh.groupBy(col(id)).agg(count(lit(1)).as("n_sh"))
-    val sigs = minHashSignaturesFromShingles(sh, id, numHashes)
+    val sigs = minHashSignaturesFromShingles(sh, id, numHashes, portable)
     minHashCandidatesFromSignatures(sigs, id, bands, numHashes / bands)
       .join(sh.select(col(id).as("id_a"), col("shingle")), Seq("id_a"))
       .join(sh.select(col(id).as("id_b"), col("shingle")), Seq("id_b", "shingle"))
@@ -198,14 +235,17 @@ object Dedup {
     * ([[graft.plans.SimHash64Expression]]): per-row scalar, no explode, no
     * shuffle — bit-identical to [[simHash64]] and the default path. Docs
     * with zero tokens are dropped, matching the aggregate form (whose
-    * explode emits no rows for them).
+    * explode emits no rows for them). `portable = true` switches the token
+    * hash to FNV-1a 64 for DuckDB-reproducible fingerprints.
     */
-  def simHash64Native(docs: DataFrame, id: String, text: String): DataFrame = {
+  def simHash64Native(docs: DataFrame, id: String, text: String,
+                      portable: Boolean = false): DataFrame = {
     val tokens = filter(split(normalizeText(col(text)), " "), w => w =!= "")
     docs.select(col(id), tokens.as("__tokens"))
       .filter(size(col("__tokens")) > 0)
       .select(col(id),
-        graft.plans.SimHash64Expression.simhash64(col("__tokens")).as("simhash"))
+        graft.plans.SimHash64Expression.simhash64(col("__tokens"), portable)
+          .as("simhash"))
   }
 
   /** 64-bit SimHash per doc: sign of the per-bit sum of word-hash bits,
@@ -232,8 +272,8 @@ object Dedup {
     * hamming 3 agrees on ≥1 chunk and meets in that equi-join bucket).
     */
   def simHashNearDups(docs: DataFrame, id: String, text: String,
-                      maxHamming: Int): DataFrame = {
-    val fps = simHash64Native(docs, id, text)
+                      maxHamming: Int, portable: Boolean = false): DataFrame = {
+    val fps = simHash64Native(docs, id, text, portable)
     val chunks = fps.select(col(id), col("simhash"),
         explode(array((0 until 4).map(c =>
           struct(lit(c).as("chunk"),

@@ -31,22 +31,11 @@ import graft.functions.Geo
   */
 object GridNearestJoin {
 
-  /** Frames cached by [[nearest]] that are still pinned in the block manager.
-    * Each call caches one frame per expansion ring (the grid-join argmin,
-    * read by both the certified output and the next ring's anti-join).
-    * Long-lived sessions should call [[releaseCaches]] once the returned
-    * frame has been materialized — `graft.Bench`/`graft.Verify` do this
-    * between queries — instead of nuking the whole session cache.
+  /** [[nearest]] pins one frame per non-terminal expansion ring (the
+    * grid-join argmin, read by both the certified output and the next ring's
+    * anti-join) in the shared [[Caches]] registry; this releases them all.
     */
-  private val liveCaches = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
-
-  /** Unpersist every cache created by prior [[nearest]] calls. Safe to call
-    * at any time; frames not yet materialized just recompute.
-    */
-  def releaseCaches(): Unit = {
-    var df = liveCaches.poll()
-    while (df != null) { df.unpersist(); df = liveCaches.poll() }
-  }
+  def releaseCaches(): Unit = Caches.releaseAll()
 
   private val R = Geo.EarthRadiusKm
   /** km per degree of latitude (R * π/180), rounded DOWN so bounds stay safe */
@@ -113,16 +102,48 @@ object GridNearestJoin {
     }
   }
 
-  /** Exact nearest-dim-row-per-source-row via grid equi-join.
+  /** Cell width at which the 3×3 neighborhood provably spans the globe:
+    * lat ∈ [-90°, 90°] occupies lat cells {floor(-90/120), floor(90/120)} =
+    * {-1, 0}, and the modular lon circle has floor(360/120) = 3 cells — both
+    * entirely within ±1 of any occupied cell. At this width the ring join is
+    * an exhaustive *distributed* cartesian (an equi-join over ≤ 6 distinct
+    * cell keys), so its argmin is exact without any guard radius.
+    */
+  val GlobeCellDeg = 120.0
+
+  /** The cell widths [[nearest]] iterates: `cellDeg`, ×3 per ring, ending at
+    * the first width whose 3×3 neighborhood spans the globe (≥
+    * [[GlobeCellDeg]]). Static — the ring count depends only on `cellDeg`,
+    * never on the data, so the whole expansion is one lazy plan.
+    */
+  def ringWidths(cellDeg: Double): Seq[Double] = {
+    require(cellDeg > 0, s"cellDeg must be positive, got $cellDeg")
+    val partial = Iterator.iterate(cellDeg)(_ * 3)
+      .takeWhile(_ < GlobeCellDeg).toSeq
+    partial :+ (if (partial.isEmpty) cellDeg else partial.last * 3)
+  }
+
+  /** Exact nearest-dim-row-per-source-row via iterated grid equi-joins.
     *
     * Same contract as [[graft.operators.NearestNeighborJoin.nearestOne]]
     * (deterministic argmin: ordered by quantized distance then `tieBreak`),
     * but the dim side is hash-partitioned by cell instead of broadcast, so it
     * scales to dimension tables far beyond the broadcast threshold.
     *
+    * Ring expansion: rows not certified within the 3×3 neighborhood at
+    * `cellDeg` are re-joined at 3×`cellDeg` (then 9×, 27×, …) — each ring is
+    * the same cell equi-join over the still-uncovered residue with a larger
+    * guarantee radius. The terminal ring's width ≥ [[GlobeCellDeg]] makes the
+    * neighborhood exhaustive, so the residue there resolves by a
+    * *distributed* cartesian (equi-join over ≤ 6 cell keys) — the dimension
+    * is never broadcast and never collected, at any ring. All rings are built
+    * into one lazy plan (ring count is static, O(log₃(120/cellDeg))); at
+    * runtime AQE's empty-relation propagation collapses rings whose residue
+    * is already empty, so well-sized cells pay only the first join.
+    *
     * @param cellDeg      grid cell size in degrees — pick ≈ the typical
     *                     nearest-neighbor distance; smaller cells = fewer
-    *                     candidates but more fallback rows
+    *                     candidates but more ring-expansion rows
     * @param maxAbsLatDeg max |latitude| in the data; drives the certification
     *                     radius (longitude cells shrink towards the poles)
     */
@@ -131,45 +152,45 @@ object GridNearestJoin {
               srcLon: String, dimLon: String,
               srcKey: Seq[String], tieBreak: Seq[Column],
               cellDeg: Double, maxAbsLatDeg: Double): DataFrame = {
-    // Any dim row outside the 3×3 neighborhood differs by > cellDeg in lat
-    // (distance > 111·cellDeg) or in lon (distance > 2R·asin(cosφmax·sin Δλ/2));
-    // the certification radius is the smaller of the two bounds.
-    val latGuard = cellDeg * KmPerLatDegFloor
-    val lonGuard = 2 * R * math.asin(
-      math.cos(maxAbsLatDeg.toRadians) * math.sin((cellDeg / 2).toRadians))
-    val rGuard = math.min(latGuard, lonGuard)
-
-    val dimC = withCells(dim, dimLat, dimLon, cellDeg, Some(cellDeg))
-    val srcC = withNeighborCells(src, srcLat, srcLon, cellDeg, Some(cellDeg))
-    val w = Window.partitionBy(srcKey.map(col): _*)
-      .orderBy(round(col("distance"), 9).asc +: tieBreak.map(_.asc): _*)
-    // cached: both the certified output and the uncovered anti-join read it —
-    // without the cache Spark recomputes the whole grid join twice. The
-    // entry lives until evicted or `spark.catalog.clearCache()` — callers
-    // invoking this repeatedly in one long session should clear between runs
-    // (graft.Bench does).
-    val best = srcC.join(dimC, Seq("__cell_lat", "__cell_lon"))
-      .withColumn("distance", Geo.haversineKmDet(
-        col(srcLat), col(dimLat), col(srcLon), col(dimLon)))
-      .withColumn("__nn_rank", row_number().over(w))
-      .filter(col("__nn_rank") === 1)
-      .drop("__nn_rank", "__cell_lat", "__cell_lon")
-      .cache()
-
-    val certified = best.filter(col("distance") <= lit(rGuard))
-    // Rows whose best candidate is beyond the guarantee (or had no candidate
-    // at all) get the exact answer from the reference-shaped broadcast argmin.
-    val uncovered = src.join(
-      certified.select(srcKey.map(col): _*), srcKey, "left_anti")
-    val wAll = Window.partitionBy(srcKey.map(col): _*)
-      .orderBy(round(col("distance"), 9).asc +: tieBreak.map(_.asc): _*)
-    val fallback = uncovered.crossJoin(broadcast(dim))
-      .withColumn("distance", Geo.haversineKmDet(
-        col(srcLat), col(dimLat), col(srcLon), col(dimLon)))
-      .withColumn("__nn_rank", row_number().over(wAll))
-      .filter(col("__nn_rank") === 1)
-      .drop("__nn_rank")
-    certified.unionByName(fallback.select(certified.columns.map(col): _*))
+    val rings = ringWidths(cellDeg)
+    var residue = src
+    val parts = Seq.newBuilder[DataFrame]
+    for ((ringDeg, i) <- rings.zipWithIndex) {
+      val exhaustive = i == rings.size - 1
+      val dimC = withCells(dim, dimLat, dimLon, ringDeg, Some(ringDeg))
+      val srcC = withNeighborCells(residue, srcLat, srcLon, ringDeg, Some(ringDeg))
+      val w = Window.partitionBy(srcKey.map(col): _*)
+        .orderBy(round(col("distance"), 9).asc +: tieBreak.map(_.asc): _*)
+      val best = srcC.join(dimC, Seq("__cell_lat", "__cell_lon"))
+        .withColumn("distance", Geo.haversineKmDet(
+          col(srcLat), col(dimLat), col(srcLon), col(dimLon)))
+        .withColumn("__nn_rank", row_number().over(w))
+        .filter(col("__nn_rank") === 1)
+        .drop("__nn_rank", "__cell_lat", "__cell_lon")
+      if (exhaustive) {
+        // neighborhood spans the globe: every dim row was a candidate, the
+        // argmin is exact with no guard — nothing left to certify
+        parts += best
+      } else {
+        // Any dim row outside this ring's 3×3 neighborhood differs by more
+        // than ringDeg in lat (distance > 111·ringDeg) or in lon (distance >
+        // 2R·asin(cosφmax·sin Δλ/2)); a best candidate within the smaller of
+        // the two bounds is therefore the global argmin.
+        val latGuard = ringDeg * KmPerLatDegFloor
+        val lonGuard = 2 * R * math.asin(
+          math.cos(maxAbsLatDeg.toRadians) * math.sin((ringDeg / 2).toRadians))
+        val rGuard = math.min(latGuard, lonGuard)
+        // pinned: both the certified output and the next ring's anti-join
+        // read this frame — uncached, Spark would recompute the whole grid
+        // join twice per ring. Released via [[Caches.releaseAll]].
+        val cached = Caches.pin(best)
+        val certified = cached.filter(col("distance") <= lit(rGuard))
+        parts += certified
+        residue = residue.join(
+          certified.select(srcKey.map(col): _*), srcKey, "left_anti")
+      }
+    }
+    parts.result().reduce(_ unionByName _)
   }
 
   /** All point pairs within `radiusKm`, canonicalized (`key` < `key_b`), via

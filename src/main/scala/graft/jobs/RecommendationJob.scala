@@ -1,6 +1,6 @@
 package graft.jobs
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -113,24 +113,31 @@ object RecommendationJob {
         lit(date).as("processed_dttm"))
   }
 
-  /** Attach the zone (nearest city to the pair midpoint) (project_step_3.py:143-164). */
-  def withZone(geo: DataFrame, candidates: DataFrame): DataFrame = {
+  /** Attach the zone (nearest city to the pair midpoint) (project_step_3.py:143-164).
+    *
+    * `processedAt` defaults to the reference's `current_timestamp()` (F5,
+    * project_step_3.py:161) but is injectable so the otherwise-untestable
+    * wall-clock column can be pinned in tests and replayed pipelines.
+    */
+  def withZone(geo: DataFrame, candidates: DataFrame,
+               processedAt: Column = current_timestamp()): DataFrame = {
     val cities = geo.select(col("id").as("city_id"),
       col("lat").as("lat_city"), col("lon").as("lon_city"))
     NearestNeighborJoin
       .nearestAllTies(candidates, cities, "lat_avg", "lat_city", "lon_avg", "lon_city")
       .select(col("user_left"), col("user_right"),
         col("city_id").as("zone_id"), col("processed_dttm"),
-        from_utc_timestamp(current_timestamp(), "Australia/Sydney").as("local_time"))
+        from_utc_timestamp(processedAt, "Australia/Sydney").as("local_time"))
   }
 
   def transform(events: DataFrame, eventsAtDate: DataFrame, geo: DataFrame,
-                date: String, maxDistanceKm: Double): DataFrame = {
+                date: String, maxDistanceKm: Double,
+                processedAt: Column = current_timestamp()): DataFrame = {
     val subs = subscribers(events).cache() // reused 2x (ref :32)
     val communicating = communicatingSubscribers(events, subs)
     val candidates = possibleSubscribersToCommunicate(
       subs, communicating, eventsAtDate, date, maxDistanceKm)
-    withZone(geo, candidates)
+    withZone(geo, candidates, processedAt)
   }
 
   /** CLI parity with project_step_3.py:167-195: date maxDistance events geo out.

@@ -117,11 +117,15 @@ object UserMartJob {
   def userMart(last: DataFrame, home: DataFrame, travel: DataFrame): DataFrame =
     last.join(home, Seq("user_id"), "left").join(travel, Seq("user_id"), "left")
 
-  /** Full step-1 transform. */
-  def transform(events: DataFrame, geo: DataFrame, minDays: Int = 27): DataFrame = {
+  /** Full step-1 transform. `strictOrder` follows [[travel]]: false is the
+    * reference's exchange-inherited `collect_list` order, true rebuilds the
+    * route deterministically (required when the output is oracle-compared).
+    */
+  def transform(events: DataFrame, geo: DataFrame, minDays: Int = 27,
+                strictOrder: Boolean = false): DataFrame = {
     val mg = messageGeo(events, geo).cache() // 3 branches fan out (ref :35)
     val home = homeGeo(mg, minDays).cache() // reused by travel + final join (ref :83)
-    userMart(lastGeo(mg), home, travel(mg, home))
+    userMart(lastGeo(mg), home, travel(mg, home, strictOrder))
   }
 
   /** CLI parity with project_step_1.py:114-140: events geo out. */

@@ -23,8 +23,14 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
   * Bit semantics are identical to the aggregation form: token hash is
   * xxhash64 (seed 42, same as `functions.xxhash64`), bit b of the result is
   * set iff the count of set bits at position b across tokens exceeds half.
+  *
+  * With `portable = true` the token hash is code-point FNV-1a 64
+  * ([[Fnv1a64Ops.hashString]]) instead — bit-identical to the DuckDB SQL of
+  * [[Fnv1a64Expression.stringSqlText]], which is what lets the SimHash
+  * near-dup catalog query carry a full hash-checked oracle.
   */
-case class SimHash64Expression(child: Expression) extends UnaryExpression {
+case class SimHash64Expression(child: Expression, portable: Boolean = false)
+    extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
@@ -40,7 +46,9 @@ case class SimHash64Expression(child: Expression) extends UnaryExpression {
     var i = 0
     while (i < arr.numElements()) {
       if (!arr.isNullAt(i)) {
-        val h = XXH64.hashUTF8String(arr.getUTF8String(i), 42L)
+        val h =
+          if (portable) Fnv1a64Ops.hashString(Fnv1a64Ops.Offset, arr.getUTF8String(i))
+          else XXH64.hashUTF8String(arr.getUTF8String(i), 42L)
         var b = 0
         while (b < 64) {
           sums(b) += (if (((h >>> b) & 1L) == 1L) 1 else -1); b += 1
@@ -61,12 +69,16 @@ case class SimHash64Expression(child: Expression) extends UnaryExpression {
       val b = ctx.freshName("b")
       val h = ctx.freshName("h")
       val fp = ctx.freshName("fp")
+      val hashCall =
+        if (portable)
+          s"graft.plans.Fnv1a64Ops.hashString(${Fnv1a64Ops.Offset}L, $c.getUTF8String($i))"
+        else
+          s"org.apache.spark.sql.catalyst.expressions.XXH64.hashUTF8String($c.getUTF8String($i), 42L)"
       s"""
          |int[] $sums = new int[64];
          |for (int $i = 0; $i < $c.numElements(); $i++) {
          |  if (!$c.isNullAt($i)) {
-         |    long $h = org.apache.spark.sql.catalyst.expressions.XXH64
-         |      .hashUTF8String($c.getUTF8String($i), 42L);
+         |    long $h = $hashCall;
          |    for (int $b = 0; $b < 64; $b++) {
          |      $sums[$b] += ((($h >>> $b) & 1L) == 1L) ? 1 : -1;
          |    }
@@ -86,8 +98,9 @@ case class SimHash64Expression(child: Expression) extends UnaryExpression {
 
 object SimHash64Expression {
   /** DataFrame-API entry point: `simhash64(tokensArrayColumn)`. */
-  def simhash64(tokens: Column): Column =
-    ColumnBridge.column(SimHash64Expression(ColumnBridge.expression(tokens)))
+  def simhash64(tokens: Column, portable: Boolean = false): Column =
+    ColumnBridge.column(
+      SimHash64Expression(ColumnBridge.expression(tokens), portable))
 }
 
 /** Session extension registering `graft_simhash64` for SQL callers:

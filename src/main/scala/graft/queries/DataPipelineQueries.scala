@@ -11,10 +11,11 @@ import graft.sources.Tables
   * (exact and IVF-bucketed cosine top-k), text quality analysis, and
   * multimodal binary-payload plumbing.
   *
-  * Hash-family-dependent operators (MinHash, SimHash — xxhash64 has no DuckDB
-  * twin) are deterministic but rows-only checked; everything else carries a
-  * cell-exact DuckDB oracle, including the IVF path (the scaled-integer
-  * cosine of [[graft.ext.Similarity]] is bit-identical across engines).
+  * Every query here carries a cell-exact DuckDB oracle — including the
+  * hash-family-dependent ones: MinHash/SimHash run `portable = true`
+  * (code-point FNV-1a 64, [[graft.plans.Fnv1a64Expression]]), whose HUGEINT
+  * mod-2⁶⁴ re-spelling in the oracle SQL is bit-identical, and the IVF path
+  * uses the scaled-integer cosine of [[graft.ext.Similarity]].
   */
 object DataPipelineQueries extends Catalog {
 
@@ -32,18 +33,27 @@ object DataPipelineQueries extends Catalog {
     }),
 
     // ---- n-gram Jaccard near-dup via shingle inverted index ----------------
+    // maxShingleDf = 5: the stop-shingle guard is the 100 TB contract (per-
+    // shingle df² is the blow-up); 5 actually bites on this corpus (max df is
+    // 7 at sf0.01, 25 at sf0.1), so the guarded branch — candidate generation
+    // without hot shingles, true-Jaccard recount adding the hot contribution
+    // back — is exercised and oracle-pinned at every scale the driver runs.
     "q22_jaccard_near_dups" -> ((s, d) => {
       Dedup.jaccardPairs(Tables.documents(s, d), "doc_id", "text",
-          n = 3, minJaccard = 0.1)
+          n = 3, minJaccard = 0.1, maxShingleDf = 5L)
         .select(col("id_a"), col("id_b"), col("inter").as("shared"),
           (floor(col("jaccard") * 1e6 + 0.5) / 1e6).as("jaccard"))
     }),
 
-    // ---- MinHash + LSH banded near-dup (scale path; spec-verified recall) --
+    // ---- MinHash + LSH banded near-dup (scale path) ------------------------
+    // portable = true: signatures use FNV-1a 64, re-spelled in the oracle's
+    // HUGEINT arithmetic, so the banded-LSH candidate set and the verified
+    // Jaccard are hash-checked cross-engine, not rows-only.
     "q23_minhash_near_dups" -> ((s, d) => {
       Dedup.minHashNearDups(Tables.documents(s, d), "doc_id", "text",
-          n = 3, numHashes = 64, bands = 16, minJaccard = 0.5)
-        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+          n = 3, numHashes = 64, bands = 16, minJaccard = 0.5, portable = true)
+        .select(col("id_a"), col("id_b"),
+          (floor(col("jaccard") * 1e6 + 0.5) / 1e6).as("jaccard"))
     }),
 
     // ---- exact cosine top-k over embeddings (brute-force baseline) ---------
@@ -66,13 +76,13 @@ object DataPipelineQueries extends Catalog {
           (floor(col("cosine") * 1e6 + 0.5) / 1e6).as("cosine"))
     }),
 
-    // ---- SimHash near-dup (chunk-bucketed hamming; spec-verified) ----------
+    // ---- SimHash near-dup (chunk-bucketed hamming) -------------------------
     // maxHamming = 3: the 4x16-bit chunk pigeonhole guarantees full recall
     // only up to hamming 3 — a larger bound would silently drop pairs that
-    // collide on no chunk.
+    // collide on no chunk. portable = true → FNV token hash, oracle-checked.
     "q27_simhash_near_dups" -> ((s, d) => {
       Dedup.simHashNearDups(Tables.documents(s, d), "doc_id", "text",
-        maxHamming = 3)
+        maxHamming = 3, portable = true)
     }),
 
     // ---- text quality analysis --------------------------------------------
@@ -116,6 +126,33 @@ object DataPipelineQueries extends Catalog {
           merge = Seq(sum("q100").as("q100"), sum("n").as("n")))
         .select(col("l_suppkey"), (col("q100") / 100.0).as("qty_sum"),
           col("n").as("line_count"))
+    }),
+
+    // ---- salted equi-join (skew-safe join twin of q34) ---------------------
+    // left rows scatter over 8 salt replicas of the dim side, so a hot
+    // custkey lands on 8 reducers instead of one; semantics identical to the
+    // plain join the oracle runs.
+    "q43_salted_join" -> ((s, d) => {
+      val orders = Tables.orders(s, d).select(
+        col("o_custkey"), col("o_totalprice"))
+      val dim = Tables.customer(s, d).select(
+        col("c_custkey").as("o_custkey"), col("c_mktsegment"))
+      Skew.saltedJoin(orders, dim, Seq("o_custkey"), saltBuckets = 8)
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("orders"),
+          XDet.moneySum(col("o_totalprice"), 2).as("revenue"))
+    }),
+
+    // ---- char-shingle Jaccard near-dup (whitespace-free grain) -------------
+    // q22's twin over character 10-grams — the dedup grain for scripts
+    // without word boundaries; same inverted-index + stop-shingle-guard
+    // machinery via jaccardPairsFromShingles.
+    "q44_char_jaccard" -> ((s, d) => {
+      Dedup.jaccardPairsFromShingles(
+          Dedup.charShingles(Tables.documents(s, d), "doc_id", "text", n = 10),
+          "doc_id", minJaccard = 0.3, maxShingleDf = 20L)
+        .select(col("id_a"), col("id_b"), col("inter").as("shared"),
+          (floor(col("jaccard") * 1e6 + 0.5) / 1e6).as("jaccard"))
     }),
 
     // ---- embedding-cosine near-dup, bucketed by IVF cell -------------------
@@ -168,6 +205,9 @@ object DataPipelineQueries extends Catalog {
          |  min(doc_id) OVER (PARTITION BY md5($normSql)) AS canonical_id
          |FROM documents""".stripMargin,
 
+    // mirrors the guarded branch of Dedup.jaccardPairs: candidates from
+    // shingles with df <= 5 only, true intersection counted over ALL
+    // shingles (cold count + hot recount == recount over everything)
     "q22_jaccard_near_dups" ->
       s"""WITH w AS (SELECT doc_id, $wordsSql AS ws FROM documents),
          |idx AS (SELECT doc_id, ws, unnest(range(len(ws)-2)) AS i
@@ -175,16 +215,89 @@ object DataPipelineQueries extends Catalog {
          |sh AS (SELECT DISTINCT doc_id,
          |         array_to_string(ws[i+1:i+3], ' ') AS shingle FROM idx),
          |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
-         |cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
-         |         FROM sh a JOIN sh b USING (shingle)
-         |         WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+         |gen AS (SELECT doc_id, shingle FROM (
+         |          SELECT doc_id, shingle,
+         |            count(*) OVER (PARTITION BY shingle) AS df FROM sh)
+         |        WHERE df <= 5),
+         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |         FROM gen a JOIN gen b USING (shingle)
+         |         WHERE a.doc_id < b.doc_id),
+         |inter AS (SELECT id_a, id_b, count(*) AS inter
+         |          FROM cand
+         |          JOIN sh sa ON sa.doc_id = id_a
+         |          JOIN sh sb ON sb.doc_id = id_b AND sb.shingle = sa.shingle
+         |          GROUP BY 1, 2)
          |SELECT id_a, id_b, inter AS shared,
          |  floor(CAST(inter AS DOUBLE)/(na.n_sh + nb.n_sh - inter)*1000000.0
          |    + 0.5)/1000000.0 AS jaccard
-         |FROM cand
+         |FROM inter
          |JOIN sizes na ON id_a = na.doc_id
          |JOIN sizes nb ON id_b = nb.doc_id
          |WHERE CAST(inter AS DOUBLE)/(na.n_sh + nb.n_sh - inter) >= 0.1""".stripMargin,
+
+    // full portable-hash oracle: FNV-1a 64 signatures (HUGEINT mod-2^64
+    // arithmetic, bit-identical to graft.plans.Fnv1a64Expression), banded on
+    // the raw 4-row signature slices (bucket-hash equality on the Spark side
+    // <=> slice equality), then the same true-Jaccard verification as q22
+    "q23_minhash_near_dups" -> {
+      import graft.plans.Fnv1a64Expression.{longSqlText, stringSqlText, toSignedSqlText}
+      val fam = toSignedSqlText(
+        longSqlText(longSqlText("14695981039346656037::HUGEINT", "k::HUGEINT"), "bh"))
+      s"""WITH w AS (SELECT doc_id, $wordsSql AS ws FROM documents),
+         |idx AS (SELECT doc_id, ws, unnest(range(len(ws)-2)) AS i
+         |        FROM w WHERE len(ws) >= 3),
+         |sh AS (SELECT DISTINCT doc_id,
+         |         array_to_string(ws[i+1:i+3], ' ') AS shingle FROM idx),
+         |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+         |base AS (SELECT doc_id, ${stringSqlText("shingle")} AS bh FROM sh),
+         |fam AS (SELECT doc_id, k, min($fam) AS m
+         |        FROM base CROSS JOIN (SELECT unnest(range(64)) AS k)
+         |        GROUP BY doc_id, k),
+         |bandsig AS (SELECT doc_id, k // 4 AS band, list(m ORDER BY k) AS bs
+         |            FROM fam GROUP BY 1, 2),
+         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |         FROM bandsig a JOIN bandsig b
+         |           ON a.band = b.band AND a.bs = b.bs AND a.doc_id < b.doc_id),
+         |inter AS (SELECT id_a, id_b, count(*) AS inter
+         |          FROM cand
+         |          JOIN sh sa ON sa.doc_id = id_a
+         |          JOIN sh sb ON sb.doc_id = id_b AND sb.shingle = sa.shingle
+         |          GROUP BY 1, 2)
+         |SELECT id_a, id_b,
+         |  floor(CAST(inter AS DOUBLE)/(na.n_sh + nb.n_sh - inter)*1000000.0
+         |    + 0.5)/1000000.0 AS jaccard
+         |FROM inter
+         |JOIN sizes na ON id_a = na.doc_id
+         |JOIN sizes nb ON id_b = nb.doc_id
+         |WHERE CAST(inter AS DOUBLE)/(na.n_sh + nb.n_sh - inter) >= 0.5""".stripMargin
+    },
+
+    // portable SimHash oracle: FNV-1a token hashes -> 64 sign-sums -> unsigned
+    // fingerprint -> 4x16-bit chunk pigeonhole join -> hamming <= 3
+    "q27_simhash_near_dups" -> {
+      import graft.plans.Fnv1a64Expression.stringSqlText
+      s"""WITH w AS (SELECT doc_id, $wordsSql AS ws FROM documents),
+         |tok AS (SELECT doc_id, unnest(ws) AS t FROM w),
+         |wh AS (SELECT doc_id, ${stringSqlText("t")} AS h FROM tok),
+         |bits AS (SELECT doc_id, b,
+         |           sum(CASE WHEN (h >> b) & 1::HUGEINT = 1::HUGEINT
+         |               THEN 1 ELSE -1 END) AS s
+         |         FROM wh CROSS JOIN (SELECT unnest(range(64)) AS b)
+         |         GROUP BY 1, 2),
+         |fp AS (SELECT doc_id,
+         |         sum(CASE WHEN s > 0 THEN (1::HUGEINT << b)
+         |             ELSE 0::HUGEINT END) AS fpu
+         |       FROM bits GROUP BY 1),
+         |chunks AS (SELECT doc_id, fpu, c, (fpu >> (16*c)) & 65535::HUGEINT AS v
+         |           FROM fp CROSS JOIN (SELECT unnest(range(4)) AS c)),
+         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         |           a.fpu AS fa, b.fpu AS fb
+         |         FROM chunks a JOIN chunks b
+         |           ON a.c = b.c AND a.v = b.v AND a.doc_id < b.doc_id)
+         |SELECT id_a, id_b,
+         |  CAST(bit_count(xor(fa, fb)) AS INTEGER) AS hamming
+         |FROM cand WHERE bit_count(xor(fa, fb)) <= 3""".stripMargin
+    },
 
     "q25_knn_exact" -> {
       val cos = Similarity.cosineSqlText("qe", "embedding")
@@ -267,6 +380,41 @@ object DataPipelineQueries extends Catalog {
         |    AS qty_sum,
         |  count(*) AS line_count
         |FROM lineitem GROUP BY l_suppkey""".stripMargin,
+
+    "q43_salted_join" ->
+      s"""SELECT c_mktsegment, count(*) AS orders,
+         |  ${XDet.moneySumSql("o_totalprice", 2)} AS revenue
+         |FROM orders JOIN customer ON o_custkey = c_custkey
+         |GROUP BY c_mktsegment""".stripMargin,
+
+    // char 10-gram twin of the q22 oracle: same guarded-generation /
+    // full-recount split, shingles from substring instead of word windows
+    "q44_char_jaccard" ->
+      s"""WITH nm AS (SELECT doc_id, $normSql AS norm FROM documents),
+         |idx AS (SELECT doc_id, norm, unnest(range(1, length(norm) - 8)) AS i
+         |        FROM nm WHERE length(norm) >= 10),
+         |sh AS (SELECT DISTINCT doc_id, substring(norm, i, 10) AS shingle
+         |       FROM idx),
+         |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+         |gen AS (SELECT doc_id, shingle FROM (
+         |          SELECT doc_id, shingle,
+         |            count(*) OVER (PARTITION BY shingle) AS df FROM sh)
+         |        WHERE df <= 20),
+         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |         FROM gen a JOIN gen b USING (shingle)
+         |         WHERE a.doc_id < b.doc_id),
+         |inter AS (SELECT id_a, id_b, count(*) AS inter
+         |          FROM cand
+         |          JOIN sh sa ON sa.doc_id = id_a
+         |          JOIN sh sb ON sb.doc_id = id_b AND sb.shingle = sa.shingle
+         |          GROUP BY 1, 2)
+         |SELECT id_a, id_b, inter AS shared,
+         |  floor(CAST(inter AS DOUBLE)/(na.n_sh + nb.n_sh - inter)*1000000.0
+         |    + 0.5)/1000000.0 AS jaccard
+         |FROM inter
+         |JOIN sizes na ON id_a = na.doc_id
+         |JOIN sizes nb ON id_b = nb.doc_id
+         |WHERE CAST(inter AS DOUBLE)/(na.n_sh + nb.n_sh - inter) >= 0.3""".stripMargin,
 
     "q35_cosine_near_dups" -> {
       val cosCent = Similarity.cosineSqlText("embedding", "ce")

@@ -128,6 +128,57 @@ object ParityQueries extends Catalog {
         .toDF("o_custkey", "n_orders", "total", "max_orderkey")
     }),
 
+    // ---- S3: date-partitioned scan with partition pruning ------------------
+    // The filter on `event_date` is a PartitionFilter on the Hive-layout
+    // copy (see Tables.eventsPartitioned): directories for the other 29 days
+    // are pruned at planning, not row-filtered at runtime —
+    // PartitionedScanSpec pins that plan shape.
+    "q45_partitioned_scan" -> ((s, d) => {
+      Tables.eventsPartitioned(s, d)
+        .filter(col("event_date") === to_date(lit("2024-01-15")))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("events"),
+          countDistinct(col("user_id")).as("users"),
+          XDet.moneySum(col("value"), 6).as("value_sum"))
+    }),
+
+    // ---- O1 end-to-end: the composed user-mart job on derived inputs -------
+    // UserMartJob.transform (argmax act-city + gaps-and-islands home-city +
+    // route-change travel array) over reference-shaped events derived
+    // deterministically from the driver's events table: every user "lives"
+    // in city (user_id % 25) and "travels" to ((user_id + event_id) % 25) on
+    // every 10th event, so home/act/travel are all exercised. strictOrder
+    // and the 0.05° offset keep the output engine-deterministic; the oracle
+    // re-expresses the whole three-branch DAG in SQL. minDays = 5: consec-
+    // utive *event*-day runs in the home city comfortably exceed it, noise
+    // cities never do. travel_array joins to a string (arrays don't survive
+    // the driver comparator).
+    "q46_user_mart" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val cityIdx = when(col("event_id") % 10 === 0,
+        (col("user_id") + col("event_id")) % 25).otherwise(col("user_id") % 25)
+      val refEvents = ev.select(
+        struct(
+          col("user_id").as("message_from"),
+          col("event_id").as("message_id"),
+          col("ts").cast("string").as("message_ts"),
+          col("ts").cast("string").as("datetime")).as("event"),
+        lit("message").as("event_type"),
+        (lit(-60) + cityIdx * 137 % 120 + lit(0.05)).as("lat"),
+        (lit(-170) + cityIdx * 211 % 340 + lit(0.05)).as("lon"))
+      val geo = Tables.nation(s, d).select(
+        col("n_nationkey").as("id"),
+        col("n_name").as("city"),
+        (lit(-60) + col("n_nationkey") * 137 % 120).cast("double").as("lat"),
+        (lit(-170) + col("n_nationkey") * 211 % 340).cast("double").as("lon"))
+      graft.jobs.UserMartJob.transform(refEvents, geo, minDays = 5,
+          strictOrder = true)
+        .select(col("user_id"),
+          date_format(col("local_time"), "yyyy-MM-dd HH:mm:ss").as("local_time"),
+          col("act_city"), col("home_city"),
+          col("travel_count"), concat_ws(",", col("travel_array")).as("route"))
+    }),
+
     // ---- W1 + P5: coordinate-partitioned window-min, all ties kept ---------
     "q33_coord_argmin" -> ((s, d) => {
       val coords = Tables.customer(s, d).select(
@@ -228,6 +279,90 @@ object ParityQueries extends Catalog {
         |    AS total,
         |  max(o_orderkey) AS max_orderkey
         |FROM orders GROUP BY o_custkey""".stripMargin,
+
+    "q45_partitioned_scan" -> {
+      import XDet.moneySumSql
+      s"""SELECT event_type, count(*) AS events,
+         |  count(DISTINCT user_id) AS users,
+         |  ${moneySumSql("value", 6)} AS value_sum
+         |FROM events
+         |WHERE CAST(CAST(ts AS TIMESTAMP) AS DATE) = DATE '2024-01-15'
+         |GROUP BY event_type""".stripMargin
+    },
+
+    // the whole three-branch user-mart DAG in SQL: derived message events ->
+    // nearest city (933 km min city separation vs 7.8 km offset: no ties) ->
+    // argmax act-city / gaps-and-islands home-city / route-change travel.
+    // timezone(tz, timezone('UTC', ts)) = Spark's from_utc_timestamp,
+    // independent of the DuckDB session timezone.
+    "q46_user_mart" -> {
+      val hav = Geo.haversineSqlText("lat_m", "lat", "lon_m", "lon")
+      s"""WITH ev AS (
+         |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS datetime,
+         |    CASE WHEN event_id % 10 = 0 THEN (user_id + event_id) % 25
+         |         ELSE user_id % 25 END AS ci
+         |  FROM events),
+         |msg AS (
+         |  SELECT user_id, datetime,
+         |    -60 + ci*137 % 120 + 0.05 AS lat_m,
+         |    -170 + ci*211 % 340 + 0.05 AS lon_m
+         |  FROM ev),
+         |cities AS (
+         |  SELECT n_name AS city,
+         |    CAST(-60 + n_nationkey*137 % 120 AS DOUBLE) AS lat,
+         |    CAST(-170 + n_nationkey*211 % 340 AS DOUBLE) AS lon
+         |  FROM nation),
+         |nn AS (
+         |  SELECT user_id, datetime, city FROM (
+         |    SELECT user_id, datetime, city, $hav AS dist,
+         |      min($hav) OVER (PARTITION BY user_id, datetime) AS dmin
+         |    FROM msg CROSS JOIN cities)
+         |  WHERE dist = dmin),
+         |last_geo AS (
+         |  SELECT user_id,
+         |    strftime(timezone('Australia/Sydney', timezone('UTC', datetime)),
+         |      '%Y-%m-%d %H:%M:%S') AS local_time,
+         |    min(city) AS act_city
+         |  FROM (SELECT *, max(datetime) OVER (PARTITION BY user_id) AS mdt
+         |        FROM nn)
+         |  WHERE datetime = mdt GROUP BY 1, 2),
+         |days AS (SELECT DISTINCT user_id, CAST(datetime AS DATE) AS d, city
+         |         FROM nn),
+         |dr_t AS (
+         |  SELECT user_id, d, city,
+         |    dense_rank() OVER (PARTITION BY user_id ORDER BY d DESC) AS dr
+         |  FROM days),
+         |ranked AS (
+         |  SELECT *, coalesce(lag(dr) OVER (PARTITION BY user_id, city
+         |    ORDER BY d DESC), 0) AS ldr
+         |  FROM dr_t),
+         |isl AS (
+         |  SELECT user_id, city, dr - rn AS diff, max(d) AS d, count(*) AS n
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY user_id, city
+         |          ORDER BY d DESC) AS rn
+         |        FROM ranked WHERE dr = ldr + 1)
+         |  GROUP BY 1, 2, 3 HAVING count(*) >= 5),
+         |home AS (
+         |  SELECT user_id, min(city) AS home_city FROM (
+         |    SELECT *, max(d) OVER (PARTITION BY user_id) AS md FROM isl)
+         |  WHERE d = md GROUP BY 1),
+         |stops AS (
+         |  SELECT s.user_id, s.datetime, s.city FROM (
+         |    SELECT *, lag(city) OVER (PARTITION BY user_id
+         |      ORDER BY datetime, city) AS lc
+         |    FROM (SELECT DISTINCT user_id, datetime, city FROM nn)) s
+         |  LEFT JOIN home h ON s.user_id = h.user_id AND s.city = h.home_city
+         |  WHERE (s.city != s.lc OR s.lc IS NULL) AND h.user_id IS NULL),
+         |trav AS (
+         |  SELECT user_id, count(city) AS travel_count,
+         |    array_to_string(list(city ORDER BY datetime, city), ',') AS route
+         |  FROM stops GROUP BY 1)
+         |SELECT l.user_id, l.local_time, l.act_city, h.home_city,
+         |  t.travel_count, t.route
+         |FROM last_geo l
+         |LEFT JOIN home h ON l.user_id = h.user_id
+         |LEFT JOIN trav t ON l.user_id = t.user_id""".stripMargin
+    },
 
     "q33_coord_argmin" -> {
       val hav = Geo.haversineSqlText("glat", "city_lat", "glon", "city_lon")

@@ -48,4 +48,27 @@ object Tables {
 
   /** events with the raw long-nanos ts (for callers that want the physical value). */
   def eventsRaw(spark: SparkSession, d: String): DataFrame = read(spark, d, "events")
+
+  /** Date-partitioned events scan (SURVEY §2 S3). The reference reads
+    * `date=YYYY-MM-DD` partition directories
+    * (`/root/reference/src/scripts/project_step_3.py:13-16`); the synthetic
+    * testdata ships one flat parquet, so this materializes the same
+    * `event_date=` Hive layout once per sfDir (under the JVM temp dir, where
+    * Spark already spills) and returns a scan whose `event_date` is a REAL
+    * partition column: an equality filter on it prunes directories at plan
+    * time — `PartitionFilters` in the scan node, zero data files read for
+    * other days — rather than filtering rows at runtime.
+    */
+  def eventsPartitioned(spark: SparkSession, d: String): DataFrame = {
+    val scratch = new java.io.File(
+      sys.props.getOrElse("java.io.tmpdir", "/tmp"),
+      "graft_events_by_date_" + Integer.toHexString(d.hashCode))
+    if (!new java.io.File(scratch, "_SUCCESS").exists()) {
+      events(spark, d)
+        .withColumn("event_date", to_date(col("ts")))
+        .write.mode("overwrite").partitionBy("event_date")
+        .parquet(scratch.getAbsolutePath)
+    }
+    spark.read.parquet(scratch.getAbsolutePath)
+  }
 }

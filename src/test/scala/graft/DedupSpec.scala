@@ -45,6 +45,47 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(pairs.size === 2)
   }
 
+  test("stop-shingle guard: hot shingles are cut from candidate generation " +
+      "but still count toward the true Jaccard") {
+    // planted stop-shingle corpus: every doc carries the same boilerplate
+    // trigram ("subscribe to newsletter", df = 8 > guard 3 — the df² blow-up
+    // seed), docs 1/2 additionally share real content, and docs 5-8 share
+    // NOTHING but the boilerplate.
+    val boiler = "subscribe to newsletter"
+    val planted = Seq(
+      (1L, s"alpha beta gamma delta epsilon $boiler"),
+      (2L, s"alpha beta gamma delta zeta $boiler"),
+      (3L, s"one two three four five $boiler"),
+      (4L, s"six seven eight nine ten $boiler"),
+      (5L, s"aa bb cc dd ee $boiler"),
+      (6L, s"ff gg hh ii jj $boiler"),
+      (7L, s"kk ll mm nn oo $boiler"),
+      (8L, s"pp qq rr ss tt $boiler")
+    ).toDF("doc_id", "text")
+    val guarded = Dedup.jaccardPairs(planted, "doc_id", "text",
+        n = 3, minJaccard = 0.0, maxShingleDf = 3)
+      .select("id_a", "id_b", "inter", "jaccard")
+      .as[(Long, Long, Long, Double)].collect()
+    // candidate generation is sub-quadratic: only (1,2) shares a COLD
+    // shingle, so 1 pair survives instead of the unguarded 28 (= 8·7/2,
+    // every pair meeting on the boilerplate trigram)
+    assert(guarded.map(r => (r._1, r._2)).toSet === Set((1L, 2L)))
+    val unguarded = Dedup.jaccardPairs(planted, "doc_id", "text",
+        n = 3, minJaccard = 0.0)
+    assert(unguarded.count() === 28)
+    // ... but the surviving pair's intersection still counts the hot
+    // shingle: docs 1/2 share "delta epsilon|zeta subscribe" minus... the
+    // exact sets: 9 shingles each, shared cold = 3 ("alpha beta gamma",
+    // "beta gamma delta", "gamma delta epsilon|zeta" differ) -> shared
+    // includes the boilerplate chain, recounted from the FULL sets
+    val (_, _, inter, jac) = guarded.head
+    val exact = unguarded
+      .filter($"id_a" === 1 && $"id_b" === 2)
+      .select("inter", "jaccard").as[(Long, Double)].head()
+    assert((inter, jac) === exact,
+      "guarded pair must carry the true (hot-inclusive) intersection")
+  }
+
   test("LSH candidates contain every high-jaccard pair (no false negatives here)") {
     val cand = Dedup.minHashCandidates(docs, "doc_id", "text",
         n = 3, numHashes = 64, bands = 16)

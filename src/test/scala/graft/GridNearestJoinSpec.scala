@@ -38,9 +38,9 @@ class GridNearestJoinSpec extends AnyFunSuite with SparkTestBase {
     assert(grid.except(brute).isEmpty && brute.except(grid).isEmpty)
   }
 
-  test("grid nearest stays exact even when cells are too small (fallback path)") {
+  test("grid nearest stays exact even when cells are too small (ring expansion)") {
     // 1° cells over sparse points: most rows miss the 3×3 neighborhood and
-    // must be resolved by the exact fallback.
+    // must be resolved by later, wider rings.
     val grid = GridNearestJoin.nearest(src, dim,
         "lat", "site_lat", "lon", "site_lon",
         srcKey = Seq("id"), tieBreak = Seq(col("site")),
@@ -51,6 +51,49 @@ class GridNearestJoinSpec extends AnyFunSuite with SparkTestBase {
         srcKey = Seq("id"), tieBreak = Seq(col("site")))
       .select($"id", $"site")
     assert(grid.except(brute).isEmpty && brute.except(grid).isEmpty)
+  }
+
+  test("ring widths triple until the neighborhood spans the globe") {
+    assert(GridNearestJoin.ringWidths(1.0) === Seq(1.0, 3.0, 9.0, 27.0, 81.0, 243.0))
+    assert(GridNearestJoin.ringWidths(6.0) === Seq(6.0, 18.0, 54.0, 162.0))
+    assert(GridNearestJoin.ringWidths(200.0) === Seq(200.0)) // already global
+    assert(GridNearestJoin.ringWidths(1.0).last >= GridNearestJoin.GlobeCellDeg)
+  }
+
+  test("multi-ring expansion is exact and never broadcasts the dimension") {
+    // Geometry forcing ≥3 rings at cellDeg=1, maxAbsLat=10:
+    //  - (1): dim 0.2° away → candidate in ring 1 (guard ~110 km) ⇒ certified
+    //  - (2): nearest dim 5° of lon away (~556 km): rings 1–2 (1°/3° cells)
+    //    have no candidate in the 3×3 neighborhood; ring 3 (9° cells, guard
+    //    ~985 km) finds and certifies it. Two expansion hops beyond ring 1.
+    //  - (3): nearest dim ~120° of lon away (~13 300 km) — farther than every
+    //    intermediate guard, so only the terminal (globe-spanning,
+    //    distributed-cartesian) ring resolves it.
+    val s = Seq((1L, 0.0, 0.0), (2L, 0.0, 40.0), (3L, 9.0, -120.0))
+      .toDF("id", "lat", "lon")
+    val d = Seq((10L, 0.0, 0.2), (20L, 0.0, 45.0), (30L, 2.0, 100.0))
+      .toDF("site", "site_lat", "site_lon")
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val nn = GridNearestJoin.nearest(s, d,
+        "lat", "site_lat", "lon", "site_lon",
+        srcKey = Seq("id"), tieBreak = Seq(col("site")),
+        cellDeg = 1.0, maxAbsLatDeg = 10.0)
+      // no broadcast() hint anywhere in the operator's logical plan ...
+      assert(!nn.queryExecution.analyzed.toString.toLowerCase.contains("hint"))
+      // ... and with auto-broadcast off, the physical plan holds the
+      // "never a driver-side broadcast of the dimension" contract
+      val phys = nn.queryExecution.executedPlan.toString
+      assert(!phys.contains("BroadcastExchange"), phys)
+      assert(!phys.contains("BroadcastNestedLoopJoin"), phys)
+      assert(!phys.contains("CartesianProduct"), phys)
+      val got = nn.select($"id", $"site").as[(Long, Long)].collect().toMap
+      assert(got === Map(1L -> 10L, 2L -> 20L, 3L -> 10L))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      GridNearestJoin.releaseCaches()
+    }
   }
 
   test("radius pairs equal brute-force all-pairs within radius") {

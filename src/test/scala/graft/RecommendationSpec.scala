@@ -70,4 +70,16 @@ class RecommendationSpec extends AnyFunSuite with SparkTestBase {
     assert(mart.select("zone_id").distinct().as[Long].head() === 1L) // Sydney
     assert(mart.select("processed_dttm").distinct().as[String].head() === d)
   }
+
+  test("injected processedAt pins local_time (F5 made testable)") {
+    import org.apache.spark.sql.functions._
+    val pinned = RecommendationJob.transform(
+      allEvents, eventsAtDate, geoDf(spark), d, maxDistanceKm = 100.0,
+      processedAt = to_timestamp(lit("2022-06-15 02:00:00")))
+    val lt = pinned.select(date_format(col("local_time"), "yyyy-MM-dd HH:mm:ss"))
+      .distinct().as[String].collect().toSeq
+    assert(lt === Seq("2022-06-15 12:00:00")) // UTC+10 (AEST, June = winter)
+    // default path still produces a non-null wall-clock local_time
+    assert(mart.filter(col("local_time").isNull).count() === 0)
+  }
 }
