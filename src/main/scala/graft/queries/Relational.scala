@@ -110,6 +110,11 @@ object Relational extends Catalog {
     }),
 
     // ---- dense_rank over join aggregate (W4, J2) --------------------------
+    // The global rank REQUIRES an unpartitioned window; that is fine here by
+    // construction — the window input is the post-aggregate (one row per
+    // nation, ≤ 25 at any scale factor), never the fact table, so the
+    // single-partition sort Spark warns about ("No Partition Defined") is
+    // 25 rows regardless of SF. Deliberate; do not "fix" by partitioning.
     "q09_nation_customer_rank" -> ((s, d) => {
       val n = Tables.nation(s, d)
       val c = Tables.customer(s, d)

@@ -60,9 +60,13 @@ object Tables {
     * other days — rather than filtering rows at runtime.
     */
   def eventsPartitioned(spark: SparkSession, d: String): DataFrame = {
+    // scratch key includes the source file's size+mtime so a regenerated
+    // events.parquet at the same path can never serve a stale copy
+    val src = new java.io.File(s"$d/events.parquet")
+    val key = (d, src.length(), src.lastModified()).hashCode
     val scratch = new java.io.File(
       sys.props.getOrElse("java.io.tmpdir", "/tmp"),
-      "graft_events_by_date_" + Integer.toHexString(d.hashCode))
+      "graft_events_by_date_" + Integer.toHexString(key))
     if (!new java.io.File(scratch, "_SUCCESS").exists()) {
       events(spark, d)
         .withColumn("event_date", to_date(col("ts")))

@@ -1,0 +1,51 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Global anti-pattern sweep over every catalog query's physical plan.
+  *
+  * A CartesianProduct or an unplanned nested-loop join is the class of bug
+  * that is invisible at sf0.01 and fatal at 100 TB. Every query below must
+  * plan equi-joins (hash/sort-merge) except the explicitly allowlisted
+  * broadcast cross joins, each of which multiplies the fact side by a
+  * dimension that is O(25) rows at ANY scale factor (nation-derived) — the
+  * reference's own nearest-city shape, safe because the blow-up factor is
+  * the tiny dim, never |fact|².
+  */
+class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  /** The exactly-7 queries whose plan legitimately contains
+    * BroadcastNestedLoopJoin: cross join against the 25-row nation-derived
+    * city dim (q18, q20, q33, q46), the declared-contract broadcast query
+    * side of the exact-knn baseline (q25 — q26 is its scale path), and the
+    * centroid-assignment cross join of the IVF operators (q26, q35), whose
+    * broadcast side is the centroid set — small by the IVF design itself.
+    */
+  private val broadcastCrossAllowed =
+    Set("q18_nearest_city", "q20_orders_by_zone", "q33_coord_argmin",
+      "q25_knn_exact", "q26_knn_ivf", "q35_cosine_near_dups", "q46_user_mart")
+
+  test("no catalog query plans a CartesianProduct") {
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
+        if (plan.contains("CartesianProduct")) Some(name) else None
+    }
+    assert(offenders.isEmpty,
+      s"CartesianProduct in: ${offenders.mkString(", ")}")
+  }
+
+  test("nested-loop joins appear only where a tiny broadcast dim is the plan") {
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
+        if (plan.contains("BroadcastNestedLoopJoin") &&
+            !broadcastCrossAllowed.contains(name)) Some(name)
+        else None
+    }
+    assert(offenders.isEmpty,
+      s"unexpected BroadcastNestedLoopJoin in: ${offenders.mkString(", ")}")
+  }
+}
