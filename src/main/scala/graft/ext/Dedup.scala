@@ -245,7 +245,9 @@ object Dedup {
     require(numHashes % bands == 0, "bands must divide numHashes")
     // NOT cached deliberately: the shingle frame is read 4x (signatures,
     // sizes, two verify joins) but recomputing the codegen explode pipeline
-    // measured cheaper than materializing it (bench: 6.3s vs 9.9s at sf0.1)
+    // measures cheaper than materializing it — re-confirmed after the
+    // once-per-row projection fix made recompute even cheaper (sf0.1
+    // median-of-3: 1.8s uncached vs 3.7s pinned)
     val sh = wordShingles(docs, id, text, n)
     val sizes = sh.groupBy(col(id)).agg(count(lit(1)).as("n_sh"))
     val sigs = minHashSignaturesFromShingles(sh, id, numHashes, portable)
