@@ -22,6 +22,85 @@ case class OrderRow(o_custkey: Long, o_orderkey: Long, cents: Long)
   */
 object ParityQueries extends Catalog {
 
+  /** Reference-shaped multi-type events derived deterministically from the
+    * driver's events table — the input grain for the end-to-end job oracles
+    * (q46/q48/q49). Type mapping: click/purchase → message, view → reaction,
+    * signup → subscription, error → registration. Every user "lives" in city
+    * (user_id % 25), every 10th event "travels" to ((user_id + event_id) %
+    * 25), every 7th event has NULL coordinates (exercising the
+    * fill-from-last-message path), and messages address user_id +
+    * (event_id % 5) - 2 (hitting real neighbors often enough to produce
+    * communicating pairs). The identical arithmetic is spelled in the
+    * DuckDB oracle CTEs.
+    */
+  private def refEventsFull(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val cityIdx = when(col("event_id") % 10 === 0,
+      (col("user_id") + col("event_id")) % 25).otherwise(col("user_id") % 25)
+    val etype = when(col("event_type") === "click" ||
+        col("event_type") === "purchase", "message")
+      .when(col("event_type") === "view", "reaction")
+      .when(col("event_type") === "signup", "subscription")
+      .otherwise("registration")
+    val nullCoord = col("event_id") % 7 === 0
+    ev.select(
+      struct(
+        when(etype === "message", col("user_id")).as("message_from"),
+        when(etype === "message",
+          col("user_id") + (col("event_id") % 5) - 2).as("message_to"),
+        col("event_id").as("message_id"),
+        lit(null).cast("string").as("message_ts"),
+        col("ts").cast("string").as("datetime"),
+        when(etype === "reaction", col("user_id")).as("reaction_from"),
+        when(etype === "subscription" || etype === "registration",
+          col("user_id")).as("user"),
+        when(etype === "subscription",
+          concat(lit("ch"), col("user_id") % 20)).as("subscription_channel")
+      ).as("event"),
+      etype.as("event_type"),
+      when(nullCoord, lit(null).cast("double"))
+        .otherwise(lit(-60) + cityIdx * 137 % 120 + lit(0.05)).as("lat"),
+      when(nullCoord, lit(null).cast("double"))
+        .otherwise(lit(-170) + cityIdx * 211 % 340 + lit(0.05)).as("lon"))
+  }
+
+  /** The reference's 25-city geo dimension, nation-derived (same formula as
+    * GeoQueries.nationCities).
+    */
+  private def refGeo(s: SparkSession, d: String): DataFrame =
+    Tables.nation(s, d).select(
+      col("n_nationkey").as("id"),
+      col("n_name").as("city"),
+      (lit(-60) + col("n_nationkey") * 137 % 120).cast("double").as("lat"),
+      (lit(-170) + col("n_nationkey") * 211 % 340).cast("double").as("lon"))
+
+  /** DuckDB CTE text shared by the q48/q49 oracles: the [[refEventsFull]]
+    * derivation (`shaped`) and the city dim (`cities`).
+    */
+  private val refEventsSql =
+    """ev AS (
+      |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS dt,
+      |    CASE WHEN event_type IN ('click','purchase') THEN 'message'
+      |         WHEN event_type = 'view' THEN 'reaction'
+      |         WHEN event_type = 'signup' THEN 'subscription'
+      |         ELSE 'registration' END AS etype,
+      |    CASE WHEN event_id % 10 = 0 THEN (user_id + event_id) % 25
+      |         ELSE user_id % 25 END AS ci
+      |  FROM events),
+      |shaped AS (
+      |  SELECT user_id, event_id, dt, etype,
+      |    user_id + (event_id % 5) - 2 AS msg_to,
+      |    CASE WHEN event_id % 7 = 0 THEN NULL
+      |         ELSE -60 + ci*137 % 120 + 0.05 END AS lat,
+      |    CASE WHEN event_id % 7 = 0 THEN NULL
+      |         ELSE -170 + ci*211 % 340 + 0.05 END AS lon
+      |  FROM ev),
+      |cities AS (
+      |  SELECT n_nationkey AS city_id,
+      |    CAST(-60 + n_nationkey*137 % 120 AS DOUBLE) AS clat,
+      |    CAST(-170 + n_nationkey*211 % 340 AS DOUBLE) AS clon
+      |  FROM nation)""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- P1 + W2 + P5 + A1/A7: struct projection, argmax, first -----------
     "q30_struct_last_event" -> ((s, d) => {
@@ -180,6 +259,37 @@ object ParityQueries extends Catalog {
           date_format(col("local_time"), "yyyy-MM-dd HH:mm:ss").as("local_time"),
           col("act_city"), col("home_city"),
           col("travel_count"), concat_ws(",", col("travel_array")).as("route"))
+    }),
+
+    // ---- O1 end-to-end: the composed zone-mart job -------------------------
+    // ZoneMartJob.transform (last-message coordinate fill -> pre-aggregate ->
+    // nearest-zone -> week/month pivots) over the full multi-type derived
+    // events; the NULL-coordinate rows exercise the fill path and the
+    // "users without messages are dropped" reference quirk rides along.
+    "q48_zone_mart" -> ((s, d) => {
+      graft.jobs.ZoneMartJob.transform(refEventsFull(s, d), refGeo(s, d))
+        .select(col("month"), col("week"), col("city_id"),
+          col("week_message"), col("week_reaction"),
+          col("week_subscription"), col("week_user"),
+          col("month_message"), col("month_reaction"),
+          col("month_subscription"), col("month_user"))
+    }),
+
+    // ---- O1+O2 end-to-end: the composed recommendation job -----------------
+    // RecommendationJob.transform (shared-channel pairs minus communicating
+    // pairs, last-position radius filter, midpoint zone) with the F5
+    // wall-clock column pinned via the injected processedAt — the whole
+    // step-3 DAG under one oracle, quirks (user_right = left user) included.
+    "q49_recommendations" -> ((s, d) => {
+      val ev = refEventsFull(s, d)
+      val atDate = ev.filter(
+        to_date(col("event.datetime")) === to_date(lit("2024-01-20")))
+      graft.jobs.RecommendationJob.transform(ev, atDate, refGeo(s, d),
+          date = "2024-01-20", maxDistanceKm = 2000.0,
+          processedAt = to_timestamp(lit("2024-02-01 00:00:00")))
+        .select(col("user_left"), col("user_right"), col("zone_id"),
+          col("processed_dttm"),
+          date_format(col("local_time"), "yyyy-MM-dd HH:mm:ss").as("local_time"))
     }),
 
     // ---- W1 + P5: coordinate-partitioned window-min, all ties kept ---------
@@ -365,6 +475,128 @@ object ParityQueries extends Catalog {
          |FROM last_geo l
          |LEFT JOIN home h ON l.user_id = h.user_id
          |LEFT JOIN trav t ON l.user_id = t.user_id""".stripMargin
+    },
+
+    // full zone-mart DAG: last-message fill -> (week, month, type, coord)
+    // pre-aggregate -> per-coordinate nearest city -> conditional-agg pivots
+    // anchored on observed (month, week, city) triples
+    "q48_zone_mart" -> {
+      val hav = Geo.haversineSqlText("lat_def", "clat", "lon_def", "clon")
+      s"""WITH $refEventsSql,
+         |last_msg AS (
+         |  SELECT user_id, lat AS lat_last, lon AS lon_last FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY user_id
+         |      ORDER BY dt DESC) AS rn
+         |    FROM shaped WHERE etype = 'message') WHERE rn = 1),
+         |with_geo AS (
+         |  SELECT CAST(weekofyear(s.dt) AS INTEGER) AS week,
+         |    CAST(month(s.dt) AS INTEGER) AS month, s.etype,
+         |    coalesce(s.lat, l.lat_last) AS lat_def,
+         |    coalesce(s.lon, l.lon_last) AS lon_def,
+         |    count(*) AS cnt
+         |  FROM shaped s JOIN last_msg l USING (user_id)
+         |  GROUP BY 1, 2, 3, 4, 5),
+         |wz AS (
+         |  SELECT week, month, etype, cnt, city_id FROM (
+         |    SELECT g.*, c.city_id, $hav AS dist,
+         |      min($hav) OVER (PARTITION BY lat_def, lon_def) AS dmin
+         |    FROM with_geo g CROSS JOIN cities c)
+         |  WHERE dist = dmin),
+         |wk AS (SELECT week, city_id,
+         |  CAST(sum(CASE WHEN etype='message' THEN cnt END) AS BIGINT)
+         |    AS week_message,
+         |  CAST(sum(CASE WHEN etype='reaction' THEN cnt END) AS BIGINT)
+         |    AS week_reaction,
+         |  CAST(sum(CASE WHEN etype='subscription' THEN cnt END) AS BIGINT)
+         |    AS week_subscription,
+         |  CAST(sum(CASE WHEN etype='registration' THEN cnt END) AS BIGINT)
+         |    AS week_user
+         |  FROM wz GROUP BY 1, 2),
+         |mo AS (SELECT month, city_id,
+         |  CAST(sum(CASE WHEN etype='message' THEN cnt END) AS BIGINT)
+         |    AS month_message,
+         |  CAST(sum(CASE WHEN etype='reaction' THEN cnt END) AS BIGINT)
+         |    AS month_reaction,
+         |  CAST(sum(CASE WHEN etype='subscription' THEN cnt END) AS BIGINT)
+         |    AS month_subscription,
+         |  CAST(sum(CASE WHEN etype='registration' THEN cnt END) AS BIGINT)
+         |    AS month_user
+         |  FROM wz GROUP BY 1, 2)
+         |SELECT a.month, a.week, a.city_id,
+         |  wk.week_message, wk.week_reaction, wk.week_subscription,
+         |  wk.week_user,
+         |  mo.month_message, mo.month_reaction, mo.month_subscription,
+         |  mo.month_user
+         |FROM (SELECT DISTINCT month, week, city_id FROM wz) a
+         |LEFT JOIN wk ON a.week = wk.week AND a.city_id = wk.city_id
+         |LEFT JOIN mo ON a.month = mo.month AND a.city_id = mo.city_id""".stripMargin
+    },
+
+    // full recommendation DAG: channel subscribers, communicating-pair
+    // anti-set, last-position-at-date radius pairs, midpoint zone; the
+    // reference quirk (user_right carries the LEFT user) is mirrored, and
+    // local_time comes from the same injected instant via the double-
+    // timezone device
+    "q49_recommendations" -> {
+      val havPair = Geo.haversineSqlText("lat_u", "lat_t", "lon_u", "lon_t")
+      val havZone = Geo.haversineSqlText("lat_avg", "clat", "lon_avg", "clon")
+      s"""WITH $refEventsSql,
+         |subs AS (
+         |  SELECT DISTINCT user_id, 'ch' || (user_id % 20) AS ch
+         |  FROM shaped WHERE etype = 'subscription'),
+         |sub_ids AS (SELECT DISTINCT user_id FROM subs),
+         |mp AS (
+         |  SELECT DISTINCT user_id AS mfrom, msg_to AS mto
+         |  FROM shaped
+         |  WHERE etype = 'message'
+         |    AND user_id IN (SELECT user_id FROM sub_ids)
+         |    AND msg_to IN (SELECT user_id FROM sub_ids)),
+         |communicate AS (
+         |  SELECT DISTINCT s1.user_id AS u, mp.mto AS t
+         |  FROM subs s1
+         |  JOIN mp ON mp.mfrom = s1.user_id
+         |  JOIN subs s2 ON s2.user_id = mp.mto AND s2.ch = s1.ch),
+         |comm_canon AS (
+         |  SELECT u, t FROM (
+         |    SELECT u, t FROM communicate
+         |    UNION ALL SELECT t AS u, u AS t FROM communicate)
+         |  WHERE u > t),
+         |at_date AS (
+         |  SELECT user_id, dt, lat, lon FROM shaped
+         |  WHERE CAST(dt AS DATE) = DATE '2024-01-20'
+         |    AND lat IS NOT NULL AND lon IS NOT NULL),
+         |last_pos AS (
+         |  SELECT user_id, lat, lon FROM (
+         |    SELECT *, max(dt) OVER (PARTITION BY user_id) AS mdt
+         |    FROM at_date) WHERE dt = mdt),
+         |positioned AS (
+         |  SELECT l.user_id, l.lat, l.lon, s.ch
+         |  FROM last_pos l JOIN subs s USING (user_id)),
+         |cand0 AS (
+         |  SELECT DISTINCT p1.user_id AS u, p2.user_id AS t,
+         |    p1.lat AS lat_u, p1.lon AS lon_u,
+         |    p2.lat AS lat_t, p2.lon AS lon_t
+         |  FROM positioned p1 JOIN positioned p2 ON p1.ch = p2.ch
+         |  WHERE p1.user_id > p2.user_id),
+         |cand AS (
+         |  SELECT u, t, (lat_u + lat_t) / 2 AS lat_avg,
+         |    (lon_u + lon_t) / 2 AS lon_avg
+         |  FROM cand0 c
+         |  WHERE NOT EXISTS (SELECT 1 FROM comm_canon cc
+         |                    WHERE cc.u = c.u AND cc.t = c.t)
+         |    AND $havPair < 2000.0),
+         |zoned AS (
+         |  SELECT u, city_id FROM (
+         |    SELECT c.*, ci.city_id, $havZone AS dist,
+         |      min($havZone) OVER (PARTITION BY lat_avg, lon_avg) AS dmin
+         |    FROM cand c CROSS JOIN cities ci)
+         |  WHERE dist = dmin)
+         |SELECT u AS user_left, u AS user_right, city_id AS zone_id,
+         |  '2024-01-20' AS processed_dttm,
+         |  strftime(timezone('Australia/Sydney',
+         |    timezone('UTC', TIMESTAMP '2024-02-01 00:00:00')),
+         |    '%Y-%m-%d %H:%M:%S') AS local_time
+         |FROM zoned""".stripMargin
     },
 
     "q33_coord_argmin" -> {
