@@ -70,16 +70,29 @@ object TextAnalysis {
   /** exact-dup fingerprint (md5 of normalized text) — see [[Dedup.fingerprint]] */
   def fingerprint(text: Column): Column = Dedup.fingerprint(text)
 
-  /** Rolling-hash document sketch: the minimum `xxhash64` over word
-    * `n`-gram windows (winnowing with w = ∞). Engine-portable only within
-    * Spark (xxhash64), so spec-tested rather than oracle-checked.
+  /** Rolling-hash document sketch: the minimum hash over word `n`-gram
+    * windows (winnowing with w = ∞). `portable = true` uses FNV-1a 64
+    * ([[graft.plans.Fnv1a64Expression]]) so the sketch is reproducible in
+    * DuckDB SQL and oracle-checkable; the default stays xxhash64.
+    *
+    * NOTE: `text` is tokenized inside the window lambda — prefer
+    * [[rollingMinHashTokens]] over a pre-projected token-array column when
+    * calling per-row at scale (expressions referenced inside higher-order
+    * lambdas re-evaluate per array element, so inlining the tokenizer here
+    * costs O(tokens) normalizations per row).
     */
-  def rollingMinHash(text: Column, n: Int): Column = {
-    val ts = tokens(text)
+  def rollingMinHash(text: Column, n: Int, portable: Boolean = false): Column =
+    rollingMinHashTokens(tokens(text), n, portable)
+
+  /** [[rollingMinHash]] over an existing token-array column. */
+  def rollingMinHashTokens(ts: Column, n: Int,
+                           portable: Boolean = false): Column = {
+    def h(c: Column): Column =
+      if (portable) graft.plans.Fnv1a64Expression.fnv1a64(c) else xxhash64(c)
     val shingles = when(size(ts) >= n,
       transform(sequence(lit(0), size(ts) - lit(n)),
-        i => xxhash64(concat_ws(" ", slice(ts, i + lit(1), lit(n))))))
-      .otherwise(array(xxhash64(concat_ws(" ", ts))))
+        i => h(concat_ws(" ", slice(ts, i + lit(1), lit(n))))))
+      .otherwise(array(h(concat_ws(" ", ts))))
     array_min(shingles)
   }
 }

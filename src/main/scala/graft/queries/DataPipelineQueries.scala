@@ -187,6 +187,33 @@ object DataPipelineQueries extends Catalog {
           col("event_type"), col("events"))
     }),
 
+    // ---- rolling-hash document sketch (X11b) -------------------------------
+    // min-FNV over word trigram windows (winnowing with w = infinity);
+    // tokens projected once per row, then the window min — the sketch a
+    // curation pipeline stores per document for cheap near-dup prefilters.
+    "q51_rolling_sketch" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("__toks"))
+        .select(col("doc_id"),
+          TextAnalysis.rollingMinHashTokens(col("__toks"), n = 3,
+            portable = true).as("sketch"))
+    }),
+
+    // ---- session windows in batch mode (X16b) ------------------------------
+    // EventStream.sessionWindowCounts on the batch table: Spark's
+    // session_window (merge events < 30 min apart per user, end = last
+    // event + gap) against the classic gaps-and-islands SQL re-expression.
+    // Same batch/stream-unification point as q47 for the variable-length
+    // window operator a tumbling window cannot express.
+    "q50_session_windows" -> ((s, d) => {
+      graft.streaming.EventStream
+        .sessionWindowCounts(Tables.events(s, d))
+        .select(
+          date_format(col("session_start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+          date_format(col("session_end"), "yyyy-MM-dd HH:mm:ss").as("session_end"),
+          col("user_id"), col("events"))
+    }),
+
     // ---- exact interpolated percentiles of doc length per language ---------
     // (the quality-score distribution cut a curation pipeline filters on;
     // exact `percentile`, not approx — deterministic and oracle-matched)
@@ -454,6 +481,42 @@ object DataPipelineQueries extends Catalog {
          |FROM pairs
          |WHERE $cosAB >= 0.4""".stripMargin
     },
+
+    // rolling sketch oracle: min over the same FNV of the same trigram
+    // windows; docs shorter than 3 words fall back to the whole-text hash
+    "q51_rolling_sketch" -> {
+      import graft.plans.Fnv1a64Expression.{stringSqlText, toSignedSqlText}
+      s"""WITH w AS (SELECT doc_id, $wordsSql AS ws FROM documents),
+         |grams AS (
+         |  SELECT doc_id, array_to_string(ws[i+1:i+3], ' ') AS g
+         |  FROM (SELECT doc_id, ws, unnest(range(len(ws)-2)) AS i
+         |        FROM w WHERE len(ws) >= 3)
+         |  UNION ALL
+         |  SELECT doc_id, array_to_string(ws, ' ') AS g
+         |  FROM w WHERE len(ws) < 3)
+         |SELECT doc_id,
+         |  min(${toSignedSqlText(stringSqlText("g"))}) AS sketch
+         |FROM grams GROUP BY doc_id""".stripMargin
+    },
+
+    // session boundary rule mirrored exactly: events merge iff the gap to
+    // the previous event is STRICTLY less than 30 min (Spark merges while
+    // next.ts < prev.ts + gap), session end = last event + gap
+    "q50_session_windows" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS dt FROM events),
+        |lg AS (SELECT *, lag(dt) OVER (PARTITION BY user_id ORDER BY dt)
+        |         AS pdt FROM e),
+        |mk AS (SELECT *, CASE WHEN pdt IS NULL
+        |         OR dt - pdt >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+        |       FROM lg),
+        |sess AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY dt
+        |           ROWS UNBOUNDED PRECEDING) AS sid
+        |         FROM mk)
+        |SELECT strftime(min(dt), '%Y-%m-%d %H:%M:%S') AS session_start,
+        |  strftime(max(dt) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S')
+        |    AS session_end,
+        |  user_id, count(*) AS events
+        |FROM sess GROUP BY user_id, sid""".stripMargin,
 
     // tumbling 1h windows are epoch-aligned in both engines: date_trunc is
     // Spark's window(ts, '1 hour') start for hour-multiples
