@@ -59,9 +59,13 @@ object Bench {
           None
         }
       }
+      // upper-middle element: for odd counts this IS the median; for even
+      // counts (SPARK_GRAFT_BENCH_RUNS=2, or a failed run out of 3) it takes
+      // the higher of the two middles — conservative against the fast-
+      // outlier distortion a min would reintroduce
       val median =
         if (times.isEmpty) -1.0
-        else times.sorted.apply((times.size - 1) / 2)
+        else times.sorted.apply(times.size / 2)
       (name, median, times)
     }
     val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }

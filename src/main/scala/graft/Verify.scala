@@ -22,8 +22,7 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       // drop frames pinned by cache-internally operators (GridNearestJoin
-      // rings, Dedup's hot-shingle set) so 42 queries don't accumulate
-      // pinned storage
+      // rings) so a catalog-sized run doesn't accumulate pinned storage
       graft.ext.Caches.releaseAll()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

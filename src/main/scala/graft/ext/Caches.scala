@@ -2,8 +2,9 @@ package graft.ext
 
 import org.apache.spark.sql.DataFrame
 
-/** Registry of frames operators pin with `.cache()` mid-plan (ring argmins
-  * in [[GridNearestJoin]], the hot-shingle set in [[Dedup.jaccardPairs]]).
+/** Registry of frames operators pin with `.cache()` mid-plan — currently
+  * the per-ring argmins of [[GridNearestJoin.nearest]] ([[Dedup]] measured
+  * pinning slower than recompute and deliberately registers nothing).
   *
   * Long-lived sessions call [[releaseAll]] once a returned frame has been
   * materialized — `graft.Verify` does this after each query; `graft.Bench`

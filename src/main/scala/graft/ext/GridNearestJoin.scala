@@ -125,10 +125,14 @@ object GridNearestJoin {
 
   /** Exact nearest-dim-row-per-source-row via iterated grid equi-joins.
     *
-    * Same contract as [[graft.operators.NearestNeighborJoin.nearestOne]]
-    * (deterministic argmin: ordered by quantized distance then `tieBreak`),
-    * but the dim side is hash-partitioned by cell instead of broadcast, so it
-    * scales to dimension tables far beyond the broadcast threshold.
+    * Same argmin contract as
+    * [[graft.operators.NearestNeighborJoin.nearestOne]] (deterministic:
+    * ordered by quantized distance then `tieBreak`), but the dim side is
+    * hash-partitioned by cell instead of broadcast, so it scales to
+    * dimension tables far beyond the broadcast threshold. One deliberate
+    * divergence: source rows with NULL coordinates are dropped here (they
+    * have no cell), where nearestOne's cross join emits an arbitrary dim
+    * row with NULL distance for them.
     *
     * Ring expansion: rows not certified within the 3×3 neighborhood at
     * `cellDeg` are re-joined at 3×`cellDeg` (then 9×, 27×, …) — each ring is
@@ -153,7 +157,13 @@ object GridNearestJoin {
               srcKey: Seq[String], tieBreak: Seq[Column],
               cellDeg: Double, maxAbsLatDeg: Double): DataFrame = {
     val rings = ringWidths(cellDeg)
-    var residue = src
+    // Contract: source rows with a NULL coordinate are dropped — they have
+    // no cell and no defined distance. (nearestOne's cross join instead
+    // emits an arbitrary tieBreak-ordered dim row with NULL distance for
+    // them; that divergence is deliberate and documented here rather than
+    // reproduced.) Filtering eagerly keeps every ring's anti-join residue
+    // free of rows no ring could ever certify.
+    var residue = src.filter(col(srcLat).isNotNull && col(srcLon).isNotNull)
     val parts = Seq.newBuilder[DataFrame]
     for ((ringDeg, i) <- rings.zipWithIndex) {
       val exhaustive = i == rings.size - 1

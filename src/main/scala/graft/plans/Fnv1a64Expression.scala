@@ -97,14 +97,34 @@ object Fnv1a64Ops {
   /** FNV-1a 64 prime 1099511628211. */
   final val Prime = 0x100000001b3L
 
+  /** Folds the string's Unicode code points, decoding UTF-8 directly from
+    * the UTF8String's bytes — no java.lang.String materialization in what
+    * is the hottest expression of the dedup family (millions of shingles
+    * per scale factor). Spark strings are valid UTF-8 by construction, so
+    * the 1-4-byte sequence decode below is total; output is identical to a
+    * `String.codePointAt` walk (surrogate pairs decode to the same code
+    * point), which Fnv1a64Spec pins against the published vectors and
+    * non-ASCII cases.
+    */
   def hashString(h0: Long, s: UTF8String): Long = {
-    val str = s.toString
+    val bytes = s.getBytes
     var h = h0
     var i = 0
-    while (i < str.length) {
-      val cp = str.codePointAt(i)
+    while (i < bytes.length) {
+      val b0 = bytes(i) & 0xFF
+      var cp = 0
+      if (b0 < 0x80) {
+        cp = b0; i += 1
+      } else if ((b0 & 0xE0) == 0xC0) {
+        cp = ((b0 & 0x1F) << 6) | (bytes(i + 1) & 0x3F); i += 2
+      } else if ((b0 & 0xF0) == 0xE0) {
+        cp = ((b0 & 0x0F) << 12) | ((bytes(i + 1) & 0x3F) << 6) |
+          (bytes(i + 2) & 0x3F); i += 3
+      } else {
+        cp = ((b0 & 0x07) << 18) | ((bytes(i + 1) & 0x3F) << 12) |
+          ((bytes(i + 2) & 0x3F) << 6) | (bytes(i + 3) & 0x3F); i += 4
+      }
       h = (h ^ cp) * Prime
-      i += Character.charCount(cp)
     }
     h
   }

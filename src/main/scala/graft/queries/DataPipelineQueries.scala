@@ -192,7 +192,10 @@ object DataPipelineQueries extends Catalog {
     // tokens projected once per row, then the window min — the sketch a
     // curation pipeline stores per document for cheap near-dup prefilters.
     "q51_rolling_sketch" -> ((s, d) => {
+      // NULL texts excluded explicitly on BOTH sides: Spark would otherwise
+      // sketch hash("") for them while SQL's len(NULL) comparisons drop them
       Tables.documents(s, d)
+        .filter(col("text").isNotNull)
         .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("__toks"))
         .select(col("doc_id"),
           TextAnalysis.rollingMinHashTokens(col("__toks"), n = 3,
@@ -486,7 +489,8 @@ object DataPipelineQueries extends Catalog {
     // windows; docs shorter than 3 words fall back to the whole-text hash
     "q51_rolling_sketch" -> {
       import graft.plans.Fnv1a64Expression.{stringSqlText, toSignedSqlText}
-      s"""WITH w AS (SELECT doc_id, $wordsSql AS ws FROM documents),
+      s"""WITH w AS (SELECT doc_id, $wordsSql AS ws FROM documents
+         |           WHERE text IS NOT NULL),
          |grams AS (
          |  SELECT doc_id, array_to_string(ws[i+1:i+3], ' ') AS g
          |  FROM (SELECT doc_id, ws, unnest(range(len(ws)-2)) AS i

@@ -60,18 +60,36 @@ object Tables {
     * other days — rather than filtering rows at runtime.
     */
   def eventsPartitioned(spark: SparkSession, d: String): DataFrame = {
-    // scratch key includes the source file's size+mtime so a regenerated
-    // events.parquet at the same path can never serve a stale copy
+    // Scratch key = md5 of (path, size, mtime): a regenerated events.parquet
+    // at the same path can never serve a stale copy, and unlike a 32-bit
+    // hashCode the key cannot collide across scale factors in practice.
     val src = new java.io.File(s"$d/events.parquet")
-    val key = (d, src.length(), src.lastModified()).hashCode
-    val scratch = new java.io.File(
-      sys.props.getOrElse("java.io.tmpdir", "/tmp"),
-      "graft_events_by_date_" + Integer.toHexString(key))
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$d|${src.length()}|${src.lastModified()}".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(16)
+    val tmpRoot = sys.props.getOrElse("java.io.tmpdir", "/tmp")
+    val scratch = new java.io.File(tmpRoot, s"graft_events_by_date_$key")
     if (!new java.io.File(scratch, "_SUCCESS").exists()) {
+      // write to a private staging dir, then publish with an atomic rename —
+      // two JVMs racing here (Bench alongside Verify) each stage privately
+      // and whichever renames second just discards its copy, instead of
+      // overwrite-deleting files the other is mid-read on
+      val staging = new java.io.File(tmpRoot,
+        s"graft_events_by_date_$key.tmp.${java.util.UUID.randomUUID}")
       events(spark, d)
         .withColumn("event_date", to_date(col("ts")))
         .write.mode("overwrite").partitionBy("event_date")
-        .parquet(scratch.getAbsolutePath)
+        .parquet(staging.getAbsolutePath)
+      try {
+        java.nio.file.Files.move(staging.toPath, scratch.toPath,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException |
+             _: java.nio.file.DirectoryNotEmptyException |
+             _: java.nio.file.AccessDeniedException =>
+          // lost the publish race — the other writer's identical copy wins
+          org.apache.commons.io.FileUtils.deleteDirectory(staging)
+      }
     }
     spark.read.parquet(scratch.getAbsolutePath)
   }

@@ -57,6 +57,14 @@ class Fnv1a64Spec extends AnyFunSuite with SparkTestBase {
     h = (h ^ 0xE9) * Fnv1a64Ops.Prime
     h = (h ^ 0x6F22) * Fnv1a64Ops.Prime
     assert(got === h)
+    // astral plane (4-byte UTF-8 / surrogate pair): '𝄞' = U+1D11E — the
+    // byte-level decoder must yield the single code point, not surrogates
+    val clef = new String(Character.toChars(0x1D11E))
+    val gotClef = Seq("a" + clef).toDF("t").select(fnv1a64(col("t"))).as[Long].head()
+    var h2 = Fnv1a64Ops.Offset
+    h2 = (h2 ^ 'a'.toInt) * Fnv1a64Ops.Prime
+    h2 = (h2 ^ 0x1D11E) * Fnv1a64Ops.Prime
+    assert(gotClef === h2)
   }
 
   test("portable MinHash signatures are deterministic and full-length") {
