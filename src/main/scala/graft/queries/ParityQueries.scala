@@ -292,6 +292,20 @@ object ParityQueries extends Catalog {
           date_format(col("local_time"), "yyyy-MM-dd HH:mm:ss").as("local_time"))
     }),
 
+    // ---- bucketed co-located join (zero-Exchange fact-dim join) ------------
+    // both sides pre-bucketed on custkey: the join itself plans with NO
+    // shuffle of either side (BucketedJoinSpec pins the Exchange-free plan);
+    // only the final small rollup aggregates across buckets. The posture a
+    // 100 TB warehouse keeps its repeatedly-joined tables in.
+    "q52_bucketed_join" -> ((s, d) => {
+      val (o, c) = Tables.bucketedOrdersCustomer(s, d)
+      o.join(c, o("o_custkey") === c("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("orders"),
+          XDet.moneySum(col("o_totalprice"), 2).as("revenue"),
+          countDistinct(col("o_custkey")).as("buyers"))
+    }),
+
     // ---- W1 + P5: coordinate-partitioned window-min, all ties kept ---------
     "q33_coord_argmin" -> ((s, d) => {
       val coords = Tables.customer(s, d).select(
@@ -598,6 +612,13 @@ object ParityQueries extends Catalog {
          |    '%Y-%m-%d %H:%M:%S') AS local_time
          |FROM zoned""".stripMargin
     },
+
+    "q52_bucketed_join" ->
+      s"""SELECT c_mktsegment, count(*) AS orders,
+         |  ${XDet.moneySumSql("o_totalprice", 2)} AS revenue,
+         |  count(DISTINCT o_custkey) AS buyers
+         |FROM orders JOIN customer ON o_custkey = c_custkey
+         |GROUP BY c_mktsegment""".stripMargin,
 
     "q33_coord_argmin" -> {
       val hav = Geo.haversineSqlText("glat", "city_lat", "glon", "city_lon")

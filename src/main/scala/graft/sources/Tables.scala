@@ -59,6 +59,38 @@ object Tables {
     * time — `PartitionFilters` in the scan node, zero data files read for
     * other days — rather than filtering rows at runtime.
     */
+  /** Bucketed copies of orders and customer, both bucketed (and sorted) on
+    * their custkey into `buckets` buckets — the co-located-join device: both
+    * sides arrive hash-partitioned on the join key at plan time, so the
+    * equi-join runs with ZERO Exchange (no shuffle of either side), the
+    * posture a 100 TB warehouse keeps its repeatedly-joined tables in.
+    * Registered in the session catalog as `graft_orders_bkt` /
+    * `graft_customer_bkt` (written once per dataset under the temp dir,
+    * re-registered per session — Spark's native bucketing metadata lives in
+    * the catalog, the files are plain parquet).
+    */
+  def bucketedOrdersCustomer(spark: SparkSession, d: String,
+                             buckets: Int = 16): (DataFrame, DataFrame) = {
+    val tmpRoot = sys.props.getOrElse("java.io.tmpdir", "/tmp")
+    def ensure(name: String, table: String, keyCol: String,
+               df: => org.apache.spark.sql.DataFrame): Unit = {
+      if (!spark.catalog.tableExists(table)) {
+        val src = new java.io.File(s"$d/$name.parquet")
+        val key = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"$d|$name|${src.length()}|${src.lastModified()}|$buckets"
+            .getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.take(16)
+        df.write.mode("overwrite")
+          .bucketBy(buckets, keyCol).sortBy(keyCol)
+          .option("path", s"$tmpRoot/graft_bkt_${name}_$key")
+          .saveAsTable(table)
+      }
+    }
+    ensure("orders", "graft_orders_bkt", "o_custkey", orders(spark, d))
+    ensure("customer", "graft_customer_bkt", "c_custkey", customer(spark, d))
+    (spark.table("graft_orders_bkt"), spark.table("graft_customer_bkt"))
+  }
+
   def eventsPartitioned(spark: SparkSession, d: String): DataFrame = {
     // Scratch key = md5 of (path, size, mtime): a regenerated events.parquet
     // at the same path can never serve a stale copy, and unlike a 32-bit
