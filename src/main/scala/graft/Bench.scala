@@ -20,6 +20,12 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // ContextCleaner frees broadcast/shuffle state only after a driver GC
+      // collects the weak references; the default periodicGC interval (30 min)
+      // exceeds the whole bench, so 52 queries x 3 runs of broadcasts pile up
+      // until the heaviest query hits memory churn (r4: q49 grew 10->20->42 s
+      // across its own runs; stable at ~5 s in isolation).
+      .config("spark.cleaner.periodicGC.interval", "30s")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Untimed warmup: initialize codegen, the vectorized parquet reader, and
@@ -48,6 +54,10 @@ object Bench {
         // hand their warm cache to the next timed run
         spark.catalog.clearCache()
         graft.ext.Caches.releaseAll()
+        // untimed: give the ContextCleaner a collected old-gen so the
+        // unpersist/broadcast-release above actually frees block-manager
+        // memory before the next timed run, not during it
+        System.gc()
         val t0 = System.nanoTime()
         try {
           fn(spark, sfDir).write.format("noop").mode("overwrite").save()
