@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Backward (most-recent-prior) as-of join — the time-series join Spark has
+  * no built-in operator for: each left row picks up the payload of the right
+  * row with the greatest `rightTs <= leftTs` in the same key group.
+  *
+  * Implemented as the union-marker trick, NOT a range join:
+  * both sides are unioned with a side marker, one window pass per key group
+  * (ordered by timestamp, right rows sorting before left rows at equal
+  * timestamps so the bound is inclusive) forward-fills the right payload with
+  * `last(_, ignoreNulls = true)`, and the left rows are filtered back out.
+  *
+  * Scale shape (the 100 TB contract): exactly ONE shuffle (hash on `keys`)
+  * plus a per-partition sort — the same cost as a plain equi-join of the two
+  * sides. The naive formulations are strictly worse: a theta-join on
+  * `l.ts >= r.ts` is a per-key cartesian (|L|·|R| comparisons per key), and a
+  * "max timestamp per left row" correlated aggregate is a second shuffle plus
+  * a re-join. Key skew (one giant key group) is the same skew a groupBy on
+  * `keys` would have — AQE or salting applies unchanged.
+  *
+  * Contract: `right` must be unique per (`keys`, `rightTs`) — pre-aggregate
+  * it otherwise (two right rows at the identical timestamp have no "latest"
+  * and would be picked by partition order). Left rows with a NULL timestamp
+  * sort before every right row and emit NULL payloads. A NULL in a right
+  * payload column reads as "no value here" — the fill skips it and carries
+  * the previous non-null (coalesce payloads on the right side first if NULL
+  * must be a real value).
+  */
+object AsOfJoin {
+
+  /** `left` with `payload` columns (renamed `prefix`+name) copied from the
+    * latest `right` row at-or-before each left row's `leftTs`; left rows with
+    * no prior right row keep NULL payloads (left-outer semantics).
+    */
+  def backward(left: DataFrame, right: DataFrame, keys: Seq[String],
+               leftTs: String, rightTs: String, payload: Seq[String],
+               prefix: String = "asof_"): DataFrame = {
+    require(payload.nonEmpty, "as-of join with no payload columns")
+    val leftCols = left.columns.toSeq
+    // the union schema: keys ++ __t ++ __side ++ left-only cols ++ payload
+    val leftOnly = leftCols.filterNot(c => keys.contains(c) || c == leftTs)
+    val lSide = left.select(
+      keys.map(col) ++
+        Seq(col(leftTs).as("__t"), lit(1).as("__side")) ++
+        leftOnly.map(col) ++
+        payload.map(p => lit(null).as(p)): _*)
+    val rSide = right.select(
+      keys.map(col) ++
+        Seq(col(rightTs).as("__t"), lit(0).as("__side")) ++
+        leftOnly.map(c => lit(null).as(c)) ++
+        payload.map(col): _*)
+    // right (side 0) sorts before left (side 1) at equal __t, so a right row
+    // AT the left row's timestamp is visible: inclusive backward as-of
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col("__t"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = payload.foldLeft(lSide.unionByName(rSide)) { (df, p) =>
+      df.withColumn(prefix + p, last(col(p), ignoreNulls = true).over(w))
+    }
+    filled.filter(col("__side") === 1)
+      .select(keys.map(col) ++ Seq(col("__t").as(leftTs)) ++
+        leftOnly.map(col) ++ payload.map(p => col(prefix + p)): _*)
+  }
+}

@@ -1,0 +1,186 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.{AsOfJoin, IntervalJoin}
+import graft.plans.Fnv1a64Expression.fnv1a64
+import graft.sources.Tables
+
+/** Round-5 operator catalog: the joins Spark has no built-in operator for
+  * (as-of, range/interval) plus the deterministic corpus-split every
+  * training-data pipeline needs. Each query is the oracle-checked twin of an
+  * operator in `graft.operators` — the DuckDB SQL uses the engine's native
+  * formulation (ASOF JOIN, theta-join) precisely so the check is independent
+  * of the Spark-side algorithm (union-marker window, bin replication).
+  */
+object AdvancedOps extends Catalog {
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- backward as-of join (union-marker window, ONE shuffle) ------------
+    // "settings changes" = every 10th event (value at that ts); every other
+    // event picks up the latest setting at-or-before its own timestamp.
+    // 1482 of 9000 left rows at sf0.01 precede any setting — the left-outer
+    // NULL path is exercised, not just the happy path. The matched right
+    // TIMESTAMP rides along as a second payload so the oracle pins WHICH
+    // right row won, not merely its value.
+    "q53_asof_join" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val settings = ev.filter(col("event_id") % 10 === 0)
+        .groupBy("user_id", "ts") // unique per (key, ts): the as-of contract
+        .agg(max("value").as("setting"))
+        .withColumn("setting_ts_us", unix_micros(col("ts")))
+      val reads = ev.filter(col("event_id") % 10 =!= 0)
+        .select("user_id", "event_id", "ts")
+      AsOfJoin.backward(reads, settings, Seq("user_id"), "ts", "ts",
+          payload = Seq("setting", "setting_ts_us"))
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("ts_us"),
+          col("asof_setting_ts_us").as("setting_ts_us"),
+          (floor(col("asof_setting") * 1e6 + 0.5) / 1e6).as("setting"))
+    }),
+
+    // ---- deterministic hash split (train/val/test) -------------------------
+    // THE reproducibility primitive of a training pipeline: membership
+    // depends only on the row's own key (FNV-1a 64 of doc_id, mod 100), so
+    // the 80/10/10 split is stable under reruns, repartitioning, and
+    // incremental ingestion — unlike sample()/rand(), which reshuffle
+    // membership every run. Per-partition map-only until the tiny rollup.
+    "q55_hash_split" -> ((s, d) => {
+      val bucket = pmod(fnv1a64(col("doc_id")), lit(100L))
+      Tables.documents(s, d)
+        .withColumn("split",
+          when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test"))
+        .groupBy("split", "lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_chars").as("total_chars"),
+          (floor(sum("n_chars").cast("double") / count(lit(1)) * 1e6 + 0.5)
+            / 1e6).as("avg_chars"))
+    }),
+
+    // ---- point-in-interval range join via bin replication ------------------
+    // 25 overlapping price bands (spans 5k-25k over a 500k domain) against
+    // every order's total price. binWidth 20k ~ the max span: bands
+    // replicate to <=3 bins each, orders land in exactly one bin, and the
+    // equi-join on bin replaces the BroadcastNestedLoopJoin Spark would
+    // plan for the raw lo<=x<=hi predicate (the oracle runs exactly that
+    // theta-join — algorithm-independent check).
+    "q56_interval_join" -> ((s, d) => {
+      val nk = col("n_nationkey")
+      val bands = Tables.nation(s, d).select(
+        nk.as("band_id"),
+        (nk * 18000).cast("double").as("lo"),
+        (nk * 18000 + 5000 + (nk * 137 % 20000)).cast("double").as("hi"))
+      val points = Tables.orders(s, d).select(col("o_totalprice"))
+      IntervalJoin.pointInInterval(points, bands, "o_totalprice", "lo", "hi",
+          binWidth = 20000.0)
+        .groupBy("band_id")
+        .agg(count(lit(1)).as("n_orders"),
+          XDet.moneySum(col("o_totalprice"), 2).as("revenue"))
+    }),
+
+    // ---- top-k per group via a native partial-mergeable aggregate ----------
+    // graft.plans.TopKByAggregate: each map task ships <=k pairs per group
+    // instead of the window idiom's shuffle-and-sort of EVERY row (the
+    // oracle runs exactly that window form — independent formulation).
+    // Ties on price break on lower orderkey in both engines: deterministic.
+    "q57_topk_per_group" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+      val c = Tables.customer(s, d).select(col("c_custkey"), col("c_mktsegment"))
+      o.join(c, o("o_custkey") === c("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(graft.plans.TopKByAggregate.topkBy(
+          col("o_totalprice"), col("o_orderkey"), 5).as("top"))
+        .select(col("c_mktsegment"), posexplode(col("top")))
+        .select(col("c_mktsegment"), (col("pos") + 1).cast("long").as("rnk"),
+          col("col.id").as("o_orderkey"), col("col.score").as("price"))
+    }),
+
+    // ---- exact stratified sample (fixed fraction per stratum) --------------
+    // deterministic 10%-per-language quota: rank within the stratum by the
+    // FNV hash of the key (a stable pseudo-random order — reruns and
+    // repartitions can't change membership, unlike sampleBy), keep the
+    // first ceil(0.1·n). Exact quotas inherently rank the stratum; the
+    // hash-threshold split (q55) is the sort-free approximate alternative.
+    "q58_stratified_sample" -> ((s, d) => {
+      val byLang = Window.partitionBy("lang")
+      val w = byLang.orderBy(fnv1a64(col("doc_id")), col("doc_id"))
+      Tables.documents(s, d).select(col("doc_id"), col("lang"))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("quota",
+          ceil(count(lit(1)).over(byLang) * 0.1).cast("long"))
+        .filter(col("rn") <= col("quota"))
+        .select(col("doc_id"), col("lang"), col("rn").cast("long").as("rnk"))
+    }),
+  )
+
+  override def oracles: Map[String, String] = Map(
+    // DuckDB's NATIVE ASOF JOIN — a different algorithm than the Spark
+    // side's union-marker window, which is the point of the check
+    "q53_asof_join" ->
+      """WITH r AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS rts, max(value) AS setting
+        |  FROM events WHERE event_id % 10 = 0 GROUP BY 1, 2),
+        |l AS (
+        |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS lts
+        |  FROM events WHERE event_id % 10 <> 0)
+        |SELECT l.user_id, l.event_id, epoch_us(l.lts) AS ts_us,
+        |  epoch_us(r.rts) AS setting_ts_us,
+        |  floor(r.setting*1e6 + 0.5)/1e6 AS setting
+        |FROM l ASOF LEFT JOIN r
+        |  ON l.user_id = r.user_id AND l.lts >= r.rts""".stripMargin,
+
+    "q55_hash_split" -> {
+      import graft.plans.Fnv1a64Expression.{longSqlText, toSignedSqlText}
+      val fnv = toSignedSqlText(
+        longSqlText("14695981039346656037::HUGEINT", "doc_id::HUGEINT"))
+      s"""WITH b AS (SELECT lang, n_chars,
+         |  ((($fnv) % 100) + 100) % 100 AS bucket FROM documents)
+         |SELECT CASE WHEN bucket < 80 THEN 'train'
+         |            WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
+         |  lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+         |  floor(CAST(sum(n_chars) AS DOUBLE)/count(*)*1e6 + 0.5)/1e6 AS avg_chars
+         |FROM b GROUP BY 1, 2""".stripMargin
+    },
+
+    // the window idiom the native aggregate replaces
+    "q57_topk_per_group" ->
+      """SELECT c_mktsegment, CAST(rnk AS BIGINT) AS rnk, o_orderkey,
+        |  o_totalprice AS price
+        |FROM (
+        |  SELECT c_mktsegment, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY c_mktsegment
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+        |  FROM orders JOIN customer ON o_custkey = c_custkey)
+        |WHERE rnk <= 5""".stripMargin,
+
+    "q58_stratified_sample" -> {
+      import graft.plans.Fnv1a64Expression.{longSqlText, toSignedSqlText}
+      val fnv = toSignedSqlText(
+        longSqlText("14695981039346656037::HUGEINT", "doc_id::HUGEINT"))
+      s"""WITH ranked AS (
+         |  SELECT doc_id, lang,
+         |    row_number() OVER (PARTITION BY lang ORDER BY $fnv, doc_id) AS rn,
+         |    count(*) OVER (PARTITION BY lang) AS n
+         |  FROM documents)
+         |SELECT doc_id, lang, CAST(rn AS BIGINT) AS rnk
+         |FROM ranked WHERE rn <= CAST(ceil(n * 0.1) AS BIGINT)""".stripMargin
+    },
+
+    // the raw theta-join the binned operator replaces
+    "q56_interval_join" ->
+      s"""WITH bands AS (
+         |  SELECT n_nationkey AS band_id,
+         |    CAST(n_nationkey * 18000 AS DOUBLE) AS lo,
+         |    CAST(n_nationkey * 18000 + 5000 + (n_nationkey*137 % 20000)
+         |      AS DOUBLE) AS hi
+         |  FROM nation)
+         |SELECT band_id, CAST(count(*) AS BIGINT) AS n_orders,
+         |  ${XDet.moneySumSql("o_totalprice", 2)} AS revenue
+         |FROM bands JOIN orders ON o_totalprice >= lo AND o_totalprice <= hi
+         |GROUP BY 1""".stripMargin,
+  )
+}

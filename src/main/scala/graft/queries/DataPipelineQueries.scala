@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.ext.{Dedup, Multimodal, Similarity, Skew, TextAnalysis}
@@ -23,6 +24,32 @@ object DataPipelineQueries extends Catalog {
   private val normSql =
     """lower(trim(regexp_replace(text, '[ \t\n\x0B\f\r]+', ' ', 'g')))"""
   private val wordsSql = s"list_filter(string_split($normSql, ' '), x -> x != '')"
+
+  /** Shared CTE chain of the guarded word-3-gram Jaccard pipeline
+    * (Dedup.jaccardPairs with maxShingleDf = 5): shingles -> doc sizes ->
+    * df-guarded candidate generation -> true intersection counts. Used by
+    * the q22 oracle (pair similarity) and the q54 oracle (connected
+    * components over the qualifying pairs).
+    */
+  private lazy val jaccardCtes: String =
+    s"""w AS (SELECT doc_id, $wordsSql AS ws FROM documents),
+       |idx AS (SELECT doc_id, ws, unnest(range(len(ws)-2)) AS i
+       |        FROM w WHERE len(ws) >= 3),
+       |sh AS (SELECT DISTINCT doc_id,
+       |         array_to_string(ws[i+1:i+3], ' ') AS shingle FROM idx),
+       |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+       |gen AS (SELECT doc_id, shingle FROM (
+       |          SELECT doc_id, shingle,
+       |            count(*) OVER (PARTITION BY shingle) AS df FROM sh)
+       |        WHERE df <= 5),
+       |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |         FROM gen a JOIN gen b USING (shingle)
+       |         WHERE a.doc_id < b.doc_id),
+       |inter AS (SELECT id_a, id_b, count(*) AS inter
+       |          FROM cand
+       |          JOIN sh sa ON sa.doc_id = id_a
+       |          JOIN sh sb ON sb.doc_id = id_b AND sb.shingle = sa.shingle
+       |          GROUP BY 1, 2)""".stripMargin
   private val stopListSql =
     TextAnalysis.EnglishStopwords.map(w => s"'$w'").mkString("[", ", ", "]")
 
@@ -248,6 +275,23 @@ object DataPipelineQueries extends Catalog {
       val inDebt = c.filter(col("c_acctbal") < 0).select("c_custkey")
       building.intersect(openOrders).except(inDebt)
     }),
+
+    // ---- duplicate clustering: near-dup PAIRS -> duplicate GROUPS ----------
+    // the step between pair detection (q22/q23/q27) and "keep one doc per
+    // class": connected components of the Jaccard pair graph via iterative
+    // min-label propagation (graft.operators.ConnectedComponents). The
+    // sf0.01 graph has a 3-doc chain, so at least one label must propagate
+    // TRANSITIVELY (a doc adopts the min id of a doc it shares no edge
+    // with) — the oracle's recursive CTE pins exactly that closure.
+    "q54_dup_clusters" -> ((s, d) => {
+      val pairs = Dedup.jaccardPairs(Tables.documents(s, d), "doc_id", "text",
+          n = 3, minJaccard = 0.1, maxShingleDf = 5L)
+        .select(col("id_a"), col("id_b"))
+      graft.operators.ConnectedComponents.run(pairs, "id_a", "id_b")
+        .withColumn("cluster_size",
+          count(lit(1)).over(Window.partitionBy("component")))
+        .withColumnRenamed("id", "doc_id")
+    }),
   )
 
   override def oracles: Map[String, String] = Map(
@@ -261,24 +305,7 @@ object DataPipelineQueries extends Catalog {
     // shingles with df <= 5 only, true intersection counted over ALL
     // shingles (cold count + hot recount == recount over everything)
     "q22_jaccard_near_dups" ->
-      s"""WITH w AS (SELECT doc_id, $wordsSql AS ws FROM documents),
-         |idx AS (SELECT doc_id, ws, unnest(range(len(ws)-2)) AS i
-         |        FROM w WHERE len(ws) >= 3),
-         |sh AS (SELECT DISTINCT doc_id,
-         |         array_to_string(ws[i+1:i+3], ' ') AS shingle FROM idx),
-         |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
-         |gen AS (SELECT doc_id, shingle FROM (
-         |          SELECT doc_id, shingle,
-         |            count(*) OVER (PARTITION BY shingle) AS df FROM sh)
-         |        WHERE df <= 5),
-         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-         |         FROM gen a JOIN gen b USING (shingle)
-         |         WHERE a.doc_id < b.doc_id),
-         |inter AS (SELECT id_a, id_b, count(*) AS inter
-         |          FROM cand
-         |          JOIN sh sa ON sa.doc_id = id_a
-         |          JOIN sh sb ON sb.doc_id = id_b AND sb.shingle = sa.shingle
-         |          GROUP BY 1, 2)
+      s"""WITH $jaccardCtes
          |SELECT id_a, id_b, inter AS shared,
          |  floor(CAST(inter AS DOUBLE)/(na.n_sh + nb.n_sh - inter)*1000000.0
          |    + 0.5)/1000000.0 AS jaccard
@@ -286,6 +313,29 @@ object DataPipelineQueries extends Catalog {
          |JOIN sizes na ON id_a = na.doc_id
          |JOIN sizes nb ON id_b = nb.doc_id
          |WHERE CAST(inter AS DOUBLE)/(na.n_sh + nb.n_sh - inter) >= 0.1""".stripMargin,
+
+    // the same pair pipeline, closed transitively: DuckDB's recursive CTE
+    // computes min-reachable-id per vertex — a different algorithm than the
+    // Spark side's iterative label propagation, deliberately
+    "q54_dup_clusters" ->
+      s"""WITH RECURSIVE $jaccardCtes,
+         |pairs AS (SELECT id_a, id_b FROM inter
+         |          JOIN sizes na ON id_a = na.doc_id
+         |          JOIN sizes nb ON id_b = nb.doc_id
+         |          WHERE CAST(inter AS DOUBLE)/(na.n_sh + nb.n_sh - inter)
+         |            >= 0.1),
+         |edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+         |          UNION SELECT id_b, id_a FROM pairs),
+         |verts AS (SELECT DISTINCT u AS id FROM edges),
+         |reach(id, r) AS (
+         |  SELECT id, id FROM verts
+         |  UNION
+         |  SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.id),
+         |comp AS (SELECT id, min(r) AS component FROM reach GROUP BY 1)
+         |SELECT id AS doc_id, component,
+         |  CAST(count(*) OVER (PARTITION BY component) AS BIGINT)
+         |    AS cluster_size
+         |FROM comp""".stripMargin,
 
     // full portable-hash oracle: FNV-1a 64 signatures (HUGEINT mod-2^64
     // arithmetic, bit-identical to graft.plans.Fnv1a64Expression), banded on

@@ -1,0 +1,196 @@
+package graft
+
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{AsOfJoin, ConnectedComponents, IntervalJoin}
+
+class AsOfJoinSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  private def left = Seq(
+    (1L, 10L, "2024-01-01 10:00:00"),
+    (1L, 11L, "2024-01-01 12:00:00"),
+    (1L, 12L, "2024-01-01 09:00:00"), // before every right row -> NULL
+    (2L, 20L, "2024-01-01 12:00:00"), // exactly AT a right ts -> inclusive
+    (3L, 30L, "2024-01-01 12:00:00")  // key with no right rows at all
+  ).toDF("k", "ev", "ts").withColumn("ts", to_timestamp(col("ts")))
+
+  private def right = Seq(
+    (1L, "2024-01-01 09:30:00", 100.0),
+    (1L, "2024-01-01 11:00:00", 200.0),
+    (2L, "2024-01-01 12:00:00", 300.0)
+  ).toDF("k", "ts", "v").withColumn("ts", to_timestamp(col("ts")))
+
+  test("backward as-of picks the latest right row at-or-before each left ts") {
+    val out = AsOfJoin.backward(left, right, Seq("k"), "ts", "ts", Seq("v"))
+      .select("ev", "asof_v").as[(Long, Option[Double])].collect().toMap
+    assert(out(10L) === Some(100.0)) // 10:00 -> 09:30 row
+    assert(out(11L) === Some(200.0)) // 12:00 -> 11:00 row
+    assert(out(12L) === None)        // 09:00 precedes every right row
+    assert(out(20L) === Some(300.0)) // equal ts: inclusive
+    assert(out(30L) === None)        // no right rows for key 3
+  }
+
+  test("left columns, row count, and schema survive") {
+    val out = AsOfJoin.backward(left, right, Seq("k"), "ts", "ts", Seq("v"))
+    assert(out.count() === left.count())
+    assert(out.columns.toSeq === Seq("k", "ts", "ev", "asof_v"))
+  }
+
+  test("plans exactly one shuffle (the key hash), like a plain equi-join") {
+    val out = AsOfJoin.backward(left, right, Seq("k"), "ts", "ts", Seq("v"))
+    // string count, not a collect: AQE wraps unfinalized subplans so
+    // ShuffleExchangeExec nodes are not yet reachable as tree nodes
+    val plan = out.queryExecution.executedPlan.toString
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(shuffles === 1, plan)
+  }
+
+  test("matches the naive window-over-theta-join formulation on a big fixture") {
+    // deterministic pseudo-random fixture: 40 keys, 2000 left, 400 right
+    val l = spark.range(2000).select(
+      (col("id") % 40).as("k"), col("id").as("ev"),
+      timestamp_micros(col("id") * 7919 % 1000000000L).as("ts"))
+    val r = spark.range(400).select(
+      (col("id") % 40).as("k"),
+      timestamp_micros(col("id") * 104729 % 1000000000L).as("ts"),
+      (col("id") * 13 % 997).cast("double").as("v"))
+      .groupBy("k", "ts").agg(max("v").as("v"))
+    val fast = AsOfJoin.backward(l, r, Seq("k"), "ts", "ts", Seq("v"))
+      .select("k", "ev", "asof_v")
+    // the range condition must live IN the left join so left rows with no
+    // prior right row survive with NULLs instead of vanishing
+    val rr = r.withColumnRenamed("ts", "rts").withColumnRenamed("k", "rk")
+    val naive = l.join(rr, col("k") === col("rk") && col("rts") <= col("ts"),
+        "left")
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("k", "ev")
+          .orderBy(col("rts").desc_nulls_last)))
+      .filter(col("rn") === 1)
+      .select(col("k"), col("ev"), col("v").as("asof_v"))
+    assert(fast.exceptAll(naive).isEmpty && naive.exceptAll(fast).isEmpty)
+  }
+}
+
+class ConnectedComponentsSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  private def components(edges: Seq[(Long, Long)]): Map[Long, Long] =
+    ConnectedComponents.run(edges.toDF("a", "b"), "a", "b")
+      .as[(Long, Long)].collect().toMap
+
+  test("a long chain needs transitive propagation, not one hop") {
+    // diameter-7 path: label 1 must travel the whole chain
+    val chain = (1L to 7L).map(i => (i, i + 1))
+    val comp = components(chain)
+    assert(comp.values.toSet === Set(1L))
+    assert(comp.keySet === (1L to 8L).toSet)
+  }
+
+  test("separate clusters keep separate min labels") {
+    val comp = components(Seq((5L, 3L), (3L, 9L), (20L, 30L), (40L, 40L)))
+    assert(comp(5L) === 3L && comp(3L) === 3L && comp(9L) === 3L)
+    assert(comp(20L) === 20L && comp(30L) === 20L)
+    assert(comp(40L) === 40L) // self-loop: singleton survives
+  }
+
+  test("duplicate and reversed edges change nothing") {
+    val comp = components(Seq((1L, 2L), (2L, 1L), (1L, 2L), (2L, 3L)))
+    assert(comp === Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+}
+
+class IntervalJoinSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  test("closed bounds, overlaps, multi-bin spans — matches the theta-join") {
+    val points = spark.range(1000)
+      .select((col("id") * 37 % 5000).cast("double").as("p"))
+    val intervals = spark.range(60).select(
+      col("id").as("iv"),
+      (col("id") * 83 % 4000).cast("double").as("lo"),
+      // mix of tiny, bin-width and multi-bin spans (up to 2600 at width 500)
+      ((col("id") * 83 % 4000) + (col("id") % 13) * 200).cast("double").as("hi"))
+    val fast = IntervalJoin.pointInInterval(points, intervals,
+      "p", "lo", "hi", binWidth = 500.0)
+    val naive = points.join(intervals,
+      col("p") >= col("lo") && col("p") <= col("hi"))
+    assert(fast.count() > 0)
+    assert(fast.exceptAll(naive).isEmpty && naive.exceptAll(fast).isEmpty)
+    assert(fast.count() === naive.count()) // exactly-once, no dedup needed
+  }
+
+  test("boundary points land inside on both ends") {
+    val points = Seq(10.0, 20.0, 9.999, 20.001).toDF("p")
+    val intervals = Seq((1L, 10.0, 20.0)).toDF("iv", "lo", "hi")
+    val got = IntervalJoin.pointInInterval(points, intervals,
+      "p", "lo", "hi", binWidth = 7.0).select("p").as[Double].collect().sorted
+    assert(got.toSeq === Seq(10.0, 20.0))
+  }
+
+  test("empty and inverted intervals produce no matches") {
+    val points = Seq(1.0, 2.0).toDF("p")
+    val intervals = Seq((1L, 5.0, 3.0)).toDF("iv", "lo", "hi") // hi < lo
+    assert(IntervalJoin.pointInInterval(points, intervals,
+      "p", "lo", "hi", binWidth = 1.0).count() === 0)
+  }
+}
+
+class TopKByAggregateSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+  import graft.plans.TopKByAggregate.topkBy
+
+  // pseudo-random fixture with deliberate score ties (score = id*7 % 97)
+  private def fixture = spark.range(5000).select(
+    (col("id") % 23).as("g"),
+    (col("id") * 7 % 97).cast("double").as("s"),
+    col("id").as("i"))
+
+  private def windowForm(k: Int) = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("g").orderBy(col("s").desc, col("i"))
+    fixture.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .select(col("g"), col("rn").cast("long").as("rnk"), col("s"), col("i"))
+  }
+
+  private def aggForm(k: Int) =
+    fixture.groupBy("g").agg(topkBy(col("s"), col("i"), k).as("top"))
+      .select(col("g"), posexplode(col("top")))
+      .select(col("g"), (col("pos") + 1).cast("long").as("rnk"),
+        col("col.score").as("s"), col("col.id").as("i"))
+
+  test("matches the window row_number idiom, ties broken by lower id") {
+    val (a, w) = (aggForm(7), windowForm(7))
+    assert(a.exceptAll(w).isEmpty && w.exceptAll(a).isEmpty)
+    assert(a.count() === 23L * 7)
+  }
+
+  test("partial merge across many partitions changes nothing") {
+    val parts = fixture.repartition(37)
+      .groupBy("g").agg(topkBy(col("s"), col("i"), 5).as("top"))
+      .select(col("g"), posexplode(col("top")))
+      .select(col("g"), (col("pos") + 1).cast("long").as("rnk"),
+        col("col.score").as("s"), col("col.id").as("i"))
+    val w = windowForm(5)
+    assert(parts.exceptAll(w).isEmpty && w.exceptAll(parts).isEmpty)
+  }
+
+  test("k larger than the group emits the whole group, sorted") {
+    val tiny = Seq((1L, 5.0, 10L), (1L, 9.0, 11L), (1L, 5.0, 7L))
+      .toDF("g", "s", "i")
+    val got = tiny.groupBy("g").agg(topkBy(col("s"), col("i"), 100).as("top"))
+      .select(explode(col("top"))).select("col.score", "col.id")
+      .as[(Double, Long)].collect().toSeq
+    assert(got === Seq((9.0, 11L), (5.0, 7L), (5.0, 10L)))
+  }
+
+  test("NULL scores and ids are skipped, like NULLS LAST beyond finite k") {
+    val in = Seq((Some(1.0), Some(1L)), (None, Some(2L)), (Some(3.0), None))
+      .toDF("s", "i").withColumn("g", lit(0))
+    val got = in.groupBy("g").agg(topkBy(col("s"), col("i"), 3).as("top"))
+      .select(explode(col("top"))).select("col.id").as[Long].collect().toSeq
+    assert(got === Seq(1L))
+  }
+}
