@@ -78,15 +78,26 @@ object Bench {
         else times.sorted.apply(times.size / 2)
       (name, median, times)
     }
-    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
+    // The driver parses ONE JSON line from the tail (last ~2000 chars) of the
+    // process output. Keep that line compact (3-decimal medians, no raw runs)
+    // and print it LAST — after spark.stop() — so no late WARN can push it
+    // out of the tail window. r04's line carried full-precision doubles plus
+    // all raw runs (~7 KB): its head fell outside the window and the round's
+    // bench was recorded as "parsed": null.
+    def r3(v: Double): String =
+      if (v < 0) "-1" else BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val raw = results.map { case (k, _, ts) =>
-      s"\"" + k + "\":" + ts.mkString("[", ",", "]")
+      s"\"" + k + "\":" + ts.map(r3).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     val total = results.collect { case (_, v, _) if v >= 0 => v }.sum
     val errs = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$raw,"errors":$errs,"runs_per_query":$runs,"agg":"median","sf":"$sfDir"}""")
-    spark.stop()
+    // full per-run detail for humans, on stderr so it can't shadow the line
+    System.err.println(s"""[bench-runs] {"runs":$raw,"runs_per_query":$runs,"agg":"median","sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+    try spark.stop()
+    finally println(line)
     if (failed.nonEmpty) sys.exit(1)
   }
 }
