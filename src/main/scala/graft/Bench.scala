@@ -86,7 +86,16 @@ object Bench {
     // bench was recorded as "parsed": null.
     def r3(v: Double): String =
       if (v < 0) "-1" else BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
-    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + r3(v) }
+    // 2-decimal, trailing-zeros-stripped (\"0.50\"→\"0.5\"): at 66 queries the
+    // line must stay well under the ~2000-char tail window MINUS sbt's
+    // trailing \"[success] ...\" line
+    def r2(v: Double): String =
+      if (v < 0) "-1"
+      else {
+        val bd = BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+        if (bd.signum == 0) "0" else bd.underlying.stripTrailingZeros.toPlainString
+      }
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + r2(v) }
       .mkString("{", ",", "}")
     val raw = results.map { case (k, _, ts) =>
       s"\"" + k + "\":" + ts.map(r3).mkString("[", ",", "]")
@@ -95,7 +104,8 @@ object Bench {
     val errs = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     // full per-run detail for humans, on stderr so it can't shadow the line
     System.err.println(s"""[bench-runs] {"runs":$raw,"runs_per_query":$runs,"agg":"median","sf":"$sfDir"}""")
-    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+    val sfName = new java.io.File(sfDir).getName
+    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfName"}"""
     try spark.stop()
     finally println(line)
     if (failed.nonEmpty) sys.exit(1)

@@ -24,6 +24,17 @@ trait Catalog {
   * exact in IEEE double up to 2^53), sum as long, divide once at the end.
   * The same expression text goes into the DuckDB oracle.
   */
+/** DuckDB SQL text of the shared text-normalization pipeline — the oracle
+  * twin of [[graft.ext.Dedup.normalizeText]] / its word split. Central so
+  * every catalog's oracle uses byte-identical normalization (the whitespace
+  * class is spelled out because Java `\s` includes \x0B while RE2 does not).
+  */
+object TextSql {
+  val norm =
+    """lower(trim(regexp_replace(text, '[ \t\n\x0B\f\r]+', ' ', 'g')))"""
+  val words = s"list_filter(string_split($norm, ' '), x -> x != '')"
+}
+
 object XDet {
   /** order-independent SUM(x) at `scale` decimal digits, as double */
   def moneySum(c: Column, scale: Int): Column = {

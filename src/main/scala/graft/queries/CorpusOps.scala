@@ -1,0 +1,200 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.ext.Dedup
+import graft.sources.Tables
+
+/** Round-5 corpus-analytics catalog: the aggregation / window / join surface
+  * a training-data curation pipeline leans on beyond dedup itself —
+  * distinctive-term extraction, grouping-set cubes, rank distributions,
+  * null-safe dimension alignment, embedding centroids, broadcast-hinted
+  * dimension joins, and sketch-based cardinality.
+  *
+  * Scale shapes (the 100 TB contract):
+  *  - q60: tokens explode to one shuffle keyed by (doc, term) then a
+  *    term-keyed df join; the top-k window partitions by doc (bounded
+  *    per-group state, no global sort);
+  *  - q61: CUBE is one pass — Spark expands grouping sets in the aggregate,
+  *    not by re-scanning per set;
+  *  - q62: windows partition by segment — no "No Partition Defined" global
+  *    window;
+  *  - q63: the null-safe join runs on PRE-AGGREGATED per-zone counts, so
+  *    NULL-key multiplicity is 1×1, never |nulls|² row pairs;
+  *  - q64: per-dimension sums are scaled-integer (associative — safe under
+  *    any partial-aggregation order); explode is 64 rows per vector, one
+  *    shuffle on (label, dim);
+  *  - q65: the dimension side carries an explicit `broadcast()` hint — the
+  *    join is map-side, zero shuffle of the fact table (plan-asserted in
+  *    CorpusOpsSpec);
+  *  - q66: HyperLogLog++ distinct counts — constant state per group vs the
+  *    exact form's per-key shuffle; the exact column rides along to expose
+  *    the error (spec-bounded < 5%, rows-only driver check: HLL registers
+  *    are engine-specific, so no DuckDB oracle exists by construction).
+  */
+object CorpusOps extends Catalog {
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- TF-IDF-style distinctive terms, integer-ranked --------------------
+    // rank by (tf DESC, df ASC, term): the tf·idf ordering re-expressed over
+    // integers only — no float idf, so the ordering is bit-identical across
+    // engines (a float score would make rank boundaries engine-dependent).
+    "q60_distinctive_terms" -> ((s, d) => {
+      val toks = Tables.documents(s, d).select(col("doc_id"),
+        explode(filter(split(Dedup.normalizeText(col("text")), " "),
+          w => w =!= "")).as("term"))
+      val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val w = Window.partitionBy("doc_id")
+        .orderBy(col("tf").desc, col("df").asc, col("term"))
+      tf.join(df, Seq("term"))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .select(col("doc_id"), col("rnk").cast("long").as("rnk"),
+          col("term"), col("tf"), col("df"))
+    }),
+
+    // ---- CUBE grouping sets (the full-lattice twin of q38's ROLLUP) --------
+    // gid disambiguates "aggregated-out" from a genuine NULL group value —
+    // the standard grouping_id bitmask, same encoding in both engines.
+    "q61_cube_orders" -> ((s, d) => {
+      Tables.orders(s, d)
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("orders"),
+          XDet.moneySum(col("o_totalprice"), 2).as("total"),
+          grouping_id().cast("long").as("gid"))
+    }),
+
+    // ---- rank-distribution windows: ntile / percent_rank / cume_dist -------
+    // the (c_acctbal, c_custkey) sort is a total order, so every rank
+    // function is deterministic; percent_rank and cume_dist are exact
+    // integer ratios — identical IEEE division in both engines — quantized
+    // anyway per the house determinism rule.
+    "q62_rank_distribution" -> ((s, d) => {
+      val w = Window.partitionBy("c_mktsegment")
+        .orderBy(col("c_acctbal"), col("c_custkey"))
+      Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+        .withColumn("quartile", ntile(4).over(w).cast("long"))
+        .withColumn("pct_rank",
+          floor(percent_rank().over(w) * 1e6 + 0.5) / 1e6)
+        .withColumn("cume", floor(cume_dist().over(w) * 1e6 + 0.5) / 1e6)
+    }),
+
+    // ---- null-safe (<=>) join on a nullable derived key --------------------
+    // "unknown zone" (NULL) must align with "unknown zone" when reconciling
+    // two event feeds — the semantics plain `=` silently drops. Aggregating
+    // BEFORE the join keeps the NULL bucket 1×1.
+    "q63_null_safe_join" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      def zoneCounts(t: String, cnt: String): DataFrame =
+        ev.filter(col("event_type") === t)
+          .withColumn("zone", when(col("user_id") % 11 === 0, lit(null))
+            .otherwise(col("user_id") % 7))
+          .groupBy("zone").agg(count(lit(1)).as(cnt))
+      val a = zoneCounts("click", "clicks")
+      val b = zoneCounts("view", "views").withColumnRenamed("zone", "zone_b")
+      a.join(b, col("zone") <=> col("zone_b")).drop("zone_b")
+    }),
+
+    // ---- per-label embedding centroids (deterministic float pipeline) ------
+    // dimension-wise mean via scaled-integer sums: quantize each float once
+    // (cast to double FIRST — float×double arithmetic differs per engine),
+    // sum as long (associative), divide once. posexplode is 64 rows/vector.
+    "q64_embedding_centroids" -> ((s, d) => {
+      Tables.embeddings(s, d)
+        .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "e")))
+        .groupBy("label", "dim")
+        .agg(count(lit(1)).as("n"),
+          (sum(floor(col("e").cast("double") * 1e6 + 0.5).cast("long"))
+            / 1e6 / count(lit(1))).as("centroid"))
+        .withColumn("dim", col("dim").cast("long"))
+    }),
+
+    // ---- broadcast-hinted dimension join -----------------------------------
+    // the canonical small-dim pattern: an explicit broadcast() pins the
+    // map-side hash join regardless of autoBroadcastJoinThreshold, so the
+    // 100 TB fact side never shuffles for a 25-row dimension.
+    "q65_broadcast_dim_join" -> ((s, d) => {
+      val n = broadcast(Tables.nation(s, d)
+        .select(col("n_nationkey"), col("n_name")))
+      Tables.customer(s, d)
+        .join(n, col("c_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(count(lit(1)).as("customers"),
+          XDet.moneySum(col("c_acctbal"), 2).as("balance"))
+    }),
+
+    // ---- sketch cardinality: HLL++ approx distinct + exact twin ------------
+    // rows-only by construction (HLL registers are engine-specific); the
+    // spec bounds the relative error < 5% against the exact column.
+    "q66_approx_distinct" -> ((s, d) => {
+      Tables.events(s, d).groupBy("event_type")
+        .agg(approx_count_distinct(col("user_id")).as("approx_users"),
+          countDistinct(col("user_id")).as("exact_users"))
+    }),
+  )
+
+  override def oracles: Map[String, String] = Map(
+    "q60_distinctive_terms" ->
+      s"""WITH w AS (SELECT doc_id, ${TextSql.words} AS ws FROM documents),
+         |t AS (SELECT doc_id, unnest(ws) AS term FROM w),
+         |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+         |       FROM t GROUP BY 1, 2),
+         |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1)
+         |SELECT doc_id, CAST(rnk AS BIGINT) AS rnk, term, tf, df FROM (
+         |  SELECT doc_id, term, tf, df,
+         |    row_number() OVER (PARTITION BY doc_id
+         |      ORDER BY tf DESC, df, term) AS rnk
+         |  FROM tf JOIN df USING (term))
+         |WHERE rnk <= 3""".stripMargin,
+
+    "q61_cube_orders" ->
+      s"""SELECT o_orderstatus, o_orderpriority,
+         |  CAST(count(*) AS BIGINT) AS orders,
+         |  ${XDet.moneySumSql("o_totalprice", 2)} AS total,
+         |  CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid
+         |FROM orders
+         |GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin,
+
+    "q62_rank_distribution" ->
+      """SELECT c_custkey, c_mktsegment, c_acctbal,
+        |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        |  floor(percent_rank() OVER w * 1e6 + 0.5)/1e6 AS pct_rank,
+        |  floor(cume_dist() OVER w * 1e6 + 0.5)/1e6 AS cume
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_mktsegment
+        |  ORDER BY c_acctbal, c_custkey)""".stripMargin,
+
+    "q63_null_safe_join" ->
+      """WITH a AS (
+        |  SELECT CASE WHEN user_id % 11 = 0 THEN NULL
+        |              ELSE user_id % 7 END AS zone,
+        |    CAST(count(*) AS BIGINT) AS clicks
+        |  FROM events WHERE event_type = 'click' GROUP BY 1),
+        |b AS (
+        |  SELECT CASE WHEN user_id % 11 = 0 THEN NULL
+        |              ELSE user_id % 7 END AS zone,
+        |    CAST(count(*) AS BIGINT) AS views
+        |  FROM events WHERE event_type = 'view' GROUP BY 1)
+        |SELECT a.zone, clicks, views
+        |FROM a JOIN b ON a.zone IS NOT DISTINCT FROM b.zone""".stripMargin,
+
+    "q64_embedding_centroids" ->
+      """SELECT label, CAST(dim AS BIGINT) AS dim,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  sum(CAST(floor(CAST(embedding[dim+1] AS DOUBLE)*1e6 + 0.5)
+        |    AS BIGINT))/1e6/count(*) AS centroid
+        |FROM embeddings CROSS JOIN (SELECT unnest(range(64)) AS dim)
+        |GROUP BY 1, 2""".stripMargin,
+
+    "q65_broadcast_dim_join" ->
+      s"""SELECT n_name, CAST(count(*) AS BIGINT) AS customers,
+         |  ${XDet.moneySumSql("c_acctbal", 2)} AS balance
+         |FROM customer JOIN nation ON c_nationkey = n_nationkey
+         |GROUP BY 1""".stripMargin,
+    // q66 deliberately absent: HLL sketches have no engine-portable twin
+  )
+}

@@ -21,9 +21,8 @@ import graft.sources.Tables
 object DataPipelineQueries extends Catalog {
 
   // explicit whitespace class: Java \s includes \x0B, RE2 \s does not
-  private val normSql =
-    """lower(trim(regexp_replace(text, '[ \t\n\x0B\f\r]+', ' ', 'g')))"""
-  private val wordsSql = s"list_filter(string_split($normSql, ' '), x -> x != '')"
+  private val normSql = TextSql.norm
+  private val wordsSql = TextSql.words
 
   /** Shared CTE chain of the guarded word-3-gram Jaccard pipeline
     * (Dedup.jaccardPairs with maxShingleDf = 5): shingles -> doc sizes ->
@@ -292,6 +291,29 @@ object DataPipelineQueries extends Catalog {
           count(lit(1)).over(Window.partitionBy("component")))
         .withColumnRenamed("id", "doc_id")
     }),
+
+    // ---- end-to-end corpus dedup: the keep/drop verdict per document ------
+    // q54's cluster step closed over the WHOLE corpus: every doc gets its
+    // canonical survivor (cluster min-id; itself when it has no near-dup)
+    // and a kept flag — the row-level decision an actual curation pipeline
+    // writes back. Singletons never enter the pair graph, so the component
+    // frame stays |dup-docs|-sized and the corpus only pays one left join.
+    "q59_corpus_dedup" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val pairs = Dedup.jaccardPairs(docs, "doc_id", "text",
+          n = 3, minJaccard = 0.1, maxShingleDf = 5L)
+        .select(col("id_a"), col("id_b"))
+      val comp = graft.operators.ConnectedComponents.run(pairs, "id_a", "id_b")
+        .withColumnRenamed("id", "doc_id")
+      docs.select(col("doc_id"), col("lang"))
+        .join(comp, Seq("doc_id"), "left")
+        .withColumn("canonical_id", coalesce(col("component"), col("doc_id")))
+        .withColumn("cluster_size",
+          count(lit(1)).over(Window.partitionBy("canonical_id")))
+        .withColumn("kept",
+          (col("doc_id") === col("canonical_id")).cast("int"))
+        .drop("component")
+    }),
   )
 
   override def oracles: Map[String, String] = Map(
@@ -336,6 +358,32 @@ object DataPipelineQueries extends Catalog {
          |  CAST(count(*) OVER (PARTITION BY component) AS BIGINT)
          |    AS cluster_size
          |FROM comp""".stripMargin,
+
+    // q54's transitive closure, joined back onto the whole corpus: the same
+    // recursive CTE, then every document resolves its survivor
+    "q59_corpus_dedup" ->
+      s"""WITH RECURSIVE $jaccardCtes,
+         |pairs AS (SELECT id_a, id_b FROM inter
+         |          JOIN sizes na ON id_a = na.doc_id
+         |          JOIN sizes nb ON id_b = nb.doc_id
+         |          WHERE CAST(inter AS DOUBLE)/(na.n_sh + nb.n_sh - inter)
+         |            >= 0.1),
+         |edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+         |          UNION SELECT id_b, id_a FROM pairs),
+         |verts AS (SELECT DISTINCT u AS id FROM edges),
+         |reach(id, r) AS (
+         |  SELECT id, id FROM verts
+         |  UNION
+         |  SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.id),
+         |comp AS (SELECT id, min(r) AS component FROM reach GROUP BY 1)
+         |SELECT d.doc_id, d.lang,
+         |  coalesce(comp.component, d.doc_id) AS canonical_id,
+         |  CAST(count(*) OVER (
+         |    PARTITION BY coalesce(comp.component, d.doc_id)) AS BIGINT)
+         |    AS cluster_size,
+         |  CASE WHEN d.doc_id = coalesce(comp.component, d.doc_id)
+         |       THEN 1 ELSE 0 END AS kept
+         |FROM documents d LEFT JOIN comp ON comp.id = d.doc_id""".stripMargin,
 
     // full portable-hash oracle: FNV-1a 64 signatures (HUGEINT mod-2^64
     // arithmetic, bit-identical to graft.plans.Fnv1a64Expression), banded on

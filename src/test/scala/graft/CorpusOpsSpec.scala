@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.queries.CorpusOps
+
+class CorpusOpsSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("q65 broadcast hint produces a BroadcastHashJoin (no shuffle of the fact side)") {
+    val df = CorpusOps.queries("q65_broadcast_dim_join")(spark, sf)
+    df.collect() // materialize so AQE's final plan (with query stages) exists
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("q66 HLL approx distinct within 5% of exact per group") {
+    val rows = CorpusOps.queries("q66_approx_distinct")(spark, sf)
+      .select("event_type", "approx_users", "exact_users").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (approx, exact) = (r.getLong(1).toDouble, r.getLong(2).toDouble)
+      assert(math.abs(approx - exact) / exact < 0.05,
+        s"${r.getString(0)}: approx=$approx exact=$exact")
+    }
+  }
+
+  test("q63 null-safe join keeps exactly one NULL-zone row") {
+    val out = CorpusOps.queries("q63_null_safe_join")(spark, sf).collect()
+    assert(out.count(_.isNullAt(0)) === 1)
+    assert(out.length > 1) // non-null zones joined too
+  }
+
+  test("q60 ranks are per-doc top-3 by (tf desc, df asc, term)") {
+    val docs = Seq(
+      (1L, "alpha alpha beta common common common"),
+      (2L, "beta beta gamma common"),
+      (3L, "delta common")).toDF("doc_id", "text")
+    val toks = docs.select(col("doc_id"),
+      explode(filter(split(graft.ext.Dedup.normalizeText(col("text")), " "),
+        w => w =!= "")).as("term"))
+    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfc = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+      .orderBy(col("tf").desc, col("df").asc, col("term"))
+    val top = tf.join(dfc, Seq("term"))
+      .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 3)
+    val doc1 = top.filter(col("doc_id") === 1)
+      .orderBy("rnk").select("term").as[String].collect().toSeq
+    // doc1: common tf=3 df=3, alpha tf=2 df=1, beta tf=1 df=2
+    // tf desc wins first; ties break toward rarer (lower-df) terms
+    assert(doc1 === Seq("common", "alpha", "beta"))
+  }
+
+  test("q64 centroid quantization is order-independent (repartition-stable)") {
+    val q = CorpusOps.queries("q64_embedding_centroids")(spark, sf)
+    val shuffled = graft.sources.Tables.embeddings(spark, sf)
+      .repartition(7)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "e")))
+      .groupBy("label", "dim")
+      .agg(count(lit(1)).as("n"),
+        (sum(floor(col("e").cast("double") * 1e6 + 0.5).cast("long"))
+          / 1e6 / count(lit(1))).as("centroid"))
+      .withColumn("dim", col("dim").cast("long"))
+    assert(q.except(shuffled).isEmpty && shuffled.except(q).isEmpty)
+  }
+}
