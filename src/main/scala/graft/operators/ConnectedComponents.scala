@@ -34,17 +34,31 @@ object ConnectedComponents {
     */
   def run(edges: DataFrame, src: String, dst: String,
           maxIters: Int = 30): DataFrame = {
-    // symmetrized adjacency: one (u, v) row per direction
+    // symmetrized adjacency, hash-partitioned on the join key BEFORE the
+    // checkpoint: every round's edges-join needs hashpartitioning(u), and a
+    // checkpoint pinned in distinct()'s (u, v) partitioning would re-shuffle
+    // the full edge list EVERY round — the dominant per-round cost at scale.
+    // Partitioned once here, each round only shuffles the (small) label frame.
     val sym = edges.select(col(src).as("u"), col(dst).as("v"))
       .unionByName(edges.select(col(dst).as("u"), col(src).as("v")))
       .distinct()
+      .repartition(col("u"))
       .localCheckpoint(true) // reused every round: pin, cut source lineage
     var labels = sym.select(col("u").as("id")).distinct()
       .withColumn("component", col("id"))
       .localCheckpoint(true)
-    var changed = 1L
+    // labels only ever decrease, so Σcomponent strictly decreases until the
+    // fixpoint: one DECIMAL(38) aggregate per round replaces a join-against-
+    // previous change count (half the convergence-check cost per round).
+    // DECIMAL because a BIGINT sum of 64-bit ids can overflow silently.
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      Option(df.agg(sum(col("component").cast("decimal(38,0)")))
+        .head.getDecimal(0)) // null on an empty vertex set
+        .map(_.stripTrailingZeros).getOrElse(java.math.BigDecimal.ZERO)
+    var prevSum = labelSum(labels)
+    var converged = false
     var iter = 0
-    while (changed > 0 && iter < maxIters) {
+    while (!converged && iter < maxIters) {
       // push every vertex's current label to each neighbor, then fold the
       // incoming labels into the vertex's own with a single min-aggregate
       val incoming = sym
@@ -53,11 +67,11 @@ object ConnectedComponents {
       val next = labels.unionByName(incoming)
         .groupBy("id").agg(min("component").as("component"))
         .localCheckpoint(true)
-      changed = next.join(
-          labels.withColumnRenamed("component", "__prev"), Seq("id"))
-        .filter(col("component") < col("__prev")).count()
+      val nextSum = labelSum(next)
       labels = next
       iter += 1
+      converged = nextSum.compareTo(prevSum) == 0
+      prevSum = nextSum
     }
     labels
   }
