@@ -165,6 +165,47 @@ object Dedup {
       .filter(col("jaccard") >= minJaccard)
   }
 
+  /** Cross-frame Jaccard: incoming (A) docs against an existing corpus (B) —
+    * the incremental-ingestion shape, where the historical side is 1000× the
+    * new batch and re-running all-pairs dedup over the union would re-pay
+    * the whole corpus every day. Candidates are generated via the shingle
+    * inverted index BETWEEN the frames only (never A×A or B×B), and the
+    * stop-shingle df guard is computed on the CORPUS side — the side with
+    * meaningful document-frequency statistics, and the side whose df can be
+    * precomputed once and reused across daily batches. True Jaccard counts
+    * every shared shingle (hot recount, same df-mark device as
+    * [[jaccardPairsFromShingles]]).
+    *
+    * Input frames are (id, shingle) as produced by [[wordShingles]] /
+    * [[charShingles]]; output is (id_a ∈ A, id_b ∈ B, inter, n_a, n_b,
+    * jaccard).
+    */
+  def crossJaccardPairs(shA: DataFrame, shB: DataFrame, id: String,
+                        minJaccard: Double,
+                        maxShingleDf: Long = Long.MaxValue): DataFrame = {
+    val sizesA = shA.groupBy(col(id)).agg(count(lit(1)).as("n_a"))
+    val sizesB = shB.groupBy(col(id)).agg(count(lit(1)).as("n_b"))
+    val dfB = shB.groupBy("shingle").agg(count(lit(1)).as("__df"))
+    // A-shingles absent from the corpus get no df row; they cannot produce a
+    // cross candidate anyway, so the inner join doubles as the prefilter.
+    val genA = shA.join(dfB.filter(col("__df") <= maxShingleDf), Seq("shingle"))
+      .select(col(id).as("id_a"), col("shingle"))
+    val genB = shB.join(dfB.filter(col("__df") <= maxShingleDf), Seq("shingle"))
+      .select(col(id).as("id_b"), col("shingle"))
+    val cand = genA.join(genB, Seq("shingle"))
+      .select("id_a", "id_b").distinct()
+    val inter = cand
+      .join(shA.select(col(id).as("id_a"), col("shingle")), Seq("id_a"))
+      .join(shB.select(col(id).as("id_b"), col("shingle")), Seq("id_b", "shingle"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizesA.select(col(id).as("id_a"), col("n_a")), Seq("id_a"))
+      .join(sizesB.select(col(id).as("id_b"), col("n_b")), Seq("id_b"))
+      .withColumn("jaccard",
+        col("inter") / (col("n_a") + col("n_b") - col("inter")))
+      .filter(col("jaccard") >= minJaccard)
+  }
+
   /** MinHash signatures: (id, sig array<long> of length `numHashes`).
     * Hash family i is `xxhash64(i, shingle)`; all minima are computed in ONE
     * aggregation pass (k min expressions), not k passes. `portable = true`

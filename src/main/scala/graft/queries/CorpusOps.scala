@@ -127,6 +127,77 @@ object CorpusOps extends Catalog {
           XDet.moneySum(col("c_acctbal"), 2).as("balance"))
     }),
 
+    // ---- streaming exactly-once dedup, batch twin --------------------------
+    // at-least-once delivery simulated by a self-union; dedupEvents keeps one
+    // row per event_id (streaming: dropDuplicatesWithinWatermark, bounded
+    // state — see EventStreamSpec for the cross-batch MemoryStream proof).
+    // The id_sum column pins WHICH rows survived, not just how many.
+    "q67_stream_dedup" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      graft.streaming.EventStream.dedupEvents(ev.unionByName(ev))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("event_id").as("id_sum"))
+    }),
+
+    // ---- PII scrubbing (curation-pipeline redaction pass) ------------------
+    // deterministic PII is appended first (the synthetic corpus has none),
+    // then emails → <EMAIL> before digit runs → <NUM> (emails contain
+    // digits; the reverse order would corrupt addresses before the email
+    // pattern sees them). Counts come from regexp_extract_all on the
+    // pre-scrub text; the scrub fingerprint pins the exact redacted bytes.
+    "q68_pii_scrub" -> ((s, d) => {
+      val emailPat = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+      val numPat = "[0-9]{7,}"
+      val pii = concat(col("text"), lit(" contact: user"), col("doc_id"),
+        lit("@example.com or +1"), (lit(1000000) + col("doc_id") * 7))
+      Tables.documents(s, d)
+        .select(col("doc_id"), pii.as("__pii"))
+        .select(col("doc_id"),
+          size(regexp_extract_all(col("__pii"), lit(emailPat), lit(0)))
+            .cast("long").as("n_emails"),
+          size(regexp_extract_all(col("__pii"), lit(numPat), lit(0)))
+            .cast("long").as("n_numbers"),
+          regexp_replace(regexp_replace(col("__pii"), emailPat, "<EMAIL>"),
+            numPat, "<NUM>").as("__scrubbed"))
+        .select(col("doc_id"), col("n_emails"), col("n_numbers"),
+          md5(col("__scrubbed")).as("scrub_fp"),
+          length(col("__scrubbed")).cast("long").as("scrub_len"))
+    }),
+
+    // ---- incremental dedup: new batch vs existing corpus -------------------
+    // the daily-ingestion shape: verdict per INCOMING doc against the
+    // historical corpus — exact (fingerprint match) beats near (cross-frame
+    // guarded Jaccard, Dedup.crossJaccardPairs), else unique. Candidates are
+    // only ever incoming×corpus through the shingle index; the corpus is
+    // never self-joined, so a daily batch pays |batch|-proportional work.
+    "q69_incremental_dedup" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val incoming = docs.filter(col("doc_id") % 10 === 7)
+      val corpus = docs.filter(col("doc_id") % 10 =!= 7)
+      val exact = incoming
+        .select(col("doc_id"), Dedup.fingerprint(col("text")).as("fp"))
+        .join(corpus.select(Dedup.fingerprint(col("text")).as("fp"),
+          col("doc_id").as("c_id")), Seq("fp"))
+        .groupBy("doc_id").agg(min("c_id").as("exact_of"))
+      val near = Dedup.crossJaccardPairs(
+          Dedup.wordShingles(incoming, "doc_id", "text", n = 3),
+          Dedup.wordShingles(corpus, "doc_id", "text", n = 3),
+          "doc_id", minJaccard = 0.1, maxShingleDf = 5L)
+        .groupBy("id_a")
+        .agg(min("id_b").as("near_of"),
+          max(floor(col("jaccard") * 1e6 + 0.5) / 1e6).as("best_jaccard"))
+        .withColumnRenamed("id_a", "doc_id")
+      incoming.select("doc_id")
+        .join(exact, Seq("doc_id"), "left")
+        .join(near, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          when(col("exact_of").isNotNull, "exact")
+            .when(col("near_of").isNotNull, "near")
+            .otherwise("unique").as("verdict"),
+          coalesce(col("exact_of"), col("near_of")).as("dup_of"),
+          when(col("exact_of").isNull, col("best_jaccard")).as("best_jaccard"))
+    }),
+
     // ---- sketch cardinality: HLL++ approx distinct + exact twin ------------
     // rows-only by construction (HLL registers are engine-specific); the
     // spec bounds the relative error < 5% against the exact column.
@@ -195,6 +266,84 @@ object CorpusOps extends Catalog {
          |  ${XDet.moneySumSql("c_acctbal", 2)} AS balance
          |FROM customer JOIN nation ON c_nationkey = n_nationkey
          |GROUP BY 1""".stripMargin,
+
+    // redelivered rows are identical copies, so exactly-once dedup over the
+    // self-union is DISTINCT over the original
+    "q67_stream_dedup" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(event_id) AS BIGINT) AS id_sum
+        |FROM (SELECT DISTINCT event_id, event_type FROM events)
+        |GROUP BY 1""".stripMargin,
+
+    "q68_pii_scrub" -> {
+      val email = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+      val num = "[0-9]{7,}"
+      s"""WITH p AS (SELECT doc_id,
+         |  text || ' contact: user' || CAST(doc_id AS VARCHAR)
+         |    || '@example.com or +1'
+         |    || CAST(1000000 + doc_id*7 AS VARCHAR) AS pii
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(pii, '$email')) AS BIGINT) AS n_emails,
+         |  CAST(len(regexp_extract_all(pii, '$num')) AS BIGINT) AS n_numbers,
+         |  md5(regexp_replace(regexp_replace(pii, '$email', '<EMAIL>', 'g'),
+         |    '$num', '<NUM>', 'g')) AS scrub_fp,
+         |  CAST(length(regexp_replace(regexp_replace(pii, '$email',
+         |    '<EMAIL>', 'g'), '$num', '<NUM>', 'g')) AS BIGINT) AS scrub_len
+         |FROM p""".stripMargin
+    },
+
+    // same two-frame pipeline: exact fingerprints, then cross-only candidate
+    // generation with the df guard computed on the corpus side
+    "q69_incremental_dedup" ->
+      s"""WITH incfp AS (SELECT doc_id, md5(${TextSql.norm}) AS fp
+         |  FROM documents WHERE doc_id % 10 = 7),
+         |corfp AS (SELECT doc_id, md5(${TextSql.norm}) AS fp
+         |  FROM documents WHERE doc_id % 10 <> 7),
+         |exact AS (SELECT i.doc_id AS doc_id, min(c.doc_id) AS exact_of
+         |  FROM incfp i JOIN corfp c USING (fp) GROUP BY 1),
+         |wA AS (SELECT doc_id, ${TextSql.words} AS ws FROM documents
+         |       WHERE doc_id % 10 = 7),
+         |idxA AS (SELECT doc_id, ws, unnest(range(len(ws)-2)) AS i
+         |         FROM wA WHERE len(ws) >= 3),
+         |shA AS (SELECT DISTINCT doc_id,
+         |          array_to_string(ws[i+1:i+3], ' ') AS shingle FROM idxA),
+         |sizesA AS (SELECT doc_id, count(*) AS n_a FROM shA GROUP BY 1),
+         |wB AS (SELECT doc_id, ${TextSql.words} AS ws FROM documents
+         |       WHERE doc_id % 10 <> 7),
+         |idxB AS (SELECT doc_id, ws, unnest(range(len(ws)-2)) AS i
+         |         FROM wB WHERE len(ws) >= 3),
+         |shB AS (SELECT DISTINCT doc_id,
+         |          array_to_string(ws[i+1:i+3], ' ') AS shingle FROM idxB),
+         |sizesB AS (SELECT doc_id, count(*) AS n_b FROM shB GROUP BY 1),
+         |dfB AS (SELECT shingle, count(*) AS df FROM shB GROUP BY 1),
+         |genA AS (SELECT a.doc_id, a.shingle FROM shA a
+         |         JOIN dfB USING (shingle) WHERE df <= 5),
+         |genB AS (SELECT b.doc_id, b.shingle FROM shB b
+         |         JOIN dfB USING (shingle) WHERE df <= 5),
+         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |         FROM genA a JOIN genB b USING (shingle)),
+         |inter AS (SELECT id_a, id_b, count(*) AS inter FROM cand
+         |          JOIN shA sa ON sa.doc_id = id_a
+         |          JOIN shB sb ON sb.doc_id = id_b AND sb.shingle = sa.shingle
+         |          GROUP BY 1, 2),
+         |near AS (SELECT id_a AS doc_id, min(id_b) AS near_of,
+         |           max(floor(CAST(inter AS DOUBLE)/(n_a + n_b - inter)
+         |             *1e6 + 0.5)/1e6) AS best_jaccard
+         |         FROM inter JOIN sizesA sa ON id_a = sa.doc_id
+         |                    JOIN sizesB sb ON id_b = sb.doc_id
+         |         WHERE CAST(inter AS DOUBLE)/(n_a + n_b - inter) >= 0.1
+         |         GROUP BY 1)
+         |SELECT i.doc_id,
+         |  CASE WHEN e.exact_of IS NOT NULL THEN 'exact'
+         |       WHEN n.near_of IS NOT NULL THEN 'near'
+         |       ELSE 'unique' END AS verdict,
+         |  coalesce(e.exact_of, n.near_of) AS dup_of,
+         |  CASE WHEN e.exact_of IS NULL THEN n.best_jaccard END
+         |    AS best_jaccard
+         |FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 7) i
+         |LEFT JOIN exact e USING (doc_id)
+         |LEFT JOIN near n USING (doc_id)""".stripMargin,
     // q66 deliberately absent: HLL sketches have no engine-portable twin
   )
 }

@@ -55,6 +55,21 @@ object EventStream {
         col("session_window.end").as("session_end"),
         col("user_id"), col("events"))
 
+  /** Exactly-once event dedup under at-least-once delivery: one row per
+    * `event_id` survives no matter how many times the source redelivers.
+    * Streaming frames use `dropDuplicatesWithinWatermark` so the dedup
+    * state is BOUNDED — ids older than the watermark are evicted, the
+    * property that keeps this runnable forever on an unbounded stream
+    * (plain `dropDuplicates` would grow state per-id without limit).
+    * Batch frames (the oracle twin, where redelivery is a union) take the
+    * plain distinct path — watermark semantics don't exist in batch.
+    */
+  def dedupEvents(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    if (events.isStreaming)
+      events.withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark("event_id")
+    else events.dropDuplicates("event_id")
+
   /** Per-user running session state maintained across micro-batches. */
   case class UserSession(userId: Long, events: Long, lastTsMicros: Long)
   case class SessionUpdate(user_id: Long, events: Long, last_ts_micros: Long,

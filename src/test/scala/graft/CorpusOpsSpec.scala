@@ -56,6 +56,64 @@ class CorpusOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(doc1 === Seq("common", "alpha", "beta"))
   }
 
+  test("stream dedup drops redeliveries ACROSS micro-batches (stateful)") {
+    implicit val ctx = spark.sqlContext
+    val in = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(java.sql.Timestamp, Long, String)]
+    val events = in.toDF().toDF("ts", "event_id", "event_type")
+    val q = graft.streaming.EventStream.startToMemory(
+      graft.streaming.EventStream.dedupEvents(events, watermark = "1 hour"),
+      "dedup_out",
+      org.apache.spark.sql.streaming.OutputMode.Append())
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    try {
+      in.addData((t("2022-06-15 10:00:00"), 1L, "click"),
+        (t("2022-06-15 10:00:00"), 1L, "click"), // same-batch dup
+        (t("2022-06-15 10:01:00"), 2L, "view"))
+      q.processAllAvailable()
+      in.addData((t("2022-06-15 10:00:00"), 1L, "click"), // cross-batch dup
+        (t("2022-06-15 10:02:00"), 3L, "click"))
+      q.processAllAvailable()
+      val ids = spark.table("dedup_out").select("event_id")
+        .as[Long].collect().sorted.toSeq
+      assert(ids === Seq(1L, 2L, 3L))
+    } finally q.stop()
+  }
+
+  test("q68 scrub is idempotent and counts match redactions") {
+    val out = CorpusOps.queries("q68_pii_scrub")(spark, sf)
+    val row = out.filter(col("doc_id") === 1).head
+    assert(row.getAs[Long]("n_emails") === 1L)
+    assert(row.getAs[Long]("n_numbers") >= 1L) // the +1... phone digits
+    // idempotence: scrubbing already-scrubbed text changes nothing
+    val scrubbed = Seq("a <EMAIL> b <NUM> c").toDF("t")
+      .select(
+        regexp_replace(regexp_replace(col("t"),
+          "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}", "<EMAIL>"),
+          "[0-9]{7,}", "<NUM>").as("t2"))
+      .head.getString(0)
+    assert(scrubbed === "a <EMAIL> b <NUM> c")
+  }
+
+  test("q69 verdicts: exact beats near; self-pairs impossible across frames") {
+    val out = CorpusOps.queries("q69_incremental_dedup")(spark, sf)
+    val rows = out.collect()
+    // every incoming doc gets exactly one verdict row
+    val incoming = graft.sources.Tables.documents(spark, sf)
+      .filter(col("doc_id") % 10 === 7).count()
+    assert(rows.length.toLong === incoming)
+    rows.foreach { r =>
+      val verdict = r.getAs[String]("verdict")
+      assert(Set("exact", "near", "unique")(verdict))
+      if (verdict == "unique") assert(r.isNullAt(r.fieldIndex("dup_of")))
+      else {
+        // dup_of must come from the corpus side, never the incoming batch
+        assert(r.getAs[Long]("dup_of") % 10 !== 7L)
+      }
+      if (verdict != "near") assert(r.isNullAt(r.fieldIndex("best_jaccard")))
+    }
+  }
+
   test("q64 centroid quantization is order-independent (repartition-stable)") {
     val q = CorpusOps.queries("q64_embedding_centroids")(spark, sf)
     val shuffled = graft.sources.Tables.embeddings(spark, sf)
