@@ -26,6 +26,13 @@ object Bench {
       // until the heaviest query hits memory churn (r4: q49 grew 10->20->42 s
       // across its own runs; stable at ~5 s in isolation).
       .config("spark.cleaner.periodicGC.interval", "30s")
+      // the SQL status store retains metrics for every execution (default
+      // 1000) even with the UI off — ~69 queries x 3 runs x subqueries keeps
+      // thousands of execution graphs on the driver heap by the late
+      // alphabet (r5: q46/q49 ran 2x their isolated time in the full bench)
+      .config("spark.sql.ui.retainedExecutions", "8")
+      .config("spark.ui.retainedJobs", "100")
+      .config("spark.ui.retainedStages", "100")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Untimed warmup: initialize codegen, the vectorized parquet reader, and
@@ -56,8 +63,12 @@ object Bench {
         graft.ext.Caches.releaseAll()
         // untimed: give the ContextCleaner a collected old-gen so the
         // unpersist/broadcast-release above actually frees block-manager
-        // memory before the next timed run, not during it
+        // memory before the next timed run, not during it — and a short
+        // drain window, because the cleaner processes its reference queue
+        // ASYNCHRONOUSLY and would otherwise do its unpersist I/O inside
+        // the next timed region
         System.gc()
+        Thread.sleep(250)
         val t0 = System.nanoTime()
         try {
           fn(spark, sfDir).write.format("noop").mode("overwrite").save()
