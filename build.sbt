@@ -16,6 +16,9 @@ run / fork := true
 // logger's "[info] " prefix made every round's line unparseable
 // (BENCH_r03/r04 "parsed": null).
 run / outputStrategy := Some(StdoutOutput)
+// no "[success] Total time: ..." trailer: graft.Bench's JSON line must be
+// the LAST thing on stdout, inside the driver's tail-sized capture window
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

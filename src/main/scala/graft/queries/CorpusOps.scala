@@ -198,6 +198,70 @@ object CorpusOps extends Catalog {
           when(col("exact_of").isNull, col("best_jaccard")).as("best_jaccard"))
     }),
 
+    // ---- array set algebra over collected day sets -------------------------
+    // per-user behavioral overlap: the days a user clicked vs viewed, as
+    // array_intersect / array_union / array_except over collect_set results.
+    // Arrays are never output raw (the driver's comparator hashes cells):
+    // the intersect list leaves as a sorted comma-joined string.
+    "q70_array_set_ops" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+      def days(t: String, out: String): DataFrame =
+        ev.filter(col("event_type") === t)
+          .groupBy("user_id").agg(collect_set("day").as(out))
+      days("click", "click_days").join(days("view", "view_days"), Seq("user_id"))
+        .select(col("user_id"),
+          size(array_intersect(col("click_days"), col("view_days")))
+            .cast("long").as("n_both"),
+          size(array_union(col("click_days"), col("view_days")))
+            .cast("long").as("n_any"),
+          size(array_except(col("click_days"), col("view_days")))
+            .cast("long").as("n_click_only"),
+          concat_ws(",",
+            array_sort(array_intersect(col("click_days"), col("view_days"))))
+            .as("both_days"))
+    }),
+
+    // ---- calendar gap-fill via a date spine (sequence + explode) -----------
+    // per-user activity span densified to one row per calendar day, then the
+    // inactive days are the spine anti-joined against the active set. The
+    // explode factor is bounded by the calendar (span days), never by |events|,
+    // and the anti join is keyed (user_id, day) — both scale-safe.
+    "q71_calendar_fill" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), to_date(col("ts")).as("day"))
+      val active = ev.distinct()
+      val spine = active.groupBy("user_id")
+        .agg(min("day").as("d0"), max("day").as("d1"))
+        .select(col("user_id"),
+          explode(sequence(col("d0"), col("d1"))).as("day"))
+      val inactive = spine.join(active, Seq("user_id", "day"), "left_anti")
+        .groupBy("user_id").agg(count(lit(1)).as("inactive_days"))
+      active.groupBy("user_id")
+        .agg(count(lit(1)).as("active_days"),
+          (datediff(max("day"), min("day")) + 1).cast("long").as("span_days"))
+        .join(inactive, Seq("user_id"), "left")
+        .withColumn("inactive_days", coalesce(col("inactive_days"), lit(0L)))
+    }),
+
+    // ---- time-RANGE window (peers by value distance, not row count) --------
+    // trailing 1-hour sum per user: RANGE frames bound peers by the ORDER
+    // value, the semantics a ROWS frame (q41's moving sum) cannot express
+    // when event spacing is irregular. Ordered by unix_micros so the frame
+    // arithmetic is exact integers in both engines; the double sum is
+    // scaled-int quantized inside the window (associative, order-safe).
+    "q72_range_window" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("ts_us"))
+        .rangeBetween(-3600000000L, 0L)
+      Tables.events(s, d)
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("ts_us"), col("value"))
+        .withColumn("hour_sum",
+          sum(round(col("value") * 1e6).cast("long")).over(w) / 1e6)
+        .drop("value")
+    }),
+
     // ---- sketch cardinality: HLL++ approx distinct + exact twin ------------
     // rows-only by construction (HLL registers are engine-specific); the
     // spec bounds the relative error < 5% against the exact column.
@@ -266,6 +330,48 @@ object CorpusOps extends Catalog {
          |  ${XDet.moneySumSql("c_acctbal", 2)} AS balance
          |FROM customer JOIN nation ON c_nationkey = n_nationkey
          |GROUP BY 1""".stripMargin,
+
+    "q70_array_set_ops" ->
+      """WITH e AS (SELECT user_id, event_type,
+        |  strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day FROM events),
+        |a AS (SELECT user_id, list_distinct(list(day)) AS cd FROM e
+        |      WHERE event_type = 'click' GROUP BY 1),
+        |b AS (SELECT user_id, list_distinct(list(day)) AS vd FROM e
+        |      WHERE event_type = 'view' GROUP BY 1)
+        |SELECT user_id,
+        |  CAST(len(list_intersect(cd, vd)) AS BIGINT) AS n_both,
+        |  CAST(len(list_distinct(list_concat(cd, vd))) AS BIGINT) AS n_any,
+        |  CAST(len(list_filter(cd, x -> NOT list_contains(vd, x)))
+        |    AS BIGINT) AS n_click_only,
+        |  coalesce(array_to_string(list_sort(list_intersect(cd, vd)), ','),
+        |    '') AS both_days
+        |FROM a JOIN b USING (user_id)""".stripMargin,
+
+    "q71_calendar_fill" ->
+      """WITH a AS (SELECT DISTINCT user_id,
+        |  CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day FROM events),
+        |sp AS (SELECT user_id,
+        |  CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+        |  FROM (SELECT user_id, min(day) AS d0, max(day) AS d1
+        |        FROM a GROUP BY 1)),
+        |inact AS (SELECT s.user_id, count(*) AS n FROM sp s
+        |          LEFT JOIN a ON a.user_id = s.user_id AND a.day = s.day
+        |          WHERE a.day IS NULL GROUP BY 1),
+        |act AS (SELECT user_id, count(*) AS active_days,
+        |          date_diff('day', min(day), max(day)) + 1 AS span_days
+        |        FROM a GROUP BY 1)
+        |SELECT user_id, CAST(active_days AS BIGINT) AS active_days,
+        |  CAST(span_days AS BIGINT) AS span_days,
+        |  CAST(coalesce(n, 0) AS BIGINT) AS inactive_days
+        |FROM act LEFT JOIN inact USING (user_id)""".stripMargin,
+
+    "q72_range_window" ->
+      """SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+        |  sum(CAST(round(value*1e6) AS BIGINT)) OVER (
+        |    PARTITION BY user_id ORDER BY epoch_us(CAST(ts AS TIMESTAMP))
+        |    RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)/1e6
+        |    AS hour_sum
+        |FROM events""".stripMargin,
 
     // redelivered rows are identical copies, so exactly-once dedup over the
     // self-union is DISTINCT over the original
