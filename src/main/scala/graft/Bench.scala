@@ -106,8 +106,12 @@ object Bench {
         val bd = BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP)
         if (bd.signum == 0) "0" else bd.underlying.stripTrailingZeros.toPlainString
       }
-    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + r2(v) }
-      .mkString("{", ",", "}")
+    def r1(v: Double): String =
+      if (v < 0) "-1"
+      else {
+        val bd = BigDecimal(v).setScale(1, BigDecimal.RoundingMode.HALF_UP)
+        if (bd.signum == 0) "0" else bd.underlying.stripTrailingZeros.toPlainString
+      }
     val raw = results.map { case (k, _, ts) =>
       s"\"" + k + "\":" + ts.map(r3).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
@@ -116,7 +120,15 @@ object Bench {
     // full per-run detail for humans, on stderr so it can't shadow the line
     System.err.println(s"""[bench-runs] {"runs":$raw,"runs_per_query":$runs,"agg":"median","sf":"$sfDir"}""")
     val sfName = new java.io.File(sfDir).getName
-    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfName"}"""
+    def mkLine(fmt: Double => String): String = {
+      val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + fmt(v) }
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfName"}"""
+    }
+    // hard length guard: the line must fit a ~2000-char tail capture or the
+    // round records "parsed": null. 2-decimal values normally fit; a round
+    // with many 10s+ medians or several failure names gets 1-decimal values
+    val line = { val l2 = mkLine(r2); if (l2.length <= 1900) l2 else mkLine(r1) }
     try spark.stop()
     finally println(line)
     if (failed.nonEmpty) sys.exit(1)

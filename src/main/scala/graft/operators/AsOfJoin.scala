@@ -25,7 +25,10 @@ import org.apache.spark.sql.functions._
   * Contract: `right` must be unique per (`keys`, `rightTs`) — pre-aggregate
   * it otherwise (two right rows at the identical timestamp have no "latest"
   * and would be picked by partition order). Left rows with a NULL timestamp
-  * sort before every right row and emit NULL payloads. A NULL in a right
+  * sort before every right row and emit NULL payloads; right rows with a
+  * NULL timestamp are dropped (they satisfy no `rightTs <= leftTs`).
+  * Payload names (and their `prefix`ed forms) must not collide with left
+  * columns — enforced by `require`. A NULL in a right
   * payload column reads as "no value here" — the fill skips it and carries
   * the previous non-null (coalesce payloads on the right side first if NULL
   * must be a real value).
@@ -41,14 +44,34 @@ object AsOfJoin {
                prefix: String = "asof_"): DataFrame = {
     require(payload.nonEmpty, "as-of join with no payload columns")
     val leftCols = left.columns.toSeq
+    // name-collision guards: a payload name already on the left would give
+    // the union schema duplicate columns, and an existing `prefix+payload`
+    // column would be silently overwritten by the fill — both corrupt
+    // output with no error (e.g. re-running backward() on its own output).
+    payload.foreach { p =>
+      require(!leftCols.contains(p),
+        s"payload column '$p' already exists on the left side")
+      require(!leftCols.contains(prefix + p),
+        s"output column '$prefix$p' already exists on the left side")
+    }
+    (Seq("__t", "__side") ++ payload.map(prefix + _)).foreach { c =>
+      require(!keys.contains(c), s"key column '$c' collides with internals")
+    }
     // the union schema: keys ++ __t ++ __side ++ left-only cols ++ payload
     val leftOnly = leftCols.filterNot(c => keys.contains(c) || c == leftTs)
+    require(!leftOnly.contains("__t") && !leftOnly.contains("__side"),
+      "left columns '__t'/'__side' collide with as-of internals")
     val lSide = left.select(
       keys.map(col) ++
         Seq(col(leftTs).as("__t"), lit(1).as("__side")) ++
         leftOnly.map(col) ++
         payload.map(p => lit(null).as(p)): _*)
-    val rSide = right.select(
+    // a right row with a NULL timestamp satisfies no `rightTs <= leftTs`
+    // predicate — but unfiltered it would sort FIRST (nulls-first, side 0)
+    // and its payload would forward-fill as the "earliest known" value,
+    // fabricating matches the theta-join semantics (and DuckDB ASOF JOIN)
+    // would drop
+    val rSide = right.filter(col(rightTs).isNotNull).select(
       keys.map(col) ++
         Seq(col(rightTs).as("__t"), lit(0).as("__side")) ++
         leftOnly.map(c => lit(null).as(c)) ++

@@ -73,6 +73,15 @@ object ConnectedComponents {
       converged = nextSum.compareTo(prevSum) == 0
       prevSum = nextSum
     }
+    // partially-propagated labels are silently WRONG answers (one component
+    // reported as several): refuse rather than return them. maxIters is a
+    // runaway bound, not an output mode — rounds needed = graph diameter,
+    // so hitting 30 means the input is not the near-clique dedup shape this
+    // operator documents (use a large-star/small-star variant there).
+    if (!converged)
+      throw new IllegalStateException(
+        s"connected components did not converge in $maxIters rounds — " +
+          "graph diameter exceeds maxIters; labels would be wrong")
     labels
   }
 }

@@ -61,19 +61,16 @@ final class TopKBuffer(val k: Int) {
     }
   }
 
-  /** best-first (score desc, id asc) — destroys the heap */
+  /** best-first (score desc, id asc). Sorts a COPY — the heap arrays are
+    * left untouched, because eval() may run repeatedly against a LIVE
+    * buffer (running window frames call update+eval per row), and an
+    * in-place heap-sort-then-restore-size would leave duplicated worst
+    * elements behind for every subsequent update/eval.
+    */
   def sortedPairs(): Array[(Double, Long)] = {
-    val out = Array.ofDim[(Double, Long)](size)
-    var n = size
-    while (n > 0) {
-      out(n - 1) = (scores(0), ids(0)) // root = worst remaining
-      n -= 1
-      scores(0) = scores(n); ids(0) = ids(n)
-      size = n
-      siftDown(0)
-    }
-    size = out.length
-    out
+    val out = Array.tabulate(size)(i => (scores(i), ids(i)))
+    // same total order as `worse`: higher score first, ties to lower id
+    out.sortWith((a, b) => a._1 > b._1 || (a._1 == b._1 && a._2 < b._2))
   }
 }
 

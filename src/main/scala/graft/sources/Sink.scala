@@ -37,6 +37,10 @@ object Sink {
     keyed
       .sortWithinPartitions((partitionCol +: sortCols).map(col): _*)
       .write.partitionBy(partitionCol)
+      // dynamic: overwrite ONLY the partition values present in df. The
+      // default (static) mode truncates the whole `path` first — a daily
+      // incremental writer would destroy every prior day's partition.
+      .option("partitionOverwriteMode", "dynamic")
       .mode("overwrite").parquet(path)
   }
 }

@@ -48,6 +48,29 @@ class AsOfJoinSpec extends AnyFunSuite with SparkTestBase {
     assert(shuffles === 1, plan)
   }
 
+  test("right rows with NULL timestamps are dropped, not forward-filled") {
+    // unfiltered, a NULL-ts right row sorts FIRST (nulls-first, side 0) and
+    // its payload would fabricate an "earliest known" match
+    val rNull = Seq((3L, None: Option[String], 999.0),
+      (1L, Some("2024-01-01 09:30:00"), 100.0))
+      .toDF("k", "ts", "v").withColumn("ts", to_timestamp(col("ts")))
+    val out = AsOfJoin.backward(left, rNull, Seq("k"), "ts", "ts", Seq("v"))
+      .select("ev", "asof_v").as[(Long, Option[Double])].collect().toMap
+    assert(out(30L) === None) // key 3's only right row has NULL ts
+    assert(out(10L) === Some(100.0))
+  }
+
+  test("name collisions with left columns are refused, not silently merged") {
+    intercept[IllegalArgumentException] {
+      AsOfJoin.backward(left.withColumn("asof_v", lit(1)), right,
+        Seq("k"), "ts", "ts", Seq("v"))
+    }
+    intercept[IllegalArgumentException] {
+      AsOfJoin.backward(left.withColumn("v", lit(1)), right,
+        Seq("k"), "ts", "ts", Seq("v"))
+    }
+  }
+
   test("matches the naive window-over-theta-join formulation on a big fixture") {
     // deterministic pseudo-random fixture: 40 keys, 2000 left, 400 right
     val l = spark.range(2000).select(
@@ -99,6 +122,13 @@ class ConnectedComponentsSpec extends AnyFunSuite with SparkTestBase {
   test("duplicate and reversed edges change nothing") {
     val comp = components(Seq((1L, 2L), (2L, 1L), (1L, 2L), (2L, 3L)))
     assert(comp === Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("refuses to return partially-propagated labels at the iteration cap") {
+    val chain = (1L to 7L).map(i => (i, i + 1)) // diameter 7 > 2 rounds
+    intercept[IllegalStateException] {
+      ConnectedComponents.run(chain.toDF("a", "b"), "a", "b", maxIters = 2)
+    }
   }
 }
 
@@ -184,6 +214,39 @@ class TopKByAggregateSpec extends AnyFunSuite with SparkTestBase {
       .select(explode(col("top"))).select("col.score", "col.id")
       .as[(Double, Long)].collect().toSeq
     assert(got === Seq((9.0, 11L), (5.0, 7L), (5.0, 10L)))
+  }
+
+  test("sortedPairs leaves the buffer intact (eval on a LIVE buffer)") {
+    // running window frames call update+eval per row on ONE buffer; an
+    // in-place heap sort would leave duplicated worst elements behind
+    val b = new graft.plans.TopKBuffer(3)
+    b.add(5.0, 1L); b.add(9.0, 2L); b.add(7.0, 3L)
+    assert(b.sortedPairs().toSeq === Seq((9.0, 2L), (7.0, 3L), (5.0, 1L)))
+    // second eval on the same state must agree
+    assert(b.sortedPairs().toSeq === Seq((9.0, 2L), (7.0, 3L), (5.0, 1L)))
+    // further updates after an eval must still displace the true worst
+    b.add(8.0, 4L)
+    assert(b.sortedPairs().toSeq === Seq((9.0, 2L), (8.0, 4L), (7.0, 3L)))
+  }
+
+  test("running-window use (update+eval per row) stays correct") {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("g").orderBy(col("i"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    // the final row of each group has seen the whole group: its running
+    // top-k must equal the plain aggregate's
+    val lastRow = fixture
+      .withColumn("top", topkBy(col("s"), col("i"), 5).over(w))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("g")
+          .orderBy(col("i").desc)))
+      .filter(col("rn") === 1)
+      .select(col("g"), posexplode(col("top")))
+      .select(col("g"), (col("pos") + 1).cast("long").as("rnk"),
+        col("col.score").as("s"), col("col.id").as("i"))
+    val w5 = windowForm(5)
+    assert(lastRow.exceptAll(w5).isEmpty && w5.exceptAll(lastRow).isEmpty)
   }
 
   test("NULL scores and ids are skipped, like NULLS LAST beyond finite k") {

@@ -18,13 +18,15 @@ class CorpusOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(!plan.contains("SortMergeJoin"), plan)
   }
 
-  test("q66 HLL approx distinct within 5% of exact per group") {
+  test("q66 HLL approx distinct within 15% (3x default rsd) of exact") {
     val rows = CorpusOps.queries("q66_approx_distinct")(spark, sf)
       .select("event_type", "approx_users", "exact_users").collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
       val (approx, exact) = (r.getLong(1).toDouble, r.getLong(2).toDouble)
-      assert(math.abs(approx - exact) / exact < 0.05,
+      // approx_count_distinct's default rsd IS 5% — a bound equal to one
+      // sigma would fail legitimately on fresh data; 3 sigma is the test
+      assert(math.abs(approx - exact) / exact < 0.15,
         s"${r.getString(0)}: approx=$approx exact=$exact")
     }
   }
