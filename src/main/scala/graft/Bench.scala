@@ -126,9 +126,11 @@ object Bench {
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfName"}"""
     }
     // hard length guard: the line must fit a ~2000-char tail capture or the
-    // round records "parsed": null. 2-decimal values normally fit; a round
-    // with many 10s+ medians or several failure names gets 1-decimal values
-    val line = { val l2 = mkLine(r2); if (l2.length <= 1900) l2 else mkLine(r1) }
+    // round records "parsed": null. Nothing prints after this line
+    // (build.sbt sets showSuccess := false), so the budget really is
+    // ~2000; 2-decimal values normally fit, and a round with many 10s+
+    // medians or several failure names degrades to 1-decimal values
+    val line = { val l2 = mkLine(r2); if (l2.length <= 1980) l2 else mkLine(r1) }
     try spark.stop()
     finally println(line)
     if (failed.nonEmpty) sys.exit(1)

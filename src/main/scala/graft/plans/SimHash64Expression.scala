@@ -118,8 +118,31 @@ object GraftExtensions {
     new ExpressionInfo(classOf[SimHash64Expression].getName, "graft_simhash64"),
     (args: Seq[Expression]) => SimHash64Expression(args.head): Expression)
 
-  /** Register `graft_simhash64` on an already-running session. */
+  private val fnvFunction = (
+    new FunctionIdentifier("graft_fnv1a64"),
+    new ExpressionInfo(classOf[Fnv1a64Expression].getName, "graft_fnv1a64"),
+    (args: Seq[Expression]) => Fnv1a64Expression(args): Expression)
+
+  private val topkFunction = (
+    new FunctionIdentifier("graft_topk_by"),
+    new ExpressionInfo(classOf[TopKByAggregate].getName, "graft_topk_by"),
+    (args: Seq[Expression]) => {
+      require(args.length == 3, "graft_topk_by(score, id, k)")
+      val k = args(2) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+        case other => throw new IllegalArgumentException(
+          s"graft_topk_by k must be an integer literal, got $other")
+      }
+      TopKByAggregate(args(0), args(1), k).toAggregateExpression(): Expression
+    })
+
+  /** Register every graft SQL function (`graft_simhash64`, `graft_fnv1a64`,
+    * `graft_topk_by`) on an already-running session — the
+    * SparkSessionExtensions surface that makes the native expressions
+    * reachable from `spark.sql(...)` text, not just the Column API.
+    */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    ColumnBridge.registerFunction(spark, simhashFunction._1,
-      simhashFunction._2, simhashFunction._3)
+    Seq(simhashFunction, fnvFunction, topkFunction).foreach { f =>
+      ColumnBridge.registerFunction(spark, f._1, f._2, f._3)
+    }
 }

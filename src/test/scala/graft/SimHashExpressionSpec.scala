@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.ext.Dedup
@@ -53,5 +54,26 @@ class SimHashExpressionSpec extends AnyFunSuite with SparkTestBase {
       .select(graft.plans.SimHash64Expression.simhash64($"t"))
       .as[Long].head()
     assert(viaSql === viaApi)
+  }
+
+  test("graft_fnv1a64 and graft_topk_by are callable from SQL") {
+    GraftExtensions.register(spark)
+    val viaSql = spark.sql("SELECT graft_fnv1a64('abc') AS h")
+      .collect().head.getLong(0)
+    val viaApi = Seq(Tuple1("abc")).toDF("t")
+      .select(graft.plans.Fnv1a64Expression.fnv1a64($"t")).as[Long].head()
+    assert(viaSql === viaApi)
+    spark.range(100)
+      .select((col("id") % 5).as("g"),
+        (col("id") * 7 % 31).cast("double").as("s"), col("id").as("i"))
+      .createOrReplaceTempView("topk_in")
+    val top = spark.sql(
+      """SELECT g, graft_topk_by(s, i, 2) AS top FROM topk_in GROUP BY g""")
+      .select(col("g"), explode(col("top")))
+      .select("g", "col.score", "col.id").as[(Long, Double, Long)]
+      .collect().toSet
+    // group 0: scores id*7%31 over ids 0,5,..95 — spot-check contract holds
+    assert(top.size === 10) // 5 groups x k=2
+    assert(top.groupBy(_._1).forall(_._2.size == 2))
   }
 }
