@@ -128,4 +128,36 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(pairs.contains((1L, 2L)))
   }
+
+  test("crossJaccardPairs: cross-frame only, guard counts full intersection") {
+    // incoming 101 is a near-dup of corpus 3 (one word changed); incoming
+    // 102 matches nothing; corpus docs 3 and 4 are near-dups of EACH OTHER
+    // but must never pair (corpus is not self-joined)
+    val incoming = Seq(
+      (101L, "a stitch in time saves nine and a rolling stone gathers no moss at last"),
+      (102L, "entirely novel text with no overlap whatsoever to the corpus body")
+    ).toDF("doc_id", "text")
+    val corpus = docs.filter($"doc_id" =!= 1L) // keep 2,3,4,5,6
+    val shA = Dedup.wordShingles(incoming, "doc_id", "text", 3)
+    val shB = Dedup.wordShingles(corpus, "doc_id", "text", 3)
+    val unguarded = Dedup.crossJaccardPairs(shA, shB, "doc_id",
+      minJaccard = 0.3)
+    val got = unguarded.select("id_a", "id_b").as[(Long, Long)]
+      .collect().toSet
+    assert(got.forall { case (a, b) => a >= 100L && b < 100L },
+      s"corpus or incoming self-pair leaked: $got")
+    assert(got.contains((101L, 3L)) && got.contains((101L, 4L)))
+    assert(!got.exists(_._1 == 102L))
+    // the df guard drops hot shingles from candidate GENERATION but the
+    // reported intersection still counts them: jaccard values must equal
+    // the unguarded run's for every surviving pair
+    val guarded = Dedup.crossJaccardPairs(shA, shB, "doc_id",
+      minJaccard = 0.3, maxShingleDf = 2L)
+    val jU = unguarded.select("id_a", "id_b", "inter", "jaccard")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    val jG = guarded.select("id_a", "id_b", "inter", "jaccard")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(jG.subsetOf(jU), s"guarded produced different values: $jG vs $jU")
+    assert(jG.exists(_._1 == 101L)) // guard did not kill the real pair
+  }
 }
