@@ -314,6 +314,30 @@ object DataPipelineQueries extends Catalog {
           (col("doc_id") === col("canonical_id")).cast("int"))
         .drop("component")
     }),
+
+    // ---- capstone: the composed curation pipeline --------------------------
+    // dedup keep-verdict (X33) -> deterministic hash split (X29) -> per-split
+    // corpus stats: the end product a training-data pipeline actually emits.
+    // Every stage is the already-oracle-checked operator; this entry pins
+    // their COMPOSITION end-to-end (q46/q48/q49 do the same for the three
+    // reference jobs).
+    "q73_curation_pipeline" -> ((s, d) => {
+      import graft.plans.Fnv1a64Expression.fnv1a64
+      val docs = Tables.documents(s, d)
+      val pairs = Dedup.jaccardPairs(docs, "doc_id", "text",
+          n = 3, minJaccard = 0.1, maxShingleDf = 5L)
+        .select(col("id_a"), col("id_b"))
+      val comp = graft.operators.ConnectedComponents.run(pairs, "id_a", "id_b")
+        .withColumnRenamed("id", "doc_id")
+      val kept = docs.join(comp, Seq("doc_id"), "left")
+        .filter(col("component").isNull || col("component") === col("doc_id"))
+      val bucket = pmod(fnv1a64(col("doc_id")), lit(100L))
+      kept
+        .withColumn("split", when(bucket < 80, "train")
+          .when(bucket < 90, "val").otherwise("test"))
+        .groupBy("split", "lang")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"))
+    }),
   )
 
   override def oracles: Map[String, String] = Map(
@@ -384,6 +408,38 @@ object DataPipelineQueries extends Catalog {
          |  CASE WHEN d.doc_id = coalesce(comp.component, d.doc_id)
          |       THEN 1 ELSE 0 END AS kept
          |FROM documents d LEFT JOIN comp ON comp.id = d.doc_id""".stripMargin,
+
+    // the composition oracle: q59's transitive-closure keep set, q55's FNV
+    // bucket arithmetic, one final rollup
+    "q73_curation_pipeline" -> {
+      import graft.plans.Fnv1a64Expression.{longSqlText, toSignedSqlText}
+      val fnv = toSignedSqlText(
+        longSqlText("14695981039346656037::HUGEINT", "doc_id::HUGEINT"))
+      s"""WITH RECURSIVE $jaccardCtes,
+         |pairs AS (SELECT id_a, id_b FROM inter
+         |          JOIN sizes na ON id_a = na.doc_id
+         |          JOIN sizes nb ON id_b = nb.doc_id
+         |          WHERE CAST(inter AS DOUBLE)/(na.n_sh + nb.n_sh - inter)
+         |            >= 0.1),
+         |edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+         |          UNION SELECT id_b, id_a FROM pairs),
+         |verts AS (SELECT DISTINCT u AS id FROM edges),
+         |reach(id, r) AS (
+         |  SELECT id, id FROM verts
+         |  UNION
+         |  SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.id),
+         |comp AS (SELECT id, min(r) AS component FROM reach GROUP BY 1),
+         |kept AS (SELECT d.* FROM documents d
+         |         LEFT JOIN comp ON comp.id = d.doc_id
+         |         WHERE comp.component IS NULL
+         |            OR comp.component = d.doc_id)
+         |SELECT CASE WHEN ((($fnv) % 100) + 100) % 100 < 80 THEN 'train'
+         |            WHEN ((($fnv) % 100) + 100) % 100 < 90 THEN 'val'
+         |            ELSE 'test' END AS split,
+         |  lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+         |FROM kept GROUP BY 1, 2""".stripMargin
+    },
 
     // full portable-hash oracle: FNV-1a 64 signatures (HUGEINT mod-2^64
     // arithmetic, bit-identical to graft.plans.Fnv1a64Expression), banded on
