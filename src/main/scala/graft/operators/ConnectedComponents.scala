@@ -9,22 +9,35 @@ import org.apache.spark.sql.functions._
   * components of the pair graph, and the canonical survivor is each
   * component's minimum id.
   *
-  * Algorithm: iterative min-label propagation. Every vertex starts labeled
-  * with its own id; each round every vertex takes the min of its own label
-  * and its neighbors' labels; fixpoint when a round changes nothing. Rounds
-  * needed = the graph diameter. For dedup graphs that is small — duplicate
-  * clusters are dense (a template shared by k docs is a near-clique, diameter
-  * ~2) — so the pathological long-chain case (where large-star/small-star
-  * alternation [Kiveris et al., "Connected Components in MapReduce", SoCC'14]
-  * drops rounds to O(log n)) is deliberately not paid for here.
+  * Algorithm: large-star / small-star alternation (Kiveris et al.,
+  * "Connected Components in MapReduce and Beyond", SoCC'14). Each round
+  * applies two edge-rewriting operations:
   *
-  * Scale shape (the 100 TB contract): each round is one equi-join
-  * (edges ⋈ labels, shuffled on vertex id) plus one min-aggregate — no
-  * all-pairs step, no driver-side data. The per-round convergence check is a
-  * scalar `count()` (an aggregate, not a collect). `localCheckpoint`
-  * truncates lineage each round so the plan stays O(1) deep instead of
-  * growing by two joins per iteration; the checkpoint blocks are freed by the
-  * ContextCleaner once the next round's checkpoint supersedes them.
+  *   - large-star(u): let m = min(Γ(u) ∪ {u}); replace every edge to a
+  *     STRICTLY LARGER neighbor v with (v, m) — large nodes get re-hung off
+  *     the local minimum, halving long chains,
+  *   - small-star(u): over (big → small)-oriented edges, let m = min of u's
+  *     smaller neighbors; re-hang those neighbors AND u itself off m —
+  *     collapsing shallow trees into stars.
+  *
+  * The edge set converges to a disjoint union of stars rooted at each
+  * component's minimum id in O(log n) rounds on ANY graph — including the
+  * pathological chain shapes (boilerplate with incremental counters) that
+  * make plain min-label propagation need diameter-many rounds. A dense
+  * near-clique dedup cluster still converges in ~2 rounds, so the common
+  * case pays nothing for the worst-case guarantee.
+  *
+  * Scale shape (the 100 TB contract): each round is two groupBy-min
+  * aggregates plus two self-equi-joins on vertex id — no all-pairs step, no
+  * driver-side data; intermediate edge sets are `distinct`-bounded by the
+  * current edge count. The per-round convergence check is one scalar
+  * aggregate (count + order-independent xxhash64 checksum — an agg, not a
+  * collect). `localCheckpoint` truncates lineage each round so the plan
+  * stays O(1) deep instead of growing by four joins per iteration; the
+  * checkpoint blocks are freed by the ContextCleaner once superseded.
+  * Convergence telemetry (rounds, final star-edge count) is logged to
+  * stderr per invocation so benchmark rounds expose diameter drift in the
+  * corpus instead of discovering it via a timeout.
   */
 object ConnectedComponents {
 
@@ -33,55 +46,102 @@ object ConnectedComponents {
     * undirected; self-loops and duplicate edges are harmless.
     */
   def run(edges: DataFrame, src: String, dst: String,
-          maxIters: Int = 30): DataFrame = {
-    // symmetrized adjacency, hash-partitioned on the join key BEFORE the
-    // checkpoint: every round's edges-join needs hashpartitioning(u), and a
-    // checkpoint pinned in distinct()'s (u, v) partitioning would re-shuffle
-    // the full edge list EVERY round — the dominant per-round cost at scale.
-    // Partitioned once here, each round only shuffles the (small) label frame.
-    val sym = edges.select(col(src).as("u"), col(dst).as("v"))
-      .unionByName(edges.select(col(dst).as("u"), col(src).as("v")))
+          maxIters: Int = 30): DataFrame =
+    runCounted(edges, src, dst, maxIters)._1
+
+  /** As [[run]], additionally returning the number of large+small-star
+    * rounds executed until the edge-set fixpoint (telemetry / specs).
+    */
+  def runCounted(edges: DataFrame, src: String, dst: String,
+                 maxIters: Int = 30): (DataFrame, Int) = {
+    // every vertex mentioned anywhere in the input, pinned once: the star
+    // fixpoint drops isolated vertices (self-loops, singletons), which must
+    // still appear in the output labeled as their own component
+    val vertices = edges.select(col(src).as("id"))
+      .unionByName(edges.select(col(dst).as("id")))
       .distinct()
-      .repartition(col("u"))
-      .localCheckpoint(true) // reused every round: pin, cut source lineage
-    var labels = sym.select(col("u").as("id")).distinct()
-      .withColumn("component", col("id"))
       .localCheckpoint(true)
-    // labels only ever decrease, so Σcomponent strictly decreases until the
-    // fixpoint: one DECIMAL(38) aggregate per round replaces a join-against-
-    // previous change count (half the convergence-check cost per round).
-    // DECIMAL because a BIGINT sum of 64-bit ids can overflow silently.
-    def labelSum(df: DataFrame): java.math.BigDecimal =
-      Option(df.agg(sum(col("component").cast("decimal(38,0)")))
-        .head.getDecimal(0)) // null on an empty vertex set
-        .map(_.stripTrailingZeros).getOrElse(java.math.BigDecimal.ZERO)
-    var prevSum = labelSum(labels)
+
+    // canonical (u > v) orientation — small-star's contract — self-loops out
+    var e = edges.select(
+        greatest(col(src), col(dst)).as("u"),
+        least(col(src), col(dst)).as("v"))
+      .where(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint(true)
+
+    // order-independent fingerprint of the edge set: fixpoint when a full
+    // large+small-star round leaves (count, Σ xxhash64(u,v)) unchanged.
+    // DECIMAL(38) because a BIGINT sum of 64-bit hashes overflows silently;
+    // a colliding non-equal set would terminate one round early — with a
+    // 2^-64-per-round probability that is not a practical failure mode.
+    def fingerprint(df: DataFrame): (Long, java.math.BigDecimal) = {
+      val r = df.agg(
+        count(lit(1)),
+        sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)"))).head
+      (r.getLong(0),
+        Option(r.getDecimal(1)).getOrElse(java.math.BigDecimal.ZERO))
+    }
+
+    // large-star: m = min(Γ(u) ∪ {u}); every strictly-larger neighbor v of
+    // u is re-hung as (v, m). Output stays (bigger, smaller)-oriented
+    // because v > u ≥ m. Symmetrization is a projection union, not a
+    // shuffle; the shuffles are the groupBy(u) min and the join back.
+    def largeStar(in: DataFrame): DataFrame = {
+      val sym = in.unionByName(in.select(col("v").as("u"), col("u").as("v")))
+      val mins = sym.groupBy("u").agg(min("v").as("mv"))
+        .select(col("u"), least(col("mv"), col("u")).as("m"))
+      sym.join(mins, "u")
+        .where(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .distinct()
+    }
+
+    // small-star: over (u > v)-oriented edges, m = min of u's smaller
+    // neighbors; re-hang each smaller neighbor and u itself off m. The
+    // (m, m) self-edge the relabel produces is filtered.
+    def smallStar(in: DataFrame): DataFrame = {
+      val mins = in.groupBy("u").agg(min("v").as("m"))
+      in.join(mins, "u")
+        .select(col("v").as("u"), col("m").as("v"))
+        .unionByName(mins.select(col("u"), col("m").as("v")))
+        .where(col("u") =!= col("v"))
+        .distinct()
+    }
+
+    var (prevCnt, prevSum) = fingerprint(e)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIters) {
-      // push every vertex's current label to each neighbor, then fold the
-      // incoming labels into the vertex's own with a single min-aggregate
-      val incoming = sym
-        .join(labels.withColumnRenamed("id", "u"), Seq("u"))
-        .select(col("v").as("id"), col("component"))
-      val next = labels.unionByName(incoming)
-        .groupBy("id").agg(min("component").as("component"))
-        .localCheckpoint(true)
-      val nextSum = labelSum(next)
-      labels = next
+      val next = smallStar(largeStar(e)).localCheckpoint(true)
+      val (cnt, sm) = fingerprint(next)
+      converged = cnt == prevCnt && sm.compareTo(prevSum) == 0
+      e = next
+      prevCnt = cnt
+      prevSum = sm
       iter += 1
-      converged = nextSum.compareTo(prevSum) == 0
-      prevSum = nextSum
     }
-    // partially-propagated labels are silently WRONG answers (one component
-    // reported as several): refuse rather than return them. maxIters is a
-    // runaway bound, not an output mode — rounds needed = graph diameter,
-    // so hitting 30 means the input is not the near-clique dedup shape this
-    // operator documents (use a large-star/small-star variant there).
+    // an unconverged edge set yields silently WRONG labels (one component
+    // reported as several): refuse rather than return them. With O(log n)
+    // convergence, 30 rounds covers any physically storable graph — hitting
+    // the cap means a bug, not a big input.
     if (!converged)
       throw new IllegalStateException(
-        s"connected components did not converge in $maxIters rounds — " +
-          "graph diameter exceeds maxIters; labels would be wrong")
-    labels
+        s"connected components did not converge in $maxIters " +
+          "large/small-star rounds — this should be impossible for any " +
+          "real graph (O(log n) bound); suspect non-deterministic input")
+    System.err.println(
+      s"[graft] ConnectedComponents: converged in $iter rounds " +
+        s"($prevCnt star edges)")
+
+    // fixpoint edges are stars (non-root → component root); the defensive
+    // groupBy-min costs one aggregate and guarantees one row per vertex
+    // even if a future edit perturbs the fixpoint shape
+    val roots = e.select(col("u").as("id"), col("v").as("component"))
+      .groupBy("id").agg(min("component").as("component"))
+    val labels = vertices.join(roots, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("component"), col("id")).as("component"))
+    (labels, iter)
   }
 }

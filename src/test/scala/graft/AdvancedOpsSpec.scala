@@ -125,10 +125,42 @@ class ConnectedComponentsSpec extends AnyFunSuite with SparkTestBase {
   }
 
   test("refuses to return partially-propagated labels at the iteration cap") {
-    val chain = (1L to 7L).map(i => (i, i + 1)) // diameter 7 > 2 rounds
+    // an 8-vertex chain needs ~4 large/small-star rounds (incl. the
+    // fixpoint-confirming one); capping at 2 must refuse, not mislabel
+    val chain = (1L to 7L).map(i => (i, i + 1))
     intercept[IllegalStateException] {
       ConnectedComponents.run(chain.toDF("a", "b"), "a", "b", maxIters = 2)
     }
+  }
+
+  test("a 120-vertex chain converges in O(log n) rounds, not O(diameter)") {
+    // the shape that kills plain min-label propagation: one chain-shaped
+    // artifact (boilerplate with incremental counters) in a 100 TB dedup
+    // graph. Large/small-star must label it correctly in ~log2(n) rounds.
+    val chain = (1L to 119L).map(i => (i, i + 1))
+    val (labels, rounds) =
+      ConnectedComponents.runCounted(chain.toDF("a", "b"), "a", "b")
+    val comp = labels.as[(Long, Long)].collect().toMap
+    assert(comp.keySet === (1L to 120L).toSet)
+    assert(comp.values.toSet === Set(1L))
+    assert(rounds <= 10, s"expected O(log n) convergence, took $rounds rounds")
+  }
+
+  test("star fixpoint handles merged clusters and preserves singletons") {
+    // two chains bridged by one edge + a self-loop singleton + an isolated
+    // pair — exercises re-rooting across the bridge and the left-join that
+    // restores star-dropped vertices
+    val edges = Seq(
+      (10L, 11L), (11L, 12L), (12L, 13L),
+      (20L, 21L), (21L, 22L),
+      (13L, 20L), // bridge: both chains are one component rooted at 10
+      (40L, 40L), // self-loop singleton
+      (50L, 51L))
+    val comp = components(edges)
+    assert((10L to 13L).forall(comp(_) === 10L))
+    assert((20L to 22L).forall(comp(_) === 10L))
+    assert(comp(40L) === 40L)
+    assert(comp(50L) === 50L && comp(51L) === 50L)
   }
 }
 
