@@ -120,17 +120,65 @@ object Bench {
     // full per-run detail for humans, on stderr so it can't shadow the line
     System.err.println(s"""[bench-runs] {"runs":$raw,"runs_per_query":$runs,"agg":"median","sf":"$sfDir"}""")
     val sfName = new java.io.File(sfDir).getName
-    def mkLine(fmt: Double => String): String = {
-      val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + fmt(v) }
-        .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfName"}"""
+    // full-precision report (full names, 3-decimal medians, all raw runs)
+    // goes to a FILE so the tail-line budget never constrains precision:
+    // SPARK_GRAFT_BENCH_OUT if set, else bench_full.json in the CWD
+    val fullJson = {
+      val qs = results.map { case (k, v, ts) =>
+        "\"" + k + "\":{\"median\":" + r3(v) + ",\"runs\":" +
+          ts.map(r3).mkString("[", ",", "]") + "}"
+      }.mkString("{", ",", "}")
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"errors":$errs,"runs_per_query":$runs,"agg":"median","sf":"$sfName"}"""
     }
-    // hard length guard: the line must fit a ~2000-char tail capture or the
-    // round records "parsed": null. Nothing prints after this line
-    // (build.sbt sets showSuccess := false), so the budget really is
-    // ~2000; 2-decimal values normally fit, and a round with many 10s+
-    // medians or several failure names degrades to 1-decimal values
-    val line = { val l2 = mkLine(r2); if (l2.length <= 1980) l2 else mkLine(r1) }
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json")
+    try {
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(outPath), fullJson.getBytes("UTF-8"))
+      System.err.println(s"[bench] full-precision report written to $outPath")
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $outPath: $e")
+    }
+    // tail-line keys are the catalog names truncated at the first '_'
+    // ("q24_grid_nearest" -> "q24"): ~11 chars/query instead of ~27 keeps
+    // 150+ queries at 2 decimals inside the ~2000-char tail capture, where
+    // full names overflowed at 74. Full names live in bench_full.json and
+    // the [bench-runs] stderr line. If truncation ever collides, fall back
+    // to full names rather than silently merging two queries' timings.
+    val shortKeys = results.map { case (k, _, _) => k.takeWhile(_ != '_') }
+    val keys =
+      if (shortKeys.distinct.size == results.size) shortKeys
+      else results.map(_._1)
+    def mkLine(fmt: Double => String, withQueries: Boolean): String = {
+      val qs =
+        if (withQueries)
+          keys.zip(results).map { case (k, (_, v, _)) =>
+            "\"" + k + "\":" + fmt(v)
+          }.mkString("{", ",", "}")
+        else "{}"
+      // empty errors array is dead weight on a tight budget — omit it
+      val errField = if (failed.isEmpty) "" else s""","errors":$errs"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs$errField,"sf":"$sfName"}"""
+    }
+    // degradation ladder — the line must fit a ~2000-char tail capture or
+    // the round records "parsed": null. Nothing prints after this line
+    // (build.sbt sets showSuccess := false). Each step trades detail for
+    // fit; the last (totals + errors only) always fits, so a growing
+    // catalog can coarsen the tail metric but never un-parse it.
+    val line = {
+      val l2 = mkLine(r2, withQueries = true)
+      if (l2.length <= 1980) l2
+      else {
+        val l1 = mkLine(r1, withQueries = true)
+        if (l1.length <= 1980) l1
+        else {
+          System.err.println(
+            s"[bench] tail line over budget even at 1 decimal " +
+              s"(${l1.length} chars); dropping the per-query map — " +
+              s"read $outPath for per-query timings")
+          mkLine(r1, withQueries = false)
+        }
+      }
+    }
     try spark.stop()
     finally println(line)
     if (failed.nonEmpty) sys.exit(1)
