@@ -1,6 +1,9 @@
 package graft.jobs
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Sink
 
 /** Sequential replacement for the reference's Airflow DAG
   * (`/root/reference/src/dags/project_dag.py:29-69`): step1 -> step2 -> step3.
@@ -9,30 +12,54 @@ import org.apache.spark.sql.SparkSession
   * CLI parity with the reference's three spark-submit tasks but each tears
   * down its own session, so chaining them in-JVM would rebuild the context
   * twice — [[main]] here calls the transforms directly instead.
+  *
+  * Each mart lands through [[Sink.writePartitionedSorted]] rather than a
+  * plain `parquet()` write: partition-pruned layout on the column the mart
+  * is queried by (city for the user mart, month for the zone mart, zone for
+  * recommendations), one file per partition value, rows sorted inside each
+  * file so min/max row-group stats stay selective. Dynamic partition
+  * overwrite makes a daily re-run replace only the partitions it produced.
   */
 object Pipeline {
 
   /** Run all three marts inside the caller's session.
-    * args order mirrors the DAG: events geo outBase date maxDistanceKm.
+    * Path/arg order mirrors the DAG: events geo outBase date maxDistanceKm.
+    * `processedAt` pins the recommendation mart's wall-clock instant for
+    * reproducible runs; None keeps the reference's `current_timestamp()`.
     */
   def run(spark: SparkSession, eventsPath: String, geoPath: String,
-          outBase: String, date: String, maxDistanceKm: Double): Unit = {
+          outBase: String, date: String, maxDistanceKm: Double,
+          processedAt: Option[Column] = None): Unit = {
     val events = spark.read.parquet(eventsPath)
     val geo = spark.read.parquet(geoPath)
-    UserMartJob.transform(events, geo)
-      .write.mode("overwrite").parquet(s"$outBase/user_mart")
-    ZoneMartJob.transform(events, geo)
-      .write.mode("overwrite").parquet(s"$outBase/zone_mart")
+    Sink.writePartitionedSorted(UserMartJob.transform(events, geo),
+      s"$outBase/user_mart", "act_city", Seq("user_id"))
+    Sink.writePartitionedSorted(ZoneMartJob.transform(events, geo),
+      s"$outBase/zone_mart", "month", Seq("week", "city_id"))
     // date slice read by partition path, as the reference does (:13-16)
     val eventsAtDate = spark.read.parquet(s"$eventsPath/date=$date")
-    RecommendationJob.transform(events, eventsAtDate, geo, date, maxDistanceKm)
-      .write.mode("overwrite").parquet(s"$outBase/recommendations")
+    Sink.writePartitionedSorted(
+      RecommendationJob.transform(events, eventsAtDate, geo, date,
+        maxDistanceKm, processedAt.getOrElse(current_timestamp())),
+      s"$outBase/recommendations", "zone_id", Seq("user_left", "user_right"))
+  }
+
+  /** CLI surface: events geo outBase date maxDistanceKm [processedAt].
+    * The optional 6th arg ("yyyy-MM-dd HH:mm:ss", UTC) pins the wall-clock
+    * instant — same injectable as RecommendationJob.transform's
+    * `processedAt`, reachable from a shell.
+    */
+  def runArgs(spark: SparkSession, args: Array[String]): Unit = {
+    require(args.length >= 5,
+      "usage: Pipeline events geo outBase date maxDistanceKm [processedAt]")
+    val Array(eventsPath, geoPath, outBase, date, maxDistance) = args.take(5)
+    val processedAt = args.lift(5).map(ts => to_timestamp(lit(ts)))
+    run(spark, eventsPath, geoPath, outBase, date, maxDistance.toDouble,
+      processedAt)
   }
 
   def main(args: Array[String]): Unit = {
-    val Array(eventsPath, geoPath, outBase, date, maxDistance) = args.take(5)
     val spark = JobSession.create("graft pipeline")
-    run(spark, eventsPath, geoPath, outBase, date, maxDistance.toDouble)
-    spark.stop()
+    try runArgs(spark, args) finally spark.stop()
   }
 }

@@ -101,6 +101,74 @@ object ParityQueries extends Catalog {
       |    CAST(-170 + n_nationkey*211 % 340 AS DOUBLE) AS clon
       |  FROM nation)""".stripMargin
 
+  /** The full step-3 recommendation DAG in DuckDB SQL — channel subscribers,
+    * communicating-pair anti-set, last-position-at-date radius pairs,
+    * midpoint zone — shared by q49 (in-memory transform) and q75 (the same
+    * DAG through real parquet sinks and re-reads; the storage round-trip
+    * must be invisible, so the oracle is the same text).
+    */
+  private lazy val recommendationDagSql: String = {
+    val havPair = Geo.haversineSqlText("lat_u", "lat_t", "lon_u", "lon_t")
+    val havZone = Geo.haversineSqlText("lat_avg", "clat", "lon_avg", "clon")
+    s"""WITH $refEventsSql,
+       |subs AS (
+       |  SELECT DISTINCT user_id, 'ch' || (user_id % 20) AS ch
+       |  FROM shaped WHERE etype = 'subscription'),
+       |sub_ids AS (SELECT DISTINCT user_id FROM subs),
+       |mp AS (
+       |  SELECT DISTINCT user_id AS mfrom, msg_to AS mto
+       |  FROM shaped
+       |  WHERE etype = 'message'
+       |    AND user_id IN (SELECT user_id FROM sub_ids)
+       |    AND msg_to IN (SELECT user_id FROM sub_ids)),
+       |communicate AS (
+       |  SELECT DISTINCT s1.user_id AS u, mp.mto AS t
+       |  FROM subs s1
+       |  JOIN mp ON mp.mfrom = s1.user_id
+       |  JOIN subs s2 ON s2.user_id = mp.mto AND s2.ch = s1.ch),
+       |comm_canon AS (
+       |  SELECT u, t FROM (
+       |    SELECT u, t FROM communicate
+       |    UNION ALL SELECT t AS u, u AS t FROM communicate)
+       |  WHERE u > t),
+       |at_date AS (
+       |  SELECT user_id, dt, lat, lon FROM shaped
+       |  WHERE CAST(dt AS DATE) = DATE '2024-01-20'
+       |    AND lat IS NOT NULL AND lon IS NOT NULL),
+       |last_pos AS (
+       |  SELECT user_id, lat, lon FROM (
+       |    SELECT *, max(dt) OVER (PARTITION BY user_id) AS mdt
+       |    FROM at_date) WHERE dt = mdt),
+       |positioned AS (
+       |  SELECT l.user_id, l.lat, l.lon, s.ch
+       |  FROM last_pos l JOIN subs s USING (user_id)),
+       |cand0 AS (
+       |  SELECT DISTINCT p1.user_id AS u, p2.user_id AS t,
+       |    p1.lat AS lat_u, p1.lon AS lon_u,
+       |    p2.lat AS lat_t, p2.lon AS lon_t
+       |  FROM positioned p1 JOIN positioned p2 ON p1.ch = p2.ch
+       |  WHERE p1.user_id > p2.user_id),
+       |cand AS (
+       |  SELECT u, t, (lat_u + lat_t) / 2 AS lat_avg,
+       |    (lon_u + lon_t) / 2 AS lon_avg
+       |  FROM cand0 c
+       |  WHERE NOT EXISTS (SELECT 1 FROM comm_canon cc
+       |                    WHERE cc.u = c.u AND cc.t = c.t)
+       |    AND $havPair < 2000.0),
+       |zoned AS (
+       |  SELECT u, city_id FROM (
+       |    SELECT c.*, ci.city_id, $havZone AS dist,
+       |      min($havZone) OVER (PARTITION BY lat_avg, lon_avg) AS dmin
+       |    FROM cand c CROSS JOIN cities ci)
+       |  WHERE dist = dmin)
+       |SELECT u AS user_left, u AS user_right, city_id AS zone_id,
+       |  '2024-01-20' AS processed_dttm,
+       |  strftime(timezone('Australia/Sydney',
+       |    timezone('UTC', TIMESTAMP '2024-02-01 00:00:00')),
+       |    '%Y-%m-%d %H:%M:%S') AS local_time
+       |FROM zoned""".stripMargin
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- P1 + W2 + P5 + A1/A7: struct projection, argmax, first -----------
     "q30_struct_last_event" -> ((s, d) => {
@@ -290,6 +358,41 @@ object ParityQueries extends Catalog {
         .select(col("user_left"), col("user_right"), col("zone_id"),
           col("processed_dttm"),
           date_format(col("local_time"), "yyyy-MM-dd HH:mm:ss").as("local_time"))
+    }),
+
+    // ---- S5/S6/O1/O2/O3 + S4: the WHOLE pipeline through real storage ------
+    // The driver-contract surface end-to-end: a lake-shaped fixture (events
+    // partitioned by date + geo dim) is WRITTEN to scratch parquet, then
+    // Pipeline.runArgs — the same args path `main` uses — chains the three
+    // jobs, each mart landing via Sink.writePartitionedSorted (dynamic
+    // overwrite, one sorted file per partition value). The oracle checks the
+    // RE-READ parquet of the final mart, so serialization, partition-column
+    // type inference, and the date=… path-slice read are all inside the
+    // checked path — not just the in-memory transforms (q46/q48/q49).
+    "q75_pipeline_sink" -> ((s, d) => {
+      val base = s"/tmp/graft_pipeline_e2e_${new java.io.File(d).getName}"
+      // clean scratch: dynamic partition overwrite would otherwise
+      // resurrect stale partitions left by a previous code version
+      val fs = org.apache.hadoop.fs.FileSystem
+        .get(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      refEventsFull(s, d)
+        .withColumn("date", to_date(col("event.datetime")))
+        .write.partitionBy("date").mode("overwrite")
+        .parquet(s"$base/events")
+      refGeo(s, d).write.mode("overwrite").parquet(s"$base/geo")
+      val session = graft.jobs.JobSession.create("graft pipeline e2e")
+      graft.jobs.Pipeline.runArgs(session, Array(
+        s"$base/events", s"$base/geo", s"$base/marts",
+        "2024-01-20", "2000.0", "2024-02-01 00:00:00"))
+      s.read.parquet(s"$base/marts/recommendations")
+        .select(col("user_left"), col("user_right"),
+          // zone_id is the partition dir on disk; inference must land back
+          // on q49's int (n_nationkey is int32) — pinned, not inferred
+          col("zone_id").cast("int").as("zone_id"),
+          col("processed_dttm"),
+          date_format(col("local_time"), "yyyy-MM-dd HH:mm:ss")
+            .as("local_time"))
     }),
 
     // ---- bucketed co-located join (zero-Exchange fact-dim join) ------------
@@ -551,67 +654,11 @@ object ParityQueries extends Catalog {
     // reference quirk (user_right carries the LEFT user) is mirrored, and
     // local_time comes from the same injected instant via the double-
     // timezone device
-    "q49_recommendations" -> {
-      val havPair = Geo.haversineSqlText("lat_u", "lat_t", "lon_u", "lon_t")
-      val havZone = Geo.haversineSqlText("lat_avg", "clat", "lon_avg", "clon")
-      s"""WITH $refEventsSql,
-         |subs AS (
-         |  SELECT DISTINCT user_id, 'ch' || (user_id % 20) AS ch
-         |  FROM shaped WHERE etype = 'subscription'),
-         |sub_ids AS (SELECT DISTINCT user_id FROM subs),
-         |mp AS (
-         |  SELECT DISTINCT user_id AS mfrom, msg_to AS mto
-         |  FROM shaped
-         |  WHERE etype = 'message'
-         |    AND user_id IN (SELECT user_id FROM sub_ids)
-         |    AND msg_to IN (SELECT user_id FROM sub_ids)),
-         |communicate AS (
-         |  SELECT DISTINCT s1.user_id AS u, mp.mto AS t
-         |  FROM subs s1
-         |  JOIN mp ON mp.mfrom = s1.user_id
-         |  JOIN subs s2 ON s2.user_id = mp.mto AND s2.ch = s1.ch),
-         |comm_canon AS (
-         |  SELECT u, t FROM (
-         |    SELECT u, t FROM communicate
-         |    UNION ALL SELECT t AS u, u AS t FROM communicate)
-         |  WHERE u > t),
-         |at_date AS (
-         |  SELECT user_id, dt, lat, lon FROM shaped
-         |  WHERE CAST(dt AS DATE) = DATE '2024-01-20'
-         |    AND lat IS NOT NULL AND lon IS NOT NULL),
-         |last_pos AS (
-         |  SELECT user_id, lat, lon FROM (
-         |    SELECT *, max(dt) OVER (PARTITION BY user_id) AS mdt
-         |    FROM at_date) WHERE dt = mdt),
-         |positioned AS (
-         |  SELECT l.user_id, l.lat, l.lon, s.ch
-         |  FROM last_pos l JOIN subs s USING (user_id)),
-         |cand0 AS (
-         |  SELECT DISTINCT p1.user_id AS u, p2.user_id AS t,
-         |    p1.lat AS lat_u, p1.lon AS lon_u,
-         |    p2.lat AS lat_t, p2.lon AS lon_t
-         |  FROM positioned p1 JOIN positioned p2 ON p1.ch = p2.ch
-         |  WHERE p1.user_id > p2.user_id),
-         |cand AS (
-         |  SELECT u, t, (lat_u + lat_t) / 2 AS lat_avg,
-         |    (lon_u + lon_t) / 2 AS lon_avg
-         |  FROM cand0 c
-         |  WHERE NOT EXISTS (SELECT 1 FROM comm_canon cc
-         |                    WHERE cc.u = c.u AND cc.t = c.t)
-         |    AND $havPair < 2000.0),
-         |zoned AS (
-         |  SELECT u, city_id FROM (
-         |    SELECT c.*, ci.city_id, $havZone AS dist,
-         |      min($havZone) OVER (PARTITION BY lat_avg, lon_avg) AS dmin
-         |    FROM cand c CROSS JOIN cities ci)
-         |  WHERE dist = dmin)
-         |SELECT u AS user_left, u AS user_right, city_id AS zone_id,
-         |  '2024-01-20' AS processed_dttm,
-         |  strftime(timezone('Australia/Sydney',
-         |    timezone('UTC', TIMESTAMP '2024-02-01 00:00:00')),
-         |    '%Y-%m-%d %H:%M:%S') AS local_time
-         |FROM zoned""".stripMargin
-    },
+    "q49_recommendations" -> recommendationDagSql,
+
+    // identical DAG semantics through real parquet sinks and re-reads: the
+    // storage round-trip must be invisible, so the oracle is the same text
+    "q75_pipeline_sink" -> recommendationDagSql,
 
     "q52_bucketed_join" ->
       s"""SELECT c_mktsegment, count(*) AS orders,
