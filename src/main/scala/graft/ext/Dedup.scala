@@ -303,6 +303,56 @@ object Dedup {
       .select("id_a", "id_b").distinct()
   }
 
+  /** Cross-frame LSH candidate pairs: incoming signatures (A) probed
+    * against the corpus's band buckets (B) — the scale tier for incremental
+    * dedup when the daily batch is itself too large for the shingle
+    * inverted index ([[crossJaccardPairs]]), whose candidate count grows
+    * with Σ df_A·df_B per shingle. Here candidates meet only inside a
+    * (band, bucket) group, and the corpus side takes BUCKETS, not
+    * signatures: a production pipeline computes [[lshBuckets]] over the
+    * corpus ONCE, persists it, and each daily probe pays only the batch's
+    * banding. Never A×A or B×B. Output: distinct (id_a ∈ A, id_b ∈ B).
+    * Overlapping id spaces are the caller's concern (the incremental
+    * contract: batch ids are new).
+    */
+  def crossMinHashCandidates(sigsA: DataFrame, bucketsB: DataFrame,
+                             id: String, bands: Int,
+                             rowsPerBand: Int): DataFrame =
+    lshBuckets(sigsA, id, bands, rowsPerBand)
+      .select(col(id).as("id_a"), col("band"), col("bucket"))
+      .join(bucketsB.select(col(id).as("id_b"), col("band"), col("bucket")),
+        Seq("band", "bucket"))
+      .select("id_a", "id_b").distinct()
+
+  /** LSH-tier incremental near-dup: cross-frame candidates verified by the
+    * true cross-frame Jaccard (shingle-intersection recount). This is the
+    * compose-everything reference — a production pipeline would persist the
+    * corpus-side pieces (buckets, shingle sizes) instead of rebuilding them
+    * per batch, which this function's bucketsB/sizes structure makes a
+    * cache-insertion, not a rewrite.
+    */
+  def crossMinHashNearDups(shA: DataFrame, shB: DataFrame, id: String,
+                           numHashes: Int, bands: Int, minJaccard: Double,
+                           portable: Boolean = false): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val sigsA = minHashSignaturesFromShingles(shA, id, numHashes, portable)
+    val bucketsB = lshBuckets(
+      minHashSignaturesFromShingles(shB, id, numHashes, portable),
+      id, bands, numHashes / bands)
+    val sizesA = shA.groupBy(col(id)).agg(count(lit(1)).as("n_a"))
+    val sizesB = shB.groupBy(col(id)).agg(count(lit(1)).as("n_b"))
+    crossMinHashCandidates(sigsA, bucketsB, id, bands, numHashes / bands)
+      .join(shA.select(col(id).as("id_a"), col("shingle")), Seq("id_a"))
+      .join(shB.select(col(id).as("id_b"), col("shingle")),
+        Seq("id_b", "shingle"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+      .join(sizesA.select(col(id).as("id_a"), col("n_a")), Seq("id_a"))
+      .join(sizesB.select(col(id).as("id_b"), col("n_b")), Seq("id_b"))
+      .withColumn("jaccard",
+        col("inter") / (col("n_a") + col("n_b") - col("inter")))
+      .filter(col("jaccard") >= minJaccard)
+  }
+
   /** LSH candidates verified by true n-gram Jaccard ≥ `minJaccard`. */
   def minHashNearDups(docs: DataFrame, id: String, text: String,
                       n: Int, numHashes: Int, bands: Int,

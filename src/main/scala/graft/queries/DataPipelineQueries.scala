@@ -82,6 +82,27 @@ object DataPipelineQueries extends Catalog {
           (floor(col("jaccard") * 1e6 + 0.5) / 1e6).as("jaccard"))
     }),
 
+    // ---- cross-frame LSH incremental dedup (batch × corpus) ----------------
+    // q69's near tier goes through the shingle inverted index, whose
+    // candidate count grows with per-shingle df_A·df_B — fine for small
+    // daily batches, not when the batch itself is huge. This is the LSH
+    // tier: corpus band buckets are computed once (persistable), the batch
+    // only pays its own banding, and candidates meet inside (band, bucket)
+    // groups. Same portable FNV family as q23 so the banded candidate set
+    // is hash-checked cross-engine.
+    "q74_cross_lsh_dedup" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val incoming = docs.filter(col("doc_id") % 10 === 7)
+      val corpus = docs.filter(col("doc_id") % 10 =!= 7)
+      Dedup.crossMinHashNearDups(
+          Dedup.wordShingles(incoming, "doc_id", "text", n = 3),
+          Dedup.wordShingles(corpus, "doc_id", "text", n = 3),
+          "doc_id", numHashes = 64, bands = 16, minJaccard = 0.5,
+          portable = true)
+        .select(col("id_a"), col("id_b"),
+          (floor(col("jaccard") * 1e6 + 0.5) / 1e6).as("jaccard"))
+    }),
+
     // ---- exact cosine top-k over embeddings (brute-force baseline) ---------
     "q25_knn_exact" -> ((s, d) => {
       val vecs = Tables.embeddings(s, d)
@@ -476,6 +497,46 @@ object DataPipelineQueries extends Catalog {
          |JOIN sizes na ON id_a = na.doc_id
          |JOIN sizes nb ON id_b = nb.doc_id
          |WHERE CAST(inter AS DOUBLE)/(na.n_sh + nb.n_sh - inter) >= 0.5""".stripMargin
+    },
+
+    // the q23 banding oracle split into batch/corpus frames: signatures and
+    // band lists computed once over the union, candidates restricted to
+    // batch×corpus, intersection recounted cross-frame only
+    "q74_cross_lsh_dedup" -> {
+      import graft.plans.Fnv1a64Expression.{longSqlText, stringSqlText, toSignedSqlText}
+      val fam = toSignedSqlText(
+        longSqlText(longSqlText("14695981039346656037::HUGEINT", "k::HUGEINT"), "bh"))
+      s"""WITH w AS (SELECT doc_id, $wordsSql AS ws FROM documents),
+         |idx AS (SELECT doc_id, ws, unnest(range(len(ws)-2)) AS i
+         |        FROM w WHERE len(ws) >= 3),
+         |sh AS (SELECT DISTINCT doc_id,
+         |         array_to_string(ws[i+1:i+3], ' ') AS shingle FROM idx),
+         |sha AS (SELECT * FROM sh WHERE doc_id % 10 = 7),
+         |shb AS (SELECT * FROM sh WHERE doc_id % 10 != 7),
+         |sizesa AS (SELECT doc_id, count(*) AS n_a FROM sha GROUP BY 1),
+         |sizesb AS (SELECT doc_id, count(*) AS n_b FROM shb GROUP BY 1),
+         |base AS (SELECT doc_id, ${stringSqlText("shingle")} AS bh FROM sh),
+         |fam AS (SELECT doc_id, k, min($fam) AS m
+         |        FROM base CROSS JOIN (SELECT unnest(range(64)) AS k)
+         |        GROUP BY doc_id, k),
+         |bandsig AS (SELECT doc_id, k // 4 AS band, list(m ORDER BY k) AS bs
+         |            FROM fam GROUP BY 1, 2),
+         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |         FROM bandsig a JOIN bandsig b
+         |           ON a.band = b.band AND a.bs = b.bs
+         |         WHERE a.doc_id % 10 = 7 AND b.doc_id % 10 != 7),
+         |inter AS (SELECT id_a, id_b, count(*) AS inter
+         |          FROM cand
+         |          JOIN sha sa ON sa.doc_id = id_a
+         |          JOIN shb sb ON sb.doc_id = id_b AND sb.shingle = sa.shingle
+         |          GROUP BY 1, 2)
+         |SELECT id_a, id_b,
+         |  floor(CAST(inter AS DOUBLE)/(na.n_a + nb.n_b - inter)*1000000.0
+         |    + 0.5)/1000000.0 AS jaccard
+         |FROM inter
+         |JOIN sizesa na ON id_a = na.doc_id
+         |JOIN sizesb nb ON id_b = nb.doc_id
+         |WHERE CAST(inter AS DOUBLE)/(na.n_a + nb.n_b - inter) >= 0.5""".stripMargin
     },
 
     // portable SimHash oracle: FNV-1a token hashes -> 64 sign-sums -> unsigned

@@ -160,4 +160,48 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(jG.subsetOf(jU), s"guarded produced different values: $jG vs $jU")
     assert(jG.exists(_._1 == 101L)) // guard did not kill the real pair
   }
+
+  test("crossMinHashNearDups: batch probes corpus buckets, never A×A/B×B") {
+    // incoming 101 duplicates corpus doc 3 exactly (must collide in every
+    // band); incoming 102 matches nothing; corpus 3/4 are near-dups of each
+    // other but must never pair (corpus is only ever the build side)
+    val corpusText3 = docs.filter($"doc_id" === 3L)
+      .select("text").as[String].head()
+    val incoming = Seq(
+      (101L, corpusText3),
+      (102L, "entirely novel text with no overlap whatsoever to the corpus body")
+    ).toDF("doc_id", "text")
+    val corpus = docs.filter($"doc_id" =!= 1L)
+    val shA = Dedup.wordShingles(incoming, "doc_id", "text", 3)
+    val shB = Dedup.wordShingles(corpus, "doc_id", "text", 3)
+    val got = Dedup.crossMinHashNearDups(shA, shB, "doc_id",
+        numHashes = 64, bands = 16, minJaccard = 0.5)
+      .select("id_a", "id_b", "jaccard")
+      .as[(Long, Long, Double)].collect()
+    assert(got.forall { case (a, b, _) => a >= 100L && b < 100L },
+      s"non-cross pair leaked: ${got.toSeq}")
+    val exact = got.find { case (a, b, _) => a == 101L && b == 3L }
+    assert(exact.exists(_._3 === 1.0), s"identical doc not found: ${got.toSeq}")
+    assert(!got.exists(_._1 == 102L))
+  }
+
+  test("crossMinHashCandidates accepts PREBUILT corpus buckets unchanged") {
+    // the production shape: corpus buckets persisted once, batch signatures
+    // probe them — results identical to the compose-everything path
+    val incoming = Seq((101L, docs.filter($"doc_id" === 3L)
+      .select("text").as[String].head())).toDF("doc_id", "text")
+    val corpus = docs.filter($"doc_id" =!= 1L)
+    val shA = Dedup.wordShingles(incoming, "doc_id", "text", 3)
+    val shB = Dedup.wordShingles(corpus, "doc_id", "text", 3)
+    val sigsA = Dedup.minHashSignaturesFromShingles(shA, "doc_id", 64)
+    val prebuilt = Dedup.lshBuckets(
+      Dedup.minHashSignaturesFromShingles(shB, "doc_id", 64),
+      "doc_id", bands = 16, rowsPerBand = 4)
+      .localCheckpoint(true) // stands in for a persisted parquet bucket table
+    val cands = Dedup.crossMinHashCandidates(sigsA, prebuilt, "doc_id",
+        bands = 16, rowsPerBand = 4)
+      .as[(Long, Long)].collect().toSet
+    assert(cands.contains((101L, 3L)))
+    assert(cands.forall { case (a, b) => a == 101L && b < 100L })
+  }
 }
