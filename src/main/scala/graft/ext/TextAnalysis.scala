@@ -70,6 +70,26 @@ object TextAnalysis {
   /** exact-dup fingerprint (md5 of normalized text) — see [[Dedup.fingerprint]] */
   def fingerprint(text: Column): Column = Dedup.fingerprint(text)
 
+  /** Email address shape for [[scrubPii]]. Lowercase classes: apply to
+    * lowercased/normalized text, or extend the classes before reuse. The
+    * same pattern text runs in DuckDB oracles (RE2 and Java agree on it).
+    */
+  val EmailRegex = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+
+  /** 7-plus digit runs — phone numbers, account ids — for [[scrubPii]]. */
+  val LongDigitRunRegex = "[0-9]{7,}"
+
+  /** PII redaction pass: emails → `<EMAIL>` FIRST, then long digit runs →
+    * `<NUM>`. The order is a correctness constraint, not style — emails
+    * contain digit runs, so the reversed order would corrupt addresses
+    * before the email pattern sees them. Idempotent (the replacement
+    * tokens match neither pattern); per-row scalar, codegen-friendly, no
+    * shuffle. CorpusOpsSpec pins ordering + idempotence.
+    */
+  def scrubPii(text: Column): Column =
+    regexp_replace(regexp_replace(text, EmailRegex, "<EMAIL>"),
+      LongDigitRunRegex, "<NUM>")
+
   /** Rolling-hash document sketch: the minimum hash over word `n`-gram
     * windows (winnowing with w = ∞). `portable = true` uses FNV-1a 64
     * ([[graft.plans.Fnv1a64Expression]]) so the sketch is reproducible in

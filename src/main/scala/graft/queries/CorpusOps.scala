@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.ext.Dedup
+import graft.ext.{Dedup, TextAnalysis}
 import graft.sources.Tables
 
 /** Round-5 corpus-analytics catalog: the aggregation / window / join surface
@@ -141,24 +141,23 @@ object CorpusOps extends Catalog {
 
     // ---- PII scrubbing (curation-pipeline redaction pass) ------------------
     // deterministic PII is appended first (the synthetic corpus has none),
-    // then emails → <EMAIL> before digit runs → <NUM> (emails contain
-    // digits; the reverse order would corrupt addresses before the email
-    // pattern sees them). Counts come from regexp_extract_all on the
-    // pre-scrub text; the scrub fingerprint pins the exact redacted bytes.
+    // then TextAnalysis.scrubPii redacts — emails before digit runs; the
+    // ordering rationale and idempotence live with the operator. Counts
+    // come from regexp_extract_all on the pre-scrub text; the scrub
+    // fingerprint pins the exact redacted bytes.
     "q68_pii_scrub" -> ((s, d) => {
-      val emailPat = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
-      val numPat = "[0-9]{7,}"
       val pii = concat(col("text"), lit(" contact: user"), col("doc_id"),
         lit("@example.com or +1"), (lit(1000000) + col("doc_id") * 7))
       Tables.documents(s, d)
         .select(col("doc_id"), pii.as("__pii"))
         .select(col("doc_id"),
-          size(regexp_extract_all(col("__pii"), lit(emailPat), lit(0)))
+          size(regexp_extract_all(col("__pii"),
+            lit(TextAnalysis.EmailRegex), lit(0)))
             .cast("long").as("n_emails"),
-          size(regexp_extract_all(col("__pii"), lit(numPat), lit(0)))
+          size(regexp_extract_all(col("__pii"),
+            lit(TextAnalysis.LongDigitRunRegex), lit(0)))
             .cast("long").as("n_numbers"),
-          regexp_replace(regexp_replace(col("__pii"), emailPat, "<EMAIL>"),
-            numPat, "<NUM>").as("__scrubbed"))
+          TextAnalysis.scrubPii(col("__pii")).as("__scrubbed"))
         .select(col("doc_id"), col("n_emails"), col("n_numbers"),
           md5(col("__scrubbed")).as("scrub_fp"),
           length(col("__scrubbed")).cast("long").as("scrub_len"))

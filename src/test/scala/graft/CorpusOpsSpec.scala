@@ -89,12 +89,15 @@ class CorpusOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(row.getAs[Long]("n_numbers") >= 1L) // the +1... phone digits
     // idempotence: scrubbing already-scrubbed text changes nothing
     val scrubbed = Seq("a <EMAIL> b <NUM> c").toDF("t")
-      .select(
-        regexp_replace(regexp_replace(col("t"),
-          "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}", "<EMAIL>"),
-          "[0-9]{7,}", "<NUM>").as("t2"))
+      .select(graft.ext.TextAnalysis.scrubPii(col("t")).as("t2"))
       .head.getString(0)
     assert(scrubbed === "a <EMAIL> b <NUM> c")
+    // ordering: the email is redacted whole; its digits never become <NUM>,
+    // while a free-standing digit run still does
+    val ordered = Seq("mail12345678@x.co and 12345678").toDF("t")
+      .select(graft.ext.TextAnalysis.scrubPii(col("t")).as("t2"))
+      .head.getString(0)
+    assert(ordered === "<EMAIL> and <NUM>")
   }
 
   test("q69 verdicts: exact beats near; self-pairs impossible across frames") {
