@@ -181,6 +181,13 @@ object Dedup {
     * Input frames are (id, shingle) as produced by [[wordShingles]] /
     * [[charShingles]]; output is (id_a ∈ A, id_b ∈ B, inter, n_a, n_b,
     * jaccard).
+    *
+    * CONTRACT: the two frames' id spaces must be disjoint — the incremental
+    * shape guarantees it (batch ids are new). An id present in both frames
+    * would emit a degenerate (x, x) pair at jaccard 1.0 and make id_a/id_b
+    * attribution ambiguous; there is no cheap runtime check (it would cost
+    * an extra distinct-join per batch), so the contract lives here, like
+    * [[graft.operators.AsOfJoin]]'s right-side uniqueness contract.
     */
   def crossJaccardPairs(shA: DataFrame, shB: DataFrame, id: String,
                         minJaccard: Double,

@@ -20,28 +20,54 @@ import org.apache.spark.sql.functions._
   * so `binWidth` tunes replication vs selectivity: pick it near the median
   * interval span (replication ≈ 2×) — far smaller wins than the nested-loop
   * alternative whenever |I| exceeds a broadcast. Degenerate giant intervals
-  * (span ≫ binWidth) replicate proportionally; cap them upstream or raise
-  * the width. This is the static half of the published IEJoin/bin-join
-  * designs; Catalyst's own optimizer never rewrites theta-joins this way.
+  * (span ≫ binWidth) fail fast at `maxBinsPerInterval` instead of silently
+  * exploding the replication (or hitting Spark's sequence-length cap with
+  * an opaque error): cap them upstream or raise the width/cap. This is the
+  * static half of the published IEJoin/bin-join designs; Catalyst's own
+  * optimizer never rewrites theta-joins this way.
   */
 object IntervalJoin {
 
   /** Inner-join `points` to `intervals` on `loCol <= pointCol <= hiCol`
-    * (closed on both ends). Column sets must be disjoint; all columns of
-    * both inputs survive. Rows with NULL point or NULL bounds drop (no
-    * range containment is satisfiable), same as the theta-join would.
+    * (closed on both ends). Column sets must be disjoint (checked); all
+    * columns of both inputs survive. Rows with NULL point or NULL bounds
+    * drop (no range containment is satisfiable), same as the theta-join
+    * would. Any interval spanning more than `maxBinsPerInterval` bins
+    * raises a runtime error naming the offending span.
     */
   def pointInInterval(points: DataFrame, intervals: DataFrame,
                       pointCol: String, loCol: String, hiCol: String,
-                      binWidth: Double): DataFrame = {
+                      binWidth: Double,
+                      maxBinsPerInterval: Long = 4096L): DataFrame = {
     require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    require(maxBinsPerInterval > 0,
+      s"maxBinsPerInterval must be positive, got $maxBinsPerInterval")
+    // the internal bin column must not silently shadow (then drop) a real
+    // input column — same refusal contract as AsOfJoin's output columns
+    for (c <- points.columns ++ intervals.columns)
+      require(c != "__bin",
+        "inputs must not contain the internal column name __bin")
+    val shared = points.columns.toSet.intersect(intervals.columns.toSet)
+    require(shared.isEmpty,
+      s"point/interval column sets must be disjoint; shared: " +
+        shared.toSeq.sorted.mkString(", "))
     val p = points.withColumn("__bin",
       floor(col(pointCol) / binWidth).cast("long"))
+    val loBin = floor(col(loCol) / binWidth).cast("long")
+    val hiBin = floor(col(hiCol) / binWidth).cast("long")
+    // fail fast WITH the offending values — a span/binWidth mismatch at
+    // scale should name itself, not surface as an executor OOM or Spark's
+    // generic array-length error deep inside sequence()
+    val guardedHiBin = when(hiBin - loBin < lit(maxBinsPerInterval), hiBin)
+      .otherwise(raise_error(concat(
+        lit("IntervalJoin: interval ["), col(loCol).cast("string"),
+        lit(", "), col(hiCol).cast("string"),
+        lit(s"] replicates to more than $maxBinsPerInterval bins at " +
+          s"binWidth $binWidth; raise binWidth/maxBinsPerInterval or cap " +
+          "interval spans upstream"))).cast("long"))
     val iv = intervals
       .filter(col(loCol) <= col(hiCol))
-      .withColumn("__bin", explode(sequence(
-        floor(col(loCol) / binWidth).cast("long"),
-        floor(col(hiCol) / binWidth).cast("long"))))
+      .withColumn("__bin", explode(sequence(loBin, guardedHiBin)))
     p.join(iv, Seq("__bin"))
       .filter(col(pointCol) >= col(loCol) && col(pointCol) <= col(hiCol))
       .drop("__bin")

@@ -127,12 +127,28 @@ object GraftExtensions {
     new FunctionIdentifier("graft_topk_by"),
     new ExpressionInfo(classOf[TopKByAggregate].getName, "graft_topk_by"),
     (args: Seq[Expression]) => {
-      require(args.length == 3, "graft_topk_by(score, id, k)")
-      val k = args(2) match {
-        case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
-        case other => throw new IllegalArgumentException(
-          s"graft_topk_by k must be an integer literal, got $other")
-      }
+      // analysis errors, not builder crashes: a SQL caller writing
+      // graft_topk_by(s, i, 5) gets an IntegerType literal, but 5::BIGINT,
+      // CAST(5 AS INT), or 2+3 are equally legitimate SQL — accept any
+      // FOLDABLE integral k and raise AnalysisException otherwise so the
+      // error carries the SQL position instead of an internal stack
+      def analysisError(msg: String): Nothing =
+        throw new org.apache.spark.sql.AnalysisException(
+          "USER_RAISED_EXCEPTION", Map("errorMessage" -> msg))
+      if (args.length != 3) analysisError("graft_topk_by(score, id, k)")
+      val kExpr = args(2)
+      val k: Int =
+        if (!kExpr.foldable)
+          analysisError(s"graft_topk_by k must be a constant, got $kExpr")
+        else kExpr.eval() match {
+          case i: Int => i
+          case l: Long if l >= 1 && l <= Int.MaxValue => l.toInt
+          case s: Short => s.toInt
+          case b: Byte => b.toInt
+          case other => analysisError(
+            s"graft_topk_by k must be an integral constant, got $other")
+        }
+      if (k < 1) analysisError(s"graft_topk_by k must be >= 1, got $k")
       TopKByAggregate(args(0), args(1), k).toAggregateExpression(): Expression
     })
 

@@ -198,6 +198,44 @@ class IntervalJoinSpec extends AnyFunSuite with SparkTestBase {
     assert(IntervalJoin.pointInInterval(points, intervals,
       "p", "lo", "hi", binWidth = 1.0).count() === 0)
   }
+
+  test("internal-column collisions and shared columns are refused") {
+    val points = Seq(1.0).toDF("p")
+    val intervals = Seq((1L, 0.0, 2.0)).toDF("iv", "lo", "hi")
+    // a pre-existing __bin would be silently overwritten then dropped
+    intercept[IllegalArgumentException] {
+      IntervalJoin.pointInInterval(points.withColumn("__bin", lit(1)),
+        intervals, "p", "lo", "hi", binWidth = 1.0)
+    }
+    intercept[IllegalArgumentException] {
+      IntervalJoin.pointInInterval(points,
+        intervals.withColumn("__bin", lit(1)), "p", "lo", "hi", binWidth = 1.0)
+    }
+    // overlapping column sets would make the residual predicate ambiguous
+    intercept[IllegalArgumentException] {
+      IntervalJoin.pointInInterval(points.withColumn("iv", lit(1)),
+        intervals, "p", "lo", "hi", binWidth = 1.0)
+    }
+  }
+
+  test("a span exceeding the replication cap fails fast, naming itself") {
+    val points = Seq(1.0).toDF("p")
+    val intervals = Seq((1L, 0.0, 1e6)).toDF("iv", "lo", "hi")
+    val e = intercept[Exception] {
+      IntervalJoin.pointInInterval(points, intervals, "p", "lo", "hi",
+        binWidth = 1.0, maxBinsPerInterval = 1000L).count()
+    }
+    // Spark wraps the raise_error in a SparkRuntimeException chain; the
+    // message must surface the operator and the remedy
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: messages(x.getCause))
+    assert(messages(e).exists(m =>
+      m != null && m.contains("IntervalJoin") && m.contains("binWidth")),
+      s"unhelpful error: ${messages(e)}")
+    // same inputs under a sufficient cap succeed
+    assert(IntervalJoin.pointInInterval(points, intervals, "p", "lo", "hi",
+      binWidth = 1.0, maxBinsPerInterval = 2000000L).count() === 1)
+  }
 }
 
 class TopKByAggregateSpec extends AnyFunSuite with SparkTestBase {

@@ -76,4 +76,29 @@ class SimHashExpressionSpec extends AnyFunSuite with SparkTestBase {
     assert(top.size === 10) // 5 groups x k=2
     assert(top.groupBy(_._1).forall(_._2.size == 2))
   }
+
+  test("graft_topk_by k accepts any foldable integral, rejects the rest") {
+    GraftExtensions.register(spark)
+    spark.range(10)
+      .select(lit(0L).as("g"), col("id").cast("double").as("s"),
+        col("id").as("i"))
+      .createOrReplaceTempView("topk_kinds")
+    // BIGINT literal, explicit cast, and a constant-folded expression are
+    // all legitimate SQL spellings of a constant k
+    for (kSql <- Seq("2L", "CAST(2 AS INT)", "1 + 1")) {
+      val n = spark.sql(
+        s"SELECT graft_topk_by(s, i, $kSql) AS top FROM topk_kinds GROUP BY g")
+        .select(explode(col("top"))).count()
+      assert(n === 2, s"k spelled as $kSql")
+    }
+    // non-constant and non-integral k fail as ANALYSIS errors (position-
+    // carrying), not as internal builder crashes
+    for (bad <- Seq("i", "2.5", "'two'", "0")) {
+      intercept[org.apache.spark.sql.AnalysisException] {
+        spark.sql(
+          s"SELECT graft_topk_by(s, i, $bad) AS top FROM topk_kinds GROUP BY g")
+          .collect()
+      }
+    }
+  }
 }
