@@ -44,11 +44,12 @@ object Bench {
         .write.format("noop").mode("overwrite").save()
     } catch { case _: Throwable => () }
     var failed = List.empty[String]
-    // median-of-3 per query: best-of-2 let one loaded-machine outlier swing
-    // the round-3 total by +64% on an inert diff — the median absorbs one
-    // bad run in either direction. All raw per-run times are reported
-    // ("runs" field) so outliers stay visible instead of silently folded.
-    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
+    // median-of-5 per query: best-of-2 let one loaded-machine outlier swing
+    // the round-3 total by +64% on an inert diff, and round 5's median-of-3
+    // still carried ~25-60% inflation when machine load persisted across
+    // all 3 runs — 5 runs tolerate two bad ones. All raw per-run times are
+    // reported ("runs" in bench_full.json) so outliers stay visible.
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "5").toInt
     // comma-separated name filter for iterating on single queries locally,
     // e.g. SPARK_GRAFT_BENCH_ONLY=q22_jaccard_near_dups
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")

@@ -385,11 +385,17 @@ object ParityQueries extends Catalog {
       graft.jobs.Pipeline.runArgs(session, Array(
         s"$base/events", s"$base/geo", s"$base/marts",
         "2024-01-20", "2000.0", "2024-02-01 00:00:00"))
-      s.read.parquet(s"$base/marts/recommendations")
-        .select(col("user_left"), col("user_right"),
-          // zone_id is the partition dir on disk; inference must land back
-          // on q49's int (n_nationkey is int32) — pinned, not inferred
-          col("zone_id").cast("int").as("zone_id"),
+      // explicit schema, twice over: (a) zone_id is a partition DIR on disk
+      // and must land back on q49's int (n_nationkey is int32), pinned
+      // rather than inferred; (b) a sparse scale factor can produce an
+      // EMPTY mart (zero part files), where schema inference has nothing
+      // to read and a production consumer must still get an empty frame,
+      // not an AnalysisException
+      val recSchema = org.apache.spark.sql.types.StructType.fromDDL(
+        "user_left BIGINT, user_right BIGINT, processed_dttm STRING, " +
+          "local_time TIMESTAMP, zone_id INT")
+      s.read.schema(recSchema).parquet(s"$base/marts/recommendations")
+        .select(col("user_left"), col("user_right"), col("zone_id"),
           col("processed_dttm"),
           date_format(col("local_time"), "yyyy-MM-dd HH:mm:ss")
             .as("local_time"))
