@@ -49,6 +49,33 @@ object ConnectedComponents {
           maxIters: Int = 30): DataFrame =
     runCounted(edges, src, dst, maxIters)._1
 
+  /** Incremental update: fold a batch of NEW edges into an existing labeling
+    * without reprocessing the original pair graph — the daily-ingestion twin
+    * of [[run]], the way `Dedup.crossJaccardPairs`/`crossMinHashNearDups`
+    * are the incremental twins of the self-join dedup operators.
+    *
+    * A previous run's `(id, component)` output is itself a star edge set
+    * with exactly the old graph's connectivity, so merging is just [[run]]
+    * over (labels-as-edges ∪ newEdges): per-day cost scales with
+    * |vertices| + |batch edges|, never with the historical pair count —
+    * at 100 TB the original edge list (quadratic-ish in cluster sizes) is
+    * exactly what must not be re-read every day. New edges may mention brand
+    * new vertices, extend an existing component, or bridge two existing
+    * components (both adopt the smaller root); prior stars re-converge in
+    * O(log n) rounds like any star-shaped input.
+    *
+    * Correctness contract (pinned by `ConnectedComponentsSpec`):
+    * `merge(run(E1), E2)` produces exactly `run(E1 ∪ E2)` restricted to
+    * vertices that appear in E1 or E2.
+    */
+  def merge(labels: DataFrame, idCol: String, compCol: String,
+            newEdges: DataFrame, src: String, dst: String,
+            maxIters: Int = 30): DataFrame =
+    run(
+      labels.select(col(idCol).as("__u"), col(compCol).as("__v"))
+        .unionByName(newEdges.select(col(src).as("__u"), col(dst).as("__v"))),
+      "__u", "__v", maxIters)
+
   /** As [[run]], additionally returning the number of large+small-star
     * rounds executed until the edge-set fixpoint (telemetry / specs).
     */

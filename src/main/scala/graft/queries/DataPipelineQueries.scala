@@ -103,6 +103,41 @@ object DataPipelineQueries extends Catalog {
           (floor(col("jaccard") * 1e6 + 0.5) / 1e6).as("jaccard"))
     }),
 
+    // ---- incremental duplicate-cluster maintenance (batch into labels) -----
+    // the third leg of the incremental-dedup story: q69/q74 generate the
+    // batch's candidate PAIRS without self-joining the corpus; this folds
+    // those pairs into the EXISTING cluster labeling without re-reading the
+    // historical pair graph. Prior state is the (id, component) output of a
+    // previous ConnectedComponents run — star edges, |vertices|-sized — so
+    // the daily update pays |labels| + |batch edges|, never the original
+    // quadratic-ish pair count. Bridging events (a new doc near-dup to TWO
+    // existing clusters merges them) are handled by construction. The oracle
+    // closes over all three pair sets at once — an independent whole-graph
+    // recursive-CTE path that must agree with the two-step merge exactly.
+    "q76_incremental_clusters" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val incoming = docs.filter(col("doc_id") % 10 === 7)
+      val corpus = docs.filter(col("doc_id") % 10 =!= 7)
+      val shA = Dedup.wordShingles(incoming, "doc_id", "text", n = 3)
+      val shB = Dedup.wordShingles(corpus, "doc_id", "text", n = 3)
+      val prior = graft.operators.ConnectedComponents.run(
+        Dedup.jaccardPairsFromShingles(shB, "doc_id",
+            minJaccard = 0.1, maxShingleDf = 5L)
+          .select(col("id_a"), col("id_b")),
+        "id_a", "id_b")
+      val cross = Dedup.crossJaccardPairs(shA, shB, "doc_id",
+          minJaccard = 0.1, maxShingleDf = 5L)
+        .select(col("id_a"), col("id_b"))
+      val within = Dedup.jaccardPairsFromShingles(shA, "doc_id",
+          minJaccard = 0.1, maxShingleDf = 5L)
+        .select(col("id_a"), col("id_b"))
+      graft.operators.ConnectedComponents.merge(prior, "id", "component",
+          cross.unionByName(within), "id_a", "id_b")
+        .withColumn("cluster_size",
+          count(lit(1)).over(Window.partitionBy("component")))
+        .withColumnRenamed("id", "doc_id")
+    }),
+
     // ---- exact cosine top-k over embeddings (brute-force baseline) ---------
     "q25_knn_exact" -> ((s, d) => {
       val vecs = Tables.embeddings(s, d)
@@ -537,6 +572,73 @@ object DataPipelineQueries extends Catalog {
          |JOIN sizesa na ON id_a = na.doc_id
          |JOIN sizesb nb ON id_b = nb.doc_id
          |WHERE CAST(inter AS DOUBLE)/(na.n_a + nb.n_b - inter) >= 0.5""".stripMargin
+    },
+
+    // the incremental-merge oracle closes the WHOLE graph in one recursive
+    // CTE — corpus-internal pairs (df guard over the corpus), cross pairs
+    // (corpus-side guard, as q69), and batch-internal pairs (batch-side
+    // guard) — so the Spark side's two-step labels-then-merge must land on
+    // exactly the same components as a from-scratch closure
+    "q76_incremental_clusters" -> {
+      def frame(sfx: String, pred: String): String =
+        s"""w$sfx AS (SELECT doc_id, $wordsSql AS ws FROM documents
+           |          WHERE $pred),
+           |idx$sfx AS (SELECT doc_id, ws, unnest(range(len(ws)-2)) AS i
+           |            FROM w$sfx WHERE len(ws) >= 3),
+           |sh$sfx AS (SELECT DISTINCT doc_id,
+           |             array_to_string(ws[i+1:i+3], ' ') AS shingle
+           |           FROM idx$sfx),
+           |sizes$sfx AS (SELECT doc_id, count(*) AS n_sh FROM sh$sfx
+           |              GROUP BY 1),
+           |df$sfx AS (SELECT shingle, count(*) AS df FROM sh$sfx GROUP BY 1),
+           |gen$sfx AS (SELECT s.doc_id, s.shingle FROM sh$sfx s
+           |            JOIN df$sfx USING (shingle) WHERE df <= 5)""".stripMargin
+      def withinPairs(sfx: String): String =
+        s"""cand$sfx AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           |             FROM gen$sfx a JOIN gen$sfx b USING (shingle)
+           |             WHERE a.doc_id < b.doc_id),
+           |inter$sfx AS (SELECT id_a, id_b, count(*) AS inter FROM cand$sfx
+           |              JOIN sh$sfx sa ON sa.doc_id = id_a
+           |              JOIN sh$sfx sb ON sb.doc_id = id_b
+           |                AND sb.shingle = sa.shingle
+           |              GROUP BY 1, 2),
+           |pairs$sfx AS (SELECT id_a, id_b FROM inter$sfx
+           |              JOIN sizes$sfx na ON id_a = na.doc_id
+           |              JOIN sizes$sfx nb ON id_b = nb.doc_id
+           |              WHERE CAST(inter AS DOUBLE)
+           |                /(na.n_sh + nb.n_sh - inter) >= 0.1)""".stripMargin
+      s"""WITH RECURSIVE ${frame("a", "doc_id % 10 = 7")},
+         |${frame("b", "doc_id % 10 <> 7")},
+         |${withinPairs("a")},
+         |${withinPairs("b")},
+         |genab AS (SELECT s.doc_id, s.shingle FROM sha s
+         |          JOIN dfb USING (shingle) WHERE df <= 5),
+         |candc AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |          FROM genab a JOIN genb b USING (shingle)),
+         |interc AS (SELECT id_a, id_b, count(*) AS inter FROM candc
+         |           JOIN sha sa ON sa.doc_id = id_a
+         |           JOIN shb sb ON sb.doc_id = id_b
+         |             AND sb.shingle = sa.shingle
+         |           GROUP BY 1, 2),
+         |pairsc AS (SELECT id_a, id_b FROM interc
+         |           JOIN sizesa na ON id_a = na.doc_id
+         |           JOIN sizesb nb ON id_b = nb.doc_id
+         |           WHERE CAST(inter AS DOUBLE)
+         |             /(na.n_sh + nb.n_sh - inter) >= 0.1),
+         |alledges AS (SELECT id_a AS u, id_b AS v FROM pairsa
+         |             UNION SELECT id_a, id_b FROM pairsb
+         |             UNION SELECT id_a, id_b FROM pairsc),
+         |edges AS (SELECT u, v FROM alledges UNION SELECT v, u FROM alledges),
+         |verts AS (SELECT DISTINCT u AS id FROM edges),
+         |reach(id, r) AS (
+         |  SELECT id, id FROM verts
+         |  UNION
+         |  SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.id),
+         |comp AS (SELECT id, min(r) AS component FROM reach GROUP BY 1)
+         |SELECT id AS doc_id, component,
+         |  CAST(count(*) OVER (PARTITION BY component) AS BIGINT)
+         |    AS cluster_size
+         |FROM comp""".stripMargin
     },
 
     // portable SimHash oracle: FNV-1a token hashes -> 64 sign-sums -> unsigned

@@ -146,6 +146,26 @@ class ConnectedComponentsSpec extends AnyFunSuite with SparkTestBase {
     assert(rounds <= 10, s"expected O(log n) convergence, took $rounds rounds")
   }
 
+  test("merge folds batch edges into prior labels == from-scratch run") {
+    // the incremental contract: merge(run(E1), E2) must equal run(E1 ∪ E2)
+    // on every vertex either side mentions. E2 exercises all three event
+    // kinds: extending a component (8→9), BRIDGING two prior components
+    // (4→20 — both must adopt root 1), and a brand-new component (100,101).
+    val e1 = Seq((1L, 2L), (2L, 3L), (3L, 4L), (20L, 21L), (30L, 31L))
+    val e2 = Seq((8L, 9L), (4L, 20L), (9L, 1L), (100L, 101L))
+    val prior = ConnectedComponents.run(e1.toDF("a", "b"), "a", "b")
+    val merged = ConnectedComponents
+      .merge(prior, "id", "component", e2.toDF("a", "b"), "a", "b")
+      .as[(Long, Long)].collect().toMap
+    val scratch = ConnectedComponents
+      .run((e1 ++ e2).toDF("a", "b"), "a", "b")
+      .as[(Long, Long)].collect().toMap
+    assert(merged === scratch)
+    assert(merged(21L) === 1L && merged(9L) === 1L) // bridged via 4→20, 9→1
+    assert(merged(30L) === 30L)                     // untouched component
+    assert(merged(100L) === 100L && merged(101L) === 100L)
+  }
+
   test("star fixpoint handles merged clusters and preserves singletons") {
     // two chains bridged by one edge + a self-loop singleton + an isolated
     // pair — exercises re-rooting across the bridge and the left-join that
