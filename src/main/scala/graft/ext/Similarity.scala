@@ -158,6 +158,85 @@ object Similarity {
       .select("id_a", "id_b", "cosine")
   }
 
+  // ---- random-hyperplane (SRP) LSH ----------------------------------------
+
+  /** Deterministic signed-random-projection hyperplane matrix: `bits × dims`
+    * small integer weights in [-500, 500], derived position-wise from
+    * FNV-1a 64 of the flat index (`Fnv1a64Ops.hashLong`) — no RNG state, so
+    * the family is reproducible across runs, engines (the oracle re-derives
+    * it from the same fold in HUGEINT SQL), and cluster topologies. Integer
+    * weights × scaled-long vectors keep every dot product exact (≤ 2^53), so
+    * the sign bits are bit-identical everywhere — float hyperplanes would
+    * make the signature engine-dependent at the sign boundary.
+    */
+  private[graft] def hyperplaneWeights(bits: Int, dims: Int): Array[Array[Long]] =
+    Array.tabulate(bits, dims) { (i, d) =>
+      val h = graft.plans.Fnv1a64Ops.hashLong(
+        graft.plans.Fnv1a64Ops.Offset, (i.toLong * dims + d))
+      ((h % 1001) + 1001) % 1001 - 500
+    }
+
+  /** Random-hyperplane LSH near-duplicate pairs — the SECOND ANN scale tier
+    * next to the IVF cells of [[cosineNearDups]]: signatures are
+    * data-independent (no centroid fit, no second pass over the corpus; new
+    * rows band with one projection), which is the right shape for streaming
+    * ingestion, while IVF adapts to the corpus but needs its centroids
+    * maintained.
+    *
+    * Per row: `bits` sign bits of W·v (Charikar-style SRP — two
+    * vectors agree on a bit with probability 1 − θ/π), packed into
+    * `bands` integer band keys of `bits/bands` bits each. Candidates meet
+    * only inside equal (band, key) groups — an equi-join, never all-pairs —
+    * and are then verified with the exact scaled-integer cosine, so
+    * banding affects RECALL only, never precision. Wider bands cut random
+    * collisions exponentially (8-bit bands pass ~1/256 of unrelated pairs
+    * per band) at the cost of recall for mid-similarity pairs: this tier
+    * targets the high-cosine regime; use the IVF tier for looser matches.
+    * The constant-folded weight literal keeps the per-row cost at
+    * `bits × dims` long multiplies inside codegen.
+    *
+    * Output: (id_a, id_b, cosine), id_a < id_b, cosine ≥ minCosine.
+    */
+  def srpNearDups(corpus: DataFrame, id: String, vec: String, dims: Int,
+                  bits: Int, bands: Int, minCosine: Double,
+                  scale: Double = DefaultScale): DataFrame = {
+    require(bits % bands == 0, "bands must divide bits")
+    val rpb = bits / bands
+    val w = array(hyperplaneWeights(bits, dims).map(row =>
+      array(row.map(lit): _*)): _*) // foldable -> one array constant
+    val pow2 = array((0 until rpb).map(j => lit(1L << j)): _*)
+    val sig = corpus
+      .select(col(id).as("__id"), quantize(col(vec), scale).as("__qv"))
+      .withColumn("__qn", dotLong(col("__qv"), col("__qv")))
+      .withColumn("__bits", transform(sequence(lit(0), lit(bits - 1)), i =>
+        when(dotLong(col("__qv"), element_at(w, i + lit(1))) >= 0, lit(1L))
+          .otherwise(lit(0L))))
+    val banded = sig.select(col("__id"),
+      explode(transform(sequence(lit(0), lit(bands - 1)), b =>
+        struct(b.as("band"),
+          aggregate(sequence(lit(0), lit(rpb - 1)), lit(0L), (acc, j) =>
+            acc + element_at(col("__bits"), b * lit(rpb) + j + lit(1))
+              * element_at(pow2, j + lit(1))).as("bkey")))).as("__bb"))
+      .select(col("__id"), col("__bb.band"), col("__bb.bkey"))
+    // ids-only candidate distinct, then ONE join back for vectors: carrying
+    // __qv through the band explode would shuffle each vector `bands` times
+    val cand = banded.select(col("__id").as("id_a"), col("band"), col("bkey"))
+      .join(banded.select(col("__id").as("id_b"), col("band"), col("bkey")),
+        Seq("band", "bkey"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val vecs = sig.select(col("__id"), col("__qv"), col("__qn"))
+    cand
+      .join(vecs.select(col("__id").as("id_a"), col("__qv").as("__va"),
+        col("__qn").as("__na")), Seq("id_a"))
+      .join(vecs.select(col("__id").as("id_b"), col("__qv").as("__vb"),
+        col("__qn").as("__nb")), Seq("id_b"))
+      .withColumn("cosine",
+        cosineFromQuantized(col("__va"), col("__vb"), col("__na"), col("__nb")))
+      .filter(col("cosine") >= minCosine)
+      .select("id_a", "id_b", "cosine")
+  }
+
   /** DuckDB SQL text for the identical scaled-integer dot product. */
   /** DuckDB multiplies FLOAT×DOUBLE in float precision — the element must be
     * cast to DOUBLE first to match Spark's float→double promotion. */

@@ -254,6 +254,35 @@ object DataPipelineQueries extends Catalog {
           (floor(col("cosine") * 1e6 + 0.5) / 1e6).as("cosine"))
     }),
 
+    // ---- random-hyperplane LSH near-dup (the data-independent ANN tier) ---
+    // q35's IVF cells adapt to the corpus but need centroids fit and
+    // maintained; SRP signatures are pure projections — a new row bands
+    // with one matrix multiply, no second pass — the right tier for
+    // streaming ingestion and the high-cosine regime. Integer hyperplanes
+    // (FNV-derived, [-500, 500]) on scaled-long vectors keep every sign bit
+    // exact, so the banded candidate set is hash-checked cross-engine, not
+    // rows-only. 8-bit bands pass ~1/256 of unrelated pairs per band;
+    // verification with the exact cosine makes banding recall-only.
+    // The synthetic corpus has no high-cosine pairs (max 0.51), so the
+    // query PLANTS them — every 50th vector re-enters at id+100000 with
+    // dim 0 nudged by +0.05 (cos ≈ 0.9987 against its source; the corpus
+    // is unit-norm) — the q68 fabricate-then-detect device. The plant
+    // arithmetic is double-exact in both engines.
+    "q77_srp_near_dups" -> ((s, d) => {
+      val vecs = Tables.embeddings(s, d)
+        .select(col("vec_id"),
+          transform(col("embedding"), x => x.cast("double")).as("embedding"))
+      val planted = vecs.filter(col("vec_id") % 50 === 3)
+        .select((col("vec_id") + 100000L).as("vec_id"),
+          transform(col("embedding"), (x, i) =>
+            x + when(i === 0, lit(0.05)).otherwise(lit(0.0)))
+            .as("embedding"))
+      Similarity.srpNearDups(vecs.unionByName(planted), "vec_id", "embedding",
+          dims = 64, bits = 64, bands = 8, minCosine = 0.95)
+        .select(col("id_a"), col("id_b"),
+          (floor(col("cosine") * 1e6 + 0.5) / 1e6).as("cosine"))
+    }),
+
     // ---- streaming/batch unification: the X16 pipeline in batch mode -------
     // EventStream.windowedTypeCounts is written once and planned either
     // incrementally (readStream + watermark, EventStreamSpec) or as a plain
@@ -800,6 +829,55 @@ object DataPipelineQueries extends Catalog {
          |  floor(($cosAB)*1000000.0 + 0.5)/1000000.0 AS cosine
          |FROM pairs
          |WHERE $cosAB >= 0.4""".stripMargin
+    },
+
+    // SRP oracle: the same FNV-derived integer hyperplanes re-derived in
+    // HUGEINT SQL, the same exact sign bits over scaled-long vectors, the
+    // same 8-bit band keys — then candidates and the exact cosine verify.
+    // Nothing is borrowed from the Spark side but the (deterministic)
+    // weight DEFINITION; the banding and verification are re-expressed.
+    "q77_srp_near_dups" -> {
+      import graft.plans.Fnv1a64Expression.{longSqlText, toSignedSqlText}
+      val signedFnv = toSignedSqlText(
+        longSqlText("14695981039346656037::HUGEINT",
+          "CAST(i*64 + d AS HUGEINT)"))
+      val wexpr = s"((($signedFnv) % 1001 + 1001) % 1001 - 500)"
+      val cosAB = Similarity.cosineSqlText("ea", "eb")
+      s"""WITH aug AS (
+         |  SELECT vec_id,
+         |    [CAST(embedding[dd] AS DOUBLE) FOR dd IN range(1, 65)] AS emb
+         |  FROM embeddings
+         |  UNION ALL
+         |  SELECT vec_id + 100000,
+         |    [CAST(embedding[dd] AS DOUBLE)
+         |       + CASE WHEN dd = 1 THEN 0.05 ELSE 0.0 END
+         |     FOR dd IN range(1, 65)]
+         |  FROM embeddings WHERE vec_id % 50 = 3),
+         |e AS (SELECT vec_id,
+         |  [CAST(floor(emb[dd]*1000000.0 + 0.5)
+         |    AS BIGINT) FOR dd IN range(1, 65)] AS qv FROM aug),
+         |wts AS (SELECT i, [ $wexpr FOR d IN range(0, 64)] AS w
+         |        FROM (SELECT unnest(range(64)) AS i)),
+         |dots AS (SELECT vec_id, i,
+         |           list_sum([qv[d+1]*w[d+1] FOR d IN range(0, 64)]) AS dot
+         |         FROM e CROSS JOIN wts),
+         |bv AS (SELECT vec_id, i // 8 AS band,
+         |         list(CASE WHEN dot >= 0 THEN 1::BIGINT ELSE 0::BIGINT END
+         |           ORDER BY i) AS bits
+         |       FROM dots GROUP BY 1, 2),
+         |keys AS (SELECT vec_id, band,
+         |           list_sum([bits[j+1]*(1::BIGINT << j)
+         |             FOR j IN range(0, 8)]) AS bkey FROM bv),
+         |cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+         |         FROM keys a JOIN keys b
+         |           ON a.band = b.band AND a.bkey = b.bkey
+         |          AND a.vec_id < b.vec_id),
+         |pairs AS (SELECT id_a, id_b, a.emb AS ea, b.emb AS eb
+         |          FROM cand JOIN aug a ON a.vec_id = id_a
+         |                    JOIN aug b ON b.vec_id = id_b)
+         |SELECT id_a, id_b,
+         |  floor(($cosAB)*1000000.0 + 0.5)/1000000.0 AS cosine
+         |FROM pairs WHERE $cosAB >= 0.95""".stripMargin
     },
 
     // rolling sketch oracle: min over the same FNV of the same trigram

@@ -72,6 +72,40 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(full === exact)
   }
 
+  test("SRP near-dups: planted high-cosine pairs found, banding recall-only") {
+    // plant a near-identical copy (dim-0 nudge, cos ≈ 0.9987 on unit-norm
+    // vectors) of every 10th vector; the SRP tier must surface exactly the
+    // planted pairs at a 0.95 threshold — nothing else in this corpus is
+    // above 0.52 — and every reported cosine must pass the threshold
+    // (precision is exact verification, only recall is probabilistic)
+    val planted = vecs.filter($"vec_id" % 10 === 3)
+      .select(($"vec_id" + 100000L).as("vec_id"),
+        transform($"embedding", (x, i) =>
+          x.cast("double") + when(i === 0, lit(0.05)).otherwise(lit(0.0)))
+          .as("embedding"))
+    val base = vecs.select($"vec_id",
+      transform($"embedding", x => x.cast("double")).as("embedding"))
+    val expected = base.filter($"vec_id" % 10 === 3)
+      .select($"vec_id").as[Long].collect()
+      .map(id => (id, id + 100000L)).toSet
+    val got = Similarity.srpNearDups(base.unionByName(planted),
+        "vec_id", "embedding", dims = 64, bits = 64, bands = 8,
+        minCosine = 0.95)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got === expected)
+  }
+
+  test("SRP hyperplane weights are deterministic, bounded, and FNV-derived") {
+    val w = Similarity.hyperplaneWeights(64, 64)
+    assert(w.length === 64 && w.forall(_.length === 64))
+    assert(w.flatten.forall(v => v >= -500 && v <= 500))
+    // spot-check against an independently computed FNV-1a 64 fold
+    val h = graft.plans.Fnv1a64Ops.hashLong(graft.plans.Fnv1a64Ops.Offset, 0L)
+    assert(w(0)(0) === ((h % 1001) + 1001) % 1001 - 500)
+    assert(w.map(_.toSeq).toSeq ===
+      Similarity.hyperplaneWeights(64, 64).map(_.toSeq).toSeq)
+  }
+
   test("IVF candidate join is an equi-join on the cell id (no cartesian)") {
     val centroids = vecs.filter($"vec_id" % 20 === 7)
     val plan = Similarity.knnIvf(vecs, queries,
