@@ -114,9 +114,33 @@ object AdvancedOps extends Catalog {
         .filter(col("rn") <= col("quota"))
         .select(col("doc_id"), col("lang"), col("rn").cast("long").as("rnk"))
     }),
+    // ---- bloom-filter semi-join pruning ------------------------------------
+    // graft.ext.BloomPrune: the build side's keys (132 selective customers
+    // at sf0.01) become a broadcast bitmap; the probe side (15000 orders,
+    // 1293 matching) drops
+    // non-candidate rows map-side BEFORE its shuffle. The oracle is the
+    // PLAIN join — that is the contract: a bloom may only pass extra rows
+    // to the exact join (false positives cost bytes), never change the
+    // result. Effectiveness (measured fp rate) is pinned in BloomPruneSpec.
+    "q78_bloom_pruned_join" -> ((s, d) => {
+      val cust = Tables.customer(s, d)
+        .filter(col("c_mktsegment") === "BUILDING" && col("c_acctbal") > 5000)
+        .select(col("c_custkey"), col("c_acctbal"))
+      val bloom = graft.ext.BloomPrune.build(cust, "c_custkey")
+      graft.ext.BloomPrune.prune(Tables.orders(s, d), "o_custkey", bloom)
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .select(col("o_orderkey"), col("o_custkey"), col("c_acctbal"),
+          col("o_totalprice"))
+    }),
   )
 
   override def oracles: Map[String, String] = Map(
+    // the plain equi-join: bloom pruning must be invisible in the result
+    "q78_bloom_pruned_join" ->
+      """SELECT o_orderkey, o_custkey, c_acctbal, o_totalprice
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 5000""".stripMargin,
+
     // DuckDB's NATIVE ASOF JOIN — a different algorithm than the Spark
     // side's union-marker window, which is the point of the check
     "q53_asof_join" ->
