@@ -132,9 +132,44 @@ object AdvancedOps extends Catalog {
         .select(col("o_orderkey"), col("o_custkey"), col("c_acctbal"),
           col("o_totalprice"))
     }),
+    // ---- z-order clustered layout, box query through the round-trip --------
+    // graft.ext.ZOrder: synth coords (events has no geo at this sf), write
+    // range-partitioned + z-sorted parquet, re-read, box-filter on BOTH
+    // dims, aggregate. The oracle computes the same box aggregate straight
+    // off the raw table: the clustered layout must be semantically
+    // invisible — its value (files skipped per dimension) is measured in
+    // ZOrderSpec, the q75 sink-transparency pattern applied to layout.
+    "q79_zorder_box" -> ((s, d) => {
+      val base = s"/tmp/graft_zorder_${new java.io.File(d).getName}"
+      val fs = org.apache.hadoop.fs.FileSystem
+        .get(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      val ev = Tables.events(s, d).select(col("event_id"), col("value"),
+        ((col("event_id") % 1801) / 10.0 - 90.0).as("lat"),
+        ((col("event_id") % 3601) / 10.0 - 180.0).as("lon"))
+      graft.ext.ZOrder.writeClustered(ev,
+        graft.ext.ZOrder.zValue(col("lat"), col("lon")), 16, base)
+      s.read.parquet(base)
+        .filter(col("lat").between(-20.0, 20.0)
+          && col("lon").between(100.0, 140.0))
+        .agg(count(lit(1)).as("n_events"),
+          XDet.moneySum(col("value"), 2).as("total_value"),
+          min(col("event_id")).as("min_id"),
+          max(col("event_id")).as("max_id"))
+    }),
   )
 
   override def oracles: Map[String, String] = Map(
+    // the same box aggregate straight off the raw table — the clustered
+    // write + re-read must not change a single row
+    "q79_zorder_box" ->
+      s"""SELECT CAST(count(*) AS BIGINT) AS n_events,
+         |  ${XDet.moneySumSql("value", 2)} AS total_value,
+         |  min(event_id) AS min_id, max(event_id) AS max_id
+         |FROM events
+         |WHERE (event_id % 1801)/10.0 - 90.0 BETWEEN -20 AND 20
+         |  AND (event_id % 3601)/10.0 - 180.0 BETWEEN 100 AND 140""".stripMargin,
+
     // the plain equi-join: bloom pruning must be invisible in the result
     "q78_bloom_pruned_join" ->
       """SELECT o_orderkey, o_custkey, c_acctbal, o_totalprice

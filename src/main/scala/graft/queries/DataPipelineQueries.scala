@@ -118,6 +118,12 @@ object DataPipelineQueries extends Catalog {
       val docs = Tables.documents(s, d)
       val incoming = docs.filter(col("doc_id") % 10 === 7)
       val corpus = docs.filter(col("doc_id") % 10 =!= 7)
+      // the shingle frames feed ~10 subtrees (sizes/df/gen/inter across
+      // three pair pipelines), but do NOT pin them: measured at sf0.1,
+      // Caches.pin here runs 35.0 s vs 15.7 s recomputed — the row-cache
+      // materialization + cache reads cost more than re-running the
+      // codegen'd explode per subtree, the same verdict Dedup recorded for
+      // q22's single-pipeline shape
       val shA = Dedup.wordShingles(incoming, "doc_id", "text", n = 3)
       val shB = Dedup.wordShingles(corpus, "doc_id", "text", n = 3)
       val prior = graft.operators.ConnectedComponents.run(
