@@ -238,6 +238,27 @@ object Dedup {
       .filter(col("jaccard") >= minJaccard)
   }
 
+  /** Benchmark decontamination overlap: for every (corpus doc, benchmark
+    * doc) pair sharing at least one shingle, the size of their shared
+    * shingle set — the signal behind "this training document contains eval
+    * n-grams" checks (the 13-gram rule of GPT-3/PaLM-style reports). Both
+    * inputs are (id, shingle) frames ([[wordShingles]]); the join is the
+    * shingle inverted index BETWEEN frames only, so cost scales with shared
+    * shingles, never |corpus| × |benchmark|. The benchmark side is tiny by
+    * nature; its shingle frame can be precomputed once and reused across
+    * corpus batches. Same disjoint-id contract as [[crossJaccardPairs]].
+    *
+    * Output: (id_a ∈ corpus, bench_id ∈ benchmark, overlap). Threshold and
+    * per-doc aggregation are the caller's policy (q81 flags ≥ 3 shared
+    * 5-grams).
+    */
+  def contaminationOverlap(corpusSh: DataFrame, benchSh: DataFrame,
+                           id: String): DataFrame =
+    corpusSh.select(col(id).as("id_a"), col("shingle"))
+      .join(benchSh.select(col(id).as("bench_id"), col("shingle")),
+        Seq("shingle"))
+      .groupBy("id_a", "bench_id").agg(count(lit(1)).as("overlap"))
+
   /** MinHash signatures: (id, sig array<long> of length `numHashes`).
     * Hash family i is `xxhash64(i, shingle)`; all minima are computed in ONE
     * aggregation pass (k min expressions), not k passes. `portable = true`

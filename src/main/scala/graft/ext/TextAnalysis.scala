@@ -90,6 +90,45 @@ object TextAnalysis {
     regexp_replace(regexp_replace(text, EmailRegex, "<EMAIL>"),
       LongDigitRunRegex, "<NUM>")
 
+  // ---- intra-document repetition signals (Gopher-style quality rules) -----
+  // Repetitious documents (boilerplate, keyword stuffing, templated spam)
+  // are a top removal class in web-scale curation. These are per-row array
+  // expressions — no shuffle, codegen-friendly — and every ratio is an
+  // exact-integer quotient, so the doubles reproduce bit-identically in the
+  // DuckDB oracle. Pass a pre-projected token array ([[tokens]] in a prior
+  // select): referencing the tokenizer inside these lambdas would re-run it
+  // per array element.
+
+  /** null-safe exact-int quotient: null on an empty denominator instead of
+    * ANSI's division-by-zero error — one empty document must not kill a
+    * 100 TB job */
+  private def ratio(num: Column, den: Column): Column =
+    when(den > 0, num.cast("double") / den)
+
+  /** fraction of tokens that repeat an earlier token: 1 − |distinct|/|all| */
+  def dupTokenRatio(ts: Column): Column =
+    ratio(size(ts) - size(array_distinct(ts)), size(ts))
+
+  /** word `n`-gram array of a token array (empty when the doc is shorter) */
+  def ngrams(ts: Column, n: Int): Column =
+    when(size(ts) >= n,
+      transform(sequence(lit(0), size(ts) - lit(n)),
+        i => concat_ws(" ", slice(ts, i + lit(1), lit(n)))))
+      .otherwise(array())
+
+  /** fraction of `n`-grams that are repeats of an earlier `n`-gram */
+  def dupNgramRatio(ts: Column, n: Int): Column = {
+    val gs = ngrams(ts, n)
+    ratio(size(gs) - size(array_distinct(gs)), size(gs))
+  }
+
+  /** occurrences of the most frequent token / total tokens. O(d·t) per row
+    * (d distinct, t total) — documents are bounded; this is a per-row
+    * scalar, not a corpus aggregate. */
+  def topTokenRatio(ts: Column): Column =
+    ratio(array_max(transform(array_distinct(ts),
+      t => size(filter(ts, x => x === t)).cast("long"))), size(ts))
+
   /** Rolling-hash document sketch: the minimum hash over word `n`-gram
     * windows (winnowing with w = ∞). `portable = true` uses FNV-1a 64
     * ([[graft.plans.Fnv1a64Expression]]) so the sketch is reproducible in

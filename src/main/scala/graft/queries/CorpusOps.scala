@@ -261,6 +261,27 @@ object CorpusOps extends Catalog {
         .drop("value")
     }),
 
+    // ---- deterministic source-mixture rebalancing --------------------------
+    // training mixes are rebalanced before sampling: downsample every
+    // language stratum to the smallest stratum's size (en is 3x fr in this
+    // corpus). Membership is pmod(fnv(doc_id), n_stratum) < target — the
+    // q55 hash-split device per stratum — so the rebalanced corpus is
+    // rerun/repartition/ingestion-stable, which sample()/sampleBy cannot
+    // promise. No sort, no window: one count aggregate + a map-side filter,
+    // n_kept lands within hash noise of the target.
+    "q82_mixture_rebalance" -> ((s, d) => {
+      import graft.plans.Fnv1a64Expression.fnv1a64
+      val docs = Tables.documents(s, d)
+      val counts = docs.groupBy("lang").agg(count(lit(1)).as("n_before"))
+      val target = counts.agg(min("n_before").as("target"))
+      docs.select("doc_id", "lang")
+        .join(counts, Seq("lang"))
+        .crossJoin(broadcast(target))
+        .filter(pmod(fnv1a64(col("doc_id")), col("n_before")) < col("target"))
+        .groupBy("lang")
+        .agg(min("n_before").as("n_before"), count(lit(1)).as("n_kept"))
+    }),
+
     // ---- sketch cardinality: HLL++ approx distinct + exact twin ------------
     // rows-only by construction (HLL registers are engine-specific); the
     // spec bounds the relative error < 5% against the exact column.
@@ -272,6 +293,21 @@ object CorpusOps extends Catalog {
   )
 
   override def oracles: Map[String, String] = Map(
+    // same FNV bucket arithmetic per stratum (pmod == ((x%n)+n)%n)
+    "q82_mixture_rebalance" -> {
+      import graft.plans.Fnv1a64Expression.{longSqlText, toSignedSqlText}
+      val fnv = toSignedSqlText(
+        longSqlText("14695981039346656037::HUGEINT", "doc_id::HUGEINT"))
+      s"""WITH counts AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_before
+         |               FROM documents GROUP BY 1),
+         |t AS (SELECT min(n_before) AS target FROM counts)
+         |SELECT lang, min(n_before) AS n_before,
+         |  CAST(count(*) AS BIGINT) AS n_kept
+         |FROM documents JOIN counts USING (lang) CROSS JOIN t
+         |WHERE ((($fnv) % n_before) + n_before) % n_before < target
+         |GROUP BY 1""".stripMargin
+    },
+
     "q60_distinctive_terms" ->
       s"""WITH w AS (SELECT doc_id, ${TextSql.words} AS ws FROM documents),
          |t AS (SELECT doc_id, unnest(ws) AS term FROM w),

@@ -103,6 +103,47 @@ object DataPipelineQueries extends Catalog {
           (floor(col("jaccard") * 1e6 + 0.5) / 1e6).as("jaccard"))
     }),
 
+    // ---- intra-document repetition signals (Gopher-style quality rules) ---
+    // repetitious docs (boilerplate, keyword stuffing) are a top removal
+    // class in web-scale curation: duplicate-token fraction, duplicate-
+    // trigram fraction, and top-token mass, all per-row array expressions —
+    // no shuffle — with exact-int quotients quantized at 1e-6 on both sides
+    "q80_repetition_signals" -> ((s, d) => {
+      val q6 = (c: org.apache.spark.sql.Column) => floor(c * 1e6 + 0.5) / 1e6
+      Tables.documents(s, d)
+        .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("__ts"))
+        .select(col("doc_id"),
+          size(col("__ts")).cast("long").as("n_tokens"),
+          q6(TextAnalysis.dupTokenRatio(col("__ts"))).as("dup_token_ratio"),
+          q6(TextAnalysis.dupNgramRatio(col("__ts"), 3))
+            .as("dup_trigram_ratio"),
+          q6(TextAnalysis.topTokenRatio(col("__ts"))).as("top_token_ratio"))
+    }),
+
+    // ---- benchmark decontamination (eval n-gram overlap) -------------------
+    // the "training doc contains eval n-grams" check (the 13-gram rule of
+    // GPT-3-style reports, scaled to this corpus's 5-grams): every 25th doc
+    // plays the benchmark; a corpus doc is contaminated when it shares >= 3
+    // distinct 5-grams with any benchmark doc. The overlap join is the
+    // cross-frame shingle inverted index — never corpus x benchmark.
+    "q81_decontamination" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val sh = Dedup.wordShingles(docs, "doc_id", "text", n = 5)
+      val hits = Dedup.contaminationOverlap(
+          sh.filter(col("doc_id") % 25 =!= 11),
+          sh.filter(col("doc_id") % 25 === 11), "doc_id")
+        .filter(col("overlap") >= 3)
+        .groupBy(col("id_a").as("doc_id"))
+        .agg(count(lit(1)).as("n_bench_hits"),
+          max(col("overlap")).as("max_overlap"))
+      docs.filter(col("doc_id") % 25 =!= 11).select(col("doc_id"))
+        .join(hits, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_bench_hits"), lit(0L)).as("n_bench_hits"),
+          coalesce(col("max_overlap"), lit(0L)).as("max_overlap"),
+          (col("n_bench_hits").isNotNull).cast("int").as("contaminated"))
+    }),
+
     // ---- incremental duplicate-cluster maintenance (batch into labels) -----
     // the third leg of the incremental-dedup story: q69/q74 generate the
     // batch's candidate PAIRS without self-joining the corpus; this folds
@@ -608,6 +649,51 @@ object DataPipelineQueries extends Catalog {
          |JOIN sizesb nb ON id_b = nb.doc_id
          |WHERE CAST(inter AS DOUBLE)/(na.n_a + nb.n_b - inter) >= 0.5""".stripMargin
     },
+
+    // same token/ngram arrays via list comprehensions; every ratio is the
+    // identical exact-int quotient quantized at 1e-6
+    "q80_repetition_signals" ->
+      s"""WITH w AS (SELECT doc_id, $wordsSql AS ws FROM documents),
+         |g AS (SELECT doc_id, ws,
+         |  CASE WHEN len(ws) >= 3
+         |    THEN [array_to_string(ws[i+1:i+3], ' ')
+         |          FOR i IN range(0, len(ws)-2)]
+         |    ELSE [] END AS gs
+         |  FROM w)
+         |SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tokens,
+         |  CASE WHEN len(ws) > 0 THEN
+         |    floor(CAST(len(ws) - len(list_distinct(ws)) AS DOUBLE)
+         |      /len(ws)*1000000.0 + 0.5)/1000000.0 END AS dup_token_ratio,
+         |  CASE WHEN len(gs) > 0 THEN
+         |    floor(CAST(len(gs) - len(list_distinct(gs)) AS DOUBLE)
+         |      /len(gs)*1000000.0 + 0.5)/1000000.0 END AS dup_trigram_ratio,
+         |  CASE WHEN len(ws) > 0 THEN
+         |    floor(CAST(list_max([len(list_filter(ws, x -> x = t))
+         |        FOR t IN list_distinct(ws)]) AS DOUBLE)
+         |      /len(ws)*1000000.0 + 0.5)/1000000.0 END AS top_token_ratio
+         |FROM g""".stripMargin,
+
+    // the same cross-frame 5-gram inverted index, thresholded at 3
+    "q81_decontamination" ->
+      s"""WITH w AS (SELECT doc_id, $wordsSql AS ws FROM documents),
+         |idx AS (SELECT doc_id, ws, unnest(range(len(ws)-4)) AS i
+         |        FROM w WHERE len(ws) >= 5),
+         |sh AS (SELECT DISTINCT doc_id,
+         |         array_to_string(ws[i+1:i+5], ' ') AS s FROM idx),
+         |ov AS (SELECT c.doc_id, b.doc_id AS bench_id, count(*) AS overlap
+         |       FROM (SELECT * FROM sh WHERE doc_id % 25 <> 11) c
+         |       JOIN (SELECT * FROM sh WHERE doc_id % 25 = 11) b USING (s)
+         |       GROUP BY 1, 2),
+         |hits AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bench_hits,
+         |           CAST(max(overlap) AS BIGINT) AS max_overlap
+         |         FROM ov WHERE overlap >= 3 GROUP BY 1)
+         |SELECT d.doc_id,
+         |  coalesce(h.n_bench_hits, 0) AS n_bench_hits,
+         |  coalesce(h.max_overlap, 0) AS max_overlap,
+         |  CASE WHEN h.n_bench_hits IS NOT NULL THEN 1 ELSE 0 END
+         |    AS contaminated
+         |FROM documents d LEFT JOIN hits h USING (doc_id)
+         |WHERE d.doc_id % 25 <> 11""".stripMargin,
 
     // the incremental-merge oracle closes the WHOLE graph in one recursive
     // CTE — corpus-internal pairs (df guard over the corpus), cross pairs

@@ -37,6 +37,37 @@ class TextMultimodalSpec extends AnyFunSuite with SparkTestBase {
     assert(fps(0) === fps(1))
   }
 
+  test("repetition signals: hand-computed ratios, empty doc yields null") {
+    import graft.ext.TextAnalysis._
+    val df = Seq(
+      ("a b a b a b",        0), // 6 tokens, 2 distinct; 4 trigrams, 2 distinct
+      ("w x y z",            1), // no repetition at all
+      ("",                   2)  // empty: every ratio must be null, not error
+    ).toDF("text", "i")
+    val got = df.select($"i", tokens($"text").as("ts"))
+      .select($"i", dupTokenRatio($"ts").as("dt"),
+        dupNgramRatio($"ts", 3).as("dg"), topTokenRatio($"ts").as("tt"))
+      .orderBy("i").collect()
+    assert(got(0).getDouble(1) === 4.0 / 6)  // a,b repeat 4 times
+    assert(got(0).getDouble(2) === 2.0 / 4)  // "a b a","b a b" repeat
+    assert(got(0).getDouble(3) === 3.0 / 6)  // 'a' x3 of 6
+    assert(got(1).getDouble(1) === 0.0 && got(1).getDouble(2) === 0.0)
+    assert(got(1).getDouble(3) === 1.0 / 4)
+    assert(got(2).isNullAt(1) && got(2).isNullAt(2) && got(2).isNullAt(3))
+  }
+
+  test("contamination overlap counts shared distinct shingles only") {
+    import graft.ext.Dedup
+    val corpus = Seq((1L, "p q r s t u v"), (2L, "a b c d e f")).toDF("id", "text")
+    val bench = Seq((100L, "q r s t u zz ww")).toDF("id", "text")
+    val got = Dedup.contaminationOverlap(
+        Dedup.wordShingles(corpus, "id", "text", 5),
+        Dedup.wordShingles(bench, "id", "text", 5), "id")
+      .as[(Long, Long, Long)].collect().toSet
+    // doc 1 shares exactly one 5-gram ("q r s t u"); doc 2 shares none
+    assert(got === Set((1L, 100L, 1L)))
+  }
+
   test("rolling min-hash sketch is content-determined") {
     val twice = Seq(("x", "one two three four five"), ("y", "one two three four five"),
         ("z", "six seven eight nine ten")).toDF("id", "text")
