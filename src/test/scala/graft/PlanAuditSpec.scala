@@ -16,19 +16,22 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
 
   private val sfDir = "/root/testdata/sf0.001"
 
-  /** The exactly-9 queries whose plan legitimately contains
+  /** The exactly-11 queries whose plan legitimately contains
     * BroadcastNestedLoopJoin: cross join against the 25-row nation-derived
     * city dim (q18, q20, q33, and the composed jobs q46/q48/q49 whose
     * reference shape is the broadcast nearest-city join), the
     * declared-contract broadcast query side of the exact-knn baseline
-    * (q25 — q26 is its scale path), and the centroid-assignment cross join
+    * (q25 — q26 is its scale path), the centroid-assignment cross join
     * of the IVF operators (q26, q35), whose broadcast side is the centroid
-    * set — small by the IVF design itself.
+    * set — small by the IVF design itself, and the ONE-row broadcast
+    * scalars of q78 (the bloom bitmap) and q82 (the global target count),
+    * where the "join" is a constant attach, not a pairing.
     */
   private val broadcastCrossAllowed =
     Set("q18_nearest_city", "q20_orders_by_zone", "q33_coord_argmin",
       "q25_knn_exact", "q26_knn_ivf", "q35_cosine_near_dups",
-      "q46_user_mart", "q48_zone_mart", "q49_recommendations")
+      "q46_user_mart", "q48_zone_mart", "q49_recommendations",
+      "q78_bloom_pruned_join", "q82_mixture_rebalance")
 
   test("no catalog query plans a CartesianProduct") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
