@@ -87,4 +87,58 @@ object AsOfJoin {
       .select(keys.map(col) ++ Seq(col("__t").as(leftTs)) ++
         leftOnly.map(col) ++ payload.map(p => col(prefix + p)): _*)
   }
+
+  /** Forward (earliest-following) as-of join: each left row picks up the
+    * payload of the right row with the SMALLEST `rightTs >= leftTs` in the
+    * same key group — "what is the next scheduled event after me". Same
+    * union-marker shape and ONE-shuffle contract as [[backward]], with the
+    * window reversed: left rows sort BEFORE right rows at equal timestamps
+    * (inclusive bound) and `first(_, ignoreNulls)` over
+    * [currentRow, unboundedFollowing) backward-fills the next payload.
+    *
+    * Null handling mirrors [[backward]]'s fabrication guards: right rows
+    * with NULL timestamps are dropped (they satisfy no `rightTs >= leftTs`),
+    * and left NULL-timestamp rows sort LAST (`asc_nulls_last`) so their
+    * following frame contains no right row — NULL payloads, exactly the
+    * theta-join semantics. Same uniqueness contract on (`keys`, `rightTs`).
+    */
+  def forward(left: DataFrame, right: DataFrame, keys: Seq[String],
+              leftTs: String, rightTs: String, payload: Seq[String],
+              prefix: String = "asof_"): DataFrame = {
+    require(payload.nonEmpty, "as-of join with no payload columns")
+    val leftCols = left.columns.toSeq
+    payload.foreach { p =>
+      require(!leftCols.contains(p),
+        s"payload column '$p' already exists on the left side")
+      require(!leftCols.contains(prefix + p),
+        s"output column '$prefix$p' already exists on the left side")
+    }
+    (Seq("__t", "__side") ++ payload.map(prefix + _)).foreach { c =>
+      require(!keys.contains(c), s"key column '$c' collides with internals")
+    }
+    val leftOnly = leftCols.filterNot(c => keys.contains(c) || c == leftTs)
+    require(!leftOnly.contains("__t") && !leftOnly.contains("__side"),
+      "left columns '__t'/'__side' collide with as-of internals")
+    val lSide = left.select(
+      keys.map(col) ++
+        Seq(col(leftTs).as("__t"), lit(0).as("__side")) ++
+        leftOnly.map(col) ++
+        payload.map(p => lit(null).as(p)): _*)
+    val rSide = right.filter(col(rightTs).isNotNull).select(
+      keys.map(col) ++
+        Seq(col(rightTs).as("__t"), lit(1).as("__side")) ++
+        leftOnly.map(c => lit(null).as(c)) ++
+        payload.map(col): _*)
+    // left (side 0) sorts before right (side 1) at equal __t: a right row
+    // AT the left row's timestamp is in the following frame — inclusive
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__t").asc_nulls_last, col("__side"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val filled = payload.foldLeft(lSide.unionByName(rSide)) { (df, p) =>
+      df.withColumn(prefix + p, first(col(p), ignoreNulls = true).over(w))
+    }
+    filled.filter(col("__side") === 0)
+      .select(keys.map(col) ++ Seq(col("__t").as(leftTs)) ++
+        leftOnly.map(col) ++ payload.map(p => col(prefix + p)): _*)
+  }
 }

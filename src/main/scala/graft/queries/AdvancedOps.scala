@@ -41,6 +41,28 @@ object AdvancedOps extends Catalog {
           (floor(col("asof_setting") * 1e6 + 0.5) / 1e6).as("setting"))
     }),
 
+    // ---- forward as-of join (next-following, the backward twin) ------------
+    // the same settings/reads split as q53, reversed: every read picks up
+    // the EARLIEST setting at-or-after its own timestamp ("when does the
+    // next change land"). Late-tail reads with no following setting
+    // exercise the left-outer NULL path; the oracle is DuckDB's native
+    // ASOF with the <= comparator — an independent algorithm.
+    "q83_asof_forward" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val settings = ev.filter(col("event_id") % 10 === 0)
+        .groupBy("user_id", "ts")
+        .agg(max("value").as("setting"))
+        .withColumn("setting_ts_us", unix_micros(col("ts")))
+      val reads = ev.filter(col("event_id") % 10 =!= 0)
+        .select("user_id", "event_id", "ts")
+      AsOfJoin.forward(reads, settings, Seq("user_id"), "ts", "ts",
+          payload = Seq("setting", "setting_ts_us"))
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("ts_us"),
+          col("asof_setting_ts_us").as("setting_ts_us"),
+          (floor(col("asof_setting") * 1e6 + 0.5) / 1e6).as("setting"))
+    }),
+
     // ---- deterministic hash split (train/val/test) -------------------------
     // THE reproducibility primitive of a training pipeline: membership
     // depends only on the row's own key (FNV-1a 64 of doc_id, mod 100), so
@@ -190,6 +212,20 @@ object AdvancedOps extends Catalog {
         |  floor(r.setting*1e6 + 0.5)/1e6 AS setting
         |FROM l ASOF LEFT JOIN r
         |  ON l.user_id = r.user_id AND l.lts >= r.rts""".stripMargin,
+
+    // DuckDB's native forward ASOF (<= comparator) — independent algorithm
+    "q83_asof_forward" ->
+      """WITH r AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS rts, max(value) AS setting
+        |  FROM events WHERE event_id % 10 = 0 GROUP BY 1, 2),
+        |l AS (
+        |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS lts
+        |  FROM events WHERE event_id % 10 <> 0)
+        |SELECT l.user_id, l.event_id, epoch_us(l.lts) AS ts_us,
+        |  epoch_us(r.rts) AS setting_ts_us,
+        |  floor(r.setting*1e6 + 0.5)/1e6 AS setting
+        |FROM l ASOF LEFT JOIN r
+        |  ON l.user_id = r.user_id AND l.lts <= r.rts""".stripMargin,
 
     "q55_hash_split" -> {
       import graft.plans.Fnv1a64Expression.{longSqlText, toSignedSqlText}

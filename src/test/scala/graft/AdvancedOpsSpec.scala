@@ -95,6 +95,60 @@ class AsOfJoinSpec extends AnyFunSuite with SparkTestBase {
       .select(col("k"), col("ev"), col("v").as("asof_v"))
     assert(fast.exceptAll(naive).isEmpty && naive.exceptAll(fast).isEmpty)
   }
+
+  test("forward as-of picks the earliest right row at-or-after each left ts") {
+    val out = AsOfJoin.forward(left, right, Seq("k"), "ts", "ts", Seq("v"))
+      .select("ev", "asof_v").as[(Long, Option[Double])].collect().toMap
+    assert(out(10L) === Some(200.0)) // 10:00 -> next is 11:00 row
+    assert(out(11L) === None)        // 12:00 follows every key-1 right row
+    assert(out(12L) === Some(100.0)) // 09:00 -> next is 09:30 row
+    assert(out(20L) === Some(300.0)) // equal ts: inclusive
+    assert(out(30L) === None)        // no right rows for key 3
+  }
+
+  test("forward: NULL left ts gets NULL payload; NULL right ts is dropped") {
+    // a NULL-ts left row sorts LAST (asc_nulls_last) — its following frame
+    // must contain no right row, mirroring the theta-join's NULL semantics
+    val lNull = left.unionByName(
+      Seq((1L, 99L, None: Option[String])).toDF("k", "ev", "ts")
+        .withColumn("ts", to_timestamp(col("ts"))))
+    val rNull = right.unionByName(
+      Seq((3L, None: Option[String], 999.0)).toDF("k", "ts", "v")
+        .withColumn("ts", to_timestamp(col("ts"))))
+    val out = AsOfJoin.forward(lNull, rNull, Seq("k"), "ts", "ts", Seq("v"))
+      .select("ev", "asof_v").as[(Long, Option[Double])].collect().toMap
+    assert(out(99L) === None) // NULL left ts never matches
+    assert(out(30L) === None) // key 3's only right row has NULL ts
+    assert(out(10L) === Some(200.0))
+  }
+
+  test("forward plans exactly one shuffle and matches the naive formulation") {
+    val l = spark.range(2000).select(
+      (col("id") % 40).as("k"), col("id").as("ev"),
+      timestamp_micros(col("id") * 7919 % 1000000000L).as("ts"))
+    val r = spark.range(400).select(
+      (col("id") % 40).as("k"),
+      timestamp_micros(col("id") * 104729 % 1000000000L).as("ts"),
+      (col("id") * 13 % 997).cast("double").as("v"))
+      .groupBy("k", "ts").agg(max("v").as("v"))
+    // plan contract on the shuffle-free small fixture (the big one's own
+    // groupBy adds a legitimate aggregation exchange)
+    val smallPlan = AsOfJoin.forward(left, right, Seq("k"), "ts", "ts", Seq("v"))
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(smallPlan).size === 1,
+      smallPlan)
+    val fast = AsOfJoin.forward(l, r, Seq("k"), "ts", "ts", Seq("v"))
+    val rr = r.withColumnRenamed("ts", "rts").withColumnRenamed("k", "rk")
+    val naive = l.join(rr, col("k") === col("rk") && col("rts") >= col("ts"),
+        "left")
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("k", "ev")
+          .orderBy(col("rts").asc_nulls_last)))
+      .filter(col("rn") === 1)
+      .select(col("k"), col("ev"), col("v").as("asof_v"))
+    val got = fast.select("k", "ev", "asof_v")
+    assert(got.exceptAll(naive).isEmpty && naive.exceptAll(got).isEmpty)
+  }
 }
 
 class ConnectedComponentsSpec extends AnyFunSuite with SparkTestBase {
