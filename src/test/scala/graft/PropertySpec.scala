@@ -119,4 +119,50 @@ class PropertySpec extends AnyFunSuite with SparkTestBase {
     assert(pairs.distinct.length === pairs.length)
     assert(pairs.forall { case (a, b) => a < b })
   }
+
+  test("as-of duality: forward on ts == backward on negated ts") {
+    // the two directions are mirror images — running backward over negated
+    // timestamps (numeric surrogate, ordering reversed) must reproduce
+    // forward exactly, including the left-outer NULLs and inclusive bounds
+    import org.apache.spark.sql.functions._
+    val r0 = rng
+    val l = (1 to 400).map(_ =>
+      (r0.nextInt(20).toLong, r0.nextInt(100000).toLong)).zipWithIndex
+      .map { case ((k, t), i) => (k, i.toLong, t) }
+      .toDF("k", "ev", "t")
+    val r = (1 to 80).map(_ =>
+      (r0.nextInt(20).toLong, r0.nextInt(100000).toLong,
+        r0.nextInt(1000).toDouble)).toDF("k", "t", "v")
+      .groupBy("k", "t").agg(max("v").as("v"))
+    val fwd = graft.operators.AsOfJoin.forward(l, r, Seq("k"), "t", "t", Seq("v"))
+      .select("k", "ev", "asof_v")
+    val neg = graft.operators.AsOfJoin.backward(
+        l.withColumn("t", -col("t")), r.withColumn("t", -col("t")),
+        Seq("k"), "t", "t", Seq("v"))
+      .select("k", "ev", "asof_v")
+    assert(fwd.exceptAll(neg).isEmpty && neg.exceptAll(fwd).isEmpty)
+  }
+
+  test("z-order interleave is a bijection on the cell grid") {
+    import org.apache.spark.sql.functions._
+    val r0 = rng
+    val cells = (1 to N).map(_ =>
+      (r0.nextInt(4096).toLong, r0.nextInt(4096).toLong)).distinct
+    val zs = cells.toDF("x", "y")
+      .select(graft.ext.ZOrder.interleave(col("x"), col("y"), 12))
+      .as[Long].collect()
+    // injective on distinct inputs, bounded by 2^24, and bit-exactly
+    // invertible by de-interleaving driver-side
+    assert(zs.distinct.length === cells.length)
+    assert(zs.forall(z => z >= 0 && z < (1L << 24)))
+    def deinterleave(z: Long): (Long, Long) = {
+      var (x, y) = (0L, 0L)
+      for (j <- 0 until 12) {
+        x |= ((z >> (2 * j)) & 1L) << j
+        y |= ((z >> (2 * j + 1)) & 1L) << j
+      }
+      (x, y)
+    }
+    assert(zs.map(deinterleave).toSet === cells.toSet)
+  }
 }
