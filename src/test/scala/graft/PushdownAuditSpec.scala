@@ -63,4 +63,19 @@ class PushdownAuditSpec extends AnyFunSuite with SparkTestBase {
       assert(!read.contains("source"), read.toString)
     }
   }
+
+  test("q79: the box predicate reaches the z-clustered parquet as PushedFilters") {
+    // the whole point of the z-order layout is that the RE-READ scan can
+    // skip row groups via lat/lon min-max stats — which only happens when
+    // both range predicates arrive at the reader as pushed filters
+    val reread = scansOf("q79_zorder_box")
+      .filter(_.requiredSchema.fieldNames.contains("lat"))
+    assert(reread.nonEmpty, "no scan over the clustered files found")
+    val pushed = reread.head.metadata("PushedFilters")
+    Seq("lat", "lon").foreach { c =>
+      assert(pushed.contains(s"GreaterThanOrEqual($c") &&
+        pushed.contains(s"LessThanOrEqual($c"),
+        s"expected both range bounds pushed for $c, got: $pushed")
+    }
+  }
 }
