@@ -81,4 +81,48 @@ class EventStreamSpec extends AnyFunSuite with SparkTestBase {
       assert(last.contains((2L, 1L, 150L)))
     } finally q.stop()
   }
+
+  test("micro-batched LSH incremental dedup equals the one-shot batch twin") {
+    // the streaming shape of X48: corpus shingles/buckets are STATIC
+    // (computed once, reusable across micro-batches); each arriving
+    // micro-batch of documents pays only its own banding inside
+    // foreachBatch. The union of per-batch verdicts must equal running the
+    // cross-frame dedup over all incoming docs at once — micro-batching is
+    // an execution detail, not a semantics change, because candidates only
+    // ever meet batch x corpus (never batch x batch).
+    implicit val ctx = spark.sqlContext
+    import graft.ext.Dedup
+    val docsAll = graft.sources.Tables.documents(spark, "/root/testdata/sf0.01")
+    val shCorpus = Dedup.wordShingles(
+      docsAll.filter($"doc_id" % 10 =!= 7), "doc_id", "text", 3)
+    val incoming = docsAll.filter($"doc_id" % 10 === 7)
+      .select($"doc_id", $"text").as[(Long, String)].collect().toSeq
+    val in = MemoryStream[(Long, String)]
+    val acc = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+    val q = in.toDF().toDF("doc_id", "text").writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val out = Dedup.crossMinHashNearDups(
+            Dedup.wordShingles(batch, "doc_id", "text", 3), shCorpus,
+            "doc_id", numHashes = 64, bands = 16, minJaccard = 0.5)
+          .select("id_a", "id_b").as[(Long, Long)].collect()
+        acc.synchronized { acc ++= out }
+        ()
+      }.start()
+    try {
+      val (b1, b2) = incoming.splitAt(incoming.length / 2)
+      in.addData(b1)
+      q.processAllAvailable()
+      in.addData(b2)
+      q.processAllAvailable()
+    } finally q.stop()
+    val oneShot = Dedup.crossMinHashNearDups(
+        Dedup.wordShingles(docsAll.filter($"doc_id" % 10 === 7),
+          "doc_id", "text", 3), shCorpus,
+        "doc_id", numHashes = 64, bands = 16, minJaccard = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(oneShot.nonEmpty) // sf0.01 has cross-frame near-dups to find
+    assert(acc.size === acc.toSet.size) // no pair straddles batches twice
+    assert(acc.toSet === oneShot)
+  }
 }
