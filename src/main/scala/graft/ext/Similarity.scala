@@ -237,6 +237,135 @@ object Similarity {
       .select("id_a", "id_b", "cosine")
   }
 
+  // ---- deterministic distributed k-means (Lloyd) --------------------------
+
+  /** Assign every row of `q` (a [[prep]]-shaped frame: `__id, __qv, __qn`)
+    * to its max-cosine centroid from `cent` (`cell: int, centroid:
+    * array<long>` — already scaled-long vectors). Centroids are broadcast;
+    * ties break on the lower cell id. Output: (__id, __qv, __qn, cell,
+    * __cos).
+    */
+  private def assignQuantized(q: DataFrame, cent: DataFrame): DataFrame = {
+    val c = broadcast(cent.select(col("cell"), col("centroid").as("__ctv"))
+      .withColumn("__ctn", dotLong(col("__ctv"), col("__ctv"))))
+    val w = Window.partitionBy("__id").orderBy(col("__cos").desc, col("cell"))
+    q.crossJoin(c)
+      .withColumn("__cos",
+        cosineFromQuantized(col("__qv"), col("__ctv"), col("__qn"), col("__ctn")))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("__id"), col("__qv"), col("__qn"), col("cell"), col("__cos"))
+  }
+
+  /** Deterministic distributed k-means (fixed-iteration Lloyd) over an
+    * embedding column. Returns the fitted centroids as `(cell: int,
+    * centroid: array<long>)` scaled-long vectors, usable directly by
+    * [[kmeansAssign]] / [[semanticDedupVerdict]].
+    *
+    * Everything an MLlib-style fit leaves to RNG state or thread timing is
+    * pinned down so two runs — or two engines — agree bit-for-bit:
+    *
+    *  - '''init''': the k corpus rows first in `(fnv1a64(id), id)` order, a
+    *    stable pseudo-random draw. `orderBy().limit(k)` plans as
+    *    TakeOrderedAndProject — per-partition top-k then a k·P driver merge,
+    *    never a global sort of the corpus;
+    *  - '''assignment''': max quantized-integer cosine, lower cell on ties
+    *    (cosines are doubles derived from exact ints — bit-identical in any
+    *    IEEE engine);
+    *  - '''update''': per-dimension LONG sums of the scaled vectors
+    *    (associative — safe under any partial-aggregation order), then
+    *    `sign(s) · (|s| div n)` — integer division on a non-negative
+    *    numerator, where Spark's `div` (truncation) and DuckDB's `//`
+    *    (truncation) provably agree. The mean-of-scaled-values stays at
+    *    vector magnitude, so centroid self-dots never overflow (a raw SUM
+    *    centroid squares to > 2^63 once cells pass ~10^4 rows);
+    *  - '''empty cells''' keep their previous centroid (left-join +
+    *    coalesce), so k never silently shrinks.
+    *
+    * Scale shape: per iteration, one broadcast-join assignment pass (no
+    * shuffle of the corpus) + one `posexplode` aggregation keyed (cell,
+    * dim) — map-side partial aggregation compresses every partition to
+    * k·dims rows, so k·dims·P rows cross the exchange regardless of corpus
+    * size. `iters` is a fixed small constant: lineage stays bounded without
+    * checkpointing.
+    */
+  def kmeansFit(corpus: DataFrame, id: String, vec: String, k: Int,
+                iters: Int, scale: Double = DefaultScale): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(iters >= 0, s"iters must be >= 0, got $iters")
+    val q = prep(corpus, id, vec, "__id", scale)
+    val seeds = q
+      .withColumn("__h", graft.plans.Fnv1a64Expression.fnv1a64(col("__id")))
+      .orderBy(col("__h"), col("__id")).limit(k)
+    // row_number over the k surviving rows only — the unpartitioned window
+    // is k-sized by construction, not a corpus-wide single partition
+    val cent0 = seeds
+      .withColumn("cell", row_number()
+        .over(Window.orderBy(col("__h"), col("__id"))).cast("int"))
+      .select(col("cell"), col("__qv").as("centroid"))
+    (1 to iters).foldLeft(cent0) { (cent, _) =>
+      val upd = assignQuantized(q, cent)
+        .select(col("cell"), posexplode(col("__qv")).as(Seq("__dim", "__x")))
+        .groupBy("cell", "__dim")
+        .agg(sum(col("__x")).as("__s"), count(lit(1)).as("__n"))
+        .withColumn("__c",
+          when(col("__s") < 0, lit(-1L)).otherwise(lit(1L)) *
+            expr("abs(__s) div __n"))
+        .groupBy("cell")
+        .agg(transform(
+          array_sort(collect_list(struct(col("__dim"), col("__c")))),
+          e => e.getField("__c")).as("__newc"))
+      cent.join(upd, Seq("cell"), "left")
+        .select(col("cell"),
+          coalesce(col("__newc"), col("centroid")).as("centroid"))
+    }
+  }
+
+  /** Assignment against fitted centroids: (id, cell, cosine) — the cosine is
+    * to the OWNING centroid (the max, by construction).
+    */
+  def kmeansAssign(corpus: DataFrame, id: String, vec: String,
+                   centroids: DataFrame,
+                   scale: Double = DefaultScale): DataFrame =
+    assignQuantized(prep(corpus, id, vec, "__id", scale), centroids)
+      .select(col("__id").as(id), col("cell"), col("__cos").as("cosine"))
+
+  /** SemDeDup-style semantic dedup: fit k cells ([[kmeansFit]]), then inside
+    * each cell drop every row that has a SMALLER-id neighbor with cosine ≥
+    * `minCosine` (greedy min-id pruning, per-pair — not the transitive
+    * closure: in a chain a~b~c with cos(a,c) < τ, b and c both drop but a
+    * stays, which is the per-ε-ball "keep one representative" verdict, not
+    * a duplicate CLUSTERING — ConnectedComponents is the closure tool).
+    * Output: (id, cell, centroid_cosine, keep: int, dup_of: long|null).
+    *
+    * Scale shape: the pair join is cell-bucketed — Σ|cell|² like
+    * [[cosineNearDups]], but over centroids fitted to the corpus rather
+    * than supplied, so cells track the actual density (the SemDeDup paper's
+    * within-cluster pruning). Nothing is ever all-pairs.
+    */
+  def semanticDedupVerdict(corpus: DataFrame, id: String, vec: String,
+                           k: Int, iters: Int, minCosine: Double,
+                           scale: Double = DefaultScale): DataFrame = {
+    val cent = kmeansFit(corpus, id, vec, k, iters, scale)
+    val assigned = assignQuantized(prep(corpus, id, vec, "__id", scale), cent)
+    val a = assigned.select(col("__id").as("id_a"), col("cell"),
+      col("__qv").as("__va"), col("__qn").as("__na"))
+    val b = assigned.select(col("__id").as("id_b"), col("cell"),
+      col("__qv").as("__vb"), col("__qn").as("__nb"))
+    val dups = a.join(b, Seq("cell"))
+      .filter(col("id_b") < col("id_a"))
+      .withColumn("__pc",
+        cosineFromQuantized(col("__va"), col("__vb"), col("__na"), col("__nb")))
+      .filter(col("__pc") >= minCosine)
+      .groupBy(col("id_a").as("__did"))
+      .agg(min(col("id_b")).as("dup_of"))
+    assigned
+      .join(dups, col("__id") === col("__did"), "left")
+      .select(col("__id").as(id), col("cell"),
+        col("__cos").as("centroid_cosine"),
+        col("dup_of").isNull.cast("int").as("keep"), col("dup_of"))
+  }
+
   /** DuckDB SQL text for the identical scaled-integer dot product. */
   /** DuckDB multiplies FLOAT×DOUBLE in float precision — the element must be
     * cast to DOUBLE first to match Spark's float→double promotion. */
@@ -249,4 +378,15 @@ object Similarity {
   def cosineSqlText(a: String, b: String, scale: Double = DefaultScale): String =
     s"(${dotSqlText(a, b, scale)} / (sqrt(CAST(${dotSqlText(a, a, scale)} AS DOUBLE))" +
       s" * sqrt(CAST(${dotSqlText(b, b, scale)} AS DOUBLE))))"
+
+  /** [[dotSqlText]] for lists that are ALREADY scaled longs (BIGINT lists),
+    * e.g. the k-means centroid vectors the oracle CTEs carry.
+    */
+  def dotLongSqlText(a: String, b: String): String =
+    s"CAST(list_sum([($a)[i]*($b)[i] FOR i IN range(1, len($a)+1)]) AS BIGINT)"
+
+  /** [[cosineSqlText]] over BIGINT lists. */
+  def cosineLongSqlText(a: String, b: String): String =
+    s"(${dotLongSqlText(a, b)} / (sqrt(CAST(${dotLongSqlText(a, a)} AS DOUBLE))" +
+      s" * sqrt(CAST(${dotLongSqlText(b, b)} AS DOUBLE))))"
 }

@@ -117,4 +117,97 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(plan.contains("cell"), plan)
     assert(!plan.contains("CartesianProduct"), plan)
   }
+
+  // ---- deterministic k-means ----------------------------------------------
+
+  /** driver-side re-implementation of the whole fit+assign pipeline — the
+    * independent twin the DuckDB oracle also follows (seeds by signed FNV
+    * rank, argmax-cosine assignment with cell tiebreak, sign·(|sum| div n)
+    * integer-mean update, empty cells keep their centroid)
+    */
+  private def lloydReference(rows: Seq[(Long, Seq[Double])], k: Int,
+                             iters: Int): Map[Long, (Int, Double)] = {
+    import graft.plans.Fnv1a64Ops
+    val q = rows.map { case (id, v) =>
+      id -> v.map(x => math.floor(x * 1e6 + 0.5).toLong) }.toMap
+    def cos(a: Seq[Long], b: Seq[Long]): Double =
+      a.zip(b).map { case (x, y) => x * y }.sum /
+        (math.sqrt(a.map(x => x * x).sum.toDouble) *
+          math.sqrt(b.map(x => x * x).sum.toDouble))
+    val seeds = rows.map(_._1)
+      .sortBy(id => (Fnv1a64Ops.hashLong(Fnv1a64Ops.Offset, id), id))
+      .take(k)
+    var cent: Map[Int, Seq[Long]] =
+      seeds.zipWithIndex.map { case (id, i) => (i + 1) -> q(id) }.toMap
+    def assign(): Map[Long, Int] = q.map { case (id, v) =>
+      id -> cent.toSeq.map { case (c, cv) => (c, cos(v, cv)) }
+        .minBy { case (c, s) => (-s, c) }._1
+    }
+    for (_ <- 1 to iters) {
+      val byCell = assign().toSeq.groupBy(_._2)
+        .view.mapValues(_.map { case (id, _) => q(id) }).toMap
+      cent = cent.map { case (c, old) =>
+        c -> byCell.get(c).fold(old) { vs =>
+          old.indices.map { d =>
+            val s = vs.map(_(d)).sum
+            math.signum(s) * (math.abs(s) / vs.size)
+          }
+        }
+      }
+    }
+    q.map { case (id, v) =>
+      val (c, s) = cent.toSeq.map { case (c, cv) => (c, cos(v, cv)) }
+        .minBy { case (c, s) => (-s, c) }
+      id -> (c, s)
+    }
+  }
+
+  test("kmeansFit + kmeansAssign match an independent driver-side Lloyd") {
+    val rows = vecs.filter($"vec_id" < 60)
+      .select($"vec_id", $"embedding")
+      .as[(Long, Seq[Float])].collect().toSeq
+      .map { case (id, v) => (id, v.map(_.toDouble)) }
+    val expected = lloydReference(rows, k = 4, iters = 2)
+    val corpus = vecs.filter($"vec_id" < 60)
+    val cent = Similarity.kmeansFit(corpus, "vec_id", "embedding",
+      k = 4, iters = 2)
+    val got = Similarity.kmeansAssign(corpus, "vec_id", "embedding", cent)
+      .select($"vec_id", $"cell", $"cosine")
+      .as[(Long, Int, Double)].collect()
+      .map { case (id, c, s) => id -> (c, s) }.toMap
+    assert(got.keySet === expected.keySet)
+    got.foreach { case (id, (c, s)) =>
+      assert(c === expected(id)._1, s"cell for $id")
+      assert(s === expected(id)._2, s"cosine for $id") // exact: same IEEE ops
+    }
+  }
+
+  test("kmeansFit is stable under repartitioning and never shrinks k") {
+    val cent = Similarity.kmeansFit(vecs, "vec_id", "embedding",
+      k = 8, iters = 2)
+    val centShuffled = Similarity.kmeansFit(vecs.repartition(7),
+      "vec_id", "embedding", k = 8, iters = 2)
+    assert(cent.count() === 8)
+    val a = cent.select($"cell", $"centroid").as[(Int, Seq[Long])]
+      .collect().toMap
+    val b = centShuffled.select($"cell", $"centroid").as[(Int, Seq[Long])]
+      .collect().toMap
+    assert(a === b)
+  }
+
+  test("semanticDedupVerdict drops exact replants to their source") {
+    val base = vecs.filter($"vec_id" < 100).select($"vec_id", $"embedding")
+    // exact duplicates at id+1000: identical vectors share every cosine, so
+    // they land in the source's cell and die to it (min-id keep)
+    val plants = base.filter($"vec_id" % 10 === 0)
+      .select(($"vec_id" + 1000L).as("vec_id"), $"embedding")
+    val verdict = Similarity.semanticDedupVerdict(base.unionByName(plants),
+      "vec_id", "embedding", k = 4, iters = 1, minCosine = 0.999)
+    val dropped = verdict.filter($"keep" === 0)
+      .select($"vec_id", $"dup_of").as[(Long, Long)].collect().toMap
+    val expectedDrops = base.filter($"vec_id" % 10 === 0)
+      .select($"vec_id").as[Long].collect().map(id => (id + 1000L) -> id).toMap
+    assert(dropped === expectedDrops)
+    assert(verdict.filter($"keep" === 1 && $"dup_of".isNotNull).count() === 0)
+  }
 }
