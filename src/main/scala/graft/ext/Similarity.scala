@@ -366,6 +366,59 @@ object Similarity {
         col("dup_of").isNull.cast("int").as("keep"), col("dup_of"))
   }
 
+  // ---- two-stage quantized re-rank ----------------------------------------
+
+  /** Coarse-then-exact top-k: a first pass over vectors quantized at
+    * `coarseScale` (default 1e2 — int8-range values, an 8× smaller scan
+    * than the 1e6 working precision) selects `m·k` candidates per query;
+    * only those rejoin the full-precision vectors for the exact re-rank.
+    * This is the memory-tier ANN shape: at 100 TB the coarse copy is the
+    * one that stays hot (RAM/SSD), the full-precision corpus is touched
+    * for k·m rows per query via an equi-join on the id — never scanned.
+    *
+    * The coarse pass RANKS (it never thresholds), so like every banding
+    * tier here it affects recall only: a true neighbor is missed only if
+    * ranked below m·k coarsely. With m·k ≥ |corpus| the result provably
+    * equals [[knnExact]] (spec-pinned). Ties at both stages break on the
+    * lower neighbor id; all arithmetic is the exact-int cosine at the two
+    * scales, so both stages are hash-checked cross-engine.
+    *
+    * `coarseScale` must keep every vector nonzero (a vector quantizing to
+    * all-zeros would make its coarse cosine 0/0 = NaN); 1e2 holds for any
+    * roughly-unit-norm embedding family.
+    */
+  def knnRerank(corpus: DataFrame, queries: DataFrame,
+                corpusId: String, corpusVec: String,
+                queryId: String, queryVec: String,
+                k: Int, m: Int, coarseScale: Double = 1e2,
+                scale: Double = DefaultScale): DataFrame = {
+    require(k >= 1 && m >= 1, s"k and m must be >= 1, got k=$k m=$m")
+    val cCoarse = prep(corpus, corpusId, corpusVec, "neighbor_id", coarseScale)
+      .withColumnRenamed("__qv", "__cv").withColumnRenamed("__qn", "__cn")
+    val qCoarse = prep(queries, queryId, queryVec, "query_id", coarseScale)
+    val wCoarse = Window.partitionBy("query_id")
+      .orderBy(col("__ccos").desc, col("neighbor_id"))
+    val cand = cCoarse.crossJoin(broadcast(qCoarse))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("__ccos",
+        cosineFromQuantized(col("__qv"), col("__cv"), col("__qn"), col("__cn")))
+      .withColumn("__crn", row_number().over(wCoarse))
+      .filter(col("__crn") <= k.toLong * m)
+      .select("query_id", "neighbor_id")
+    val cFull = prep(corpus, corpusId, corpusVec, "neighbor_id", scale)
+      .withColumnRenamed("__qv", "__cv").withColumnRenamed("__qn", "__cn")
+    val qFull = prep(queries, queryId, queryVec, "query_id", scale)
+    val wExact = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    cand.join(cFull, Seq("neighbor_id"))
+      .join(broadcast(qFull), Seq("query_id"))
+      .withColumn("cosine",
+        cosineFromQuantized(col("__qv"), col("__cv"), col("__qn"), col("__cn")))
+      .withColumn("rank", row_number().over(wExact).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cosine")
+  }
+
   /** DuckDB SQL text for the identical scaled-integer dot product. */
   /** DuckDB multiplies FLOAT×DOUBLE in float precision — the element must be
     * cast to DOUBLE first to match Spark's float→double promotion. */

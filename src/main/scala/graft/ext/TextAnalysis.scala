@@ -129,6 +129,41 @@ object TextAnalysis {
     ratio(array_max(transform(array_distinct(ts),
       t => size(filter(ts, x => x === t)).cast("long"))), size(ts))
 
+  // ---- composite quality verdict (C4/Gopher-style rule chain) -------------
+
+  /** Ordered (rule_name, passes) list — the composite filter a web-scale
+    * curation pipeline applies after dedup (C4's length/structure rules,
+    * Gopher's repetition rules). Rule ORDER is part of the contract: the
+    * verdict reports the FIRST failing rule. The leading `null_text` and
+    * token-count rules also shield the ratio rules from three-valued-logic
+    * surprises — a NULL ratio comparison is "unknown", which a CASE chain
+    * skips, so every degenerate document must be caught by an earlier
+    * total rule (NULL text and empty token lists are).
+    *
+    * Thresholds are pinned to this corpus so several rules actually fire
+    * (see CurationOps q86 — a threshold no document crosses is dead code
+    * to the oracle); a production pipeline would tune them per source.
+    */
+  def qualityRules(text: Column): Seq[(String, Column)] = {
+    val ts = tokens(text)
+    val n = size(ts)
+    Seq(
+      "null_text"         -> text.isNotNull,
+      "too_few_tokens"    -> (n >= 20),
+      "too_many_tokens"   -> (n <= 5000),
+      "short_mean_token"  -> (avgTokenLen(text) >= 3.8),
+      "low_stopword_mass" -> (stopwordRatio(text) >= 0.01),
+      "dup_token_mass"    -> (dupTokenRatio(ts) <= 0.65),
+      "top_token_mass"    -> (topTokenRatio(ts) <= 0.25))
+  }
+
+  /** first failing rule name, null when the document passes all rules.
+    * `coalesce(when(!pass, name)…)` — exactly a SQL CASE chain, including
+    * the skip-on-unknown behavior for NULL conditions. */
+  def qualityFirstFail(text: Column): Column =
+    coalesce(qualityRules(text).map { case (name, pass) =>
+      when(!pass, lit(name)) } :+ lit(null).cast("string"): _*)
+
   /** Rolling-hash document sketch: the minimum hash over word `n`-gram
     * windows (winnowing with w = ∞). `portable = true` uses FNV-1a 64
     * ([[graft.plans.Fnv1a64Expression]]) so the sketch is reproducible in

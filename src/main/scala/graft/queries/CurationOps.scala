@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ext.Similarity
+import graft.ext.{Dedup, Similarity, TextAnalysis}
 import graft.sources.Tables
 
 /** Round-6 curation-model catalog: the operators a training-data pipeline
@@ -88,6 +88,94 @@ object CurationOps extends Catalog {
           (floor(col("cosine") * 1e6 + 0.5) / 1e6).as("cosine"))
     }),
 
+    // ---- inter-document boilerplate n-gram ratio ---------------------------
+    // the CROSS-document complement of q80's intra-document repetition:
+    // a trigram appearing in "unusually many" docs is boilerplate
+    // (headers, footers, templates); each doc reports what fraction of its
+    // distinct trigrams is boilerplate. The threshold is RELATIVE —
+    // max(3, ceil(0.004·N)) docs — because absolute df thresholds stop
+    // discriminating as the corpus grows (df ≥ 3 flags 99.8% of this
+    // corpus's trigrams at sf0.1); N enters as a 1-row broadcast scalar.
+    // Same inverted-index shape as the Jaccard family — one shuffle keyed
+    // by shingle for the df, one keyed by doc for the ratio; the df frame
+    // is corpus-wide precomputable and reusable.
+    // Docs shorter than 3 words have no shingles: kept via left join with
+    // zero counts and a NULL ratio (not 0 — "no signal" and "no
+    // boilerplate" must stay distinguishable downstream).
+    "q87_boilerplate_ngrams" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val sh = Dedup.wordShingles(docs, "doc_id", "text", n = 3)
+      val dfs = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+      val corpusN = docs.select(count(lit(1)).as("__n"))
+      val thresh = greatest(lit(3L), ceil(col("__n") * 0.004).cast("long"))
+      val perDoc = sh.join(dfs, Seq("shingle"))
+        .crossJoin(broadcast(corpusN))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_shingles"),
+          sum((col("df") >= thresh).cast("long")).as("n_common"))
+      docs.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+          coalesce(col("n_common"), lit(0L)).as("n_common"),
+          (floor(col("n_common") / col("n_shingles") * 1e6 + 0.5) / 1e6)
+            .as("boilerplate_ratio"))
+    }),
+
+    // ---- arrival-order n-gram novelty --------------------------------------
+    // "how much of this doc had the corpus already seen when it arrived" —
+    // the running-novelty signal incremental curation tracks (doc_id is
+    // the arrival order in this corpus). A doc's novelty is the fraction
+    // of its distinct trigrams whose FIRST occurrence (min doc_id) is this
+    // doc. Exact dups of earlier docs score 0; the corpus opener scores 1.
+    // Same two-shuffle inverted-index shape as q87; min(doc_id) per
+    // shingle is partial-aggregatable, so the shingle exchange carries one
+    // row per distinct shingle per partition.
+    "q89_ngram_novelty" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val sh = Dedup.wordShingles(docs, "doc_id", "text", n = 3)
+      val first = sh.groupBy("shingle").agg(min("doc_id").as("first_doc"))
+      val perDoc = sh.join(first, Seq("shingle"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_shingles"),
+          sum((col("first_doc") === col("doc_id")).cast("long"))
+            .as("n_novel"))
+      docs.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+          coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+          (floor(col("n_novel") / col("n_shingles") * 1e6 + 0.5) / 1e6)
+            .as("novelty_ratio"))
+    }),
+
+    // ---- two-stage quantized ANN re-rank -----------------------------------
+    // the memory-tier ANN path beside q26's IVF cells and q77's SRP bands:
+    // an int8-range coarse copy (1e2 quantization, 8× smaller scan) ranks
+    // m·k candidates per query, and only those touch the full-precision
+    // vectors via an id equi-join. Ranking (never thresholding) keeps the
+    // coarse pass recall-only; SimilaritySpec pins rerank == knnExact when
+    // m·k covers the corpus.
+    "q88_quantized_rerank" -> ((s, d) => {
+      val vecs = Tables.embeddings(s, d)
+      Similarity.knnRerank(vecs, vecs.filter(col("vec_id") % 50 === 0),
+          "vec_id", "embedding", "vec_id", "embedding", k = 5, m = 4)
+        .select(col("query_id"), col("rank").as("rnk"), col("neighbor_id"),
+          (floor(col("cosine") * 1e6 + 0.5) / 1e6).as("cosine"))
+    }),
+
+    // ---- composite quality-filter verdict (C4/Gopher rule chain) ----------
+    // the keep/drop decision a curation pipeline makes per document, with
+    // the FIRST failing rule named (the audit trail production filters
+    // emit). All rules are per-row expressions over one token projection —
+    // no shuffle; the verdict column chain stays in whole-stage codegen.
+    "q86_quality_verdict" -> ((s, d) => {
+      val t = col("text")
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        TextAnalysis.tokenCount(t).as("n_tokens"),
+        TextAnalysis.qualityFirstFail(t).isNull.cast("int").as("keep"),
+        TextAnalysis.qualityFirstFail(t).as("first_fail"))
+    }),
+
     // ---- SemDeDup within-cluster semantic pruning -------------------------
     // the natural corpus has no high-cosine pairs (max 0.51), so the query
     // PLANTS them — q77's device: every 50th vector re-enters at id+100000
@@ -114,7 +202,99 @@ object CurationOps extends Catalog {
     })
   )
 
+  /** shared trigram-shingle CTE prefix (w, idx, sh) for q87/q89 */
+  private val shingleCtes: String =
+    s"""w AS (SELECT doc_id, ${TextSql.words} AS ws FROM documents),
+       |idx AS (SELECT doc_id, ws, unnest(range(len(ws)-2)) AS i
+       |        FROM w WHERE len(ws) >= 3),
+       |sh AS (SELECT DISTINCT doc_id,
+       |         array_to_string(ws[i+1:i+3], ' ') AS shingle FROM idx)""".stripMargin
+
   override def oracles: Map[String, String] = Map(
+    "q87_boilerplate_ngrams" ->
+      s"""WITH $shingleCtes,
+         |dfs AS (SELECT shingle, count(*) AS df FROM sh GROUP BY 1),
+         |th AS (SELECT greatest(3, CAST(ceil(count(*) * 0.004) AS BIGINT))
+         |         AS thresh FROM documents),
+         |pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+         |         CAST(sum(CASE WHEN df >= thresh THEN 1 ELSE 0 END)
+         |           AS BIGINT) AS n_common
+         |       FROM sh JOIN dfs USING (shingle) CROSS JOIN th GROUP BY 1)
+         |SELECT d.doc_id,
+         |  coalesce(pd.n_shingles, 0) AS n_shingles,
+         |  coalesce(pd.n_common, 0) AS n_common,
+         |  floor(CAST(pd.n_common AS DOUBLE)/pd.n_shingles*1000000.0 + 0.5)
+         |    /1000000.0 AS boilerplate_ratio
+         |FROM documents d LEFT JOIN pd USING (doc_id)""".stripMargin,
+
+    "q89_ngram_novelty" ->
+      s"""WITH $shingleCtes,
+         |fst AS (SELECT shingle, min(doc_id) AS first_doc FROM sh GROUP BY 1),
+         |pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+         |         CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)
+         |           AS BIGINT) AS n_novel
+         |       FROM sh JOIN fst USING (shingle) GROUP BY 1)
+         |SELECT d.doc_id,
+         |  coalesce(pd.n_shingles, 0) AS n_shingles,
+         |  coalesce(pd.n_novel, 0) AS n_novel,
+         |  floor(CAST(pd.n_novel AS DOUBLE)/pd.n_shingles*1000000.0 + 0.5)
+         |    /1000000.0 AS novelty_ratio
+         |FROM documents d LEFT JOIN pd USING (doc_id)""".stripMargin,
+
+    "q88_quantized_rerank" -> {
+      val cosCoarse = Similarity.cosineSqlText("qe", "embedding", 1e2)
+      val cosFull = Similarity.cosineSqlText("qe", "ne")
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+         |           FROM embeddings WHERE vec_id % 50 = 0),
+         |cand AS (
+         |  SELECT query_id, qe, vec_id AS neighbor_id, embedding AS ne
+         |  FROM embeddings CROSS JOIN q
+         |  WHERE vec_id != query_id
+         |  QUALIFY row_number() OVER (PARTITION BY query_id
+         |    ORDER BY $cosCoarse DESC, vec_id) <= 20)
+         |SELECT query_id, CAST(row_number() OVER w AS BIGINT) AS rnk,
+         |  neighbor_id, floor(($cosFull)*1000000.0 + 0.5)/1000000.0 AS cosine
+         |FROM cand
+         |WINDOW w AS (PARTITION BY query_id ORDER BY $cosFull DESC, neighbor_id)
+         |QUALIFY row_number() OVER w <= 5""".stripMargin
+    },
+
+    "q86_quality_verdict" -> {
+      val stopListSql = TextAnalysis.EnglishStopwords
+        .map(w => s"'$w'").mkString("[", ", ", "]")
+      s"""WITH w AS (SELECT doc_id, text, ${TextSql.words} AS ws
+         |           FROM documents),
+         |m AS (SELECT doc_id, text, len(ws) AS n,
+         |    CASE WHEN len(ws) > 0 THEN
+         |      CAST(list_sum(list_transform(ws, x -> len(x))) AS DOUBLE)
+         |        /len(ws) END AS avg_len,
+         |    CASE WHEN len(ws) > 0 THEN
+         |      CAST(len(list_filter(ws, x -> list_contains($stopListSql, x)))
+         |        AS DOUBLE)/len(ws) END AS stopr,
+         |    CASE WHEN len(ws) > 0 THEN
+         |      CAST(len(ws) - len(list_distinct(ws)) AS DOUBLE)
+         |        /len(ws) END AS dupr,
+         |    CASE WHEN len(ws) > 0 THEN
+         |      CAST(list_max([len(list_filter(ws, x -> x = t))
+         |          FOR t IN list_distinct(ws)]) AS DOUBLE)
+         |        /len(ws) END AS topr
+         |  FROM w),
+         |v AS (SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+         |    CASE WHEN NOT (text IS NOT NULL) THEN 'null_text'
+         |         WHEN NOT (n >= 20) THEN 'too_few_tokens'
+         |         WHEN NOT (n <= 5000) THEN 'too_many_tokens'
+         |         WHEN NOT (avg_len >= 3.8) THEN 'short_mean_token'
+         |         WHEN NOT (stopr >= 0.01) THEN 'low_stopword_mass'
+         |         WHEN NOT (dupr <= 0.65) THEN 'dup_token_mass'
+         |         WHEN NOT (topr <= 0.25) THEN 'top_token_mass'
+         |    END AS first_fail
+         |  FROM m)
+         |SELECT doc_id, n_tokens,
+         |  CASE WHEN first_fail IS NULL THEN 1 ELSE 0 END AS keep,
+         |  first_fail
+         |FROM v""".stripMargin
+    },
+
     "q84_kmeans_embed" -> {
       val ctes = kmeansCtes(k = 8, iters = 2, dims = 64, from = "embeddings")
       s"""WITH $ctes,

@@ -118,6 +118,33 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("knnRerank equals knnExact when m*k covers the corpus") {
+    val k = 5
+    val n = vecs.count().toInt
+    val exact = Similarity.knnExact(vecs, queries,
+        "vec_id", "embedding", "vec_id", "embedding", k)
+      .select($"query_id", $"rank", $"neighbor_id")
+      .as[(Long, Long, Long)].collect().toSet
+    val reranked = Similarity.knnRerank(vecs, queries,
+        "vec_id", "embedding", "vec_id", "embedding", k, m = n / k + 1)
+      .select($"query_id", $"rank", $"neighbor_id")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(reranked === exact)
+  }
+
+  test("knnRerank returns k exact-ranked rows per query at small m") {
+    val k = 5
+    val res = Similarity.knnRerank(vecs, queries,
+      "vec_id", "embedding", "vec_id", "embedding", k, m = 3)
+    assert(res.count() === queries.count() * k)
+    // within the candidate set the final order is by the EXACT cosine
+    val bad = res.withColumn("prev",
+        lag("cosine", 1).over(org.apache.spark.sql.expressions.Window
+          .partitionBy("query_id").orderBy("rank")))
+      .filter($"prev".isNotNull && $"prev" < $"cosine")
+    assert(bad.count() === 0)
+  }
+
   // ---- deterministic k-means ----------------------------------------------
 
   /** driver-side re-implementation of the whole fit+assign pipeline — the

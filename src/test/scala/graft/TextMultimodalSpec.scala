@@ -98,4 +98,36 @@ class TextMultimodalSpec extends AnyFunSuite with SparkTestBase {
     assert(dec._1 >= 1 && dec._1 <= 1920 && dec._2 >= 1 && dec._2 <= 1080 &&
       dec._3 === 3L)
   }
+
+  test("quality verdict: each rule fires on a crafted doc, in order") {
+    val en = "the and for with that this from they have was are " // stopwordy
+    val longDoc = en * 3 +
+      "alphabet butterfly gammaray deltawing epsilonic zetas ethanol theorem"
+    // 25 distinct 2-char tokens: passes the count rule, fails mean length
+    val shortTokens = (0 until 25)
+      .map(i => "" + ('a' + i / 10).toChar + ('0' + i % 10).toChar)
+      .mkString(" ")
+    val cases = Seq(
+      (1L, null.asInstanceOf[String], "null_text"),
+      (2L, "short doc", "too_few_tokens"),
+      (3L, ("word " * 6000).trim, "too_many_tokens"),
+      (4L, shortTokens, "short_mean_token"),
+      (5L, longDoc, null.asInstanceOf[String]))
+    val df = cases.map { case (id, t, _) => (id, t) }.toDF("doc_id", "text")
+    val got = df.select($"doc_id",
+        TextAnalysis.qualityFirstFail($"text").as("ff"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    cases.foreach { case (id, _, expected) =>
+      assert(got(id) === expected, s"doc $id")
+    }
+  }
+
+  test("quality verdict: order contract — earliest failing rule is named") {
+    // fails BOTH too_few_tokens and low_stopword_mass (no stopwords at
+    // all); the earlier rule must win
+    val df = Seq((1L, "zyx wvu tsr qpo")).toDF("doc_id", "text")
+    val ff = df.select(TextAnalysis.qualityFirstFail($"text"))
+      .as[String].head()
+    assert(ff === "too_few_tokens")
+  }
 }
