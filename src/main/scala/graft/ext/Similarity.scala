@@ -239,23 +239,36 @@ object Similarity {
 
   // ---- deterministic distributed k-means (Lloyd) --------------------------
 
-  /** Assign every row of `q` (a [[prep]]-shaped frame: `__id, __qv, __qn`)
-    * to its max-cosine centroid from `cent` (`cell: int, centroid:
-    * array<long>` — already scaled-long vectors). Centroids are broadcast;
-    * ties break on the lower cell id. Output: (__id, __qv, __qn, cell,
-    * __cos).
+  /** Per-row argmax-cosine assignment against DRIVER-SIDE centroids,
+    * compiled into the plan as literals: for each centroid a
+    * `cosineFromQuantized` column (the centroid vector and self-dot fold to
+    * constants), then `greatest(struct(cos, -cell)…)` picks max cosine with
+    * lower-cell tiebreak. A pure projection — whole-stage codegen, ZERO
+    * shuffle, no join: this is why the fit collects its k·dims centroid
+    * state per iteration (MLlib's shape) instead of keeping centroids in a
+    * frame — a window/aggregation argmax would re-shuffle the corpus every
+    * iteration. Output: (__id, __qv, __qn, cell, __cos).
     */
-  private def assignQuantized(q: DataFrame, cent: DataFrame): DataFrame = {
-    val c = broadcast(cent.select(col("cell"), col("centroid").as("__ctv"))
-      .withColumn("__ctn", dotLong(col("__ctv"), col("__ctv"))))
-    val w = Window.partitionBy("__id").orderBy(col("__cos").desc, col("cell"))
-    q.crossJoin(c)
-      .withColumn("__cos",
-        cosineFromQuantized(col("__qv"), col("__ctv"), col("__qn"), col("__ctn")))
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .select(col("__id"), col("__qv"), col("__qn"), col("cell"), col("__cos"))
+  private def assignLiteral(q: DataFrame,
+                            cent: Seq[(Int, Array[Long])]): DataFrame = {
+    val scored = cent.map { case (cell, cv) =>
+      val cvCol = array(cv.map(lit).toIndexedSeq: _*)
+      val cn = lit(cv.map(x => x * x).sum) // exact: |c|² ≤ dims·scale² < 2^53
+      struct(
+        cosineFromQuantized(col("__qv"), cvCol, col("__qn"), cn).as("c"),
+        lit(-cell).as("nc"))
+    }
+    val best = if (scored.size == 1) scored.head else greatest(scored: _*)
+    q.withColumn("__best", best)
+      .select(col("__id"), col("__qv"), col("__qn"),
+        (-col("__best.nc")).as("cell"), col("__best.c").as("__cos"))
   }
+
+  /** driver-side (cell, centroid) extraction of a centroid frame */
+  private def collectCentroids(cent: DataFrame): Seq[(Int, Array[Long])] =
+    cent.select(col("cell"), col("centroid")).collect()
+      .map(r => r.getInt(0) -> r.getSeq[Long](1).toArray)
+      .sortBy(_._1).toSeq
 
   /** Deterministic distributed k-means (fixed-iteration Lloyd) over an
     * embedding column. Returns the fitted centroids as `(cell: int,
@@ -279,32 +292,33 @@ object Similarity {
     *    (truncation) provably agree. The mean-of-scaled-values stays at
     *    vector magnitude, so centroid self-dots never overflow (a raw SUM
     *    centroid squares to > 2^63 once cells pass ~10^4 rows);
-    *  - '''empty cells''' keep their previous centroid (left-join +
-    *    coalesce), so k never silently shrinks.
+    *  - '''empty cells''' keep their previous centroid, so k never
+    *    silently shrinks.
     *
-    * Scale shape: per iteration, one broadcast-join assignment pass (no
-    * shuffle of the corpus) + one `posexplode` aggregation keyed (cell,
-    * dim) — map-side partial aggregation compresses every partition to
-    * k·dims rows, so k·dims·P rows cross the exchange regardless of corpus
-    * size. `iters` is a fixed small constant: lineage stays bounded without
-    * checkpointing.
+    * Scale shape — the corpus is NEVER shuffled, matching MLlib's Lloyd:
+    * centroid state is k·dims longs, driver-sized by construction (the
+    * same class of driver-side state as ConnectedComponents' convergence
+    * scalar), collected once per iteration and re-entering the next pass
+    * as fold-to-constant literals. Per iteration: one corpus scan, the
+    * literal argmax projection (codegen, no shuffle), and one (cell, dim)
+    * aggregation whose exchange carries k·dims rows per partition after
+    * map-side combine. Iterations are eager (one action each) — at scale,
+    * persist the corpus projection before fitting to avoid re-scanning.
     */
   def kmeansFit(corpus: DataFrame, id: String, vec: String, k: Int,
                 iters: Int, scale: Double = DefaultScale): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(iters >= 0, s"iters must be >= 0, got $iters")
     val q = prep(corpus, id, vec, "__id", scale)
+    // TakeOrderedAndProject: per-partition top-k, k·P merged on the driver
     val seeds = q
       .withColumn("__h", graft.plans.Fnv1a64Expression.fnv1a64(col("__id")))
       .orderBy(col("__h"), col("__id")).limit(k)
-    // row_number over the k surviving rows only — the unpartitioned window
-    // is k-sized by construction, not a corpus-wide single partition
-    val cent0 = seeds
-      .withColumn("cell", row_number()
-        .over(Window.orderBy(col("__h"), col("__id"))).cast("int"))
-      .select(col("cell"), col("__qv").as("centroid"))
-    (1 to iters).foldLeft(cent0) { (cent, _) =>
-      val upd = assignQuantized(q, cent)
+      .select(col("__qv")).collect()
+    val cent0: Seq[(Int, Array[Long])] = seeds.zipWithIndex.map {
+      case (r, i) => (i + 1) -> r.getSeq[Long](0).toArray }.toSeq
+    val fitted = (1 to iters).foldLeft(cent0) { (cent, _) =>
+      val updated = assignLiteral(q, cent)
         .select(col("cell"), posexplode(col("__qv")).as(Seq("__dim", "__x")))
         .groupBy("cell", "__dim")
         .agg(sum(col("__x")).as("__s"), count(lit(1)).as("__n"))
@@ -314,20 +328,27 @@ object Similarity {
         .groupBy("cell")
         .agg(transform(
           array_sort(collect_list(struct(col("__dim"), col("__c")))),
-          e => e.getField("__c")).as("__newc"))
-      cent.join(upd, Seq("cell"), "left")
-        .select(col("cell"),
-          coalesce(col("__newc"), col("centroid")).as("centroid"))
+          e => e.getField("__c")).as("centroid"))
+        .collect()
+        .map(r => r.getInt(0) -> r.getSeq[Long](1).toArray).toMap
+      cent.map { case (c, old) => c -> updated.getOrElse(c, old) }
     }
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    fitted.map { case (c, v) => (c, v.toSeq) }
+      .toDF("cell", "centroid")
   }
 
   /** Assignment against fitted centroids: (id, cell, cosine) — the cosine is
-    * to the OWNING centroid (the max, by construction).
+    * to the OWNING centroid (the max, by construction). The centroid frame
+    * is collected (k·dims driver-sized state) and applied as a literal
+    * argmax projection — no shuffle, no join.
     */
   def kmeansAssign(corpus: DataFrame, id: String, vec: String,
                    centroids: DataFrame,
                    scale: Double = DefaultScale): DataFrame =
-    assignQuantized(prep(corpus, id, vec, "__id", scale), centroids)
+    assignLiteral(prep(corpus, id, vec, "__id", scale),
+        collectCentroids(centroids))
       .select(col("__id").as(id), col("cell"), col("__cos").as("cosine"))
 
   /** SemDeDup-style semantic dedup: fit k cells ([[kmeansFit]]), then inside
@@ -338,7 +359,8 @@ object Similarity {
     * a duplicate CLUSTERING — ConnectedComponents is the closure tool).
     * Output: (id, cell, centroid_cosine, keep: int, dup_of: long|null).
     *
-    * Scale shape: the pair join is cell-bucketed — Σ|cell|² like
+    * Scale shape: assignment is the shuffle-free literal projection; the
+    * ONLY corpus shuffle is the cell-bucketed pair join — Σ|cell|² like
     * [[cosineNearDups]], but over centroids fitted to the corpus rather
     * than supplied, so cells track the actual density (the SemDeDup paper's
     * within-cluster pruning). Nothing is ever all-pairs.
@@ -347,7 +369,8 @@ object Similarity {
                            k: Int, iters: Int, minCosine: Double,
                            scale: Double = DefaultScale): DataFrame = {
     val cent = kmeansFit(corpus, id, vec, k, iters, scale)
-    val assigned = assignQuantized(prep(corpus, id, vec, "__id", scale), cent)
+    val assigned = assignLiteral(prep(corpus, id, vec, "__id", scale),
+      collectCentroids(cent))
     val a = assigned.select(col("__id").as("id_a"), col("cell"),
       col("__qv").as("__va"), col("__qn").as("__na"))
     val b = assigned.select(col("__id").as("id_b"), col("cell"),

@@ -16,22 +16,27 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
 
   private val sfDir = "/root/testdata/sf0.001"
 
-  /** The exactly-11 queries whose plan legitimately contains
+  /** The exactly-13 queries whose plan legitimately contains
     * BroadcastNestedLoopJoin: cross join against the 25-row nation-derived
     * city dim (q18, q20, q33, and the composed jobs q46/q48/q49 whose
     * reference shape is the broadcast nearest-city join), the
     * declared-contract broadcast query side of the exact-knn baseline
-    * (q25 — q26 is its scale path), the centroid-assignment cross join
+    * (q25 — q26 is its scale path) and of the coarse re-rank pass (q88 —
+    * same bounded-query-set contract), the centroid-assignment cross join
     * of the IVF operators (q26, q35), whose broadcast side is the centroid
     * set — small by the IVF design itself, and the ONE-row broadcast
-    * scalars of q78 (the bloom bitmap) and q82 (the global target count),
-    * where the "join" is a constant attach, not a pairing.
+    * scalars of q78 (the bloom bitmap), q82 (the global target count),
+    * and q87 (the corpus size scaling the boilerplate threshold), where
+    * the "join" is a constant attach, not a pairing. The k-means queries
+    * (q84/q85) are deliberately absent: their assignment is a literal
+    * projection, no join of any kind.
     */
   private val broadcastCrossAllowed =
     Set("q18_nearest_city", "q20_orders_by_zone", "q33_coord_argmin",
       "q25_knn_exact", "q26_knn_ivf", "q35_cosine_near_dups",
       "q46_user_mart", "q48_zone_mart", "q49_recommendations",
-      "q78_bloom_pruned_join", "q82_mixture_rebalance")
+      "q78_bloom_pruned_join", "q82_mixture_rebalance",
+      "q87_boilerplate_ngrams", "q88_quantized_rerank")
 
   test("no catalog query plans a CartesianProduct") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
