@@ -162,6 +162,62 @@ object CurationOps extends Catalog {
           (floor(col("cosine") * 1e6 + 0.5) / 1e6).as("cosine"))
     }),
 
+    // ---- deterministic token-budget shard packing --------------------------
+    // the step after curation: assign docs to fixed-token-budget shards
+    // (the units a training run streams). Docs pack per-language in
+    // (fnv(id), id) order — a stable pseudo-random shuffle, so shards are
+    // rerun/repartition/ingestion-stable where a sample()-based packer is
+    // not. A doc starts in the shard holding its token OFFSET
+    // (floor(prefix/budget)) — the standard greedy packing. The window
+    // partitions by lang: per-partition bounded state, no global sort; at
+    // 100 TB the stratum is the packing domain anyway (shards are
+    // per-source/per-language in real runs).
+    "q90_token_packing" -> ((s, d) => {
+      import graft.plans.Fnv1a64Expression.fnv1a64
+      val docs = Tables.documents(s, d)
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("lang")
+        .orderBy(fnv1a64(col("doc_id")), col("doc_id"))
+      docs.select(col("doc_id"), col("lang"),
+          TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+        .withColumn("cum_tokens", sum("n_tokens").over(w))
+        .select(col("doc_id"), col("lang"), col("n_tokens"),
+          col("cum_tokens"),
+          expr("(cum_tokens - n_tokens) div 512").as("shard"))
+    }),
+
+    // ---- embedding-norm outliers via exact integer moments -----------------
+    // embedding sanity filtering: flag vectors whose squared-norm deviates
+    // > 3σ from their label's mean. Both moments are EXACT integer sums of
+    // the downscaled squared norm (m = |q|² div 10⁶, so Σm² stays far
+    // below 2⁶³); the z² comparison happens in doubles derived from those
+    // exact ints — cast BEFORE multiplying, because n·S2 in int64 would
+    // overflow silently on Spark (wrap) but loudly on DuckDB (promote),
+    // while double×double is correctly rounded identically in both. One
+    // (label)-keyed aggregation + a broadcast join back: two narrow
+    // shuffles total.
+    "q91_norm_outliers" -> ((s, d) => {
+      val vecs = Tables.embeddings(s, d)
+      val qv = Similarity.quantize(col("embedding"))
+      val q = vecs
+        .select(col("vec_id"), col("label"),
+          Similarity.dotLong(qv, qv).as("__n2"))
+        .select(col("vec_id"), col("label"),
+          expr("__n2 div 1000000").as("m"))
+      val stats = q.groupBy("label").agg(
+        count(lit(1)).as("n"), sum(col("m")).as("s1"),
+        sum(col("m") * col("m")).as("s2"))
+      val dN = col("n").cast("double")
+      val dM = col("m").cast("double")
+      val dS1 = col("s1").cast("double")
+      val dS2 = col("s2").cast("double")
+      val num = (dN * dM - dS1) * (dN * dM - dS1)
+      val den = dN * dS2 - dS1 * dS1
+      q.join(broadcast(stats), Seq("label"))
+        .select(col("vec_id"), col("label"), col("m"),
+          (floor(num / den * 1e6 + 0.5) / 1e6).as("z_sq"),
+          (num > lit(9.0) * den).cast("int").as("is_outlier"))
+    }),
+
     // ---- composite quality-filter verdict (C4/Gopher rule chain) ----------
     // the keep/drop decision a curation pipeline makes per document, with
     // the FIRST failing rule named (the audit trail production filters
@@ -240,6 +296,40 @@ object CurationOps extends Catalog {
          |  floor(CAST(pd.n_novel AS DOUBLE)/pd.n_shingles*1000000.0 + 0.5)
          |    /1000000.0 AS novelty_ratio
          |FROM documents d LEFT JOIN pd USING (doc_id)""".stripMargin,
+
+    "q90_token_packing" -> {
+      import graft.plans.Fnv1a64Expression.{longSqlText, toSignedSqlText}
+      val fnv = toSignedSqlText(
+        longSqlText("14695981039346656037::HUGEINT", "doc_id::HUGEINT"))
+      s"""WITH w AS (SELECT doc_id, lang,
+         |  CAST(len(${TextSql.words}) AS BIGINT) AS n_tokens FROM documents),
+         |r AS (SELECT doc_id, lang, n_tokens,
+         |    sum(n_tokens) OVER (PARTITION BY lang
+         |      ORDER BY $fnv, doc_id) AS cum
+         |  FROM w)
+         |SELECT doc_id, lang, n_tokens,
+         |  CAST(cum AS BIGINT) AS cum_tokens,
+         |  CAST((cum - n_tokens) // 512 AS BIGINT) AS shard
+         |FROM r""".stripMargin
+    },
+
+    "q91_norm_outliers" -> {
+      val dot = Similarity.dotSqlText("embedding", "embedding")
+      val num = "(CAST(n AS DOUBLE)*CAST(m AS DOUBLE) - CAST(s1 AS DOUBLE))" +
+        " * (CAST(n AS DOUBLE)*CAST(m AS DOUBLE) - CAST(s1 AS DOUBLE))"
+      val den = "(CAST(n AS DOUBLE)*CAST(s2 AS DOUBLE)" +
+        " - CAST(s1 AS DOUBLE)*CAST(s1 AS DOUBLE))"
+      s"""WITH q AS (SELECT vec_id, label,
+         |    CAST(($dot) // 1000000 AS BIGINT) AS m FROM embeddings),
+         |st AS (SELECT label, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(m) AS BIGINT) AS s1,
+         |    CAST(sum(m*m) AS BIGINT) AS s2
+         |  FROM q GROUP BY 1)
+         |SELECT vec_id, q.label, m,
+         |  floor($num / $den * 1000000.0 + 0.5)/1000000.0 AS z_sq,
+         |  CASE WHEN $num > 9.0 * $den THEN 1 ELSE 0 END AS is_outlier
+         |FROM q JOIN st USING (label)""".stripMargin
+    },
 
     "q88_quantized_rerank" -> {
       val cosCoarse = Similarity.cosineSqlText("qe", "embedding", 1e2)

@@ -43,4 +43,51 @@ class CurationOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(dfs("b c d") === 2L)
     assert(dfs("b c x") === 1L)
   }
+
+  test("token packing: shard = prefix-sum offset div budget, in FNV order") {
+    import graft.plans.{Fnv1a64Ops => F}
+    import graft.plans.Fnv1a64Expression.fnv1a64
+    // 5 docs, one lang, 300 tokens each → budget 512 packs ~1.7 docs/shard
+    val df = (1L to 5L).map(id => (id, "en", ("tok " * 300).trim))
+      .toDF("doc_id", "lang", "text")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("lang")
+      .orderBy(fnv1a64($"doc_id"), $"doc_id")
+    val got = df.select($"doc_id", $"lang",
+        graft.ext.TextAnalysis.tokenCount($"text").as("n_tokens"))
+      .withColumn("cum", sum("n_tokens").over(w))
+      .withColumn("shard", expr("(cum - n_tokens) div 512"))
+      .select($"doc_id", $"cum", $"shard")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    // driver-side twin: same order, same arithmetic
+    val order = (1L to 5L).sortBy(id => (F.hashLong(F.Offset, id), id))
+    var cum = 0L
+    order.foreach { id =>
+      val expectShard = cum / 512
+      cum += 300
+      assert(got(id) === ((cum, expectShard)), s"doc $id")
+    }
+  }
+
+  test("norm outliers: a planted huge vector is flagged, peers are not") {
+    import graft.ext.Similarity
+    val base = (1L to 30L).map(id =>
+      (id, 0, Seq.fill(4)(0.5f))) // identical norms
+    val planted = Seq((99L, 0, Seq.fill(4)(5.0f))) // 100× the squared norm
+    val vecs = (base ++ planted).toDF("vec_id", "label", "embedding")
+    val qv = Similarity.quantize($"embedding")
+    val q = vecs.select($"vec_id", $"label",
+        Similarity.dotLong(qv, qv).as("__n2"))
+      .select($"vec_id", $"label", expr("__n2 div 1000000").as("m"))
+    val stats = q.groupBy("label").agg(
+      count(lit(1)).as("n"), sum($"m").as("s1"), sum($"m" * $"m").as("s2"))
+    val dN = $"n".cast("double"); val dM = $"m".cast("double")
+    val dS1 = $"s1".cast("double"); val dS2 = $"s2".cast("double")
+    val num = (dN * dM - dS1) * (dN * dM - dS1)
+    val den = dN * dS2 - dS1 * dS1
+    val flags = q.join(broadcast(stats), Seq("label"))
+      .select($"vec_id", (num > lit(9.0) * den).cast("int").as("f"))
+      .as[(Long, Int)].collect().toMap
+    assert(flags(99L) === 1)
+    assert((1L to 30L).forall(flags(_) === 0))
+  }
 }
