@@ -464,4 +464,40 @@ object Dedup {
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }
+
+  /** SymSpell-style typo pairs over a vocabulary: all DISTINCT token pairs
+    * within Levenshtein distance 1, found via the deletion-1 neighborhood —
+    * each token emits itself plus every single-character deletion, and two
+    * tokens at edit distance ≤ 1 provably share a variant (substitution:
+    * both delete the differing position; insertion/deletion: the longer
+    * one's deletion IS the shorter token). Candidates therefore meet in an
+    * equi-join on the variant — the inverted-index shape, never
+    * vocab × vocab — and are verified with the exact `levenshtein` (both
+    * engines implement the same DP metric), so the neighborhood trick
+    * affects candidate generation only, never the result.
+    *
+    * `minLen` drops short tokens BEFORE variant generation (applied to
+    * both pair sides): 1–3-char tokens generate degenerate hot variants
+    * ("a" → "") whose buckets would quadratically dominate — the same
+    * per-key df blow-up every inverted index here guards against. Variant
+    * count per token is |token|+1, so the explode is length-bounded.
+    *
+    * Output: (tok_a, tok_b, dist), tok_a < tok_b, dist ≤ 1.
+    */
+  def typoPairs(vocab: DataFrame, tok: String, minLen: Int = 4): DataFrame = {
+    val s = col("__tok")
+    val dels = transform(sequence(lit(1), length(s)),
+      i => concat(s.substr(lit(1), i - lit(1)),
+        s.substr(i + lit(1), length(s) - i)))
+    val variants = array_distinct(concat(array(s), dels))
+    val v = vocab.select(col(tok).as("__tok"))
+      .filter(length(s) >= minLen).distinct()
+      .select(s, explode(variants).as("__var"))
+    v.select(col("__tok").as("tok_a"), col("__var"))
+      .join(v.select(col("__tok").as("tok_b"), col("__var")), Seq("__var"))
+      .filter(col("tok_a") < col("tok_b"))
+      .select("tok_a", "tok_b").distinct()
+      .withColumn("dist", levenshtein(col("tok_a"), col("tok_b")))
+      .filter(col("dist") <= 1)
+  }
 }

@@ -162,6 +162,25 @@ object CurationOps extends Catalog {
           (floor(col("cosine") * 1e6 + 0.5) / 1e6).as("cosine"))
     }),
 
+    // ---- SymSpell typo pairs over the corpus vocabulary --------------------
+    // vocabulary-level near-dup (typo clustering / normalization-map
+    // building): deletion-1 neighborhood equi-join, exact levenshtein
+    // verify. The 31-word synthetic vocab has no natural distance-1 pairs,
+    // so the query PLANTS one typo per ≥5-char word (drop the 2nd char) —
+    // fabricate-then-detect, as q68/q77/q85. Every planted typo must meet
+    // its source; collisions between typos and other words are whatever
+    // they are — the oracle replays the identical construction.
+    "q92_typo_pairs" -> ((s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(explode(filter(split(Dedup.normalizeText(col("text")), " "),
+          w => w =!= "")).as("tok"))
+        .distinct().filter(length(col("tok")) >= 5)
+      val typos = toks.select(concat(col("tok").substr(lit(1), lit(1)),
+        col("tok").substr(lit(3), length(col("tok")) - 2)).as("tok"))
+      Dedup.typoPairs(toks.unionByName(typos).distinct(), "tok", minLen = 4)
+        .select(col("tok_a"), col("tok_b"), col("dist").cast("long").as("dist"))
+    }),
+
     // ---- deterministic token-budget shard packing --------------------------
     // the step after curation: assign docs to fixed-token-budget shards
     // (the units a training run streams). Docs pack per-language in
@@ -296,6 +315,27 @@ object CurationOps extends Catalog {
          |  floor(CAST(pd.n_novel AS DOUBLE)/pd.n_shingles*1000000.0 + 0.5)
          |    /1000000.0 AS novelty_ratio
          |FROM documents d LEFT JOIN pd USING (doc_id)""".stripMargin,
+
+    "q92_typo_pairs" ->
+      s"""WITH w AS (SELECT ${TextSql.words} AS ws FROM documents),
+         |v1 AS (SELECT DISTINCT unnest(ws) AS tok FROM w
+         |       WHERE len(ws) > 0),
+         |base AS (SELECT tok FROM v1 WHERE len(tok) >= 5),
+         |typo AS (SELECT substr(tok, 1, 1) || substr(tok, 3) AS tok
+         |         FROM base),
+         |vocab AS (SELECT DISTINCT tok FROM (
+         |    SELECT tok FROM base UNION ALL SELECT tok FROM typo)
+         |  WHERE len(tok) >= 4),
+         |vars AS (SELECT tok, unnest(list_distinct(list_append(
+         |    [substr(tok, 1, i-1) || substr(tok, i+1)
+         |     FOR i IN range(1, len(tok)+1)], tok))) AS var
+         |  FROM vocab),
+         |cand AS (SELECT DISTINCT a.tok AS tok_a, b.tok AS tok_b
+         |         FROM vars a JOIN vars b USING (var)
+         |         WHERE a.tok < b.tok)
+         |SELECT tok_a, tok_b,
+         |  CAST(levenshtein(tok_a, tok_b) AS BIGINT) AS dist
+         |FROM cand WHERE levenshtein(tok_a, tok_b) <= 1""".stripMargin,
 
     "q90_token_packing" -> {
       import graft.plans.Fnv1a64Expression.{longSqlText, toSignedSqlText}

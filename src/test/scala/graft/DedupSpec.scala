@@ -204,4 +204,25 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(cands.contains((101L, 3L)))
     assert(cands.forall { case (a, b) => a == 101L && b < 100L })
   }
+
+  test("typoPairs: substitution, insertion, deletion found; distance-2 not") {
+    val vocab = Seq(
+      "table", "tible",   // substitution at pos 2
+      "merge", "merges",  // insertion at the end
+      "order", "oder",    // deletion of the r
+      "batch", "bitch",   // substitution
+      "query", "quarry",  // distance 2 — must NOT pair
+      "abc"               // below minLen — generates nothing
+    ).toDF("tok")
+    val got = Dedup.typoPairs(vocab, "tok")
+      .select($"tok_a", $"tok_b").as[(String, String)].collect().toSet
+    assert(got.contains(("table", "tible")))
+    assert(got.contains(("merge", "merges")))
+    assert(got.contains(("oder", "order")))
+    assert(got.contains(("batch", "bitch")))
+    assert(!got.exists { case (a, b) => a == "quarry" || b == "quarry" })
+    assert(!got.exists { case (a, b) => a == "abc" || b == "abc" })
+    // exactly the planted pairs — no false positives from shared variants
+    assert(got.size === 4)
+  }
 }
