@@ -125,4 +125,40 @@ class EventStreamSpec extends AnyFunSuite with SparkTestBase {
     assert(acc.size === acc.toSet.size) // no pair straddles batches twice
     assert(acc.toSet === oneShot)
   }
+
+  test("micro-batched k-means assignment equals the one-shot batch assign") {
+    // the streaming shape of X58: centroids are FITTED once (offline) and
+    // each arriving micro-batch assigns with the literal-projection pass —
+    // stateless per row, so micro-batching cannot change the result. This
+    // is the ingestion story the kmeansFit scaladoc claims (new rows cost
+    // one projection, no refit, no shuffle) — pinned here end-to-end.
+    implicit val ctx = spark.sqlContext
+    import graft.ext.Similarity
+    val vecs = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.01")
+    val cent = Similarity.kmeansFit(vecs, "vec_id", "embedding",
+      k = 4, iters = 1).localCheckpoint(true) // stands in for persisted fit
+    val rows = vecs.select($"vec_id", $"embedding")
+      .as[(Long, Seq[Float])].collect().toSeq
+    val in = MemoryStream[(Long, Seq[Float])]
+    val acc = scala.collection.mutable.ArrayBuffer[(Long, Int)]()
+    val q = in.toDF().toDF("vec_id", "embedding").writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val out = Similarity.kmeansAssign(batch, "vec_id", "embedding", cent)
+          .select($"vec_id", $"cell").as[(Long, Int)].collect()
+        acc.synchronized { acc ++= out }
+        ()
+      }.start()
+    try {
+      val (b1, b2) = rows.splitAt(rows.length / 2)
+      in.addData(b1)
+      q.processAllAvailable()
+      in.addData(b2)
+      q.processAllAvailable()
+    } finally q.stop()
+    val oneShot = Similarity.kmeansAssign(vecs, "vec_id", "embedding", cent)
+      .select($"vec_id", $"cell").as[(Long, Int)].collect().toSet
+    assert(acc.size === oneShot.size)
+    assert(acc.toSet === oneShot)
+  }
 }
