@@ -59,4 +59,22 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
     assert(offenders.isEmpty,
       s"unexpected BroadcastNestedLoopJoin in: ${offenders.mkString(", ")}")
   }
+
+  test("per-row queries and the k-means assignment plan zero exchanges") {
+    // these queries are contractually map-only: per-row expression chains
+    // (q80/q86) and the literal-centroid argmax projection (q84 — the
+    // whole point of collecting the fit state is that assignment never
+    // shuffles). A regression that introduces an exchange here is a plan
+    // bug even if results stay correct.
+    for (name <- Seq("q80_repetition_signals", "q84_kmeans_embed",
+        "q86_quality_verdict")) {
+      val plan = SparkEntry.queries(name)(spark, sfDir)
+        .queryExecution.executedPlan.toString
+      val exchanges = plan.linesIterator.count(l =>
+        l.contains("Exchange hashpartitioning") ||
+          l.contains("Exchange rangepartitioning") ||
+          l.contains("Exchange SinglePartition"))
+      assert(exchanges === 0, s"$name plans $exchanges exchanges:\n$plan")
+    }
+  }
 }
