@@ -152,13 +152,40 @@ object GraftExtensions {
       TopKByAggregate(args(0), args(1), k).toAggregateExpression(): Expression
     })
 
+  private val heavyHittersFunction = (
+    new FunctionIdentifier("graft_heavy_hitters"),
+    new ExpressionInfo(classOf[HeavyHittersAggregate].getName,
+      "graft_heavy_hitters"),
+    (args: Seq[Expression]) => {
+      // same foldable-integral-k contract as graft_topk_by
+      def analysisError(msg: String): Nothing =
+        throw new org.apache.spark.sql.AnalysisException(
+          "USER_RAISED_EXCEPTION", Map("errorMessage" -> msg))
+      if (args.length != 2) analysisError("graft_heavy_hitters(value, k)")
+      val kExpr = args(1)
+      val k: Int =
+        if (!kExpr.foldable)
+          analysisError(s"graft_heavy_hitters k must be a constant, got $kExpr")
+        else kExpr.eval() match {
+          case i: Int => i
+          case l: Long if l >= 1 && l <= Int.MaxValue => l.toInt
+          case s: Short => s.toInt
+          case b: Byte => b.toInt
+          case other => analysisError(
+            s"graft_heavy_hitters k must be an integral constant, got $other")
+        }
+      if (k < 1) analysisError(s"graft_heavy_hitters k must be >= 1, got $k")
+      HeavyHittersAggregate(args(0), k).toAggregateExpression(): Expression
+    })
+
   /** Register every graft SQL function (`graft_simhash64`, `graft_fnv1a64`,
-    * `graft_topk_by`) on an already-running session — the
-    * SparkSessionExtensions surface that makes the native expressions
+    * `graft_topk_by`, `graft_heavy_hitters`) on an already-running session
+    * — the SparkSessionExtensions surface that makes the native expressions
     * reachable from `spark.sql(...)` text, not just the Column API.
     */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    Seq(simhashFunction, fnvFunction, topkFunction).foreach { f =>
-      ColumnBridge.registerFunction(spark, f._1, f._2, f._3)
-    }
+    Seq(simhashFunction, fnvFunction, topkFunction, heavyHittersFunction)
+      .foreach { f =>
+        ColumnBridge.registerFunction(spark, f._1, f._2, f._3)
+      }
 }

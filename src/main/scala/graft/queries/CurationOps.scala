@@ -162,6 +162,39 @@ object CurationOps extends Catalog {
           (floor(col("cosine") * 1e6 + 0.5) / 1e6).as("cosine"))
     }),
 
+    // ---- two-phase heavy hitters via a mergeable Misra-Gries sketch --------
+    // the scale shape for "which keys dominate": a plain groupBy.count
+    // shuffles every distinct key; the MG aggregate ships <= 127 counters
+    // per map task (one narrow exchange), and only the CANDIDATES are
+    // re-counted exactly. MG guarantees every key with freq > n/(k+1)
+    // survives any arrival/merge order, so with threshold 1% > n/128 the
+    // final result provably equals the plain GROUP BY/HAVING — the oracle
+    // runs exactly that, sketch-free. The uniform synthetic data has no
+    // heavy keys, so the query PLANTS them: suppkeys <= 5 re-enter x20
+    // (~1.9% each vs 0.09% background).
+    "q93_heavy_hitters" -> ((s, d) => {
+      val li = Tables.lineitem(s, d).select(col("l_suppkey"))
+      val planted = Tables.lineitem(s, d).filter(col("l_suppkey") <= 5)
+        .select(col("l_suppkey"),
+          explode(sequence(lit(1), lit(20))).as("__r"))
+        .drop("__r")
+      val skewed = li.unionByName(planted)
+      val candKeys = skewed
+        .agg(graft.plans.HeavyHittersAggregate
+          .heavyHitters(col("l_suppkey").cast("long"), 127).as("hh"))
+        .select(explode(col("hh")).as("c"))
+        .select(col("c.value").as("l_suppkey"))
+      val total = skewed.select(count(lit(1)).as("__n"))
+      skewed.join(broadcast(candKeys),
+          skewed("l_suppkey").cast("long") === candKeys("l_suppkey"))
+        .select(skewed("l_suppkey"))
+        .groupBy("l_suppkey").agg(count(lit(1)).as("cnt"))
+        .crossJoin(broadcast(total))
+        .filter(col("cnt") >= ceil(col("__n") * 0.01))
+        .select(col("l_suppkey"), col("cnt"),
+          (floor(col("cnt") / col("__n") * 1e6 + 0.5) / 1e6).as("share"))
+    }),
+
     // ---- SymSpell typo pairs over the corpus vocabulary --------------------
     // vocabulary-level near-dup (typo clustering / normalization-map
     // building): deletion-1 neighborhood equi-join, exact levenshtein
@@ -315,6 +348,22 @@ object CurationOps extends Catalog {
          |  floor(CAST(pd.n_novel AS DOUBLE)/pd.n_shingles*1000000.0 + 0.5)
          |    /1000000.0 AS novelty_ratio
          |FROM documents d LEFT JOIN pd USING (doc_id)""".stripMargin,
+
+    // sketch-free: the MG candidates + exact recount must equal this
+    "q93_heavy_hitters" ->
+      """WITH sk AS (
+        |  SELECT l_suppkey FROM lineitem
+        |  UNION ALL
+        |  SELECT l_suppkey FROM lineitem
+        |    CROSS JOIN (SELECT unnest(range(1, 21)))
+        |  WHERE l_suppkey <= 5),
+        |n AS (SELECT count(*) AS total FROM sk),
+        |c AS (SELECT l_suppkey, CAST(count(*) AS BIGINT) AS cnt
+        |      FROM sk GROUP BY 1)
+        |SELECT l_suppkey, cnt,
+        |  floor(CAST(cnt AS DOUBLE)/total*1000000.0 + 0.5)/1000000.0 AS share
+        |FROM c CROSS JOIN n
+        |WHERE cnt >= ceil(total * 0.01)""".stripMargin,
 
     "q92_typo_pairs" ->
       s"""WITH w AS (SELECT ${TextSql.words} AS ws FROM documents),

@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.plans.{HeavyHittersAggregate, MgBuffer}
+
+class HeavyHittersSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  test("MgBuffer: classic decrement keeps every freq > n/(k+1) value") {
+    // n = 12, k = 2 → guarantee bound n/(k+1) = 4: value 7 (freq 5) must
+    // survive ANY order; interleave adversarially so decrements fire
+    val stream = Seq(7L, 1L, 2L, 7L, 3L, 4L, 7L, 5L, 6L, 7L, 8L, 7L)
+    val b = new MgBuffer(2)
+    stream.foreach(b.add)
+    assert(b.counts.contains(7L), b.counts.toMap.toString)
+    assert(b.counts.size <= 2)
+  }
+
+  test("MgBuffer: merge subtracts the (k+1)-th largest and keeps heavies") {
+    val a = new MgBuffer(2)
+    Seq(1L, 1L, 1L, 2L, 2L).foreach(a.add) // {1->3, 2->2}
+    val c = new MgBuffer(2)
+    Seq(1L, 1L, 3L, 3L, 3L).foreach(c.add) // {1->2, 3->3}
+    a.mergeFrom(c) // combined {1->5, 2->2, 3->3} → subtract 3rd largest (2)
+    assert(a.counts.size <= 2)
+    assert(a.counts(1L) === 3L) // 5 - 2
+    assert(a.counts.contains(3L) && a.counts(3L) === 1L)
+    assert(!a.counts.contains(2L))
+    // combined n = 10, k = 2 → anything with freq > 10/3 must survive: 1 (5)
+  }
+
+  test("aggregate candidates cover all true heavies under any partitioning") {
+    // 20 distinct background values + one planted heavy, shuffled across 7
+    // partitions: MG with k = 8 (< 21 distinct, so decrements DO fire) must
+    // still surface the heavy (freq 40/100 > 100/9)
+    val rows = (1L to 60L).map(i => i % 20 + 100L) ++ Seq.fill(40)(7L)
+    val df = rows.toDF("v").repartition(7)
+    val cand = df.agg(HeavyHittersAggregate.heavyHitters($"v", 8).as("hh"))
+      .select(explode($"hh").as("c")).select($"c.value")
+      .as[Long].collect().toSet
+    assert(cand.contains(7L), cand.toString)
+  }
+
+  test("graft_heavy_hitters is callable from SQL with a foldable k") {
+    graft.plans.GraftExtensions.register(spark)
+    ((1L to 40L).map(_ % 10) ++ Seq.fill(30)(3L)).toDF("v")
+      .createOrReplaceTempView("hh_in")
+    val cand = spark.sql(
+      "SELECT graft_heavy_hitters(v, CAST(4 AS BIGINT)) AS hh FROM hh_in")
+      .select(explode($"hh").as("c")).select($"c.value")
+      .as[Long].collect().toSet
+    assert(cand.contains(3L)) // freq 34/70 > 70/5
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT graft_heavy_hitters(v, v) AS hh FROM hh_in").collect()
+    }
+  }
+
+  test("candidates + exact recount equals plain groupBy/having") {
+    val rows = (1L to 500L).map(_ % 50) ++ Seq.fill(100)(7L) ++ Seq.fill(80)(13L)
+    val df = rows.toDF("v").repartition(11)
+    val n = rows.size
+    val threshold = math.ceil(n * 0.05).toLong // 5% > n/(k+1) with k = 31
+    val cand = df.agg(HeavyHittersAggregate.heavyHitters($"v", 31).as("hh"))
+      .select(explode($"hh").as("c")).select($"c.value".as("v"))
+    val got = df.join(broadcast(cand), Seq("v"))
+      .groupBy("v").agg(count(lit(1)).as("cnt"))
+      .filter($"cnt" >= threshold)
+      .as[(Long, Long)].collect().toMap
+    val exact = rows.groupBy(identity).view.mapValues(_.size.toLong)
+      .filter(_._2 >= threshold).toMap
+    assert(got === exact)
+    assert(got.keySet === Set(7L, 13L))
+  }
+}
