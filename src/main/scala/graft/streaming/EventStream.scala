@@ -98,6 +98,74 @@ object EventStream {
       }
   }
 
+  case class OpenSession(userId: Long, events: Long, firstTsMicros: Long,
+                         lastTsMicros: Long)
+  case class ClosedSession(user_id: Long, events: Long,
+                           first_ts_micros: Long, last_ts_micros: Long)
+
+  /** Closed-session EMISSION via `flatMapGroupsWithState` + event-time
+    * timeout — the output shape [[sessionize]] cannot produce: that one
+    * reports running state per batch (0..1 rows per group per batch);
+    * this one emits each session exactly once, WHEN it closes (0..n rows
+    * per group per batch — the flatMap in the name).
+    *
+    * A session closes two ways, both deterministic in event time:
+    *  - '''in-batch''': a gap > `gapMicros` between consecutive events of
+    *    the same user inside the sorted batch closes the earlier run
+    *    immediately;
+    *  - '''by timeout''': the still-open tail session is parked in the
+    *    state store with `setTimeoutTimestamp(last + gap)`; it fires when
+    *    the WATERMARK passes that instant (never wall-clock — batch
+    *    progress can't depend on the test machine's clock), i.e. in the
+    *    first micro-batch after later events prove the gap.
+    *
+    * State is one `OpenSession` per active user — bounded by active users,
+    * with the watermark timeout as the eviction path (an idle user costs
+    * one state row until the watermark passes their last event + gap,
+    * then nothing).
+    *
+    * Input: a streaming frame with (user_id: long, ts: timestamp), a
+    * watermark already applied by the caller (the timeout clock IS the
+    * watermark).
+    */
+  def closedSessions(events: DataFrame,
+                     gapMicros: Long): Dataset[ClosedSession] = {
+    import events.sparkSession.implicits._
+    events.selectExpr("user_id", "ts")
+      .as[(Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[OpenSession, ClosedSession](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (userId, rows, state: GroupState[OpenSession]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(ClosedSession(s.userId, s.events,
+              s.firstTsMicros, s.lastTsMicros))
+          } else {
+            val ts = rows.map(r => r._2.getTime * 1000L).toArray
+            java.util.Arrays.sort(ts)
+            val closed = scala.collection.mutable.ArrayBuffer[ClosedSession]()
+            var open = state.getOption.orNull
+            ts.foreach { t =>
+              if (open == null)
+                open = OpenSession(userId, 1L, t, t)
+              else if (t - open.lastTsMicros > gapMicros) {
+                closed += ClosedSession(open.userId, open.events,
+                  open.firstTsMicros, open.lastTsMicros)
+                open = OpenSession(userId, 1L, t, t)
+              } else
+                open = open.copy(events = open.events + 1L,
+                  lastTsMicros = math.max(open.lastTsMicros, t))
+            }
+            state.update(open)
+            // fires when the WATERMARK passes last + gap (ms precision)
+            state.setTimeoutTimestamp((open.lastTsMicros + gapMicros) / 1000L)
+            closed.iterator
+          }
+      }
+  }
+
   /** Wire a streaming frame to an in-memory table (tests) or console. */
   def startToMemory(df: DataFrame, queryName: String,
                     outputMode: OutputMode = OutputMode.Update()) =

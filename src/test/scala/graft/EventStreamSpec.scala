@@ -82,6 +82,42 @@ class EventStreamSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("flatMapGroupsWithState emits sessions once, on gap or watermark") {
+    implicit val ctx = spark.sqlContext
+    val t0 = 1640995200000L // 2022-01-01 00:00:00 UTC, millis
+    def at(min: Long) = new java.sql.Timestamp(t0 + min * 60000L)
+    val in = MemoryStream[(Long, java.sql.Timestamp)]
+    val sessions = EventStream.closedSessions(
+      in.toDF().toDF("user_id", "ts").withWatermark("ts", "10 minutes"),
+      gapMicros = 30L * 60 * 1000 * 1000) // 30-minute gap
+    val q = EventStream.startToMemory(sessions.toDF(), "closed_sessions",
+      OutputMode.Append())
+    try {
+      // batch 1: u1 has an IN-BATCH gap (10min → 120min closes the first
+      // run immediately); u2 parks one open session
+      in.addData((1L, at(0)), (1L, at(10)), (1L, at(120)), (2L, at(0)))
+      q.processAllAvailable()
+      // watermark is now 120-10=110min: u2's timeout (0+30) has passed —
+      // it fires while processing batch 2; u1's (120+30) has not
+      in.addData((3L, at(240)))
+      q.processAllAvailable()
+      // watermark 230min: u1's tail (timeout 150min) fires in batch 3
+      in.addData((3L, at(300)))
+      q.processAllAvailable()
+      val got = spark.table("closed_sessions")
+        .as[(Long, Long, Long, Long)].collect().toSet
+      def us(min: Long) = (t0 + min * 60000L) * 1000L
+      assert(got === Set(
+        (1L, 2L, us(0), us(10)),    // in-batch gap closure, batch 1
+        (2L, 1L, us(0), us(0)),     // watermark timeout, batch 2
+        (1L, 1L, us(120), us(120)), // watermark timeout, batch 3
+        (3L, 1L, us(240), us(240))  // cross-batch gap closure, batch 3
+      ))
+      // u3's tail session (at 300min) is still open — not emitted
+      assert(!got.contains((3L, 1L, us(300), us(300))))
+    } finally q.stop()
+  }
+
   test("micro-batched LSH incremental dedup equals the one-shot batch twin") {
     // the streaming shape of X48: corpus shingles/buckets are STATIC
     // (computed once, reusable across micro-batches); each arriving
