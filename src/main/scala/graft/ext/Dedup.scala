@@ -465,6 +465,60 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Segment-level dedup with text reconstruction — the C4-style "drop any
+    * span seen before" pass, the granularity between document dedup (X1)
+    * and vocabulary dedup ([[typoPairs]]): a repeated boilerplate block
+    * inside an otherwise-unique document is removed, the document itself
+    * survives. Documents are chunked into `segTokens`-token segments
+    * (last one partial); a segment's FIRST corpus occurrence — min
+    * (doc_id, seg_idx), a total order — is kept, every later occurrence
+    * (across documents or repeated within one) is dropped; the surviving
+    * segments rebuild `clean_text` in original order.
+    *
+    * Scale shape: one exchange keyed by segment text for the
+    * first-occurrence aggregate (partial min per partition — one row per
+    * distinct segment crosses), one keyed by doc for the rebuild. At
+    * 100 TB hash segments to longs at the explode site (the
+    * [[charShingleHashes]] trick) so the segment shuffle moves 8-byte
+    * keys; kept as text here because the oracle pins the rebuilt strings.
+    *
+    * Output: (id, n_segs, n_kept, clean_text) — one row per input doc,
+    * empty-text docs included with n_segs = 0 and clean_text = ''.
+    */
+  def segmentDedup(docs: DataFrame, id: String, text: String,
+                   segTokens: Int): DataFrame = {
+    require(segTokens >= 1, s"segTokens must be >= 1, got $segTokens")
+    val ts = col("__ts")
+    val nChunks = ceil(size(ts) / lit(segTokens.toDouble)).cast("int")
+    // sequence(0, -1) DESCENDS in Spark — guard the empty-token case
+    val chunks = when(size(ts) >= 1,
+      transform(sequence(lit(0), nChunks - 1),
+        i => concat_ws(" ", slice(ts, i * segTokens + 1, lit(segTokens)))))
+      .otherwise(array())
+    val segs = docs
+      .select(col(id),
+        filter(split(normalizeText(col(text)), " "), w => w =!= "").as("__ts"))
+      .select(col(id), posexplode(chunks).as(Seq("seg_idx", "seg")))
+    val first = segs.groupBy("seg")
+      .agg(min(struct(col(id), col("seg_idx"))).as("__f"))
+    val kept = segs.join(first, Seq("seg"))
+      .filter(col(id) === col(s"__f.$id") &&
+        col("seg_idx") === col("__f.seg_idx"))
+    val perDoc = segs.groupBy(id).agg(count(lit(1)).as("n_segs"))
+    val rebuilt = kept.groupBy(id).agg(
+      count(lit(1)).as("n_kept"),
+      concat_ws(" ", transform(
+        array_sort(collect_list(struct(col("seg_idx"), col("seg")))),
+        e => e.getField("seg"))).as("clean_text"))
+    docs.select(col(id))
+      .join(perDoc, Seq(id), "left")
+      .join(rebuilt, Seq(id), "left")
+      .select(col(id),
+        coalesce(col("n_segs"), lit(0L)).as("n_segs"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
   /** SymSpell-style typo pairs over a vocabulary: all DISTINCT token pairs
     * within Levenshtein distance 1, found via the deletion-1 neighborhood —
     * each token emits itself plus every single-character deletion, and two

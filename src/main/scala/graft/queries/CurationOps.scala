@@ -162,6 +162,17 @@ object CurationOps extends Catalog {
           (floor(col("cosine") * 1e6 + 0.5) / 1e6).as("cosine"))
     }),
 
+    // ---- C4-style segment dedup with text reconstruction -------------------
+    // the granularity between document dedup (q21) and vocabulary dedup
+    // (q92): repeated 10-token blocks are dropped wherever they re-occur
+    // (later doc, or repeated inside one doc), first corpus occurrence
+    // wins, and the cleaned text is rebuilt in order. Exact-dup docs keep
+    // nothing; partially-overlapping docs lose just the shared blocks.
+    "q94_segment_dedup" -> ((s, d) => {
+      Dedup.segmentDedup(Tables.documents(s, d), "doc_id", "text",
+        segTokens = 10)
+    }),
+
     // ---- two-phase heavy hitters via a mergeable Misra-Gries sketch --------
     // the scale shape for "which keys dominate": a plain groupBy.count
     // shuffles every distinct key; the MG aggregate ships <= 127 counters
@@ -348,6 +359,31 @@ object CurationOps extends Catalog {
          |  floor(CAST(pd.n_novel AS DOUBLE)/pd.n_shingles*1000000.0 + 0.5)
          |    /1000000.0 AS novelty_ratio
          |FROM documents d LEFT JOIN pd USING (doc_id)""".stripMargin,
+
+    // independent formulation: window first-occurrence vs the query's
+    // min-struct aggregate
+    "q94_segment_dedup" ->
+      s"""WITH w AS (SELECT doc_id, ${TextSql.words} AS ws FROM documents),
+         |idx AS (SELECT doc_id, ws,
+         |    unnest(range(CAST(ceil(len(ws)/10.0) AS BIGINT))) AS i
+         |  FROM w WHERE len(ws) >= 1),
+         |segs AS (SELECT doc_id, CAST(i AS INTEGER) AS seg_idx,
+         |    array_to_string(ws[i*10+1:i*10+10], ' ') AS seg FROM idx),
+         |fst AS (SELECT doc_id, seg_idx, seg,
+         |    row_number() OVER (PARTITION BY seg
+         |      ORDER BY doc_id, seg_idx) AS rn
+         |  FROM segs),
+         |pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_segs
+         |       FROM segs GROUP BY 1),
+         |kp AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+         |    array_to_string(list(seg ORDER BY seg_idx), ' ') AS clean_text
+         |  FROM fst WHERE rn = 1 GROUP BY 1)
+         |SELECT d.doc_id,
+         |  coalesce(pd.n_segs, 0) AS n_segs,
+         |  coalesce(kp.n_kept, 0) AS n_kept,
+         |  coalesce(kp.clean_text, '') AS clean_text
+         |FROM documents d
+         |LEFT JOIN pd USING (doc_id) LEFT JOIN kp USING (doc_id)""".stripMargin,
 
     // sketch-free: the MG candidates + exact recount must equal this
     "q93_heavy_hitters" ->

@@ -205,6 +205,27 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(cands.forall { case (a, b) => a == 101L && b < 100L })
   }
 
+  test("segmentDedup: first occurrence wins, text rebuilds in order") {
+    // seg size 3: doc 1 = [a b c][d e f]; doc 2 repeats [a b c] at its
+    // FIRST position then adds a new block; doc 3 is an exact dup of doc 1
+    // (keeps nothing); doc 4 repeats a block INSIDE itself; doc 5 is empty
+    val docs = Seq(
+      (1L, "a b c d e f"),
+      (2L, "a b c x y z"),
+      (3L, "a b c d e f"),
+      (4L, "p q r p q r"),
+      (5L, "")
+    ).toDF("doc_id", "text")
+    val got = Dedup.segmentDedup(docs, "doc_id", "text", segTokens = 3)
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(1L) === ((2L, 2L, "a b c d e f")))
+    assert(got(2L) === ((2L, 1L, "x y z"))) // shared block dropped
+    assert(got(3L) === ((2L, 0L, "")))      // exact dup keeps nothing
+    assert(got(4L) === ((2L, 1L, "p q r"))) // in-doc repeat dropped
+    assert(got(5L) === ((0L, 0L, "")))      // empty doc present with zeros
+  }
+
   test("typoPairs: substitution, insertion, deletion found; distance-2 not") {
     val vocab = Seq(
       "table", "tible",   // substitution at pos 2
