@@ -162,6 +162,38 @@ object CurationOps extends Catalog {
           (floor(col("cosine") * 1e6 + 0.5) / 1e6).as("cosine"))
     }),
 
+    // ---- round-6 capstone: quality gate → segment dedup → shard packing ----
+    // the q73 composition device applied to this round's operators: C4/
+    // Gopher rule chain drops low-quality docs, the survivors lose every
+    // previously-seen 10-token block (dedup computed on the FULL corpus
+    // first — a dropped doc still "uses up" first occurrences, matching
+    // how production pipelines sequence span-dedup before quality so
+    // boilerplate attribution is stable), docs left with nothing vanish,
+    // and the rest pack into 512-token shards per language by their
+    // CLEANED token count. One oracle pins the whole chain end-to-end.
+    "q95_curation_pack" -> ((s, d) => {
+      import graft.plans.Fnv1a64Expression.fnv1a64
+      val docs = Tables.documents(s, d)
+      val cleaned = Dedup.segmentDedup(docs, "doc_id", "text",
+          segTokens = 10)
+        .select(col("doc_id"), col("n_kept"), col("clean_text"))
+      val survivors = docs
+        .withColumn("__ff", TextAnalysis.qualityFirstFail(col("text")))
+        .filter(col("__ff").isNull)
+        .select(col("doc_id"), col("lang"))
+        .join(cleaned, Seq("doc_id"))
+        .filter(col("n_kept") > 0)
+        .select(col("doc_id"), col("lang"),
+          TextAnalysis.tokenCount(col("clean_text")).as("n_tokens"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("lang")
+        .orderBy(fnv1a64(col("doc_id")), col("doc_id"))
+      survivors
+        .withColumn("cum_tokens", sum("n_tokens").over(w))
+        .select(col("doc_id"), col("lang"), col("n_tokens"),
+          col("cum_tokens"),
+          expr("(cum_tokens - n_tokens) div 512").as("shard"))
+    }),
+
     // ---- C4-style segment dedup with text reconstruction -------------------
     // the granularity between document dedup (q21) and vocabulary dedup
     // (q92): repeated 10-token blocks are dropped wherever they re-occur
@@ -321,6 +353,9 @@ object CurationOps extends Catalog {
     })
   )
 
+  private val stopListSql: String = TextAnalysis.EnglishStopwords
+    .map(w => s"'$w'").mkString("[", ", ", "]")
+
   /** shared trigram-shingle CTE prefix (w, idx, sh) for q87/q89 */
   private val shingleCtes: String =
     s"""w AS (SELECT doc_id, ${TextSql.words} AS ws FROM documents),
@@ -359,6 +394,59 @@ object CurationOps extends Catalog {
          |  floor(CAST(pd.n_novel AS DOUBLE)/pd.n_shingles*1000000.0 + 0.5)
          |    /1000000.0 AS novelty_ratio
          |FROM documents d LEFT JOIN pd USING (doc_id)""".stripMargin,
+
+    // the whole round-6 chain under one oracle: q86's rule conjunction,
+    // q94's corpus-wide first-occurrence dedup, q90's packing window —
+    // re-derived here as one CTE pipeline
+    "q95_curation_pack" -> {
+      import graft.plans.Fnv1a64Expression.{longSqlText, toSignedSqlText}
+      val fnv = toSignedSqlText(
+        longSqlText("14695981039346656037::HUGEINT", "doc_id::HUGEINT"))
+      s"""WITH w AS (SELECT doc_id, lang, text, ${TextSql.words} AS ws
+         |           FROM documents),
+         |q AS (SELECT doc_id, lang, text, ws, len(ws) AS n,
+         |    CASE WHEN len(ws) > 0 THEN
+         |      CAST(list_sum(list_transform(ws, x -> len(x))) AS DOUBLE)
+         |        /len(ws) END AS avg_len,
+         |    CASE WHEN len(ws) > 0 THEN
+         |      CAST(len(list_filter(ws, x -> list_contains($stopListSql, x)))
+         |        AS DOUBLE)/len(ws) END AS stopr,
+         |    CASE WHEN len(ws) > 0 THEN
+         |      CAST(len(ws) - len(list_distinct(ws)) AS DOUBLE)
+         |        /len(ws) END AS dupr,
+         |    CASE WHEN len(ws) > 0 THEN
+         |      CAST(list_max([len(list_filter(ws, x -> x = t))
+         |          FOR t IN list_distinct(ws)]) AS DOUBLE)
+         |        /len(ws) END AS topr
+         |  FROM w),
+         |keep AS (SELECT doc_id, lang FROM q
+         |  WHERE text IS NOT NULL AND n >= 20 AND n <= 5000
+         |    AND avg_len >= 3.8 AND stopr >= 0.01
+         |    AND dupr <= 0.65 AND topr <= 0.25),
+         |idx AS (SELECT doc_id, ws,
+         |    unnest(range(CAST(ceil(len(ws)/10.0) AS BIGINT))) AS i
+         |  FROM w WHERE len(ws) >= 1),
+         |segs AS (SELECT doc_id, CAST(i AS INTEGER) AS seg_idx,
+         |    array_to_string(ws[i*10+1:i*10+10], ' ') AS seg FROM idx),
+         |fst AS (SELECT doc_id, seg_idx, seg,
+         |    row_number() OVER (PARTITION BY seg
+         |      ORDER BY doc_id, seg_idx) AS rn
+         |  FROM segs),
+         |kp AS (SELECT doc_id,
+         |    CAST(sum(len(list_filter(string_split(seg, ' '), x -> x != '')))
+         |      AS BIGINT) AS n_tokens
+         |  FROM fst WHERE rn = 1 GROUP BY 1),
+         |sv AS (SELECT k.doc_id, k.lang, kp.n_tokens
+         |       FROM keep k JOIN kp USING (doc_id)),
+         |r AS (SELECT doc_id, lang, n_tokens,
+         |    sum(n_tokens) OVER (PARTITION BY lang
+         |      ORDER BY $fnv, doc_id) AS cum
+         |  FROM sv)
+         |SELECT doc_id, lang, n_tokens,
+         |  CAST(cum AS BIGINT) AS cum_tokens,
+         |  CAST((cum - n_tokens) // 512 AS BIGINT) AS shard
+         |FROM r""".stripMargin
+    },
 
     // independent formulation: window first-occurrence vs the query's
     // min-struct aggregate
@@ -475,8 +563,6 @@ object CurationOps extends Catalog {
     },
 
     "q86_quality_verdict" -> {
-      val stopListSql = TextAnalysis.EnglishStopwords
-        .map(w => s"'$w'").mkString("[", ", ", "]")
       s"""WITH w AS (SELECT doc_id, text, ${TextSql.words} AS ws
          |           FROM documents),
          |m AS (SELECT doc_id, text, len(ws) AS n,
