@@ -202,8 +202,8 @@ object Similarity {
                   scale: Double = DefaultScale): DataFrame = {
     require(bits % bands == 0, "bands must divide bits")
     val rpb = bits / bands
-    val w = array(hyperplaneWeights(bits, dims).map(row =>
-      array(row.map(lit): _*)): _*) // foldable -> one array constant
+    val w = array(hyperplaneWeights(bits, dims).toIndexedSeq.map(row =>
+      array(row.toIndexedSeq.map(lit): _*)): _*) // foldable -> one array constant
     val pow2 = array((0 until rpb).map(j => lit(1L << j)): _*)
     val sig = corpus
       .select(col(id).as("__id"), quantize(col(vec), scale).as("__qv"))

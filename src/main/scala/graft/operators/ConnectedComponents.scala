@@ -105,7 +105,7 @@ object ConnectedComponents {
     def fingerprint(df: DataFrame): (Long, java.math.BigDecimal) = {
       val r = df.agg(
         count(lit(1)),
-        sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)"))).head
+        sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)"))).head()
       (r.getLong(0),
         Option(r.getDecimal(1)).getOrElse(java.math.BigDecimal.ZERO))
     }
