@@ -7,16 +7,30 @@ import graft.ext.{Dedup, Similarity, TextAnalysis}
 import graft.sources.Tables
 
 /** Round-6 curation-model catalog: the operators a training-data pipeline
-  * runs BETWEEN dedup and packing — semantic clustering (deterministic
-  * k-means), SemDeDup-style within-cluster pruning, composite quality
-  * verdicts, and corpus-level n-gram signals.
+  * runs BETWEEN dedup and packing — semantic clustering (q84 deterministic
+  * k-means) and SemDeDup pruning (q85), composite quality verdicts (q86),
+  * corpus-level n-gram signals (q87 boilerplate, q89 novelty), quantized
+  * ANN re-ranking (q88), deterministic shard packing (q90), exact-moment
+  * outliers (q91), vocabulary typo pairs (q92), Misra–Gries heavy hitters
+  * (q93), C4-style segment dedup (q94), and the composed capstone (q95).
   *
   * Scale shapes (the 100 TB contract):
-  *  - q84/q85: each k-means iteration is one broadcast-assignment pass plus
-  *    one (cell, dim)-keyed aggregation whose exchange carries k·dims·P
-  *    rows regardless of corpus size; the SemDeDup pair join is
-  *    cell-bucketed (Σ|cell|², never all-pairs), with cells fitted to the
-  *    corpus density rather than supplied.
+  *  - q84/q85: the k-means fit never shuffles the corpus (literal-centroid
+  *    argmax projection; centroid state collected per iteration); the only
+  *    exchange per iteration is (cell, dim)-keyed at k·dims·P rows. The
+  *    SemDeDup pair join is cell-bucketed (Σ|cell|², never all-pairs),
+  *    with cells fitted to the corpus density rather than supplied;
+  *  - q86/q91: per-row chains / one narrow label aggregation — q86 plans
+  *    ZERO exchanges (PlanAuditSpec contract);
+  *  - q87/q89/q92/q94: inverted-index shapes — candidates meet in
+  *    equi-joins on shingle/variant/segment keys, never all-pairs, with
+  *    the df/min aggregates partial-combined map-side;
+  *  - q88: the int8-range coarse copy ranks candidates; full precision is
+  *    touched via an id equi-join for m·k rows per query;
+  *  - q90/q95: packing windows partition by language — bounded
+  *    per-stratum state, no global sort;
+  *  - q93: k counters per map task cross the exchange; candidates-only
+  *    contract, recount exact.
   */
 object CurationOps extends Catalog {
 
