@@ -219,6 +219,42 @@ object CurationOps extends Catalog {
         segTokens = 10)
     }),
 
+    // ---- weighted heavy hitters: dominant SOURCES by token mass ------------
+    // q93's weighted twin, answering the mix question a curation run
+    // actually asks: which domains dominate my token budget? Values are
+    // fnv(source) longs (string keys ride through the sketch as hashes; a
+    // hash collision only widens the CANDIDATE set — the recount groups by
+    // the true source string, so the final answer is collision-proof).
+    // Uniform sources → the query plants one: src1 docs re-enter x10
+    // (~37% of token mass vs 3.3% background); threshold 10% > W/16 at
+    // k = 15 keeps the MG guarantee, and 15 counters < 20 sources means
+    // the weighted decrement path genuinely fires.
+    "q96_heavy_sources" -> ((s, d) => {
+      import graft.plans.Fnv1a64Expression.fnv1a64
+      val docs = Tables.documents(s, d).filter(col("text").isNotNull)
+      val planted = docs.filter(col("source") === "src1")
+        .select(col("source"), col("text"),
+          explode(sequence(lit(1), lit(10))).as("__r"))
+        .drop("__r")
+      val corpus = docs.select(col("source"), col("text"))
+        .unionByName(planted)
+        .select(col("source"),
+          TextAnalysis.tokenCount(col("text")).as("w"))
+      val cand = corpus
+        .agg(graft.plans.HeavyHittersAggregate
+          .heavyHittersW(fnv1a64(col("source")), col("w"), 15).as("hh"))
+        .select(explode(col("hh")).as("c"))
+        .select(col("c.value").as("__hv"))
+      val total = corpus.select(sum(col("w")).as("__w"))
+      corpus.join(broadcast(cand), fnv1a64(col("source")) === col("__hv"))
+        .groupBy("source").agg(sum(col("w")).as("token_sum"))
+        .crossJoin(broadcast(total))
+        .filter(col("token_sum") >= ceil(col("__w") * 0.1))
+        .select(col("source"), col("token_sum"),
+          (floor(col("token_sum") / col("__w") * 1e6 + 0.5) / 1e6)
+            .as("share"))
+    }),
+
     // ---- two-phase heavy hitters via a mergeable Misra-Gries sketch --------
     // the scale shape for "which keys dominate": a plain groupBy.count
     // shuffles every distinct key; the MG aggregate ships <= 127 counters
@@ -486,6 +522,25 @@ object CurationOps extends Catalog {
          |  coalesce(kp.clean_text, '') AS clean_text
          |FROM documents d
          |LEFT JOIN pd USING (doc_id) LEFT JOIN kp USING (doc_id)""".stripMargin,
+
+    // sketch-free weighted twin: exact token sums per source
+    "q96_heavy_sources" ->
+      s"""WITH base AS (SELECT source, ${TextSql.words} AS ws
+         |              FROM documents WHERE text IS NOT NULL),
+         |sk AS (
+         |  SELECT source, CAST(len(ws) AS BIGINT) AS w FROM base
+         |  UNION ALL
+         |  SELECT source, CAST(len(ws) AS BIGINT) AS w FROM base
+         |    CROSS JOIN (SELECT unnest(range(1, 11)))
+         |  WHERE source = 'src1'),
+         |n AS (SELECT CAST(sum(w) AS BIGINT) AS total FROM sk),
+         |c AS (SELECT source, CAST(sum(w) AS BIGINT) AS token_sum
+         |      FROM sk GROUP BY 1)
+         |SELECT source, token_sum,
+         |  floor(CAST(token_sum AS DOUBLE)/total*1000000.0 + 0.5)/1000000.0
+         |    AS share
+         |FROM c CROSS JOIN n
+         |WHERE token_sum >= ceil(total * 0.1)""".stripMargin,
 
     // sketch-free: the MG candidates + exact recount must equal this
     "q93_heavy_hitters" ->

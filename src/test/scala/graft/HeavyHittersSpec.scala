@@ -57,6 +57,35 @@ class HeavyHittersSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("MgBuffer weighted add: heavy mass survives, light mass evicts") {
+    // W = 100, k = 2 → bound W/3 ≈ 33.3: value 7 carries 60 and must
+    // survive; ten 4-weight values churn through the table around it
+    val b = new MgBuffer(2)
+    b.addWeighted(7L, 30L)
+    (1L to 10L).foreach(v => b.addWeighted(v * 100L, 4L))
+    b.addWeighted(7L, 30L)
+    assert(b.counts.contains(7L), b.counts.toMap.toString)
+    assert(b.counts.size <= 2)
+    // eviction subtracts real mass: 7's counter is a LOWER bound of 60
+    assert(b.counts(7L) <= 60L)
+  }
+
+  test("weighted candidates + exact re-sum equals plain groupBy/having") {
+    // 20 uniform sources (weight 10 each) + one dominant (extra 300):
+    // threshold 20% of W=500 → 100 > W/(k+1)=500/8 at k=7
+    val rows = (1L to 20L).map(v => (v, 10L)) ++ Seq.fill(30)((7L, 10L))
+    val df = rows.toDF("v", "w").repartition(9)
+    val total = rows.map(_._2).sum
+    val cand = df.agg(HeavyHittersAggregate
+        .heavyHittersW($"v", $"w", 7).as("hh"))
+      .select(explode($"hh").as("c")).select($"c.value".as("v"))
+    val got = df.join(broadcast(cand), Seq("v"))
+      .groupBy("v").agg(sum($"w").as("ws"))
+      .filter($"ws" >= total * 0.2)
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(7L -> 310L))
+  }
+
   test("candidates + exact recount equals plain groupBy/having") {
     val rows = (1L to 500L).map(_ % 50) ++ Seq.fill(100)(7L) ++ Seq.fill(80)(13L)
     val df = rows.toDF("v").repartition(11)

@@ -16,7 +16,7 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
 
   private val sfDir = "/root/testdata/sf0.001"
 
-  /** The exactly-14 queries whose plan legitimately contains
+  /** The exactly-15 queries whose plan legitimately contains
     * BroadcastNestedLoopJoin: cross join against the 25-row nation-derived
     * city dim (q18, q20, q33, and the composed jobs q46/q48/q49 whose
     * reference shape is the broadcast nearest-city join), the
@@ -37,7 +37,7 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
       "q46_user_mart", "q48_zone_mart", "q49_recommendations",
       "q78_bloom_pruned_join", "q82_mixture_rebalance",
       "q87_boilerplate_ngrams", "q88_quantized_rerank",
-      "q93_heavy_hitters") // 1-row total-count scalar attach
+      "q93_heavy_hitters", "q96_heavy_sources") // 1-row scalar attaches
 
   test("no catalog query plans a CartesianProduct") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
