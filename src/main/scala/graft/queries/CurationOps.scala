@@ -219,6 +219,36 @@ object CurationOps extends Catalog {
         segTokens = 10)
     }),
 
+    // ---- portable KMV approximate distinct (q66's oracle-able cousin) ------
+    // q66's approx_count_distinct is the catalog's ONE rows-only row by
+    // construction: HLL registers are engine-specific. The KMV sketch is
+    // not — the k smallest distinct FNV hashes of a set are an
+    // order-independent VALUE that DuckDB re-derives bit-for-bit, so both
+    // the sketch (its k-th element rides along as kth_hash) and the
+    // (k−1)·2⁶⁴/(u_k+1) estimator are hash-checked cross-engine. The
+    // exact count rides along to expose the error (spec-bounded).
+    "q97_kmv_distinct" -> ((s, d) => {
+      import graft.plans.Fnv1a64Expression.fnv1a64
+      val k = 64
+      val two64 = math.pow(2, 64) // exact: a power of two
+      val agg = Tables.events(s, d).groupBy("event_type")
+        .agg(graft.plans.KmvBottomKAggregate
+          .kmv(fnv1a64(col("user_id")), k).as("kmv"),
+          countDistinct(col("user_id")).as("exact_users"))
+      val m = size(col("kmv"))
+      val kth = element_at(col("kmv"), m)
+      // unsigned(kth) via signed-double + conditional 2^64: the SAME
+      // two-step float sequence is spelled in the oracle SQL — a direct
+      // HUGEINT→double cast there could double-round differently
+      val u1 = (kth.cast("double") +
+        when(kth < 0, lit(two64)).otherwise(lit(0.0))) + lit(1.0)
+      agg.select(col("event_type"), col("exact_users"),
+        m.cast("long").as("kmv_size"), kth.as("kth_hash"),
+        (floor(when(m < k, m.cast("double"))
+          .otherwise(lit((k - 1).toDouble) * lit(two64) / u1) * 1e6 + 0.5)
+          / 1e6).as("est_users"))
+    }),
+
     // ---- weighted heavy hitters: dominant SOURCES by token mass ------------
     // q93's weighted twin, answering the mix question a curation run
     // actually asks: which domains dominate my token budget? Values are
@@ -522,6 +552,36 @@ object CurationOps extends Catalog {
          |  coalesce(kp.clean_text, '') AS clean_text
          |FROM documents d
          |LEFT JOIN pd USING (doc_id) LEFT JOIN kp USING (doc_id)""".stripMargin,
+
+    // the KMV sketch re-derived: k smallest distinct FNV hashes per group
+    // in unsigned order, kth element + the identical estimator arithmetic
+    "q97_kmv_distinct" -> {
+      import graft.plans.Fnv1a64Expression.{longSqlText, toSignedSqlText}
+      val fnvU = longSqlText("14695981039346656037::HUGEINT",
+        "user_id::HUGEINT")
+      val kh = toSignedSqlText("kth.hu")
+      val u1 = s"((CAST($kh AS DOUBLE) + (CASE WHEN ($kh) < 0 THEN " +
+        "18446744073709551616.0 ELSE 0.0 END)) + 1.0)"
+      s"""WITH d AS (SELECT DISTINCT event_type, user_id FROM events),
+         |h AS (SELECT DISTINCT event_type, $fnvU AS hu FROM d),
+         |r AS (SELECT event_type, hu,
+         |    row_number() OVER (PARTITION BY event_type ORDER BY hu) AS rn,
+         |    count(*) OVER (PARTITION BY event_type) AS m
+         |  FROM h),
+         |kth AS (SELECT event_type, hu, m FROM r
+         |        WHERE rn = CASE WHEN m < 64 THEN m ELSE 64 END),
+         |ex AS (SELECT event_type,
+         |    CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users
+         |  FROM events GROUP BY 1)
+         |SELECT ex.event_type, ex.exact_users,
+         |  CAST(CASE WHEN kth.m < 64 THEN kth.m ELSE 64 END AS BIGINT)
+         |    AS kmv_size,
+         |  $kh AS kth_hash,
+         |  floor(CASE WHEN kth.m < 64 THEN CAST(kth.m AS DOUBLE)
+         |        ELSE 63.0 * 18446744073709551616.0 / $u1 END
+         |    * 1000000.0 + 0.5)/1000000.0 AS est_users
+         |FROM ex JOIN kth USING (event_type)""".stripMargin
+    },
 
     // sketch-free weighted twin: exact token sums per source
     "q96_heavy_sources" ->

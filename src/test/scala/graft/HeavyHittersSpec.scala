@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.plans.{HeavyHittersAggregate, MgBuffer}
+import graft.plans.{HeavyHittersAggregate, KmvBottomKAggregate, KmvBuffer, MgBuffer}
 
 class HeavyHittersSpec extends AnyFunSuite with SparkTestBase {
   import spark.implicits._
@@ -84,6 +84,42 @@ class HeavyHittersSpec extends AnyFunSuite with SparkTestBase {
       .filter($"ws" >= total * 0.2)
       .as[(Long, Long)].collect().toMap
     assert(got === Map(7L -> 310L))
+  }
+
+  test("KmvBuffer keeps the k smallest distinct hashes in unsigned order") {
+    val b = new KmvBuffer(3)
+    // -1L is the unsigned MAXIMUM — it must be evicted once 3 smaller
+    // unsigned values arrive; duplicates must not occupy slots
+    Seq(-1L, 10L, 10L, 5L, 7L, 3L, 10L).foreach(b.add)
+    assert(b.sortedHashes().toSeq === Seq(3L, 5L, 7L))
+    val o = new KmvBuffer(3)
+    Seq(1L, 5L, -2L).foreach(o.add)
+    b.mergeFrom(o)
+    assert(b.sortedHashes().toSeq === Seq(1L, 3L, 5L))
+  }
+
+  test("KMV sketch is identical under repartition; estimate within 30%") {
+    import graft.plans.Fnv1a64Expression.fnv1a64
+    val df = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
+    def sketch(d: org.apache.spark.sql.DataFrame) =
+      d.groupBy("event_type")
+        .agg(KmvBottomKAggregate.kmv(fnv1a64($"user_id"), 64).as("kmv"),
+          countDistinct($"user_id").as("exact"))
+        .select($"event_type", $"kmv", $"exact")
+        .as[(String, Seq[Long], Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+    val a = sketch(df)
+    val b = sketch(df.repartition(13))
+    assert(a === b) // the WHOLE sketch is order-independent, not just est
+    a.foreach { case (_, (kmv, exact)) =>
+      val k = 64
+      if (kmv.size >= k) {
+        val kth = kmv.last
+        val u = kth.toDouble + (if (kth < 0) math.pow(2, 64) else 0.0) + 1.0
+        val est = (k - 1).toDouble * math.pow(2, 64) / u
+        assert(math.abs(est - exact) / exact < 0.3, s"est $est vs $exact")
+      } else assert(kmv.size === exact)
+    }
   }
 
   test("candidates + exact recount equals plain groupBy/having") {
