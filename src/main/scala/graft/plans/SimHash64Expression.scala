@@ -178,13 +178,61 @@ object GraftExtensions {
       HeavyHittersAggregate(args(0), k).toAggregateExpression(): Expression
     })
 
+  /** shared foldable-integral-k extraction for the sketch aggregates */
+  private def foldableK(name: String, kExpr: Expression): Int = {
+    def analysisError(msg: String): Nothing =
+      throw new org.apache.spark.sql.AnalysisException(
+        "USER_RAISED_EXCEPTION", Map("errorMessage" -> msg))
+    val k: Int =
+      if (!kExpr.foldable)
+        analysisError(s"$name k must be a constant, got $kExpr")
+      else kExpr.eval() match {
+        case i: Int => i
+        case l: Long if l >= 1 && l <= Int.MaxValue => l.toInt
+        case s: Short => s.toInt
+        case b: Byte => b.toInt
+        case other => analysisError(
+          s"$name k must be an integral constant, got $other")
+      }
+    if (k < 1) analysisError(s"$name k must be >= 1, got $k")
+    k
+  }
+
+  private val weightedHhFunction = (
+    new FunctionIdentifier("graft_heavy_hitters_w"),
+    new ExpressionInfo(classOf[WeightedHeavyHittersAggregate].getName,
+      "graft_heavy_hitters_w"),
+    (args: Seq[Expression]) => {
+      if (args.length != 3)
+        throw new org.apache.spark.sql.AnalysisException(
+          "USER_RAISED_EXCEPTION",
+          Map("errorMessage" -> "graft_heavy_hitters_w(value, weight, k)"))
+      WeightedHeavyHittersAggregate(args(0), args(1),
+        foldableK("graft_heavy_hitters_w", args(2)))
+        .toAggregateExpression(): Expression
+    })
+
+  private val kmvFunction = (
+    new FunctionIdentifier("graft_kmv"),
+    new ExpressionInfo(classOf[KmvBottomKAggregate].getName, "graft_kmv"),
+    (args: Seq[Expression]) => {
+      if (args.length != 2)
+        throw new org.apache.spark.sql.AnalysisException(
+          "USER_RAISED_EXCEPTION",
+          Map("errorMessage" -> "graft_kmv(hash, k)"))
+      KmvBottomKAggregate(args(0), foldableK("graft_kmv", args(1)))
+        .toAggregateExpression(): Expression
+    })
+
   /** Register every graft SQL function (`graft_simhash64`, `graft_fnv1a64`,
-    * `graft_topk_by`, `graft_heavy_hitters`) on an already-running session
-    * — the SparkSessionExtensions surface that makes the native expressions
+    * `graft_topk_by`, `graft_heavy_hitters`, `graft_heavy_hitters_w`,
+    * `graft_kmv`) on an already-running session — the
+    * SparkSessionExtensions surface that makes the native expressions
     * reachable from `spark.sql(...)` text, not just the Column API.
     */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    Seq(simhashFunction, fnvFunction, topkFunction, heavyHittersFunction)
+    Seq(simhashFunction, fnvFunction, topkFunction, heavyHittersFunction,
+      weightedHhFunction, kmvFunction)
       .foreach { f =>
         ColumnBridge.registerFunction(spark, f._1, f._2, f._3)
       }

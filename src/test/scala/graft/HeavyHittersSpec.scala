@@ -86,6 +86,21 @@ class HeavyHittersSpec extends AnyFunSuite with SparkTestBase {
     assert(got === Map(7L -> 310L))
   }
 
+  test("graft_heavy_hitters_w and graft_kmv are callable from SQL") {
+    graft.plans.GraftExtensions.register(spark)
+    ((1L to 20L).map(v => (v, 10L)) ++ Seq.fill(30)((7L, 10L)))
+      .toDF("v", "w").createOrReplaceTempView("whh_in")
+    val cand = spark.sql(
+      "SELECT graft_heavy_hitters_w(v, w, 7) AS hh FROM whh_in")
+      .select(explode($"hh").as("c")).select($"c.value")
+      .as[Long].collect().toSet
+    assert(cand.contains(7L))
+    val kmv = spark.sql(
+      "SELECT graft_kmv(v * 1000003, 5) AS s FROM whh_in")
+      .select(size($"s")).as[Int].head()
+    assert(kmv === 5)
+  }
+
   test("KmvBuffer keeps the k smallest distinct hashes in unsigned order") {
     val b = new KmvBuffer(3)
     // -1L is the unsigned MAXIMUM — it must be evicted once 3 smaller
