@@ -307,6 +307,20 @@ object Similarity {
     */
   def kmeansFit(corpus: DataFrame, id: String, vec: String, k: Int,
                 iters: Int, scale: Double = DefaultScale): DataFrame = {
+    val fitted = kmeansFitSeq(corpus, id, vec, k, iters, scale)
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    fitted.map { case (c, v) => (c, v.toSeq) }
+      .toDF("cell", "centroid")
+  }
+
+  /** [[kmeansFit]] keeping the centroids as the driver-side Seq they
+    * already are — callers composing further passes ([[semanticDedupVerdict]])
+    * skip the frame round-trip (materialize + collect) entirely.
+    */
+  private def kmeansFitSeq(corpus: DataFrame, id: String, vec: String,
+                           k: Int, iters: Int,
+                           scale: Double): Seq[(Int, Array[Long])] = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(iters >= 0, s"iters must be >= 0, got $iters")
     val q = prep(corpus, id, vec, "__id", scale)
@@ -333,10 +347,7 @@ object Similarity {
         .map(r => r.getInt(0) -> r.getSeq[Long](1).toArray).toMap
       cent.map { case (c, old) => c -> updated.getOrElse(c, old) }
     }
-    val spark = corpus.sparkSession
-    import spark.implicits._
-    fitted.map { case (c, v) => (c, v.toSeq) }
-      .toDF("cell", "centroid")
+    fitted
   }
 
   /** Assignment against fitted centroids: (id, cell, cosine) — the cosine is
@@ -368,9 +379,8 @@ object Similarity {
   def semanticDedupVerdict(corpus: DataFrame, id: String, vec: String,
                            k: Int, iters: Int, minCosine: Double,
                            scale: Double = DefaultScale): DataFrame = {
-    val cent = kmeansFit(corpus, id, vec, k, iters, scale)
-    val assigned = assignLiteral(prep(corpus, id, vec, "__id", scale),
-      collectCentroids(cent))
+    val cent = kmeansFitSeq(corpus, id, vec, k, iters, scale)
+    val assigned = assignLiteral(prep(corpus, id, vec, "__id", scale), cent)
     val a = assigned.select(col("__id").as("id_a"), col("cell"),
       col("__qv").as("__va"), col("__qn").as("__na"))
     val b = assigned.select(col("__id").as("id_b"), col("cell"),

@@ -157,25 +157,13 @@ object GraftExtensions {
     new ExpressionInfo(classOf[HeavyHittersAggregate].getName,
       "graft_heavy_hitters"),
     (args: Seq[Expression]) => {
-      // same foldable-integral-k contract as graft_topk_by
-      def analysisError(msg: String): Nothing =
+      if (args.length != 2)
         throw new org.apache.spark.sql.AnalysisException(
-          "USER_RAISED_EXCEPTION", Map("errorMessage" -> msg))
-      if (args.length != 2) analysisError("graft_heavy_hitters(value, k)")
-      val kExpr = args(1)
-      val k: Int =
-        if (!kExpr.foldable)
-          analysisError(s"graft_heavy_hitters k must be a constant, got $kExpr")
-        else kExpr.eval() match {
-          case i: Int => i
-          case l: Long if l >= 1 && l <= Int.MaxValue => l.toInt
-          case s: Short => s.toInt
-          case b: Byte => b.toInt
-          case other => analysisError(
-            s"graft_heavy_hitters k must be an integral constant, got $other")
-        }
-      if (k < 1) analysisError(s"graft_heavy_hitters k must be >= 1, got $k")
-      HeavyHittersAggregate(args(0), k).toAggregateExpression(): Expression
+          "USER_RAISED_EXCEPTION",
+          Map("errorMessage" -> "graft_heavy_hitters(value, k)"))
+      HeavyHittersAggregate(args(0),
+        foldableK("graft_heavy_hitters", args(1)))
+        .toAggregateExpression(): Expression
     })
 
   /** shared foldable-integral-k extraction for the sketch aggregates */

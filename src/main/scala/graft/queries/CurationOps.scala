@@ -186,26 +186,18 @@ object CurationOps extends Catalog {
     // and the rest pack into 512-token shards per language by their
     // CLEANED token count. One oracle pins the whole chain end-to-end.
     "q95_curation_pack" -> ((s, d) => {
-      import graft.plans.Fnv1a64Expression.fnv1a64
       val docs = Tables.documents(s, d)
       val cleaned = Dedup.segmentDedup(docs, "doc_id", "text",
           segTokens = 10)
         .select(col("doc_id"), col("n_kept"), col("clean_text"))
-      val survivors = docs
+      packTokens(docs
         .withColumn("__ff", TextAnalysis.qualityFirstFail(col("text")))
         .filter(col("__ff").isNull)
         .select(col("doc_id"), col("lang"))
         .join(cleaned, Seq("doc_id"))
         .filter(col("n_kept") > 0)
         .select(col("doc_id"), col("lang"),
-          TextAnalysis.tokenCount(col("clean_text")).as("n_tokens"))
-      val w = org.apache.spark.sql.expressions.Window.partitionBy("lang")
-        .orderBy(fnv1a64(col("doc_id")), col("doc_id"))
-      survivors
-        .withColumn("cum_tokens", sum("n_tokens").over(w))
-        .select(col("doc_id"), col("lang"), col("n_tokens"),
-          col("cum_tokens"),
-          expr("(cum_tokens - n_tokens) div 512").as("shard"))
+          TextAnalysis.tokenCount(col("clean_text")).as("n_tokens")))
     }),
 
     // ---- C4-style segment dedup with text reconstruction -------------------
@@ -348,16 +340,9 @@ object CurationOps extends Catalog {
     // 100 TB the stratum is the packing domain anyway (shards are
     // per-source/per-language in real runs).
     "q90_token_packing" -> ((s, d) => {
-      import graft.plans.Fnv1a64Expression.fnv1a64
-      val docs = Tables.documents(s, d)
-      val w = org.apache.spark.sql.expressions.Window.partitionBy("lang")
-        .orderBy(fnv1a64(col("doc_id")), col("doc_id"))
-      docs.select(col("doc_id"), col("lang"),
-          TextAnalysis.tokenCount(col("text")).as("n_tokens"))
-        .withColumn("cum_tokens", sum("n_tokens").over(w))
-        .select(col("doc_id"), col("lang"), col("n_tokens"),
-          col("cum_tokens"),
-          expr("(cum_tokens - n_tokens) div 512").as("shard"))
+      packTokens(Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          TextAnalysis.tokenCount(col("text")).as("n_tokens")))
     }),
 
     // ---- embedding-norm outliers via exact integer moments -----------------
@@ -400,11 +385,14 @@ object CurationOps extends Catalog {
     // no shuffle; the verdict column chain stays in whole-stage codegen.
     "q86_quality_verdict" -> ((s, d) => {
       val t = col("text")
-      Tables.documents(s, d).select(
-        col("doc_id"),
-        TextAnalysis.tokenCount(t).as("n_tokens"),
-        TextAnalysis.qualityFirstFail(t).isNull.cast("int").as("keep"),
-        TextAnalysis.qualityFirstFail(t).as("first_fail"))
+      // the verdict expression is planned ONCE; keep derives from it
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          TextAnalysis.tokenCount(t).as("n_tokens"),
+          TextAnalysis.qualityFirstFail(t).as("first_fail"))
+        .select(col("doc_id"), col("n_tokens"),
+          col("first_fail").isNull.cast("int").as("keep"),
+          col("first_fail"))
     }),
 
     // ---- SemDeDup within-cluster semantic pruning -------------------------
@@ -435,6 +423,20 @@ object CurationOps extends Catalog {
 
   private val stopListSql: String = TextAnalysis.EnglishStopwords
     .map(w => s"'$w'").mkString("[", ", ", "]")
+
+  /** shared q90/q95 packing step: (doc_id, lang, n_tokens) → + cum_tokens,
+    * shard — per-language prefix sum in (fnv(id), id) order, 512-token
+    * budget, doc's shard = its token OFFSET div budget
+    */
+  private def packTokens(docs: DataFrame): DataFrame = {
+    import graft.plans.Fnv1a64Expression.fnv1a64
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("lang")
+      .orderBy(fnv1a64(col("doc_id")), col("doc_id"))
+    docs.withColumn("cum_tokens", sum("n_tokens").over(w))
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        col("cum_tokens"),
+        expr("(cum_tokens - n_tokens) div 512").as("shard"))
+  }
 
   /** shared trigram-shingle CTE prefix (w, idx, sh) for q87/q89 */
   private val shingleCtes: String =

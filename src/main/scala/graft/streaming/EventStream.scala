@@ -143,7 +143,12 @@ object EventStream {
             Iterator(ClosedSession(s.userId, s.events,
               s.firstTsMicros, s.lastTsMicros))
           } else {
-            val ts = rows.map(r => r._2.getTime * 1000L).toArray
+            // full microsecond precision: getTime is whole millis, the
+            // sub-ms part lives in getNanos (Tables.events carries µs)
+            val ts = rows.map { r =>
+              val t = r._2
+              (t.getTime / 1000L) * 1000000L + t.getNanos / 1000L
+            }.toArray
             java.util.Arrays.sort(ts)
             val closed = scala.collection.mutable.ArrayBuffer[ClosedSession]()
             var open = state.getOption.orNull
@@ -155,7 +160,10 @@ object EventStream {
                   open.firstTsMicros, open.lastTsMicros)
                 open = OpenSession(userId, 1L, t, t)
               } else
+                // a late (within-watermark) event may PREDATE the open
+                // session's start — the window must extend both ways
                 open = open.copy(events = open.events + 1L,
+                  firstTsMicros = math.min(open.firstTsMicros, t),
                   lastTsMicros = math.max(open.lastTsMicros, t))
             }
             state.update(open)

@@ -94,14 +94,19 @@ class EventStreamSpec extends AnyFunSuite with SparkTestBase {
       OutputMode.Append())
     try {
       // batch 1: u1 has an IN-BATCH gap (10min → 120min closes the first
-      // run immediately); u2 parks one open session
-      in.addData((1L, at(0)), (1L, at(10)), (1L, at(120)), (2L, at(0)))
+      // run immediately); u2 parks one open session; u4 opens at 120min
+      in.addData((1L, at(0)), (1L, at(10)), (1L, at(120)), (2L, at(0)),
+        (4L, at(120)))
       q.processAllAvailable()
       // watermark is now 120-10=110min: u2's timeout (0+30) has passed —
-      // it fires while processing batch 2; u1's (120+30) has not
-      in.addData((3L, at(240)))
+      // it fires while processing batch 2; u1's (120+30) has not. u4 gets
+      // an out-of-order event at 115min (after the watermark, so not
+      // dropped; BEFORE its open session's start) — the session window
+      // must extend backward
+      in.addData((3L, at(240)), (4L, at(115)))
       q.processAllAvailable()
-      // watermark 230min: u1's tail (timeout 150min) fires in batch 3
+      // watermark 230min: u1's tail (timeout 150min) and u4's merged
+      // session (timeout 150min) fire in batch 3
       in.addData((3L, at(300)))
       q.processAllAvailable()
       val got = spark.table("closed_sessions")
@@ -111,6 +116,7 @@ class EventStreamSpec extends AnyFunSuite with SparkTestBase {
         (1L, 2L, us(0), us(10)),    // in-batch gap closure, batch 1
         (2L, 1L, us(0), us(0)),     // watermark timeout, batch 2
         (1L, 1L, us(120), us(120)), // watermark timeout, batch 3
+        (4L, 2L, us(115), us(120)), // backward-extended start, batch 3
         (3L, 1L, us(240), us(240))  // cross-batch gap closure, batch 3
       ))
       // u3's tail session (at 300min) is still open — not emitted
