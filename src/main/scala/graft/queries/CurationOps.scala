@@ -197,7 +197,8 @@ object CurationOps extends Catalog {
         .join(cleaned, Seq("doc_id"))
         .filter(col("n_kept") > 0)
         .select(col("doc_id"), col("lang"),
-          TextAnalysis.tokenCount(col("clean_text")).as("n_tokens")))
+          greatest(TextAnalysis.tokenCount(col("clean_text")), lit(0L))
+            .as("n_tokens")))
     }),
 
     // ---- C4-style segment dedup with text reconstruction -------------------
@@ -340,9 +341,16 @@ object CurationOps extends Catalog {
     // 100 TB the stratum is the packing domain anyway (shards are
     // per-source/per-language in real runs).
     "q90_token_packing" -> ((s, d) => {
+      // NULL text must count 0 tokens, not Spark's legacy size(NULL) = -1:
+      // a -1 entering the prefix sum would shift cum_tokens/shard for every
+      // later doc in the lang, while the DuckDB oracle's len(NULL) is NULL
+      // and skipped by SUM — greatest(…, 0) + coalesce(…, 0) pin both
+      // engines to the same "empty doc" reading (q86's null_text rule shows
+      // NULL text is in-domain even though today's corpus has none)
       packTokens(Tables.documents(s, d)
         .select(col("doc_id"), col("lang"),
-          TextAnalysis.tokenCount(col("text")).as("n_tokens")))
+          greatest(TextAnalysis.tokenCount(col("text")), lit(0L))
+            .as("n_tokens")))
     }),
 
     // ---- embedding-norm outliers via exact integer moments -----------------
@@ -372,9 +380,13 @@ object CurationOps extends Catalog {
       val dS2 = col("s2").cast("double")
       val num = (dN * dM - dS1) * (dN * dM - dS1)
       val den = dN * dS2 - dS1 * dS1
+      // a zero-variance label (all m equal) makes den = 0 and num/den NaN;
+      // Spark's floor→long collapses NaN to 0 while DuckDB's floor keeps
+      // NaN — guard the ratio with the same CASE both sides (NULL z_sq on
+      // degenerate groups; is_outlier is safely 0 > 0 = false there)
       q.join(broadcast(stats), Seq("label"))
         .select(col("vec_id"), col("label"), col("m"),
-          (floor(num / den * 1e6 + 0.5) / 1e6).as("z_sq"),
+          when(den =!= 0.0, floor(num / den * 1e6 + 0.5) / 1e6).as("z_sq"),
           (num > lit(9.0) * den).cast("int").as("is_outlier"))
     }),
 
@@ -646,7 +658,8 @@ object CurationOps extends Catalog {
       val fnv = toSignedSqlText(
         longSqlText("14695981039346656037::HUGEINT", "doc_id::HUGEINT"))
       s"""WITH w AS (SELECT doc_id, lang,
-         |  CAST(len(${TextSql.words}) AS BIGINT) AS n_tokens FROM documents),
+         |  CAST(coalesce(len(${TextSql.words}), 0) AS BIGINT) AS n_tokens
+         |  FROM documents),
          |r AS (SELECT doc_id, lang, n_tokens,
          |    sum(n_tokens) OVER (PARTITION BY lang
          |      ORDER BY $fnv, doc_id) AS cum
@@ -670,7 +683,9 @@ object CurationOps extends Catalog {
          |    CAST(sum(m*m) AS BIGINT) AS s2
          |  FROM q GROUP BY 1)
          |SELECT vec_id, q.label, m,
-         |  floor($num / $den * 1000000.0 + 0.5)/1000000.0 AS z_sq,
+         |  CASE WHEN $den <> 0.0
+         |    THEN floor($num / $den * 1000000.0 + 0.5)/1000000.0
+         |  END AS z_sq,
          |  CASE WHEN $num > 9.0 * $den THEN 1 ELSE 0 END AS is_outlier
          |FROM q JOIN st USING (label)""".stripMargin
     },

@@ -119,6 +119,12 @@ object EventStream {
     *    progress can't depend on the test machine's clock), i.e. in the
     *    first micro-batch after later events prove the gap.
     *
+    * A within-watermark straggler more than `gapMicros` BEFORE the open
+    * session's start (possible only when the watermark delay exceeds the
+    * gap) closes as its own session rather than extending the open window
+    * backward — the same islands single-batch processing of those events
+    * would produce, so output never depends on micro-batch boundaries.
+    *
     * State is one `OpenSession` per active user — bounded by active users,
     * with the watermark timeout as the eviction path (an idle user costs
     * one state row until the watermark passes their last event + gap,
@@ -150,25 +156,42 @@ object EventStream {
               (t.getTime / 1000L) * 1000000L + t.getNanos / 1000L
             }.toArray
             java.util.Arrays.sort(ts)
+            // Gaps-and-islands over {open state session} ∪ {batch events},
+            // treating the open session as the INTERVAL [first, last]: its
+            // internal gaps are all <= gap by construction, so for merge
+            // purposes the interval behaves exactly like its constituent
+            // events, and the output is identical to processing every event
+            // in a single batch — micro-batch boundaries cannot change it.
+            // In particular a within-watermark straggler more than `gap`
+            // BEFORE the open session's start (possible whenever the
+            // watermark delay exceeds the gap) closes as its own session
+            // instead of being swallowed into a window it never belonged
+            // to. It can never reopen an already-emitted session either:
+            // the timeout fires only once the watermark passes last + gap,
+            // and any event accepted after that is itself > last + gap.
+            val runs = scala.collection.mutable.ArrayBuffer[OpenSession]()
+            state.getOption.foreach(runs += _)
+            ts.foreach(t => runs += OpenSession(userId, 1L, t, t))
+            val sorted = runs.sortBy(r => (r.firstTsMicros, r.lastTsMicros))
             val closed = scala.collection.mutable.ArrayBuffer[ClosedSession]()
-            var open = state.getOption.orNull
-            ts.foreach { t =>
-              if (open == null)
-                open = OpenSession(userId, 1L, t, t)
-              else if (t - open.lastTsMicros > gapMicros) {
+            var open = sorted.head
+            sorted.tail.foreach { r =>
+              if (r.firstTsMicros - open.lastTsMicros > gapMicros) {
                 closed += ClosedSession(open.userId, open.events,
                   open.firstTsMicros, open.lastTsMicros)
-                open = OpenSession(userId, 1L, t, t)
+                open = r
               } else
-                // a late (within-watermark) event may PREDATE the open
-                // session's start — the window must extend both ways
-                open = open.copy(events = open.events + 1L,
-                  firstTsMicros = math.min(open.firstTsMicros, t),
-                  lastTsMicros = math.max(open.lastTsMicros, t))
+                open = OpenSession(userId, open.events + r.events,
+                  open.firstTsMicros,
+                  math.max(open.lastTsMicros, r.lastTsMicros))
             }
             state.update(open)
-            // fires when the WATERMARK passes last + gap (ms precision)
-            state.setTimeoutTimestamp((open.lastTsMicros + gapMicros) / 1000L)
+            // fires when the WATERMARK passes last + gap; the state store
+            // clock is whole milliseconds, so round UP — truncating could
+            // fire the timeout up to ~1ms before last + gap has elapsed and
+            // split one semantic session in two, batch-dependently
+            state.setTimeoutTimestamp(
+              (open.lastTsMicros + gapMicros + 999L) / 1000L)
             closed.iterator
           }
       }

@@ -124,6 +124,39 @@ class EventStreamSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("straggler older than gap closes as its own session, never a backward merge") {
+    // Only reachable when the watermark DELAY exceeds the GAP: an accepted
+    // event can then predate the open session's start by more than the gap.
+    // Single-batch processing would put it in its own island; the stateful
+    // path must agree, or output depends on micro-batch boundaries.
+    implicit val ctx = spark.sqlContext
+    val t0 = 1640995200000L
+    def at(min: Long) = new java.sql.Timestamp(t0 + min * 60000L)
+    val in = MemoryStream[(Long, java.sql.Timestamp)]
+    val sessions = EventStream.closedSessions(
+      in.toDF().toDF("user_id", "ts").withWatermark("ts", "2 hours"),
+      gapMicros = 30L * 60 * 1000 * 1000) // 30-minute gap, 120-minute delay
+    val q = EventStream.startToMemory(sessions.toDF(), "straggler_sessions",
+      OutputMode.Append())
+    try {
+      in.addData((7L, at(200)))         // open session [200, 200]
+      q.processAllAvailable()           // watermark = 200 - 120 = 80
+      // 100 >= watermark (accepted) but 100 < 200 - gap: a straggler.
+      // It must close as its own island, not stretch [200,200] back to 100.
+      in.addData((7L, at(100)))
+      q.processAllAvailable()
+      in.addData((8L, at(400)))         // watermark 280 > 230: u7 tail fires
+      q.processAllAvailable()
+      val got = spark.table("straggler_sessions")
+        .as[(Long, Long, Long, Long)].collect().toSet
+      def us(min: Long) = (t0 + min * 60000L) * 1000L
+      assert(got === Set(
+        (7L, 1L, us(100), us(100)), // straggler island, emitted in batch 2
+        (7L, 1L, us(200), us(200))  // untouched tail, closed by timeout
+      ))
+    } finally q.stop()
+  }
+
   test("micro-batched LSH incremental dedup equals the one-shot batch twin") {
     // the streaming shape of X48: corpus shingles/buckets are STATIC
     // (computed once, reusable across micro-batches); each arriving
