@@ -282,17 +282,36 @@ object CorpusOps extends Catalog {
         .agg(min("n_before").as("n_before"), count(lit(1)).as("n_kept"))
     }),
 
-    // ---- sketch cardinality: HLL++ approx distinct + exact twin ------------
-    // rows-only by construction (HLL registers are engine-specific); the
-    // spec bounds the relative error < 5% against the exact column.
+    // ---- sketch cardinality: HLL++ approx distinct, oracle-checked bound ---
+    // the HLL registers (and thus the estimate) are engine-specific, so the
+    // ESTIMATE can't be hash-compared — but the CLAIM can: the query emits
+    // the exact twin plus a within_bound flag (estimate within ±5% of the
+    // exact count, checked in integer arithmetic as 20·|diff| <= exact),
+    // and the DuckDB oracle emits the same flag from ITS exact counts as a
+    // constant true — the hash matches iff every per-group estimate really
+    // lands inside the documented bound. rsd = 1% puts that bound at 5
+    // sigma, and the sketch is deterministic for a fixed input set, so the
+    // row is stable, not flaky. The KMV cousin (q97) hash-checks a portable
+    // sketch VALUE; this row pins the HLL ERROR CONTRACT.
     "q66_approx_distinct" -> ((s, d) => {
       Tables.events(s, d).groupBy("event_type")
-        .agg(approx_count_distinct(col("user_id")).as("approx_users"),
+        .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users"),
           countDistinct(col("user_id")).as("exact_users"))
+        .select(col("event_type"), col("exact_users"),
+          (abs(col("approx_users") - col("exact_users")) * 20 <=
+            col("exact_users")).cast("long").as("within_bound"))
     }),
   )
 
   override def oracles: Map[String, String] = Map(
+    // the oracle's within_bound is a constant TRUE derived from the exact
+    // counts — the hash comparison is what enforces that Spark's HLL
+    // estimate actually sits inside the ±5% bound for every group
+    "q66_approx_distinct" ->
+      """SELECT event_type,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+        |  CAST(1 AS BIGINT) AS within_bound
+        |FROM events GROUP BY 1""".stripMargin,
     // same FNV bucket arithmetic per stratum (pmod == ((x%n)+n)%n)
     "q82_mixture_rebalance" -> {
       import graft.plans.Fnv1a64Expression.{longSqlText, toSignedSqlText}

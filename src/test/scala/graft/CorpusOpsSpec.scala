@@ -18,16 +18,16 @@ class CorpusOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(!plan.contains("SortMergeJoin"), plan)
   }
 
-  test("q66 HLL approx distinct within 15% (3x default rsd) of exact") {
+  test("q66 HLL estimate sits inside the oracle-checked ±5% bound (rsd 1%)") {
     val rows = CorpusOps.queries("q66_approx_distinct")(spark, sf)
-      .select("event_type", "approx_users", "exact_users").collect()
+      .select("event_type", "exact_users", "within_bound").collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
-      val (approx, exact) = (r.getLong(1).toDouble, r.getLong(2).toDouble)
-      // approx_count_distinct's default rsd IS 5% — a bound equal to one
-      // sigma would fail legitimately on fresh data; 3 sigma is the test
-      assert(math.abs(approx - exact) / exact < 0.15,
-        s"${r.getString(0)}: approx=$approx exact=$exact")
+      assert(r.getLong(1) > 0L, s"${r.getString(0)}: exact must be positive")
+      // with rsd = 1% the 5% bound is 5 sigma; the estimate is
+      // deterministic for fixed input, so this is stable, not flaky
+      assert(r.getLong(2) === 1L,
+        s"${r.getString(0)}: estimate outside ±5% of ${r.getLong(1)}")
     }
   }
 
