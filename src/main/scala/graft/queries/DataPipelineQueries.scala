@@ -375,6 +375,18 @@ object DataPipelineQueries extends Catalog {
           col("user_id"), col("events"))
     }),
 
+    // ---- closed-session emission, batch twin (X68b) ------------------------
+    // the output SHAPE of EventStream.closedSessions pinned by a DuckDB
+    // oracle: gaps-and-islands with the identical boundary rule (merge iff
+    // gap <= 30 min — note q50's session_window merges on STRICTLY-less,
+    // a deliberate semantic difference pinned by both oracles), emitting
+    // only sessions a later event of the same user proved closed. Emission
+    // TIMING stays spec-land (EventStreamSpec) — timing has no batch twin.
+    "q98_closed_sessions" -> ((s, d) => {
+      graft.streaming.EventStream.closedSessionsBatchTwin(
+        Tables.events(s, d), gapMicros = 30L * 60 * 1000 * 1000)
+    }),
+
     // ---- exact interpolated percentiles of doc length per language ---------
     // (the quality-score distribution cut a curation pipeline filters on;
     // exact `percentile`, not approx — deterministic and oracle-matched)
@@ -1008,6 +1020,26 @@ object DataPipelineQueries extends Catalog {
         |    AS session_end,
         |  user_id, count(*) AS events
         |FROM sess GROUP BY user_id, sid""".stripMargin,
+
+    // closed-session boundary rule mirrored exactly: merge iff gap <= 30
+    // min (strictly-greater closes — the complement of q50's rule); each
+    // user's last island is the unemitted streaming tail and is dropped
+    "q98_closed_sessions" ->
+      """WITH e AS (SELECT user_id,
+        |             epoch_us(CAST(ts AS TIMESTAMP)) AS t FROM events),
+        |lg AS (SELECT *, lag(t) OVER (PARTITION BY user_id ORDER BY t)
+        |         AS pt FROM e),
+        |mk AS (SELECT *, CASE WHEN pt IS NULL
+        |         OR t - pt > 1800000000 THEN 1 ELSE 0 END AS brk FROM lg),
+        |sess AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY t
+        |           ROWS UNBOUNDED PRECEDING) AS sid
+        |         FROM mk),
+        |agg AS (SELECT user_id, sid, CAST(count(*) AS BIGINT) AS events,
+        |          min(t) AS first_ts_micros, max(t) AS last_ts_micros
+        |        FROM sess GROUP BY 1, 2),
+        |mx AS (SELECT user_id, max(sid) AS msid FROM agg GROUP BY 1)
+        |SELECT user_id, events, first_ts_micros, last_ts_micros
+        |FROM agg JOIN mx USING (user_id) WHERE sid < msid""".stripMargin,
 
     // tumbling 1h windows are epoch-aligned in both engines: date_trunc is
     // Spark's window(ts, '1 hour') start for hour-multiples

@@ -197,6 +197,48 @@ object EventStream {
       }
   }
 
+  /** Batch twin of [[closedSessions]] — the oracle-able face of the
+    * streaming emission (X68/q98). Plain gaps-and-islands with the SAME
+    * boundary rule (events merge iff the gap to the previous event is
+    * <= `gapMicros`; strictly-greater closes), then drop each user's LAST
+    * island: that island is the still-open tail a streaming run has not
+    * emitted — only sessions proven closed by a later event of the same
+    * user appear, which is exactly the batch-deterministic subset of the
+    * streaming output (timeout-fired tails depend on how far the global
+    * watermark happens to advance; gap-closed sessions do not).
+    *
+    * One hash-partition exchange on user_id serves both windows and the
+    * final aggregate — at 100 TB this is the one unavoidable shuffle of
+    * any per-user sessionization, and the window state is a running count
+    * (no buffering of the partition).
+    *
+    * Duplicate timestamps are safe: however `lag` breaks the tie, the
+    * in-pair gap is 0 <= gapMicros, so the island assignment — and with it
+    * every output row — is order-independent.
+    */
+  def closedSessionsBatchTwin(events: DataFrame, gapMicros: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy("user_id").orderBy("__t")
+    events
+      .select(col("user_id"), unix_micros(col("ts")).as("__t"))
+      .withColumn("__prev", lag("__t", 1).over(byUser))
+      .withColumn("__brk",
+        when(col("__prev").isNull ||
+          col("__t") - col("__prev") > gapMicros, 1).otherwise(0))
+      .withColumn("__sid", sum("__brk").over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("__sid"))
+      .agg(count(lit(1)).as("events"),
+        min("__t").as("first_ts_micros"),
+        max("__t").as("last_ts_micros"))
+      .withColumn("__maxsid",
+        max("__sid").over(org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id")))
+      .filter(col("__sid") < col("__maxsid"))
+      .select(col("user_id"), col("events"),
+        col("first_ts_micros"), col("last_ts_micros"))
+  }
+
   /** Wire a streaming frame to an in-memory table (tests) or console. */
   def startToMemory(df: DataFrame, queryName: String,
                     outputMode: OutputMode = OutputMode.Update()) =

@@ -124,6 +124,39 @@ class EventStreamSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("batch twin: boundary rule and agreement with streaming emission") {
+    // (a) boundary: a gap of exactly gapMicros merges; gapMicros + 1µs
+    // closes — the same strictly-greater rule the stateful path applies
+    val gap = 30L * 60 * 1000 * 1000
+    def t(us: Long) = new java.sql.Timestamp(us / 1000L) // whole-ms inputs
+    val df = Seq(
+      (1L, 0L), (1L, gap), (1L, 2 * gap + 1000L),      // merge, then split
+      (2L, 0L), (2L, gap + 1000L), (2L, 3 * gap)       // split, then tail
+    ).map { case (u, us) => (u, t(us)) }
+      .toDF("user_id", "ts")
+    val got = EventStream.closedSessionsBatchTwin(df, gap)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got === Set(
+      (1L, 2L, 0L, gap),          // [0, gap] merged, closed by the 3rd event
+      (2L, 1L, 0L, 0L),           // gap+1µs split it off
+      (2L, 1L, gap + 1000L, gap + 1000L)
+    )) // each user's last island (the open tail) is absent
+    // (b) the twin emits exactly the gap-closed subset of the streaming
+    // fixture ("flatMapGroupsWithState emits sessions once..." above):
+    // streaming adds only timeout-fired tails on top of these rows
+    val t0 = 1640995200000L
+    def at(min: Long) = new java.sql.Timestamp(t0 + min * 60000L)
+    def us(min: Long) = (t0 + min * 60000L) * 1000L
+    val fixture = Seq((1L, at(0)), (1L, at(10)), (1L, at(120)), (2L, at(0)),
+      (4L, at(120)), (4L, at(115)), (3L, at(240)), (3L, at(300)))
+      .toDF("user_id", "ts")
+    val twin = EventStream.closedSessionsBatchTwin(fixture, gap)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(twin === Set(
+      (1L, 2L, us(0), us(10)),
+      (3L, 1L, us(240), us(240))))
+  }
+
   test("straggler older than gap closes as its own session, never a backward merge") {
     // Only reachable when the watermark DELAY exceeds the GAP: an accepted
     // event can then predate the open session's start by more than the gap.
