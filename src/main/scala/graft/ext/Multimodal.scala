@@ -3,18 +3,27 @@ package graft.ext
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-/** Multimodal column plumbing: image/audio/video payloads ride through the
-  * pipeline as opaque `binary` columns with a typed metadata struct, exactly
-  * like a 100 TB media lake (payload bytes + sidecar metadata in one row,
-  * decode deferred to the edge).
+/** Multimodal column plumbing AND pure-expression codecs: image/audio/video
+  * payloads ride through the pipeline as opaque `binary` columns with a
+  * typed metadata struct, exactly like a 100 TB media lake (payload bytes +
+  * sidecar metadata in one row, decode deferred to the edge).
   *
-  * The Spark-side plumbing — schema, hashing, slicing, feature shape — is
-  * real and oracle-checked. The *codec* step is STUBBED: this container has
-  * no image/audio libraries, so [[decodeStub]] derives a deterministic fake
-  * (dimensions from the payload checksum) and documents the real signature.
-  * At scale, payload columns should be pruned out of every plan that does
-  * not touch them (columnar parquet makes that free), and per-row decode
-  * belongs in a `mapInArrow`/Pandas-UDF batch stage on the executor.
+  * Two real decoders live here, needing no codec library because their
+  * container formats are fixed-layout public specs:
+  *  - [[decodeWav]] — canonical 44-byte-header PCM WAV (RIFF/WAVE/fmt/data,
+  *    the layout `sox`/`ffmpeg` emit by default): channels, sample rate,
+  *    bit depth, sample count, duration, and per-sample statistics;
+  *  - [[decodeBmp]] — uncompressed 24-bit BITMAPINFOHEADER BMP: dimensions,
+  *    bit depth, and pixel statistics that honor the 4-byte row padding.
+  *
+  * Both are compositions of built-in expressions (substr + hex + conv byte
+  * accessors, `transform`/`aggregate` over the sample region), so decode
+  * stays inside whole-stage codegen — no UDF, no mapPartitions, and Parquet
+  * column pruning still drops the payload from every plan that doesn't
+  * touch it. A codec for a COMPRESSED format (JPEG, FLAC) genuinely needs a
+  * library and belongs in a `mapInArrow` batch stage on the executor; the
+  * struct schemas these decoders return are the contract such a stage would
+  * fill.
   */
 object Multimodal {
 
@@ -60,19 +69,170 @@ object Multimodal {
     }: _*)
   }
 
-  /** STUB codec — deterministic fake decode.
-    *
-    * Real signature: decode(bytes) → struct(width, height, channels,
-    * pixels binary); implemented here as checksum-derived dimensions so
-    * downstream schema/partition logic is exercised without a codec library.
-    * Replace the body with an actual decoder (e.g. via `mapInArrow`) when
-    * one is available — callers only see the struct schema.
+  // ---- binary field accessors ---------------------------------------------
+  // substr(1-based) + hex + conv: every byte read is a built-in expression
+  // chain, so decoders composed from these stay in whole-stage codegen.
+
+  /** unsigned byte at 0-based offset `off` */
+  private def u8(bin: Column, off: Column): Column =
+    conv(hex(substr(bin, (off + 1).cast("int"), lit(1))), 16, 10).cast("long")
+
+  /** little-endian field: bytes reversed into big-endian hex, one conv */
+  private def leHex(bin: Column, off: Column, nBytes: Int): Column =
+    concat((nBytes - 1 to 0 by -1).map(k =>
+      hex(substr(bin, (off + k + 1).cast("int"), lit(1)))): _*)
+
+  /** unsigned 16-bit little-endian at 0-based `off` */
+  def u16le(bin: Column, off: Column): Column =
+    conv(leHex(bin, off, 2), 16, 10).cast("long")
+
+  /** unsigned 32-bit little-endian at 0-based `off` */
+  def u32le(bin: Column, off: Column): Column =
+    conv(leHex(bin, off, 4), 16, 10).cast("long")
+
+  /** signed 16-bit little-endian (two's complement) at 0-based `off` */
+  def s16le(bin: Column, off: Column): Column = {
+    val u = u16le(bin, off)
+    when(u >= 32768L, u - 65536L).otherwise(u)
+  }
+
+  /** true iff the bytes at 0-based `off` spell `ascii` (compared in hex —
+    * charset-free) */
+  private def magicIs(bin: Column, off: Int, ascii: String): Column =
+    hex(substr(bin, lit(off + 1), lit(ascii.length))) ===
+      ascii.getBytes("US-ASCII").map("%02X".format(_)).mkString
+
+  // ---- fabrication (the test/oracle side of fabricate-then-decode) --------
+
+  /** hex pair of one byte value (0..255 expected) */
+  private def byteHex(v: Column): Column = lpad(hex(pmod(v, lit(256L))), 2, "0")
+  private def u16leHex(v: Column): Column =
+    concat(byteHex(v), byteHex(floor(v / 256.0).cast("long")))
+  private def u32leHex(v: Column): Column =
+    concat((0 until 4).map(k =>
+      byteHex(floor(v / math.pow(256, k)).cast("long"))): _*)
+
+  /** Serialize a canonical mono 16-bit PCM WAV: 44-byte RIFF/WAVE/fmt/data
+    * header + little-endian samples. `samples` is array<long> of signed
+    * 16-bit values. Pure expressions — fabrication runs distributed, and
+    * the DuckDB oracle replays the same arithmetic.
     */
-  def decodeStub(bin: Column): Column = {
-    val seed = abs(xxhash64(bin))
+  def fabricateWav(sampleRate: Column, samples: Column): Column = {
+    val n = size(samples).cast("long")
+    val dataBytes = n * 2L
+    unhex(concat(
+      lit("52494646"),                    // "RIFF"
+      u32leHex(dataBytes + 36L),          // riff payload size
+      lit("57415645"), lit("666D7420"),   // "WAVE", "fmt "
+      u32leHex(lit(16L)),                 // fmt chunk size
+      u16leHex(lit(1L)),                  // PCM
+      u16leHex(lit(1L)),                  // mono
+      u32leHex(sampleRate),
+      u32leHex(sampleRate * 2L),          // byte rate
+      u16leHex(lit(2L)),                  // block align
+      u16leHex(lit(16L)),                 // bits per sample
+      lit("64617461"),                    // "data"
+      u32leHex(dataBytes),
+      array_join(transform(samples,
+        s => u16leHex(pmod(s + 65536L, lit(65536L)))), "")))
+  }
+
+  /** Serialize an uncompressed 24-bit BITMAPINFOHEADER BMP whose pixel-array
+    * byte k of (bottom-up) row r is `pix(r, k)` (0..255). Rows are padded to
+    * 4-byte boundaries with zeros, as the format requires — the part naive
+    * "readers" get wrong and [[decodeBmp]] must skip.
+    */
+  def fabricateBmp(w: Column, h: Column,
+                   pix: (Column, Column) => Column): Column = {
+    val rowBytes = w * 3L
+    val stride = floor((rowBytes + 3L) / 4.0).cast("long") * 4L
+    val pad = stride - rowBytes
+    val body = array_join(transform(sequence(lit(0L), h - 1L), r =>
+      concat(
+        array_join(transform(sequence(lit(0L), rowBytes - 1L),
+          k => byteHex(pix(r, k))), ""),
+        substr(lit("000000"), lit(1), (pad * 2L).cast("int")))), "")
+    unhex(concat(
+      lit("424D"),                        // "BM"
+      u32leHex(stride * h + 54L),         // file size
+      u32leHex(lit(0L)),                  // reserved
+      u32leHex(lit(54L)),                 // pixel-array offset
+      u32leHex(lit(40L)),                 // BITMAPINFOHEADER size
+      u32leHex(w), u32leHex(h),
+      u16leHex(lit(1L)),                  // planes
+      u16leHex(lit(24L)),                 // bpp
+      u32leHex(lit(0L)),                  // BI_RGB (uncompressed)
+      u32leHex(stride * h),               // image size
+      u32leHex(lit(0L)), u32leHex(lit(0L)), // ppm x/y
+      u32leHex(lit(0L)), u32leHex(lit(0L)), // palette counts
+      body))
+  }
+
+  // ---- decoders -----------------------------------------------------------
+
+  /** Decode a canonical 44-byte-header mono/stereo PCM WAV from its bytes
+    * alone: validate the RIFF/WAVE/fmt/data magics and PCM tag, then read
+    * format fields, derive sample count and duration from the data-chunk
+    * size, and fold per-sample statistics. Invalid input → `valid = 0` with
+    * NULL fields, never a throw (a 100 TB media lake always holds some
+    * corrupt payloads; a decoder that kills the stage is useless).
+    *
+    * duration_us uses integer arithmetic (`floor(data·10⁶ / byte_rate)`) so
+    * the value is engine-exact; sum/max of |sample| are exact longs.
+    */
+  def decodeWav(bin: Column): Column = {
+    val valid = magicIs(bin, 0, "RIFF") && magicIs(bin, 8, "WAVE") &&
+      magicIs(bin, 12, "fmt ") && magicIs(bin, 36, "data") &&
+      u16le(bin, lit(20L)) === 1L && octet_length(bin) >= 44
+    val channels = u16le(bin, lit(22L))
+    val rate = u32le(bin, lit(24L))
+    val byteRate = u32le(bin, lit(28L))
+    val block = u16le(bin, lit(32L))
+    val bits = u16le(bin, lit(34L))
+    val dataBytes = u32le(bin, lit(40L))
+    val n = floor(dataBytes / block).cast("long")
+    val absSamples = transform(sequence(lit(0L), n - 1L),
+      i => abs(s16le(bin, lit(44L) + i * 2L)))
     struct(
-      (seed % 1920 + lit(1L)).as("width"),
-      (seed % 1080 + lit(1L)).as("height"),
-      lit(3L).as("channels"))
+      valid.cast("long").as("valid"),
+      when(valid, channels).as("channels"),
+      when(valid, rate).as("sample_rate"),
+      when(valid, bits).as("bits_per_sample"),
+      when(valid, n).as("n_samples"),
+      when(valid, floor(dataBytes * 1000000L / byteRate).cast("long"))
+        .as("duration_us"),
+      when(valid, aggregate(absSamples, lit(0L), (acc, x) => acc + x))
+        .as("sum_abs"),
+      when(valid, array_max(absSamples)).as("max_abs"))
+  }
+
+  /** Decode an uncompressed 24-bit BITMAPINFOHEADER BMP from its bytes
+    * alone: validate the "BM" magic, header size, bit depth, and BI_RGB
+    * compression tag, read dimensions from the DIB header, and fold a
+    * pixel-byte sum that reads exactly the 3·width payload bytes of each
+    * row at its 4-byte-aligned stride — skipping the padding is the
+    * round-trip proof that the stride math is right. Invalid → `valid = 0`
+    * with NULL fields.
+    */
+  def decodeBmp(bin: Column): Column = {
+    val valid = magicIs(bin, 0, "BM") && octet_length(bin) >= 54 &&
+      u32le(bin, lit(14L)) === 40L && u16le(bin, lit(28L)) === 24L &&
+      u32le(bin, lit(30L)) === 0L
+    val off = u32le(bin, lit(10L))
+    val w = u32le(bin, lit(18L))
+    val h = u32le(bin, lit(22L))
+    val rowBytes = w * 3L
+    val stride = floor((rowBytes + 3L) / 4.0).cast("long") * 4L
+    val sumPixels = aggregate(
+      sequence(lit(0L), h * rowBytes - 1L),
+      lit(0L),
+      (acc, j) => acc + u8(bin,
+        off + floor(j / rowBytes).cast("long") * stride + pmod(j, rowBytes)))
+    struct(
+      valid.cast("long").as("valid"),
+      when(valid, w).as("width"),
+      when(valid, h).as("height"),
+      when(valid, u16le(bin, lit(28L))).as("bpp"),
+      when(valid, sumPixels).as("sum_pixels"))
   }
 }

@@ -245,6 +245,47 @@ object DataPipelineQueries extends Catalog {
         element_at(hist, 16).as("hist_f"))
     }),
 
+    // ---- real media decode: WAV + BMP, fabricate-then-decode (X74) ---------
+    // the q68/q77/q92 planting device applied to codecs: each doc_id
+    // deterministically serializes a canonical PCM WAV and a padded 24-bit
+    // BMP (pure expressions, distributed), and the DECODERS — which see
+    // only the binary columns — must recover format fields, duration, and
+    // sample/pixel statistics. The DuckDB oracle replays the generative
+    // formulas, so any header-offset, endianness, sign, or row-padding
+    // mistake in the decoder breaks the hash. Decode stays in whole-stage
+    // codegen: substr+hex+conv byte reads, transform/aggregate folds.
+    "q99_media_decode" -> ((s, d) => {
+      val id = col("doc_id")
+      val n = lit(32L) + pmod(id, lit(33L))
+      val rate = lit(8000L) + pmod(id, lit(8L)) * 1000L
+      val samples = transform(sequence(lit(0L), n - 1L),
+        i => pmod(id * 131L + i * 7919L, lit(65536L)) - 32768L)
+      val w = lit(2L) + pmod(id, lit(6L))
+      val h = lit(2L) + pmod(id, lit(4L))
+      val media = Tables.documents(s, d).select(id)
+        .withColumn("wav", Multimodal.fabricateWav(rate, samples))
+        .withColumn("bmp", Multimodal.fabricateBmp(w, h,
+          (r, k) => pmod(id + r * 31L + k * 5L, lit(256L))))
+      // decoders read ONLY the payload bytes
+      media
+        .select(id, Multimodal.decodeWav(col("wav")).as("wv"),
+          Multimodal.decodeBmp(col("bmp")).as("bm"))
+        .select(id,
+          col("wv.valid").as("wav_valid"),
+          col("wv.channels").as("wav_channels"),
+          col("wv.sample_rate").as("wav_rate"),
+          col("wv.bits_per_sample").as("wav_bits"),
+          col("wv.n_samples").as("wav_n_samples"),
+          col("wv.duration_us").as("wav_duration_us"),
+          col("wv.sum_abs").as("wav_sum_abs"),
+          col("wv.max_abs").as("wav_max_abs"),
+          col("bm.valid").as("bmp_valid"),
+          col("bm.width").as("bmp_width"),
+          col("bm.height").as("bmp_height"),
+          col("bm.bpp").as("bmp_bpp"),
+          col("bm.sum_pixels").as("bmp_sum_pixels"))
+    }),
+
     // ---- salted two-phase aggregation (skew-safe rollup) -------------------
     "q34_salted_rollup" -> ((s, d) => {
       Skew.saltedAggregate(Tables.lineitem(s, d), Seq("l_suppkey"),
@@ -874,6 +915,36 @@ object DataPipelineQueries extends Catalog {
         |  CAST(len(h) - len(replace(h, '0', '')) AS BIGINT) AS hist_0,
         |  CAST(len(h) - len(replace(h, '7', '')) AS BIGINT) AS hist_7,
         |  CAST(len(h) - len(replace(h, 'f', '')) AS BIGINT) AS hist_f
+        |FROM p""".stripMargin,
+
+    // replay of q99's generative formulas: the Spark side must RECOVER
+    // these values by parsing the serialized bytes, so agreement proves the
+    // decoder (offsets, endianness, two's complement, row padding) is right
+    "q99_media_decode" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    32 + doc_id % 33 AS n,
+        |    8000 + (doc_id % 8) * 1000 AS rate,
+        |    (2 + doc_id % 6) * 3 AS rowb,
+        |    2 + doc_id % 4 AS h
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(1 AS BIGINT) AS wav_valid,
+        |  CAST(1 AS BIGINT) AS wav_channels,
+        |  CAST(rate AS BIGINT) AS wav_rate,
+        |  CAST(16 AS BIGINT) AS wav_bits,
+        |  CAST(n AS BIGINT) AS wav_n_samples,
+        |  CAST((n * 2 * 1000000) // (rate * 2) AS BIGINT) AS wav_duration_us,
+        |  CAST(list_sum([abs(((doc_id*131 + (i-1)*7919) % 65536) - 32768)
+        |    FOR i IN range(1, n + 1)]) AS BIGINT) AS wav_sum_abs,
+        |  CAST(list_max([abs(((doc_id*131 + (i-1)*7919) % 65536) - 32768)
+        |    FOR i IN range(1, n + 1)]) AS BIGINT) AS wav_max_abs,
+        |  CAST(1 AS BIGINT) AS bmp_valid,
+        |  CAST(rowb // 3 AS BIGINT) AS bmp_width,
+        |  CAST(h AS BIGINT) AS bmp_height,
+        |  CAST(24 AS BIGINT) AS bmp_bpp,
+        |  CAST(list_sum([(doc_id + ((j-1) // rowb)*31 + ((j-1) % rowb)*5) % 256
+        |    FOR j IN range(1, h * rowb + 1)]) AS BIGINT) AS bmp_sum_pixels
         |FROM p""".stripMargin,
 
     "q34_salted_rollup" ->

@@ -77,7 +77,7 @@ class TextMultimodalSpec extends AnyFunSuite with SparkTestBase {
     assert(twice("x") !== twice("z"))
   }
 
-  test("payload packing: metadata, frame sampling, nibble histogram, stub decode") {
+  test("payload packing: metadata, frame sampling, nibble histogram") {
     val p = Multimodal.packPayload(docs.filter($"doc_id" === 1), "text")
     val meta = p.select($"payload.meta.mime", $"payload.meta.n_bytes",
       $"payload.meta.checksum").as[(String, Long, String)].head()
@@ -91,12 +91,111 @@ class TextMultimodalSpec extends AnyFunSuite with SparkTestBase {
     val hist = p.select(Multimodal.nibbleHistogram($"payload.bytes"))
       .as[Seq[Long]].head()
     assert(hist.size === 16 && hist.sum === 96L) // 48 bytes = 96 nibbles
+  }
 
-    val dec = p.select(Multimodal.decodeStub($"payload.bytes").as("d"))
-      .select("d.width", "d.height", "d.channels")
-      .as[(Long, Long, Long)].head()
-    assert(dec._1 >= 1 && dec._1 <= 1920 && dec._2 >= 1 && dec._2 <= 1080 &&
-      dec._3 === 3L)
+  test("WAV decoder recovers an independently serialized golden file") {
+    // serialized with java.nio here, decoded by the expression codec —
+    // writer and reader share no code, so agreement proves the layout
+    import java.nio.{ByteBuffer, ByteOrder}
+    val rate = 22050
+    val samples = Array[Short](0, 1, -1, 32767, -32768, 123)
+    val bb = ByteBuffer.allocate(44 + samples.length * 2)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")); bb.putInt(36 + samples.length * 2)
+    bb.put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")); bb.putInt(16)
+    bb.putShort(1); bb.putShort(1) // PCM, mono
+    bb.putInt(rate); bb.putInt(rate * 2); bb.putShort(2); bb.putShort(16)
+    bb.put("data".getBytes("US-ASCII")); bb.putInt(samples.length * 2)
+    samples.foreach(bb.putShort)
+    val d = Seq(Tuple1(bb.array())).toDF("bin")
+      .select(Multimodal.decodeWav($"bin").as("d")).select($"d.*")
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long)].head()
+    //    (valid, channels, rate, bits, n, duration_us, sum_abs, max_abs)
+    assert(d._1 === 1L && d._2 === 1L && d._3 === 22050L && d._4 === 16L)
+    assert(d._5 === 6L)
+    assert(d._6 === 12L * 1000000L / 44100L) // floor(272108.84…) = 272108
+    assert(d._7 === 0L + 1 + 1 + 32767 + 32768 + 123) // two's complement ok
+    assert(d._8 === 32768L)
+  }
+
+  test("WAV decoder rejects corrupt magic instead of throwing") {
+    import java.nio.{ByteBuffer, ByteOrder}
+    val bb = ByteBuffer.allocate(46).order(ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFX".getBytes("US-ASCII")) // big-endian RIFF variant: unsupported
+    bb.putInt(38); bb.put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")); bb.putInt(16)
+    bb.putShort(1); bb.putShort(1); bb.putInt(8000); bb.putInt(16000)
+    bb.putShort(2); bb.putShort(16)
+    bb.put("data".getBytes("US-ASCII")); bb.putInt(2); bb.putShort(7)
+    val d = Seq(Tuple1(bb.array())).toDF("bin")
+      .select(Multimodal.decodeWav($"bin").as("d"))
+      .select($"d.valid", $"d.sample_rate", $"d.sum_abs")
+      .as[(Long, Option[Long], Option[Long])].head()
+    assert(d === ((0L, None, None)))
+  }
+
+  test("BMP decoder skips row padding (golden bytes, 3x2 at 24bpp)") {
+    // w=3 -> rowBytes 9, stride 12: three pad bytes per row, set to 0xFF
+    // so a naive stride-less reader would inflate the sum by 6*255
+    import java.nio.{ByteBuffer, ByteOrder}
+    val (w, h, stride) = (3, 2, 12)
+    val bb = ByteBuffer.allocate(54 + stride * h)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    bb.put("BM".getBytes("US-ASCII")); bb.putInt(54 + stride * h)
+    bb.putInt(0); bb.putInt(54)
+    bb.putInt(40); bb.putInt(w); bb.putInt(h)
+    bb.putShort(1); bb.putShort(24); bb.putInt(0); bb.putInt(stride * h)
+    bb.putInt(0); bb.putInt(0); bb.putInt(0); bb.putInt(0)
+    var v = 0
+    for (_ <- 0 until h) {
+      for (_ <- 0 until w * 3) { v += 1; bb.put(v.toByte) } // payload 1..18
+      for (_ <- 0 until stride - w * 3) bb.put(0xFF.toByte) // padding
+    }
+    val d = Seq(Tuple1(bb.array())).toDF("bin")
+      .select(Multimodal.decodeBmp($"bin").as("d")).select($"d.*")
+      .as[(Long, Long, Long, Long, Long)].head()
+    //    (valid, width, height, bpp, sum_pixels)
+    assert(d === ((1L, 3L, 2L, 24L, (1 to 18).sum.toLong)))
+  }
+
+  test("BMP decoder rejects non-BI_RGB compression") {
+    import java.nio.{ByteBuffer, ByteOrder}
+    val bb = ByteBuffer.allocate(54).order(ByteOrder.LITTLE_ENDIAN)
+    bb.put("BM".getBytes("US-ASCII")); bb.putInt(54); bb.putInt(0)
+    bb.putInt(54); bb.putInt(40); bb.putInt(1); bb.putInt(1)
+    bb.putShort(1); bb.putShort(24); bb.putInt(1 /* BI_RLE8 */); bb.putInt(0)
+    bb.putInt(0); bb.putInt(0); bb.putInt(0); bb.putInt(0)
+    val d = Seq(Tuple1(bb.array())).toDF("bin")
+      .select(Multimodal.decodeBmp($"bin").as("d"))
+      .select($"d.valid", $"d.width")
+      .as[(Long, Option[Long])].head()
+    assert(d === ((0L, None)))
+  }
+
+  test("fabricated WAV/BMP round-trip through the decoders (q99 device)") {
+    val id = col("doc_id")
+    val samples = transform(sequence(lit(0L), lit(4L)),
+      i => pmod(id * 131L + i * 7919L, lit(65536L)) - 32768L)
+    val df = Seq(1L, 2L, 3L).toDF("doc_id")
+      .withColumn("wav", Multimodal.fabricateWav(lit(16000L), samples))
+      .withColumn("bmp", Multimodal.fabricateBmp(lit(5L), lit(3L),
+        (r, k) => pmod(id + r * 31L + k * 5L, lit(256L))))
+    val got = df.select(id,
+        Multimodal.decodeWav($"wav").as("w"), Multimodal.decodeBmp($"bmp").as("b"))
+      .select(id, $"w.valid", $"w.n_samples", $"w.sum_abs",
+        $"b.valid", $"b.width", $"b.height", $"b.sum_pixels")
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long)].collect()
+    got.foreach { r =>
+      val docId = r._1
+      val expSum = (0L until 5L)
+        .map(i => math.abs((docId * 131 + i * 7919) % 65536 - 32768)).sum
+      val expPix = (for (row <- 0L until 3L; k <- 0L until 15L)
+        yield (docId + row * 31 + k * 5) % 256).sum
+      assert(r._2 === 1L && r._3 === 5L && r._4 === expSum, s"wav doc $docId")
+      assert(r._5 === 1L && r._6 === 5L && r._7 === 3L && r._8 === expPix,
+        s"bmp doc $docId")
+    }
   }
 
   test("quality verdict: each rule fires on a crafted doc, in order") {
