@@ -81,21 +81,29 @@ object ConnectedComponents {
     */
   def runCounted(edges: DataFrame, src: String, dst: String,
                  maxIters: Int = 30): (DataFrame, Int) = {
-    // every vertex mentioned anywhere in the input, pinned once: the star
-    // fixpoint drops isolated vertices (self-loops, singletons), which must
-    // still appear in the output labeled as their own component
-    val vertices = edges.select(col(src).as("id"))
-      .unionByName(edges.select(col(dst).as("id")))
+    // ONE materialization of the (often expensive) upstream pipeline that
+    // produced `edges` — a dedup pair generator here is a multi-join
+    // inverted index, and the round-6 shape re-ran it twice by anchoring
+    // two separate checkpoints on it (once for the vertex universe, once
+    // for the working edge set). Canonical (u >= v) orientation, SELF-LOOPS
+    // KEPT so isolated vertices survive into the vertex scan below.
+    val canon = edges.select(
+        greatest(col(src), col(dst)).as("u"),
+        least(col(src), col(dst)).as("v"))
       .distinct()
       .localCheckpoint(true)
 
-    // canonical (u > v) orientation — small-star's contract — self-loops out
-    var e = edges.select(
-        greatest(col(src), col(dst)).as("u"),
-        least(col(src), col(dst)).as("v"))
-      .where(col("u") =!= col("v"))
+    // every vertex mentioned anywhere in the input: the star fixpoint drops
+    // isolated vertices (self-loops, singletons), which must still appear
+    // in the output labeled as their own component. Lazily derived from the
+    // canon checkpoint — a block scan at the final join, never an upstream
+    // recompute.
+    val vertices = canon.select(col("u").as("id"))
+      .unionByName(canon.select(col("v").as("id")))
       .distinct()
-      .localCheckpoint(true)
+
+    // small-star's contract: strictly (u > v)-oriented working set
+    var e = canon.where(col("u") =!= col("v"))
 
     // order-independent fingerprint of the edge set: fixpoint when a full
     // large+small-star round leaves (count, Σ xxhash64(u,v)) unchanged.
@@ -113,7 +121,12 @@ object ConnectedComponents {
     // large-star: m = min(Γ(u) ∪ {u}); every strictly-larger neighbor v of
     // u is re-hung as (v, m). Output stays (bigger, smaller)-oriented
     // because v > u ≥ m. Symmetrization is a projection union, not a
-    // shuffle; the shuffles are the groupBy(u) min and the join back.
+    // shuffle; the shuffles are the groupBy(u) min and the join back (the
+    // join's exchange of `sym` is plan-identical to the aggregate's and
+    // reused). No trailing distinct: exactly one row emerges per undirected
+    // input edge (the v > u side), so duplicates are bounded by the input
+    // edge count and small-star's terminal distinct canonicalizes the
+    // round anyway — dropping it removes one full-width exchange per round.
     def largeStar(in: DataFrame): DataFrame = {
       val sym = in.unionByName(in.select(col("v").as("u"), col("u").as("v")))
       val mins = sym.groupBy("u").agg(min("v").as("mv"))
@@ -121,7 +134,6 @@ object ConnectedComponents {
       sym.join(mins, "u")
         .where(col("v") > col("u"))
         .select(col("v").as("u"), col("m").as("v"))
-        .distinct()
     }
 
     // small-star: over (u > v)-oriented edges, m = min of u's smaller
