@@ -57,7 +57,11 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
-      val times = (1 to runs).flatMap { _ =>
+      // execution shape {jobs, stages} captured on the FIRST run only: the
+      // counts are plan-determined and identical across runs, and the
+      // listener drain (~300 ms) happens outside the timed region
+      var shape: Option[Instrument.Counts] = None
+      val times = (1 to runs).flatMap { runIdx =>
         // operators that cache internally (e.g. GridNearestJoin) must not
         // hand their warm cache to the next timed run
         spark.catalog.clearCache()
@@ -70,16 +74,23 @@ object Bench {
         // the next timed region
         System.gc()
         Thread.sleep(250)
-        val t0 = System.nanoTime()
-        try {
-          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-          Some((System.nanoTime() - t0) / 1e9)
-        } catch { case e: Throwable =>
-          System.err.println(s"[bench] $name FAILED")
-          e.printStackTrace()
-          if (!failed.contains(name)) failed ::= name
-          None
+        def timedRun(): Option[Double] = {
+          val t0 = System.nanoTime()
+          try {
+            fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+            Some((System.nanoTime() - t0) / 1e9)
+          } catch { case e: Throwable =>
+            System.err.println(s"[bench] $name FAILED")
+            e.printStackTrace()
+            if (!failed.contains(name)) failed ::= name
+            None
+          }
         }
+        if (runIdx == 1) {
+          val (t, c) = Instrument.countStages(spark)(timedRun())
+          if (t.isDefined) shape = Some(c)
+          t
+        } else timedRun()
       }
       // upper-middle element: for odd counts this IS the median; for even
       // counts (SPARK_GRAFT_BENCH_RUNS=2, or a failed run out of 3) it takes
@@ -88,7 +99,7 @@ object Bench {
       val median =
         if (times.isEmpty) -1.0
         else times.sorted.apply(times.size / 2)
-      (name, median, times)
+      (name, median, times, shape)
     }
     // The driver parses ONE JSON line from the tail (last ~2000 chars) of the
     // process output. Keep that line compact (3-decimal medians, no raw runs)
@@ -113,10 +124,10 @@ object Bench {
         val bd = BigDecimal(v).setScale(1, BigDecimal.RoundingMode.HALF_UP)
         if (bd.signum == 0) "0" else bd.underlying.stripTrailingZeros.toPlainString
       }
-    val raw = results.map { case (k, _, ts) =>
+    val raw = results.map { case (k, _, ts, _) =>
       s"\"" + k + "\":" + ts.map(r3).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
-    val total = results.collect { case (_, v, _) if v >= 0 => v }.sum
+    val total = results.collect { case (_, v, _, _) if v >= 0 => v }.sum
     val errs = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     // full per-run detail for humans, on stderr so it can't shadow the line
     System.err.println(s"""[bench-runs] {"runs":$raw,"runs_per_query":$runs,"agg":"median","sf":"$sfDir"}""")
@@ -125,9 +136,11 @@ object Bench {
     // goes to a FILE so the tail-line budget never constrains precision:
     // SPARK_GRAFT_BENCH_OUT if set, else bench_full.json in the CWD
     val fullJson = {
-      val qs = results.map { case (k, v, ts) =>
+      val qs = results.map { case (k, v, ts, shape) =>
+        val sh = shape.map(c =>
+          ",\"jobs\":" + c.jobs + ",\"stages\":" + c.stages).getOrElse("")
         "\"" + k + "\":{\"median\":" + r3(v) + ",\"runs\":" +
-          ts.map(r3).mkString("[", ",", "]") + "}"
+          ts.map(r3).mkString("[", ",", "]") + sh + "}"
       }.mkString("{", ",", "}")
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"errors":$errs,"runs_per_query":$runs,"agg":"median","sf":"$sfName"}"""
     }
@@ -139,20 +152,46 @@ object Bench {
     } catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $outPath: $e")
     }
+    // Execution-shape sidecar: wall medians PLUS the plan-determined
+    // {jobs, stages} per query. Wall time carries a ±20% machine-variance
+    // band; stage counts don't — a future round diffs this file against the
+    // previous one to tell plan regressions from machine noise. Written to
+    // the CWD (the repo root under the driver) and NOT gitignored, so each
+    // round's run lands in history. Skipped when a name filter is active —
+    // a partial map must not shadow a full one.
+    if (only.isEmpty) {
+      val shapeJson = {
+        val qs = results.map { case (k, v, _, shape) =>
+          val sh = shape.map(c =>
+            "\"wall\":" + r2(v) + ",\"jobs\":" + c.jobs +
+              ",\"stages\":" + c.stages).getOrElse("\"wall\":" + r2(v))
+          "\"" + k + "\":{" + sh + "}"
+        }.mkString("{", ",", "}")
+        s"""{"queries":$qs,"runs_per_query":$runs,"agg":"median","sf":"$sfName"}"""
+      }
+      try {
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get("BENCH_PLANSHAPE.json"),
+          shapeJson.getBytes("UTF-8"))
+        System.err.println("[bench] plan-shape sidecar written to BENCH_PLANSHAPE.json")
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] could not write BENCH_PLANSHAPE.json: $e")
+      }
+    }
     // tail-line keys are the catalog names truncated at the first '_'
     // ("q24_grid_nearest" -> "q24"): ~11 chars/query instead of ~27 keeps
     // 150+ queries at 2 decimals inside the ~2000-char tail capture, where
     // full names overflowed at 74. Full names live in bench_full.json and
     // the [bench-runs] stderr line. If truncation ever collides, fall back
     // to full names rather than silently merging two queries' timings.
-    val shortKeys = results.map { case (k, _, _) => k.takeWhile(_ != '_') }
+    val shortKeys = results.map { case (k, _, _, _) => k.takeWhile(_ != '_') }
     val keys =
       if (shortKeys.distinct.size == results.size) shortKeys
       else results.map(_._1)
     def mkLine(fmt: Double => String, withQueries: Boolean): String = {
       val qs =
         if (withQueries)
-          keys.zip(results).map { case (k, (_, v, _)) =>
+          keys.zip(results).map { case (k, (_, v, _, _)) =>
             "\"" + k + "\":" + fmt(v)
           }.mkString("{", ",", "}")
         else "{}"

@@ -61,6 +61,43 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
       s"unexpected BroadcastNestedLoopJoin in: ${offenders.mkString(", ")}")
   }
 
+  test("expensive-tier execution shape: stage/job counts stay bounded") {
+    // Wall time carries a ±20% machine-variance band; submitted-stage
+    // counts are plan-determined up to a ±2 jitter (file-listing jobs and
+    // AQE stage-job accounting vary slightly run-to-run). Bounds are the
+    // round-7 shapes (sf0.001, 4 shuffle partitions) plus that jitter: a
+    // change that re-materializes the upstream pair pipeline costs +8..10
+    // jobs on the CC queries and fails here loudly instead of hiding
+    // inside bench noise. q77 is the single-DAG control (5 AQE
+    // stage-jobs); q75 spans three jobs through real parquet sinks;
+    // q54/q59/q76 pay the iterative star rounds (2 rounds each on this
+    // corpus — a diameter change in the synthetic data moves the counts
+    // and deserves a look, not a silent slack bump).
+    val bounds = Map(
+      "q54_dup_clusters" -> Instrument.Counts(42, 42),
+      "q59_corpus_dedup" -> Instrument.Counts(41, 41),
+      "q75_pipeline_sink" -> Instrument.Counts(90, 90),
+      "q76_incremental_clusters" -> Instrument.Counts(78, 78),
+      "q77_srp_near_dups" -> Instrument.Counts(7, 7))
+    val got = bounds.toSeq.sortBy(_._1).map { case (name, bound) =>
+      val fn = SparkEntry.queries(name)
+      val (_, c) = Instrument.countStages(spark) {
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      }
+      (name, bound, c)
+    }
+    val report = got.map { case (n, b, c) =>
+      s"$n: ${c.jobs} jobs / ${c.stages} stages (bound ${b.jobs}/${b.stages})"
+    }.mkString("\n")
+    got.foreach { case (name, bound, c) =>
+      assert(c.jobs > 0 && c.stages > 0,
+        s"$name submitted nothing — measurement broken\n$report")
+      assert(c.jobs <= bound.jobs && c.stages <= bound.stages,
+        s"$name exceeded its execution-shape bound — a plan regression, " +
+          s"not noise\n$report")
+    }
+  }
+
   test("per-row queries and the k-means assignment plan zero exchanges") {
     // these queries are contractually map-only: per-row expression chains
     // (q80/q86) and the literal-centroid argmax projection (q84 — the
