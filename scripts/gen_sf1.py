@@ -79,8 +79,13 @@ gen("lineitem", lambda k: f"""
          l_returnflag, l_linestatus, l_shipdate
   FROM '{SRC}/lineitem.parquet'""")
 
+# ts as epoch-NANOS BIGINT: the driver's events.parquet is INT64
+# TIMESTAMP(NANOS), which graft.sources.Tables.events reads as a long
+# (legacy nanosAsLong) and divides to micros — a plain TIMESTAMP column
+# here would hit its `ts DIV 1000` with the wrong type
 gen("events", lambda k: f"""
-  SELECT event_id + {k}*100000000 AS event_id, ts,
+  SELECT event_id + {k}*100000000 AS event_id,
+         epoch_ns(ts) AS ts,
          user_id + {k}*1000000 AS user_id,
          event_type, value, props
   FROM '{SRC}/events.parquet'""")

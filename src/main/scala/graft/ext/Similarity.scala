@@ -36,6 +36,18 @@ object Similarity {
   def dotLong(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (s, x) => s + x)
 
+  /** [[dotLong]] unrolled for a KNOWN dimension: higher-order functions
+    * (`zip_with`/`aggregate`) evaluate interpreted with per-element boxing,
+    * which dominates wall time when the dot product sits in a hot loop
+    * (the SRP signature evaluates `bits` of these per row; the verify one
+    * per candidate pair). A static Σ element_at·element_at chain stays in
+    * whole-stage codegen. Left-to-right addition order matches the
+    * aggregate fold — exact longs either way.
+    */
+  def dotLongStatic(a: Column, b: Column, dims: Int): Column =
+    (1 to dims).map(i => element_at(a, i) * element_at(b, i))
+      .reduce(_ + _)
+
   /** cosine from scaled-long vectors and their precomputed self-dots */
   def cosineFromQuantized(a: Column, b: Column, na: Column, nb: Column): Column =
     dotLong(a, b) / (sqrt(na.cast("double")) * sqrt(nb.cast("double")))
@@ -161,18 +173,26 @@ object Similarity {
   // ---- random-hyperplane (SRP) LSH ----------------------------------------
 
   /** Deterministic signed-random-projection hyperplane matrix: `bits × dims`
-    * small integer weights in [-500, 500], derived position-wise from
-    * FNV-1a 64 of the flat index (`Fnv1a64Ops.hashLong`) — no RNG state, so
-    * the family is reproducible across runs, engines (the oracle re-derives
-    * it from the same fold in HUGEINT SQL), and cluster topologies. Integer
-    * weights × scaled-long vectors keep every dot product exact (≤ 2^53), so
-    * the sign bits are bit-identical everywhere — float hyperplanes would
-    * make the signature engine-dependent at the sign boundary.
+    * small integer weights in [-500, 500], derived position-wise from a
+    * DOUBLE FNV-1a 64 of the flat index (`Fnv1a64Ops.hashLong` twice) — no
+    * RNG state, so the family is reproducible across runs, engines (the
+    * oracle re-derives it from the same folds in HUGEINT SQL), and cluster
+    * topologies. The second fold matters: one FNV pass over sequential
+    * integers diffuses poorly (inputs i·dims+d and (i+1)·dims+d differ in
+    * one byte, so hyperplane rows came out CORRELATED, sign patterns
+    * repeated with the row period, and band buckets filled with
+    * structurally identical keys — the sf1 scale run caught candidate
+    * counts growing 95x on 10x data from exactly this). Re-hashing the
+    * first hash's eight well-mixed bytes gives full avalanche between
+    * rows. Integer weights × scaled-long vectors keep every dot product
+    * exact (≤ 2^53), so the sign bits are bit-identical everywhere — float
+    * hyperplanes would make the signature engine-dependent at the sign
+    * boundary.
     */
   private[graft] def hyperplaneWeights(bits: Int, dims: Int): Array[Array[Long]] =
     Array.tabulate(bits, dims) { (i, d) =>
-      val h = graft.plans.Fnv1a64Ops.hashLong(
-        graft.plans.Fnv1a64Ops.Offset, (i.toLong * dims + d))
+      import graft.plans.Fnv1a64Ops.{hashLong, Offset}
+      val h = hashLong(Offset, hashLong(Offset, i.toLong * dims + d))
       ((h % 1001) + 1001) % 1001 - 500
     }
 
@@ -202,22 +222,46 @@ object Similarity {
                   scale: Double = DefaultScale): DataFrame = {
     require(bits % bands == 0, "bands must divide bits")
     val rpb = bits / bands
+    // Static arithmetic where it pays, bounded expression size where it
+    // must: the sf1 scale run measured the interpreted higher-order
+    // functions dominating this operator (band-key aggregates and the
+    // per-candidate verify dot cost more than every join), so band keys
+    // and verify dots are unrolled into codegen multiply-add chains. The
+    // `bits` hyperplane dots stay one `transform` over the literal weight
+    // matrix — fully unrolling those too (bits × dims literal terms) blew
+    // the plan past the driver's memory in optimizer tree copies. Same
+    // integer arithmetic, same bits, same keys — the oracle replay is
+    // untouched.
     val w = array(hyperplaneWeights(bits, dims).toIndexedSeq.map(row =>
       array(row.toIndexedSeq.map(lit): _*)): _*) // foldable -> one array constant
-    val pow2 = array((0 until rpb).map(j => lit(1L << j)): _*)
-    val sig = corpus
+    // one quantization pass, pinned: banded (below) and both verify join
+    // sides consume this frame, and without the checkpoint each consumer
+    // re-runs the parquet scan + interpreted quantize transform. Stored
+    // rows are (id, dims longs, long) — the quantized vector table itself,
+    // the same order of size as the input column
+    val vecs = corpus
       .select(col(id).as("__id"), quantize(col(vec), scale).as("__qv"))
-      .withColumn("__qn", dotLong(col("__qv"), col("__qv")))
+      .withColumn("__qn", dotLongStatic(col("__qv"), col("__qv"), dims))
+      .localCheckpoint(false)
+    val sig = vecs
       .withColumn("__bits", transform(sequence(lit(0), lit(bits - 1)), i =>
         when(dotLong(col("__qv"), element_at(w, i + lit(1))) >= 0, lit(1L))
           .otherwise(lit(0L))))
+    def bandKey(b: Int): Column =
+      (0 until rpb).map(j =>
+        element_at(col("__bits"), b * rpb + j + 1) * lit(1L << j))
+        .reduce(_ + _)
+    // LAZY checkpoint before the self-join: both join sides reference the
+    // banded frame, and without pinning it each side would recompute the
+    // full signature pipeline (quantize + bits hyperplane dots) — measured
+    // as 2x the whole signature cost at sf1, dominating the query. The
+    // checkpoint materializes inside the first consuming job; rows are
+    // (id, band, key) — n·bands longs, negligible storage at any scale.
     val banded = sig.select(col("__id"),
-      explode(transform(sequence(lit(0), lit(bands - 1)), b =>
-        struct(b.as("band"),
-          aggregate(sequence(lit(0), lit(rpb - 1)), lit(0L), (acc, j) =>
-            acc + element_at(col("__bits"), b * lit(rpb) + j + lit(1))
-              * element_at(pow2, j + lit(1))).as("bkey")))).as("__bb"))
+      explode(array((0 until bands).map(b =>
+        struct(lit(b).as("band"), bandKey(b).as("bkey"))): _*)).as("__bb"))
       .select(col("__id"), col("__bb.band"), col("__bb.bkey"))
+      .localCheckpoint(false)
     // ids-only candidate distinct, then ONE join back for vectors: carrying
     // __qv through the band explode would shuffle each vector `bands` times
     val cand = banded.select(col("__id").as("id_a"), col("band"), col("bkey"))
@@ -225,14 +269,14 @@ object Similarity {
         Seq("band", "bkey"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
-    val vecs = sig.select(col("__id"), col("__qv"), col("__qn"))
     cand
       .join(vecs.select(col("__id").as("id_a"), col("__qv").as("__va"),
         col("__qn").as("__na")), Seq("id_a"))
       .join(vecs.select(col("__id").as("id_b"), col("__qv").as("__vb"),
         col("__qn").as("__nb")), Seq("id_b"))
       .withColumn("cosine",
-        cosineFromQuantized(col("__va"), col("__vb"), col("__na"), col("__nb")))
+        dotLongStatic(col("__va"), col("__vb"), dims) /
+          (sqrt(col("__na").cast("double")) * sqrt(col("__nb").cast("double"))))
       .filter(col("cosine") >= minCosine)
       .select("id_a", "id_b", "cosine")
   }

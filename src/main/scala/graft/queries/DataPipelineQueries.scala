@@ -365,8 +365,15 @@ object DataPipelineQueries extends Catalog {
           transform(col("embedding"), (x, i) =>
             x + when(i === 0, lit(0.05)).otherwise(lit(0.0)))
             .as("embedding"))
+      // 16-bit bands (128 hyperplane bits / 8 bands): band width is the
+      // knob that keeps bucket occupancy ~O(1) as the corpus grows —
+      // the sf1 scale run measured the old 8-bit bands (256 buckets/band)
+      // going quadratic in candidates at 10x density (18.6x wall), while
+      // 16-bit bands hold the same planted-pair recall (agree-prob
+      // 0.984^16 per band, 8 bands -> 99.99%) with 65536 buckets/band.
+      // At 100 TB, bits/band scales as ~log2(n) for constant occupancy.
       Similarity.srpNearDups(vecs.unionByName(planted), "vec_id", "embedding",
-          dims = 64, bits = 64, bands = 8, minCosine = 0.95)
+          dims = 64, bits = 128, bands = 8, minCosine = 0.95)
         .select(col("id_a"), col("id_b"),
           (floor(col("cosine") * 1e6 + 0.5) / 1e6).as("cosine"))
     }),
@@ -1008,14 +1015,19 @@ object DataPipelineQueries extends Catalog {
 
     // SRP oracle: the same FNV-derived integer hyperplanes re-derived in
     // HUGEINT SQL, the same exact sign bits over scaled-long vectors, the
-    // same 8-bit band keys — then candidates and the exact cosine verify.
+    // same 16-bit band keys — then candidates and the exact cosine verify.
     // Nothing is borrowed from the Spark side but the (deterministic)
     // weight DEFINITION; the banding and verification are re-expressed.
     "q77_srp_near_dups" -> {
       import graft.plans.Fnv1a64Expression.{longSqlText, toSignedSqlText}
+      // double FNV fold, mirroring hyperplaneWeights: the first pass stays
+      // unsigned HUGEINT (its bytes feed the second pass exactly like
+      // Spark's >>> on the signed long), the second converts to signed
+      // before the modular map
+      val h1 = longSqlText("14695981039346656037::HUGEINT",
+        "CAST(i*64 + d AS HUGEINT)")
       val signedFnv = toSignedSqlText(
-        longSqlText("14695981039346656037::HUGEINT",
-          "CAST(i*64 + d AS HUGEINT)"))
+        longSqlText("14695981039346656037::HUGEINT", "h1"))
       val wexpr = s"((($signedFnv) % 1001 + 1001) % 1001 - 500)"
       val cosAB = Similarity.cosineSqlText("ea", "eb")
       s"""WITH aug AS (
@@ -1031,18 +1043,22 @@ object DataPipelineQueries extends Catalog {
          |e AS (SELECT vec_id,
          |  [CAST(floor(emb[dd]*1000000.0 + 0.5)
          |    AS BIGINT) FOR dd IN range(1, 65)] AS qv FROM aug),
-         |wts AS (SELECT i, [ $wexpr FOR d IN range(0, 64)] AS w
-         |        FROM (SELECT unnest(range(64)) AS i)),
+         |idx AS (SELECT i, d
+         |        FROM (SELECT unnest(range(128)) AS i),
+         |             (SELECT unnest(range(64)) AS d)),
+         |hh AS (SELECT i, d, $h1 AS h1 FROM idx),
+         |wts AS (SELECT i, list($wexpr ORDER BY d) AS w
+         |        FROM hh GROUP BY i),
          |dots AS (SELECT vec_id, i,
          |           list_sum([qv[d+1]*w[d+1] FOR d IN range(0, 64)]) AS dot
          |         FROM e CROSS JOIN wts),
-         |bv AS (SELECT vec_id, i // 8 AS band,
+         |bv AS (SELECT vec_id, i // 16 AS band,
          |         list(CASE WHEN dot >= 0 THEN 1::BIGINT ELSE 0::BIGINT END
          |           ORDER BY i) AS bits
          |       FROM dots GROUP BY 1, 2),
          |keys AS (SELECT vec_id, band,
          |           list_sum([bits[j+1]*(1::BIGINT << j)
-         |             FOR j IN range(0, 8)]) AS bkey FROM bv),
+         |             FOR j IN range(0, 16)]) AS bkey FROM bv),
          |cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
          |         FROM keys a JOIN keys b
          |           ON a.band = b.band AND a.bkey = b.bkey

@@ -99,8 +99,11 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     val w = Similarity.hyperplaneWeights(64, 64)
     assert(w.length === 64 && w.forall(_.length === 64))
     assert(w.flatten.forall(v => v >= -500 && v <= 500))
-    // spot-check against an independently computed FNV-1a 64 fold
-    val h = graft.plans.Fnv1a64Ops.hashLong(graft.plans.Fnv1a64Ops.Offset, 0L)
+    // spot-check against an independently computed double FNV-1a 64 fold
+    // (double: single-fold rows over sequential indices are correlated —
+    // see the hyperplaneWeights scaladoc)
+    import graft.plans.Fnv1a64Ops.{hashLong, Offset}
+    val h = hashLong(Offset, hashLong(Offset, 0L))
     assert(w(0)(0) === ((h % 1001) + 1001) % 1001 - 500)
     assert(w.map(_.toSeq).toSeq ===
       Similarity.hyperplaneWeights(64, 64).map(_.toSeq).toSeq)
