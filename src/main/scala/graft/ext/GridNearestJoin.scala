@@ -102,6 +102,24 @@ object GridNearestJoin {
     }
   }
 
+  /** Density-adaptive cell width: the width at which a 3×3 neighborhood
+    * holds ~9·`targetPerCell` dim rows for a uniform spread over the
+    * ±`maxAbsLatDeg` × 360° area. A FIXED width is the third instance of
+    * the bucketing-parameter-vs-density trap this codebase has measured
+    * (SRP band bits, IVF cell count): the sf1 scale run grew both q24
+    * sides 10× and ring-1 candidates 100×, turning a 2.6 s query into
+    * 75 s. Cell size must shrink as √(1/density); exactness never depends
+    * on it (the ring expansion certifies every row at ANY width), so this
+    * is purely a throughput knob. The sf0.1 hand-sweep optimum (3° at 20k
+    * sites) is what this formula returns for target 4.
+    */
+  def autoCellDeg(dimRows: Long, maxAbsLatDeg: Double,
+                  targetPerCell: Double = 4.0): Double = {
+    val area = 2.0 * maxAbsLatDeg * 360.0
+    val cd = math.sqrt(targetPerCell * area / math.max(dimRows, 1L))
+    math.min(math.max(cd, 0.25), GlobeCellDeg)
+  }
+
   /** Cell width at which the 3×3 neighborhood provably spans the globe:
     * lat ∈ [-90°, 90°] occupies lat cells {floor(-90/120), floor(90/120)} =
     * {-1, 0}, and the modular lon circle has floor(360/120) = 3 cells — both
@@ -147,7 +165,10 @@ object GridNearestJoin {
     *
     * @param cellDeg      grid cell size in degrees — pick ≈ the typical
     *                     nearest-neighbor distance; smaller cells = fewer
-    *                     candidates but more ring-expansion rows
+    *                     candidates but more ring-expansion rows. Pass a
+    *                     value ≤ 0 to auto-tune from the dim's density
+    *                     ([[autoCellDeg]]; costs one count() of the dim
+    *                     side — the smaller frame by contract)
     * @param maxAbsLatDeg max |latitude| in the data; drives the certification
     *                     radius (longitude cells shrink towards the poles)
     */
@@ -156,7 +177,9 @@ object GridNearestJoin {
               srcLon: String, dimLon: String,
               srcKey: Seq[String], tieBreak: Seq[Column],
               cellDeg: Double, maxAbsLatDeg: Double): DataFrame = {
-    val rings = ringWidths(cellDeg)
+    val cd = if (cellDeg > 0) cellDeg
+             else autoCellDeg(dim.count(), maxAbsLatDeg)
+    val rings = ringWidths(cd)
     // Contract: source rows with a NULL coordinate are dropped — they have
     // no cell and no defined distance. (nearestOne's cross join instead
     // emits an arbitrary tieBreak-ordered dim row with NULL distance for

@@ -128,11 +128,13 @@ object GeoQueries extends Catalog {
           customerPoints(s, d), partSites(s, d),
           srcLat = "lat", dimLat = "site_lat",
           srcLon = "lon", dimLon = "site_lon",
-          // cellDeg swept at sf0.1 (2/3/4/6/9/12° → 3.1/2.6/3.2/3.6/6.4/8.8 s):
-          // 3° balances ring-1 candidate fan-in (9 cells × ~4 sites) against
-          // the residue that later rings re-join
+          // cellDeg auto-tuned from the site density (GridNearestJoin
+          // .autoCellDeg): at sf0.1 it lands on ~2.9°, matching the 3°
+          // hand-sweep optimum (2/3/4/6/9/12° → 3.1/2.6/3.2/3.6/6.4/8.8 s);
+          // at sf1 it shrinks to ~0.9° and holds ring-1 fan-in at ~4
+          // sites/cell where the fixed 3° grew candidates 100× on 10× data
           srcKey = Seq("c_custkey"), tieBreak = Seq(col("p_partkey")),
-          cellDeg = 3.0, maxAbsLatDeg = 60.0)
+          cellDeg = 0.0, maxAbsLatDeg = 60.0)
         .select(col("c_custkey"), col("p_partkey").as("site_key"),
           round(col("distance"), 4).as("dist_km"))
     }),

@@ -53,6 +53,29 @@ class GridNearestJoinSpec extends AnyFunSuite with SparkTestBase {
     assert(grid.except(brute).isEmpty && brute.except(grid).isEmpty)
   }
 
+  test("auto cell width tracks density and keeps results exact") {
+    // cd = sqrt(target * area / n): shrinks as sqrt(1/density) — the rule
+    // the sf1 scale run forced (fixed 3 deg grew candidates 100x on 10x
+    // data). The sf0.1 fixture (20k sites, +-60 lat) must land on the
+    // hand-sweep optimum ~3 deg; 10x the sites must shrink it ~sqrt(10)x.
+    val cd01 = GridNearestJoin.autoCellDeg(20000, 60.0)
+    val cd1 = GridNearestJoin.autoCellDeg(200000, 60.0)
+    assert(cd01 > 2.5 && cd01 < 3.5, s"sf0.1 width $cd01")
+    assert(math.abs(cd01 / cd1 - math.sqrt(10.0)) < 0.01)
+    assert(GridNearestJoin.autoCellDeg(0, 60.0) === GridNearestJoin.GlobeCellDeg)
+    // cellDeg <= 0 routes through the auto width; results stay exact
+    val auto = GridNearestJoin.nearest(src, dim,
+        "lat", "site_lat", "lon", "site_lon",
+        srcKey = Seq("id"), tieBreak = Seq(col("site")),
+        cellDeg = 0.0, maxAbsLatDeg = 60.0)
+      .select($"id", $"site")
+    val brute = NearestNeighborJoin.nearestOne(src, dim,
+        "lat", "site_lat", "lon", "site_lon",
+        srcKey = Seq("id"), tieBreak = Seq(col("site")))
+      .select($"id", $"site")
+    assert(auto.except(brute).isEmpty && brute.except(auto).isEmpty)
+  }
+
   test("ring widths triple until the neighborhood spans the globe") {
     assert(GridNearestJoin.ringWidths(1.0) === Seq(1.0, 3.0, 9.0, 27.0, 81.0, 243.0))
     assert(GridNearestJoin.ringWidths(6.0) === Seq(6.0, 18.0, 54.0, 162.0))
