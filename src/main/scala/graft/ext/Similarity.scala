@@ -23,6 +23,25 @@ object Similarity {
 
   val DefaultScale: Double = 1e6
 
+  /** Density-adaptive cell count for [[semanticDedupVerdict]]: enough cells
+    * that each holds ~`targetPerCell` rows, floored at `minK`, capped at
+    * ⌈√n⌉. Constant occupancy keeps the within-cell pair join linear in
+    * the corpus (Σ|cell|² = k·(n/k)² = n·targetPerCell) — a FIXED k grows
+    * it n²/k (measured 14.5× wall on 10× data before the rule). The √n cap
+    * is the other side of the same trade: assignment costs n·k dots, so
+    * k ∝ n makes IT the n²/t term once n > t² ≈ 65k; k = √n is the
+    * asymptotic balance point (both terms n^1.5). Below 65k rows the cap
+    * never binds, so the sf0.01/sf0.1 fixtures land on the same k = 8 the
+    * query originally hand-picked — the same
+    * reproduce-the-tuned-small-scale-value shape as
+    * [[graft.ext.GridNearestJoin.autoCellDeg]].
+    */
+  def autoSemanticK(n: Long, targetPerCell: Long = 256L, minK: Int = 8): Int = {
+    val byOccupancy = (n + targetPerCell - 1) / targetPerCell
+    val cap = math.ceil(math.sqrt(n.toDouble)).toLong
+    math.max(minK.toLong, math.min(byOccupancy, cap)).toInt
+  }
+
   /** embedding → scaled-long vector. Quantized via `floor(x·scale + 0.5)`,
     * NOT `round`: Spark's round goes through BigDecimal on the shortest
     * decimal representation while DuckDB rounds the binary double, and the
@@ -32,21 +51,18 @@ object Similarity {
   def quantize(vec: Column, scale: Double = DefaultScale): Column =
     transform(vec, x => floor(x * scale + lit(0.5)).cast("long"))
 
-  /** exact integer dot product of two scaled-long vectors */
-  def dotLong(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (s, x) => s + x)
-
-  /** [[dotLong]] unrolled for a KNOWN dimension: higher-order functions
-    * (`zip_with`/`aggregate`) evaluate interpreted with per-element boxing,
-    * which dominates wall time when the dot product sits in a hot loop
-    * (the SRP signature evaluates `bits` of these per row; the verify one
-    * per candidate pair). A static Σ element_at·element_at chain stays in
-    * whole-stage codegen. Left-to-right addition order matches the
-    * aggregate fold — exact longs either way.
+  /** Exact integer dot product of two scaled-long vectors — the native
+    * [[graft.plans.DotLongExpression]] (a tight loop in codegen AND
+    * interpreted eval). The declarative alternatives both lose in the hot
+    * paths (|corpus|×|queries| scans, corpus×centroid argmax): a
+    * `zip_with`+`aggregate` fold evaluates interpreted with per-element
+    * boxing, and a static Σ element_at·element_at unroll blows the
+    * whole-stage-codegen method past the JVM's 64 KB limit under ANSI
+    * (janino then rejects the stage and the WHOLE stage runs interpreted —
+    * measured ~50× on the pair stages). See the expression's scaladoc.
     */
-  def dotLongStatic(a: Column, b: Column, dims: Int): Column =
-    (1 to dims).map(i => element_at(a, i) * element_at(b, i))
-      .reduce(_ + _)
+  def dotLong(a: Column, b: Column): Column =
+    graft.plans.DotLongExpression.dot(a, b)
 
   /** cosine from scaled-long vectors and their precomputed self-dots */
   def cosineFromQuantized(a: Column, b: Column, na: Column, nb: Column): Column =
@@ -58,8 +74,40 @@ object Similarity {
     df.select(col(id).as(idAlias), quantize(col(vec), scale).as("__qv"))
       .withColumn("__qn", dotLong(col("__qv"), col("__qv")))
 
+  /** posexplode of a [[graft.plans.TopKByAggregate]] array into the
+    * (query_id, rank, neighbor_id, cosine) contract every top-k entry point
+    * shares. rank is 1-based in score-desc, id-asc order — identical to the
+    * `row_number` window ordering it replaces.
+    */
+  private def explodeTopK(grouped: DataFrame): DataFrame =
+    grouped.select(col("query_id"), posexplode(col("__tk")).as(Seq("__p", "__e")))
+      .select(col("query_id"), (col("__p") + 1).cast("long").as("rank"),
+        col("__e.id").as("neighbor_id"), col("__e.score").as("cosine"))
+
+  /** Bit-exact identity on a double score that `CollapseProject` refuses to
+    * inline into the consuming aggregate: `least(c, c)` references the
+    * produced attribute twice, and duplicate references to a non-cheap
+    * producer block the collapse, so the score stays in a whole-stage-
+    * codegen Project BELOW the aggregate. Without it the optimizer folds
+    * the whole cosine (dot + sqrt + divide) into the
+    * [[graft.plans.TopKByAggregate]] child, where
+    * `TypedImperativeAggregate.update` evaluates it INTERPRETED per input
+    * row — measured 4× the entire query on the |corpus|×|queries| product
+    * with the pre-native dot chain. `least` of two identical values is the
+    * value itself for every double including NaN, and of two nulls is null.
+    */
+  private def pinnedScore(c: Column): Column = least(c, c)
+
   /** Exact top-k cosine neighbors of each query vector, brute force.
     * Output: (query_id, neighbor_id, rank, cosine). Self-matches excluded.
+    * Ids must be integral (ranked as BIGINT, ties to the lower id).
+    *
+    * The ranking is [[graft.plans.TopKByAggregate]], not a window: the
+    * |corpus|×|queries| product is reduced to k rows per query MAP-SIDE
+    * (bounded O(k) heap state, partial-mergeable), so the one exchange
+    * carries k·|queries| rows — the window form it replaced shuffled and
+    * sorted the entire product (measured 80× wall at 10× data on the
+    * rerank sibling, which shares the shape).
     */
   def knnExact(corpus: DataFrame, queries: DataFrame,
                corpusId: String, corpusVec: String,
@@ -68,15 +116,15 @@ object Similarity {
     val c = prep(corpus, corpusId, corpusVec, "neighbor_id", scale)
       .withColumnRenamed("__qv", "__cv").withColumnRenamed("__qn", "__cn")
     val q = prep(queries, queryId, queryVec, "query_id", scale)
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cosine").desc, col("neighbor_id"))
-    c.crossJoin(broadcast(q))
+    explodeTopK(c.crossJoin(broadcast(q))
       .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("cosine",
-        cosineFromQuantized(col("__qv"), col("__cv"), col("__qn"), col("__cn")))
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select("query_id", "rank", "neighbor_id", "cosine")
+      .select(col("query_id"),
+        cosineFromQuantized(col("__qv"), col("__cv"), col("__qn"), col("__cn"))
+          .as("__cos"),
+        col("neighbor_id").cast("long").as("neighbor_id"))
+      .groupBy("query_id")
+      .agg(graft.plans.TopKByAggregate.topkBy(
+        pinnedScore(col("__cos")), col("neighbor_id"), k).as("__tk")))
   }
 
   /** Assign every corpus row to its nearest centroid (max cosine, centroid id
@@ -91,6 +139,25 @@ object Similarity {
 
   /** [[assignCells]] retaining the quantized vector (`__qv`) and self-dot
     * (`__qn`) so downstream ranking does not recompute them per corpus row.
+    *
+    * The argmax is a SLIM `max_by` aggregate over the broadcast-nested-loop
+    * product — only (id, cosine, cell) ever enters it; the corpus payload
+    * rejoins by id afterwards. Three measured traps shaped this:
+    * the window form shuffled and sorted the whole |corpus|·k product with
+    * full payload rows (the dominant cost of both IVF queries at 10×
+    * data); carrying the payload through the aggregate instead made it
+    * WORSE (the declarative buffer rewrites the var-length struct on every
+    * input row — 275 s of 298 at sf1); and max_by's struct ordering plans
+    * as SortAggregate, which is fine exactly because the input is 24-byte
+    * rows, contiguous per corpus id (the broadcast join emits each row's k
+    * candidates back-to-back, so the partial sort sees presorted runs and
+    * the exchange carries one slim row per corpus row). Ties break to the
+    * lower cell id, matching the old `(cos DESC, cell)` window order;
+    * corpus rows whose cosine is NULL against every centroid are dropped
+    * ("no vector ⇒ no cell" — the old form kept an arbitrary cell).
+    * The corpus side is scanned twice (once into the argmax, once for the
+    * payload rejoin) — both scans prune to id+vector, and the rejoin
+    * exchange of n rows replaces the old n·k-row window exchange.
     */
   private def assignCellsQ(corpus: DataFrame, corpusId: String, corpusVec: String,
                            centroids: DataFrame, centroidId: String,
@@ -100,13 +167,15 @@ object Similarity {
     val withQ = corpus
       .withColumn("__qv", quantize(col(corpusVec), scale))
       .withColumn("__qn", dotLong(col("__qv"), col("__qv")))
-    val w = Window.partitionBy(corpusId).orderBy(col("__cos").desc, col("cell"))
-    withQ.crossJoin(broadcast(cent))
-      .withColumn("__cos",
-        cosineFromQuantized(col("__qv"), col("__ctv"), col("__qn"), col("__ctn")))
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .drop("__rn", "__cos", "__ctv", "__ctn")
+    val best = withQ.select(col(corpusId), col("__qv"), col("__qn"))
+      .crossJoin(broadcast(cent))
+      .select(col(corpusId),
+        cosineFromQuantized(col("__qv"), col("__ctv"), col("__qn"), col("__ctn"))
+          .as("__cos"),
+        col("cell"))
+      .groupBy(col(corpusId))
+      .agg(max_by(col("cell"), struct(col("__cos"), -col("cell"))).as("cell"))
+    withQ.join(best, Seq(corpusId))
   }
 
   /** IVF approximate top-k: queries probe their `nprobe` nearest cells and
@@ -121,28 +190,33 @@ object Similarity {
              k: Int, nprobe: Int, scale: Double = DefaultScale): DataFrame = {
     val assigned = assignCellsQ(corpus, corpusId, corpusVec,
         centroids, centroidId, centroidVec, scale)
-      .select(col(corpusId).as("neighbor_id"), col("cell"),
+      .select(col(corpusId).as("neighbor_id"), col("cell").cast("long").as("cell"),
         col("__qv").as("__cv"), col("__qn").as("__cn"))
-    // per query: its nprobe closest centroids
+    // per query: its nprobe closest centroids — same slim bounded top-k as
+    // the final ranking (k·|queries| exchanged, never the q×k product);
+    // the query vector rejoins by id after the explode
     val cent = prep(centroids, centroidId, centroidVec, "cell", scale)
       .withColumnRenamed("__qv", "__ctv").withColumnRenamed("__qn", "__ctn")
     val q = prep(queries, queryId, queryVec, "query_id", scale)
-    val wProbe = Window.partitionBy("query_id").orderBy(col("__cos").desc, col("cell"))
-    val probes = q.crossJoin(broadcast(cent))
-      .withColumn("__cos",
-        cosineFromQuantized(col("__qv"), col("__ctv"), col("__qn"), col("__ctn")))
-      .withColumn("__rn", row_number().over(wProbe))
-      .filter(col("__rn") <= nprobe)
-      .select(col("query_id"), col("cell"), col("__qv"), col("__qn"))
-    val wRank = Window.partitionBy("query_id")
-      .orderBy(col("cosine").desc, col("neighbor_id"))
-    probes.join(assigned, Seq("cell"))
+    val probeCells = q.crossJoin(broadcast(cent))
+      .select(col("query_id"),
+        cosineFromQuantized(col("__qv"), col("__ctv"), col("__qn"), col("__ctn"))
+          .as("__cos"),
+        col("cell").cast("long").as("cell"))
+      .groupBy("query_id")
+      .agg(graft.plans.TopKByAggregate.topkBy(
+        pinnedScore(col("__cos")), col("cell"), nprobe).as("__tk"))
+      .select(col("query_id"), explode(col("__tk.id")).as("cell"))
+    val probes = probeCells.join(q, Seq("query_id"))
+    explodeTopK(probes.join(assigned, Seq("cell"))
       .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("cosine",
-        cosineFromQuantized(col("__qv"), col("__cv"), col("__qn"), col("__cn")))
-      .withColumn("rank", row_number().over(wRank).cast("long"))
-      .filter(col("rank") <= k)
-      .select("query_id", "rank", "neighbor_id", "cosine")
+      .select(col("query_id"),
+        cosineFromQuantized(col("__qv"), col("__cv"), col("__qn"), col("__cn"))
+          .as("__cos"),
+        col("neighbor_id"))
+      .groupBy("query_id")
+      .agg(graft.plans.TopKByAggregate.topkBy(
+        pinnedScore(col("__cos")), col("neighbor_id"), k).as("__tk")))
   }
 
   /** Embedding-cosine near-duplicate pairs, bucketed by IVF cell: vectors
@@ -155,9 +229,14 @@ object Similarity {
     */
   def cosineNearDups(corpus: DataFrame, corpusId: String, corpusVec: String,
                      centroids: DataFrame, centroidId: String, centroidVec: String,
-                     minCosine: Double, scale: Double = DefaultScale): DataFrame = {
+                     minCosine: Double,
+                     scale: Double = DefaultScale): DataFrame = {
+    // lazy-pinned: both sides of the pair self-join consume the assignment,
+    // and without the checkpoint each side re-runs the corpus×centroid
+    // argmax scan (the recurring two-consumer re-evaluation trap)
     val assigned = assignCellsQ(corpus, corpusId, corpusVec,
         centroids, centroidId, centroidVec, scale)
+      .localCheckpoint(false)
     val a = assigned.select(col(corpusId).as("id_a"), col("cell"),
       col("__qv").as("__va"), col("__qn").as("__na"))
     val b = assigned.select(col(corpusId).as("id_b"), col("cell"),
@@ -222,16 +301,13 @@ object Similarity {
                   scale: Double = DefaultScale): DataFrame = {
     require(bits % bands == 0, "bands must divide bits")
     val rpb = bits / bands
-    // Static arithmetic where it pays, bounded expression size where it
-    // must: the sf1 scale run measured the interpreted higher-order
-    // functions dominating this operator (band-key aggregates and the
-    // per-candidate verify dot cost more than every join), so band keys
-    // and verify dots are unrolled into codegen multiply-add chains. The
-    // `bits` hyperplane dots stay one `transform` over the literal weight
-    // matrix — fully unrolling those too (bits × dims literal terms) blew
-    // the plan past the driver's memory in optimizer tree copies. Same
-    // integer arithmetic, same bits, same keys — the oracle replay is
-    // untouched.
+    // Every dot here is the native DotLongExpression — the sf1 scale run
+    // measured interpreted higher-order functions dominating this operator
+    // (the bits-per-row hyperplane dots and the per-candidate verify dot
+    // cost more than every join), and the static-unroll alternative blows
+    // past either the optimizer (bits × dims literal terms in tree copies)
+    // or janino's 64 KB method limit. Same integer arithmetic, same bits,
+    // same keys — the oracle replay is untouched.
     val w = array(hyperplaneWeights(bits, dims).toIndexedSeq.map(row =>
       array(row.toIndexedSeq.map(lit): _*)): _*) // foldable -> one array constant
     // one quantization pass, pinned: banded (below) and both verify join
@@ -241,7 +317,7 @@ object Similarity {
     // the same order of size as the input column
     val vecs = corpus
       .select(col(id).as("__id"), quantize(col(vec), scale).as("__qv"))
-      .withColumn("__qn", dotLongStatic(col("__qv"), col("__qv"), dims))
+      .withColumn("__qn", dotLong(col("__qv"), col("__qv")))
       .localCheckpoint(false)
     val sig = vecs
       .withColumn("__bits", transform(sequence(lit(0), lit(bits - 1)), i =>
@@ -275,8 +351,7 @@ object Similarity {
       .join(vecs.select(col("__id").as("id_b"), col("__qv").as("__vb"),
         col("__qn").as("__nb")), Seq("id_b"))
       .withColumn("cosine",
-        dotLongStatic(col("__va"), col("__vb"), dims) /
-          (sqrt(col("__na").cast("double")) * sqrt(col("__nb").cast("double"))))
+        cosineFromQuantized(col("__va"), col("__vb"), col("__na"), col("__nb")))
       .filter(col("cosine") >= minCosine)
       .select("id_a", "id_b", "cosine")
   }
@@ -293,8 +368,13 @@ object Similarity {
     * frame — a window/aggregation argmax would re-shuffle the corpus every
     * iteration. Output: (__id, __qv, __qn, cell, __cos).
     */
-  private def assignLiteral(q: DataFrame,
-                            cent: Seq[(Int, Array[Long])]): DataFrame = {
+  private[graft] def assignLiteral(q: DataFrame,
+                                   cent: Seq[(Int, Array[Long])]): DataFrame = {
+    // one native dot per centroid against the constant-folded vector
+    // literal — k·dims work per row in a fixed-size expression tree (the
+    // static per-term unroll tried here first grew the tree past the
+    // optimizer's memory at large k·dims, then past janino's 64 KB method
+    // limit; the native loop has neither ceiling)
     val scored = cent.map { case (cell, cv) =>
       val cvCol = array(cv.map(lit).toIndexedSeq: _*)
       val cn = lit(cv.map(x => x * x).sum) // exact: |c|² ≤ dims·scale² < 2^53
@@ -307,6 +387,53 @@ object Similarity {
       .select(col("__id"), col("__qv"), col("__qn"),
         (-col("__best.nc")).as("cell"), col("__best.c").as("__cos"))
   }
+
+  /** Ceiling on [[assignLiteral]]'s centroid count, and the switch point to
+    * [[assignArgmax]]: the literal projection's PLAN is O(k·dims) — k
+    * greatest-branches each folding a dims-long literal array — and every
+    * consuming stage re-runs janino over it, so compile time grows with k
+    * while the zero-shuffle execution stays cheap. Measured at sf1
+    * (20k rows): k = 8 literal = 4.3 s end-to-end semantic dedup, k = 79
+    * literal = 19.8 s — the extra 15 s is plan compilation, not data work
+    * (k = 79 does ~10× FEWER pair dots). Above the ceiling the broadcast
+    * argmax join costs two exchanges of n slim rows but keeps the plan
+    * constant-size — at the k ≈ √n the auto rule reaches at a billion rows
+    * (~32k cells), a literal plan would not even build.
+    */
+  private[graft] val LiteralAssignMaxK = 32
+
+  /** [[assignLiteral]]'s broadcast twin for large k: centroids become a
+    * k-row broadcast frame, the argmax is a slim `max(struct(cos, -cell))`
+    * aggregate over the nested-loop product — only (id, cos, cell) enters
+    * it (the [[assignCellsQ]] shape) — and the winner rejoins the quantized
+    * corpus by id. Identical semantics: max cosine, lower cell on ties.
+    * Output: (__id, __qv, __qn, cell, __cos).
+    */
+  private[graft] def assignArgmax(q: DataFrame,
+                                  cent: Seq[(Int, Array[Long])]): DataFrame = {
+    val spark = q.sparkSession
+    import spark.implicits._
+    val centDf = broadcast(
+      cent.map { case (c, v) => (c, v.toSeq, v.map(x => x * x).sum) }
+        .toDF("__cell", "__ctv", "__ctn"))
+    val best = q.select(col("__id"), col("__qv"), col("__qn"))
+      .crossJoin(centDf)
+      .select(col("__id"),
+        cosineFromQuantized(col("__qv"), col("__ctv"), col("__qn"),
+          col("__ctn")).as("__c"),
+        col("__cell"))
+      .groupBy(col("__id"))
+      .agg(max(struct(col("__c"), (-col("__cell")).as("__nc"))).as("__b"))
+      .select(col("__id"), (-col("__b.__nc")).as("cell"),
+        col("__b.__c").as("__cos"))
+    q.join(best, Seq("__id"))
+      .select(col("__id"), col("__qv"), col("__qn"), col("cell"), col("__cos"))
+  }
+
+  /** the k-dispatched assignment every k-means consumer goes through */
+  private def assign(q: DataFrame, cent: Seq[(Int, Array[Long])]): DataFrame =
+    if (cent.size <= LiteralAssignMaxK) assignLiteral(q, cent)
+    else assignArgmax(q, cent)
 
   /** driver-side (cell, centroid) extraction of a centroid frame */
   private def collectCentroids(cent: DataFrame): Seq[(Int, Array[Long])] =
@@ -376,7 +503,7 @@ object Similarity {
     val cent0: Seq[(Int, Array[Long])] = seeds.zipWithIndex.map {
       case (r, i) => (i + 1) -> r.getSeq[Long](0).toArray }.toSeq
     val fitted = (1 to iters).foldLeft(cent0) { (cent, _) =>
-      val updated = assignLiteral(q, cent)
+      val updated = assign(q, cent)
         .select(col("cell"), posexplode(col("__qv")).as(Seq("__dim", "__x")))
         .groupBy("cell", "__dim")
         .agg(sum(col("__x")).as("__s"), count(lit(1)).as("__n"))
@@ -402,7 +529,7 @@ object Similarity {
   def kmeansAssign(corpus: DataFrame, id: String, vec: String,
                    centroids: DataFrame,
                    scale: Double = DefaultScale): DataFrame =
-    assignLiteral(prep(corpus, id, vec, "__id", scale),
+    assign(prep(corpus, id, vec, "__id", scale),
         collectCentroids(centroids))
       .select(col("__id").as(id), col("cell"), col("__cos").as("cosine"))
 
@@ -419,12 +546,25 @@ object Similarity {
     * [[cosineNearDups]], but over centroids fitted to the corpus rather
     * than supplied, so cells track the actual density (the SemDeDup paper's
     * within-cluster pruning). Nothing is ever all-pairs.
+    *
+    * Pass `k <= 0` to auto-size it from the corpus ([[autoSemanticK]]; one
+    * extra `count()`). A FIXED k is the bucketing-parameter-vs-density trap
+    * (SRP band bits, IVF cells, grid cell width — all measured): cell
+    * occupancy n/k grows with the corpus and the Σ|cell|² pair join grows
+    * n²/k — the sf1 run measured 14.5× wall on 10× data at k = 8. Constant
+    * occupancy (k ∝ n) keeps the pair join linear in n; the centroid state
+    * is k·dims longs on the driver, so the auto rule stays driver-sized
+    * into the billions of rows (10⁹ rows → ~4M cells × dims longs — at
+    * that point raise targetPerCell or shard the fit).
     */
   def semanticDedupVerdict(corpus: DataFrame, id: String, vec: String,
                            k: Int, iters: Int, minCosine: Double,
                            scale: Double = DefaultScale): DataFrame = {
-    val cent = kmeansFitSeq(corpus, id, vec, k, iters, scale)
-    val assigned = assignLiteral(prep(corpus, id, vec, "__id", scale), cent)
+    val kk = if (k > 0) k else autoSemanticK(corpus.count())
+    val cent = kmeansFitSeq(corpus, id, vec, kk, iters, scale)
+    val assigned = assign(prep(corpus, id, vec, "__id", scale), cent)
+      // both pair-join sides + the verdict join consume the assignment
+      .localCheckpoint(false)
     val a = assigned.select(col("__id").as("id_a"), col("cell"),
       col("__qv").as("__va"), col("__qn").as("__na"))
     val b = assigned.select(col("__id").as("id_b"), col("cell"),
@@ -470,30 +610,37 @@ object Similarity {
                 k: Int, m: Int, coarseScale: Double = 1e2,
                 scale: Double = DefaultScale): DataFrame = {
     require(k >= 1 && m >= 1, s"k and m must be >= 1, got k=$k m=$m")
+    val mk = math.toIntExact(k.toLong * m)
     val cCoarse = prep(corpus, corpusId, corpusVec, "neighbor_id", coarseScale)
       .withColumnRenamed("__qv", "__cv").withColumnRenamed("__qn", "__cn")
     val qCoarse = prep(queries, queryId, queryVec, "query_id", coarseScale)
-    val wCoarse = Window.partitionBy("query_id")
-      .orderBy(col("__ccos").desc, col("neighbor_id"))
+    // the coarse scan IS |corpus|×|queries| by design — but its ranking is
+    // the bounded top-k aggregate, so the product dies map-side and the
+    // exchange carries m·k ids per query (the window form shuffled and
+    // sorted the whole product: 80× wall at 10× data)
     val cand = cCoarse.crossJoin(broadcast(qCoarse))
       .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("__ccos",
-        cosineFromQuantized(col("__qv"), col("__cv"), col("__qn"), col("__cn")))
-      .withColumn("__crn", row_number().over(wCoarse))
-      .filter(col("__crn") <= k.toLong * m)
-      .select("query_id", "neighbor_id")
+      .select(col("query_id"),
+        cosineFromQuantized(col("__qv"), col("__cv"), col("__qn"), col("__cn"))
+          .as("__ccos"),
+        col("neighbor_id").cast("long").as("neighbor_id"))
+      .groupBy("query_id")
+      .agg(graft.plans.TopKByAggregate.topkBy(
+        pinnedScore(col("__ccos")), col("neighbor_id"), mk).as("__tk"))
+      .select(col("query_id"), explode(col("__tk.id")).as("neighbor_id"))
     val cFull = prep(corpus, corpusId, corpusVec, "neighbor_id", scale)
       .withColumnRenamed("__qv", "__cv").withColumnRenamed("__qn", "__cn")
     val qFull = prep(queries, queryId, queryVec, "query_id", scale)
-    val wExact = Window.partitionBy("query_id")
-      .orderBy(col("cosine").desc, col("neighbor_id"))
-    cand.join(cFull, Seq("neighbor_id"))
+    explodeTopK(cand.join(cFull.withColumn("neighbor_id",
+          col("neighbor_id").cast("long")), Seq("neighbor_id"))
       .join(broadcast(qFull), Seq("query_id"))
-      .withColumn("cosine",
-        cosineFromQuantized(col("__qv"), col("__cv"), col("__qn"), col("__cn")))
-      .withColumn("rank", row_number().over(wExact).cast("long"))
-      .filter(col("rank") <= k)
-      .select("query_id", "rank", "neighbor_id", "cosine")
+      .select(col("query_id"),
+        cosineFromQuantized(col("__qv"), col("__cv"), col("__qn"), col("__cn"))
+          .as("__cos"),
+        col("neighbor_id"))
+      .groupBy("query_id")
+      .agg(graft.plans.TopKByAggregate.topkBy(
+        pinnedScore(col("__cos")), col("neighbor_id"), k).as("__tk")))
   }
 
   /** DuckDB SQL text for the identical scaled-integer dot product. */

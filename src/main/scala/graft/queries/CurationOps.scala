@@ -40,7 +40,8 @@ object CurationOps extends Catalog {
     * source relation text exposing (vec_id, embedding); the returned chain
     * defines `qv` (quantized vectors) and `c$iters` (final centroids).
     */
-  private def kmeansCtes(k: Int, iters: Int, dims: Int, from: String): String = {
+  private def kmeansCtes(kSql: String, iters: Int, dims: Int,
+                         from: String): String = {
     import graft.plans.Fnv1a64Expression.{longSqlText, toSignedSqlText}
     val fnv = toSignedSqlText(
       longSqlText("14695981039346656037::HUGEINT", "vec_id::HUGEINT"))
@@ -53,7 +54,7 @@ object CurationOps extends Catalog {
          |c0 AS (SELECT cell, v FROM (
          |    SELECT CAST(row_number() OVER (ORDER BY $fnv, vec_id) AS INTEGER)
          |      AS cell, v
-         |    FROM qv) WHERE cell <= $k)""".stripMargin)
+         |    FROM qv) WHERE cell <= ($kSql))""".stripMargin)
     for (it <- 1 to iters) {
       val prev = s"c${it - 1}"
       sb.append(
@@ -424,8 +425,15 @@ object CurationOps extends Catalog {
           transform(col("embedding"), (x, i) =>
             x + when(i === 0, lit(0.05)).otherwise(lit(0.0)))
             .as("embedding"))
+      // k <= 0 → density-adaptive cell count (Similarity.autoSemanticK):
+      // lands on the same k = 8 this query hand-picked at sf0.01/sf0.1
+      // (n/256 floored at 8, capped at ceil(sqrt(n)) — the cap never binds
+      // below 65k rows), and grows with the corpus so the Σ|cell|² pair
+      // join stays linear — the sf1 run measured 14.5× wall on 10× data
+      // with k pinned at 8. The oracle mirrors the rule as a scalar
+      // subquery over the same augmented frame.
       Similarity.semanticDedupVerdict(vecs.unionByName(planted),
-          "vec_id", "embedding", k = 8, iters = 2, minCosine = 0.95)
+          "vec_id", "embedding", k = 0, iters = 2, minCosine = 0.95)
         .select(col("vec_id"), col("cell"),
           (floor(col("centroid_cosine") * 1e6 + 0.5) / 1e6)
             .as("centroid_cosine"),
@@ -743,7 +751,8 @@ object CurationOps extends Catalog {
     },
 
     "q84_kmeans_embed" -> {
-      val ctes = kmeansCtes(k = 8, iters = 2, dims = 64, from = "embeddings")
+      val ctes = kmeansCtes(kSql = "8", iters = 2, dims = 64,
+        from = "embeddings")
       s"""WITH $ctes,
          |${finAssignCte(2)}
          |SELECT vec_id, cell,
@@ -763,7 +772,12 @@ object CurationOps extends Catalog {
           |      + CASE WHEN dd = 1 THEN 0.05 ELSE 0.0 END
           |    FOR dd IN range(1, 65)]
           | FROM embeddings WHERE vec_id % 50 = 3)""".stripMargin
-      val ctes = kmeansCtes(k = 8, iters = 2, dims = 64, from = aug)
+      // the query's autoSemanticK(n): max(8, ceil(n/256)) over the SAME
+      // augmented frame the Spark side counts
+      val ctes = kmeansCtes(
+        kSql = "SELECT greatest(8, least(CAST(ceil(count(*) / 256.0) AS BIGINT)," +
+          " CAST(ceil(sqrt(count(*))) AS BIGINT))) FROM qv",
+        iters = 2, dims = 64, from = aug)
       val pairCos = Similarity.cosineLongSqlText("qa.v", "qb.v")
       s"""WITH $ctes,
          |${finAssignCte(2)},

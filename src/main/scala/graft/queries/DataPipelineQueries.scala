@@ -324,9 +324,14 @@ object DataPipelineQueries extends Catalog {
     // guarded split re-evaluates the 1.45M-row shingle explode 8x and
     // measured 3x slower here (the guard's oracle coverage lives in q22).
     "q44_char_jaccard" -> ((s, d) => {
+      // lazy-pinned: the shingle frame feeds THREE consumers (per-doc sizes
+      // + both sides of the inverted-index self-join), and each re-ran the
+      // scan + normalize + 24-char explode + distinct without it — at sf1
+      // that re-evaluation was most of the query (91 s → measured with the
+      // pin below; stored rows are (doc_id, hash) pairs, 16 bytes each)
       Dedup.jaccardPairsFromShingles(
           Dedup.charShingleHashes(Tables.documents(s, d), "doc_id", "text",
-            n = 24),
+            n = 24).localCheckpoint(false),
           "doc_id", minJaccard = 0.3)
         .select(col("id_a"), col("id_b"), col("inter").as("shared"),
           (floor(col("jaccard") * 1e6 + 0.5) / 1e6).as("jaccard"))

@@ -98,6 +98,30 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("ANN top-k queries rank map-side: no window over the candidate product") {
+    // The round-7 rewrite contract: ranking is TopKByAggregate (bounded
+    // O(k) heap state, partial-mergeable), so the |corpus|×|queries|
+    // product dies map-side and the exchange carries k·|queries| rows.
+    // The window form it replaced shuffled and SORTED the entire product
+    // (measured 80× wall at 10× data). Two regressions surface here:
+    // a Window operator reappearing over the product, and CollapseProject
+    // inlining the cosine computation into the imperative aggregate's
+    // update — which evaluates it interpreted per product row (measured
+    // 4× the whole query) and shows up as the dot expression inside the
+    // graft_topk_by aggregate expression instead of a pinned attribute.
+    for (name <- Seq("q25_knn_exact", "q26_knn_ivf", "q88_quantized_rerank")) {
+      val plan = SparkEntry.queries(name)(spark, sfDir)
+        .queryExecution.executedPlan.toString
+      assert(!plan.linesIterator.exists(_.contains("Window [")),
+        s"$name plans a Window over the candidate product:\n$plan")
+      plan.linesIterator.filter(_.contains("graft_topk_by")).foreach { l =>
+        assert(!l.contains("graft_dot_long") && !l.contains("element_at"),
+          s"$name: cosine collapsed into the aggregate (interpreted " +
+            s"update): $l")
+      }
+    }
+  }
+
   test("per-row queries and the k-means assignment plan zero exchanges") {
     // these queries are contractually map-only: per-row expression chains
     // (q80/q86) and the literal-centroid argmax projection (q84 — the

@@ -13,6 +13,28 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
   private lazy val vecs = Tables.embeddings(spark, sf)
   private lazy val queries = vecs.filter($"vec_id" % 20 === 0)
 
+  test("native dotLong: exact sums, null/length edge semantics, both paths") {
+    // codegen path (per-row over a frame)
+    val df = Seq(
+      (Seq(1L, 2L, 3L), Seq(4L, 5L, 6L)),
+      (Seq(1000000L, -2000000L, 0L), Seq(3000000L, 4000000L, 9L)))
+      .toDF("a", "b")
+    assert(df.select(Similarity.dotLong($"a", $"b")).as[Long].collect().toSeq
+      === Seq(32L, -5000000000000L))
+    // interpreted path (constant folding evals driver-side)
+    assert(spark.range(1).select(Similarity.dotLong(
+        array(lit(2L), lit(3L)), array(lit(4L), lit(5L)))).as[Long].head()
+      === 23L)
+    // null array / mismatched lengths → null, matching the
+    // zip_with+aggregate fold this expression replaced
+    val edge = Seq(
+      (Some(Seq(1L, 2L)), Some(Seq(1L))),
+      (None: Option[Seq[Long]], Some(Seq(1L))))
+      .toDF("a", "b")
+    assert(edge.select(Similarity.dotLong($"a", $"b"))
+      .collect().map(_.isNullAt(0)).toSeq === Seq(true, true))
+  }
+
   test("quantized cosine matches a driver-side double computation") {
     val rows = vecs.filter($"vec_id".isin(0, 1)).orderBy("vec_id")
       .select("embedding").as[Seq[Float]].collect()
@@ -223,6 +245,41 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     val b = centShuffled.select($"cell", $"centroid").as[(Int, Seq[Long])]
       .collect().toMap
     assert(a === b)
+  }
+
+  test("autoSemanticK holds occupancy constant, then caps k at sqrt(n)") {
+    // k ∝ n keeps the Σ|cell|² pair join linear (n·targetPerCell) — a
+    // FIXED k measured 14.5× wall on 10× data; the floor reproduces the
+    // hand-tuned sf0.01/sf0.1 value so small fixtures are unchanged; the
+    // √n cap keeps the n·k assignment from becoming the quadratic term
+    assert(Similarity.autoSemanticK(500) === 8)   // sf0.01: floor wins
+    assert(Similarity.autoSemanticK(2040) === 8)  // sf0.1 augmented frame
+    assert(Similarity.autoSemanticK(20000) === 79) // occupancy regime
+    assert(Similarity.autoSemanticK(200000) === 448) // cap: ceil(sqrt(n))
+    // occupancy rules below the crossover n = targetPerCell², cap above
+    for (n <- Seq(10000L, 60000L))
+      assert(n.toDouble / Similarity.autoSemanticK(n) <= 256.0)
+    for (n <- Seq(100000L, 1000000L)) {
+      val k = Similarity.autoSemanticK(n)
+      assert(k === math.ceil(math.sqrt(n.toDouble)).toInt)
+    }
+  }
+
+  test("literal and broadcast-argmax assignment paths agree exactly") {
+    // the k-dispatch (LiteralAssignMaxK) must be invisible in results:
+    // same argmax cosine, same lower-cell tiebreak, bit-identical cosines
+    val q = vecs.limit(200)
+      .select($"vec_id".as("__id"), Similarity.quantize($"embedding").as("__qv"))
+      .withColumn("__qn", Similarity.dotLong($"__qv", $"__qv"))
+    val cent = Similarity.kmeansFit(vecs, "vec_id", "embedding",
+        k = 8, iters = 1)
+      .select($"cell", $"centroid").collect()
+      .map(r => r.getInt(0) -> r.getSeq[Long](1).toArray).sortBy(_._1).toSeq
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select($"__id", $"cell", $"__cos").as[(Long, Int, Double)]
+        .collect().sortBy(_._1).toSeq
+    assert(rows(Similarity.assignLiteral(q, cent))
+      === rows(Similarity.assignArgmax(q, cent)))
   }
 
   test("semanticDedupVerdict drops exact replants to their source") {
