@@ -519,6 +519,93 @@ object Dedup {
         coalesce(col("clean_text"), lit("")).as("clean_text"))
   }
 
+  /** Prefix-filtered exact-Jaccard similarity join (the All-Pairs / PPJoin
+    * family: Bayardo et al. WWW'07, Xiao et al. WWW'08) — the candidate-
+    * generation tier ABOVE the plain shingle inverted index when the
+    * threshold is high. The plain index ([[jaccardPairsFromShingles]])
+    * indexes EVERY shingle of every doc, so candidates cost Σ df² over all
+    * shingles and the hot tail needs an explicit `maxShingleDf` cutoff
+    * (which then forces a second recount join). Here each doc indexes only
+    * its PREFIX — its |d| − ⌈τ·|d|⌉ + 1 rarest shingles under one global
+    * canonical order (df ASC, shingle ASC) — so at τ = 0.9 only ~10% of
+    * the index exists at all, and the hot-key blow-up dies organically:
+    * high-df shingles sort LAST and fall out of every prefix, no cutoff
+    * parameter, no recount split, no recall loss.
+    *
+    * Completeness (the classical prefix-filter lemma): J(a,b) ≥ τ implies
+    * |a∩b| ≥ ⌈τ·max(|a|,|b|)⌉ =: α (since |a∩b| ≥ τ·|a∪b| ≥ τ·max and is
+    * an integer). Claim: the first |a|−α+1 elements of a and the first
+    * |b|−α+1 of b under the shared total order must intersect. Otherwise
+    * the SMALLEST shared element x misses at least one prefix — say a's;
+    * then x sits among a's last α−1 positions, and every other shared
+    * element, being greater than x in the order, sits after it in a's
+    * sorted layout — so all shared elements fit in α−1 slots,
+    * contradicting |a∩b| ≥ α. Per-doc prefixes use ⌈τ·|d|⌉ ≤ α, i.e.
+    * they are SUPERSETS of the α-prefixes: pruning is recall-lossless.
+    * The exact intersection recount on survivors keeps precision exact,
+    * so the whole filter is provably invisible in the result — the q100
+    * oracle deliberately runs the PLAIN formulation.
+    *
+    * The companion length filter (J ≥ τ forces τ·max(|a|,|b|) ≤
+    * min(|a|,|b|)) drops size-mismatched candidates before the distinct.
+    *
+    * Scale shape: one shingle-keyed exchange for df (partial-combined,
+    * corpus-wide precomputable), one id-keyed window for the per-doc rank
+    * (bounded per-doc state), a prefix-index equi-join whose per-key cost
+    * is prefix-df² ≪ df², and one recount join over surviving candidates.
+    * Determinism: shingles are distinct per doc, so (df ASC, shingle ASC)
+    * is a total order per doc and `row_number` is rerun-stable.
+    */
+  def prefixJaccardPairs(docs: DataFrame, id: String, text: String, n: Int,
+                         minJaccard: Double): DataFrame =
+    prefixJaccardPairsFromShingles(wordShingles(docs, id, text, n), id,
+      minJaccard)
+
+  /** Candidate pairs of [[prefixJaccardPairsFromShingles]]: (id_a, id_b,
+    * n_a, n_b), prefix-overlapping + length-compatible, before the exact
+    * verify. Public so specs can pin the pruning itself (candidate counts,
+    * length-filter edges), not just the invisible end result.
+    */
+  def prefixCandidates(sh: DataFrame, id: String,
+                       minJaccard: Double): DataFrame = {
+    val dfs = sh.groupBy("shingle").agg(count(lit(1)).as("__df"))
+    val byDoc = Window.partitionBy(col(id))
+    val ranked = sh.join(dfs, Seq("shingle"))
+      .withColumn("__r",
+        row_number().over(byDoc.orderBy(col("__df"), col("shingle"))))
+      .withColumn("__n", count(lit(1)).over(byDoc))
+    val prefix = ranked
+      .filter(col("__r") <=
+        col("__n") - ceil(lit(minJaccard) * col("__n")) + lit(1))
+      .select(col(id), col("shingle"), col("__n"))
+    prefix.select(col(id).as("id_a"), col("shingle"), col("__n").as("n_a"))
+      .join(prefix.select(col(id).as("id_b"), col("shingle"),
+        col("__n").as("n_b")), Seq("shingle"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(least(col("n_a"), col("n_b")) >=
+        ceil(lit(minJaccard) * greatest(col("n_a"), col("n_b"))))
+      .select("id_a", "id_b", "n_a", "n_b").distinct()
+  }
+
+  /** [[prefixJaccardPairs]] over an existing (id, shingle) frame. Output:
+    * (id_a, id_b, n_a, n_b, inter, jaccard), id_a < id_b, jaccard ≥ τ —
+    * identical rows to the unguarded [[jaccardPairsFromShingles]] at the
+    * same threshold (spec-pinned), with a strictly smaller candidate set.
+    */
+  def prefixJaccardPairsFromShingles(sh: DataFrame, id: String,
+                                     minJaccard: Double): DataFrame = {
+    val inter = prefixCandidates(sh, id, minJaccard)
+      .join(sh.select(col(id).as("id_a"), col("shingle")), Seq("id_a"))
+      .join(sh.select(col(id).as("id_b"), col("shingle")),
+        Seq("id_b", "shingle"))
+      .groupBy("id_a", "id_b", "n_a", "n_b").agg(count(lit(1)).as("inter"))
+    inter
+      .withColumn("jaccard",
+        col("inter") / (col("n_a") + col("n_b") - col("inter")))
+      .filter(col("jaccard") >= minJaccard)
+      .select("id_a", "id_b", "n_a", "n_b", "inter", "jaccard")
+  }
+
   /** SymSpell-style typo pairs over a vocabulary: all DISTINCT token pairs
     * within Levenshtein distance 1, found via the deletion-1 neighborhood —
     * each token emits itself plus every single-character deletion, and two

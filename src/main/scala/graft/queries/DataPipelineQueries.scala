@@ -71,6 +71,26 @@ object DataPipelineQueries extends Catalog {
           (floor(col("jaccard") * 1e6 + 0.5) / 1e6).as("jaccard"))
     }),
 
+    // ---- prefix-filtered similarity join (All-Pairs / PPJoin family) -------
+    // the candidate-generation tier ABOVE q22's full inverted index for
+    // high thresholds: each doc indexes only its |d| − ceil(τ·|d|) + 1
+    // RAREST shingles under a global (df, shingle) order, so candidates
+    // meet in a prefix-index equi-join (prefix-df² per key, not df²) and
+    // hot shingles fall out of every prefix organically — no cutoff
+    // parameter, no recount split, provably zero recall loss (lemma in
+    // the Dedup scaladoc). The oracle runs the PLAIN all-shared-shingle
+    // formulation: the filter must be invisible. At sf0.01, τ = 0.4 keeps
+    // 15,985 of 26,136 postings in the prefix index and generates 1,842
+    // candidate pairs where the full index generates 11,533 (6.3×); the
+    // gap widens with τ (prefix fraction ≈ 1−τ) and with corpus-level
+    // shingle skew (hot shingles leave every prefix).
+    "q100_prefix_jaccard" -> ((s, d) => {
+      Dedup.prefixJaccardPairs(Tables.documents(s, d), "doc_id", "text",
+          n = 3, minJaccard = 0.4)
+        .select(col("id_a"), col("id_b"), col("inter").as("shared"),
+          (floor(col("jaccard") * 1e6 + 0.5) / 1e6).as("jaccard"))
+    }),
+
     // ---- MinHash + LSH banded near-dup (scale path) ------------------------
     // portable = true: signatures use FNV-1a 64, re-spelled in the oracle's
     // HUGEINT arithmetic, so the banded-LSH candidate set and the verified
@@ -556,6 +576,29 @@ object DataPipelineQueries extends Catalog {
          |JOIN sizes na ON id_a = na.doc_id
          |JOIN sizes nb ON id_b = nb.doc_id
          |WHERE CAST(inter AS DOUBLE)/(na.n_sh + nb.n_sh - inter) >= 0.1""".stripMargin,
+
+    // deliberately the PLAIN formulation — every shared-shingle pair with
+    // its exact Jaccard, no prefix logic: the prefix filter is a pruning
+    // device and must be invisible in the result (q78's Bloom device)
+    "q100_prefix_jaccard" ->
+      s"""WITH w AS (SELECT doc_id, $wordsSql AS ws FROM documents),
+         |idx AS (SELECT doc_id, ws, unnest(range(len(ws)-2)) AS i
+         |        FROM w WHERE len(ws) >= 3),
+         |sh AS (SELECT DISTINCT doc_id,
+         |         array_to_string(ws[i+1:i+3], ' ') AS shingle FROM idx),
+         |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+         |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |            count(*) AS inter
+         |          FROM sh a JOIN sh b
+         |            ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |          GROUP BY 1, 2)
+         |SELECT id_a, id_b, inter AS shared,
+         |  floor(CAST(inter AS DOUBLE)/(na.n_sh + nb.n_sh - inter)*1000000.0
+         |    + 0.5)/1000000.0 AS jaccard
+         |FROM inter
+         |JOIN sizes na ON id_a = na.doc_id
+         |JOIN sizes nb ON id_b = nb.doc_id
+         |WHERE CAST(inter AS DOUBLE)/(na.n_sh + nb.n_sh - inter) >= 0.4""".stripMargin,
 
     // the same pair pipeline, closed transitively: DuckDB's recursive CTE
     // computes min-reachable-id per vertex — a different algorithm than the

@@ -246,4 +246,80 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     // exactly the planted pairs — no false positives from shared variants
     assert(got.size === 4)
   }
+
+  test("prefix-filtered Jaccard equals the unguarded inverted index") {
+    for (tau <- Seq(0.3, 0.5, 0.8)) {
+      val full = Dedup.jaccardPairs(docs, "doc_id", "text", 3, tau)
+        .select("id_a", "id_b", "inter", "jaccard")
+        .as[(Long, Long, Long, Double)].collect().toSet
+      val pref = Dedup.prefixJaccardPairs(docs, "doc_id", "text", 3, tau)
+        .select("id_a", "id_b", "inter", "jaccard")
+        .as[(Long, Long, Long, Double)].collect().toSet
+      assert(pref === full, s"tau=$tau")
+    }
+  }
+
+  test("prefix-filtered Jaccard is complete vs driver-side brute force " +
+      "on a seeded random corpus") {
+    val rnd = new scala.util.Random(4242)
+    // tiny vocabulary so bigram shingles actually collide across docs:
+    // many pairs land on either side of the threshold
+    val vocab = (0 until 8).map(i => s"w$i")
+    val corpus = (1L to 60L).map { i =>
+      val len = 12 + rnd.nextInt(14)
+      (i, Seq.fill(len)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    val df = corpus.toDF("doc_id", "text")
+    val tau = 0.2
+    val got = Dedup.prefixJaccardPairs(df, "doc_id", "text", 2, tau)
+      .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)]
+      .collect().map(r => (r._1, r._2) -> r._3).toMap
+    // brute force over all pairs, driver-side, independent shingling
+    def shingles(t: String): Set[String] = {
+      val ws = t.trim.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      if (ws.length < 2) Set.empty
+      else ws.sliding(2).map(_.mkString(" ")).toSet
+    }
+    val sets = corpus.map { case (i, t) => i -> shingles(t) }.toMap
+    val want = (for {
+      a <- corpus.map(_._1); b <- corpus.map(_._1) if a < b
+      inter = (sets(a) intersect sets(b)).size
+      if inter > 0
+      j = inter.toDouble / (sets(a).size + sets(b).size - inter)
+      if j >= tau
+    } yield (a, b) -> j).toMap
+    assert(got === want)
+    assert(want.nonEmpty, "fixture must actually produce qualifying pairs")
+  }
+
+  test("prefix candidates prune vs the full index and honor the length filter") {
+    // boilerplate corpus: every doc shares ONE hot trigram (df = 6) plus
+    // unique content. The full index makes all 15 pairs candidates; under
+    // the (df ASC, shingle ASC) canonical order the hot trigram sorts LAST
+    // and falls out of every prefix, so the prefix index generates ZERO —
+    // the organic stop-shingle behavior that replaces q22's df cutoff
+    val boiler = (1L to 6L).map { i =>
+      (i, s"u${i}a u${i}b u${i}c u${i}d subscribe to newsletter")
+    }.toDF("doc_id", "text")
+    val sh = Dedup.wordShingles(boiler, "doc_id", "text", 3)
+    val fullCand = sh.select($"doc_id".as("id_a"), $"shingle")
+      .join(sh.select($"doc_id".as("id_b"), $"shingle"), Seq("shingle"))
+      .filter($"id_a" < $"id_b").select("id_a", "id_b").distinct().count()
+    assert(fullCand === 15L)
+    assert(Dedup.prefixCandidates(sh, "doc_id", 0.5).count() === 0L)
+    // length filter: a 3-shingle doc vs a 30-shingle doc can never reach
+    // J >= 0.5 (3/30 = 0.1 even at full containment) — no candidate even
+    // though they share a shingle
+    val skew = Seq(
+      (1L, "alpha beta gamma delta epsilon"), // 3 trigram shingles
+      (2L, ("alpha beta gamma delta epsilon " +
+        (1 to 27).map(i => s"filler$i").mkString(" ")))
+    ).toDF("doc_id", "text")
+    val skewSh = Dedup.wordShingles(skew, "doc_id", "text", 3)
+    assert(Dedup.prefixCandidates(skewSh, "doc_id", 0.5).count() === 0)
+    // sanity: they DO share shingles — only the length filter removed them
+    val shared = skewSh.filter($"doc_id" === 1).select("shingle")
+      .intersect(skewSh.filter($"doc_id" === 2).select("shingle")).count()
+    assert(shared > 0)
+  }
 }
