@@ -37,7 +37,8 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
       "q46_user_mart", "q48_zone_mart", "q49_recommendations",
       "q78_bloom_pruned_join", "q82_mixture_rebalance",
       "q87_boilerplate_ngrams", "q88_quantized_rerank",
-      "q93_heavy_hitters", "q96_heavy_sources") // 1-row scalar attaches
+      "q93_heavy_hitters", "q96_heavy_sources",
+      "q101_bm25_topk") // 1-row scalar attaches (q101: N + total-len stats)
 
   test("no catalog query plans a CartesianProduct") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
@@ -129,7 +130,7 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
     // shuffles). A regression that introduces an exchange here is a plan
     // bug even if results stay correct.
     for (name <- Seq("q80_repetition_signals", "q84_kmeans_embed",
-        "q86_quality_verdict")) {
+        "q86_quality_verdict", "q103_chunk_windows")) {
       val plan = SparkEntry.queries(name)(spark, sfDir)
         .queryExecution.executedPlan.toString
       val exchanges = plan.linesIterator.count(l =>
