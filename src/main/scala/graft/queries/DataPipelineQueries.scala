@@ -460,6 +460,21 @@ object DataPipelineQueries extends Catalog {
         Tables.events(s, d), gapMicros = 30L * 60 * 1000 * 1000)
     }),
 
+    // ---- stream-stream attribution join, batch twin (X74b) -----------------
+    // EventStream.attributionJoin on the batch table: every purchase pairs
+    // with each same-user click in the preceding 30 minutes (inclusive
+    // bounds). The streaming side — watermarks on both inputs, time-range
+    // state eviction — is spec-land (EventStreamSpec); this twin pins the
+    // OUTPUT of the identical code path under a DuckDB oracle. Timestamps
+    // leave as epoch micros (both engines compare at the µs truncation
+    // Tables.events reads at).
+    "q102_attribution_join" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      graft.streaming.EventStream.attributionJoin(
+        ev.filter(col("event_type") === "click"),
+        ev.filter(col("event_type") === "purchase"))
+    }),
+
     // ---- exact interpolated percentiles of doc length per language ---------
     // (the quality-score distribution cut a curation pipeline filters on;
     // exact `percentile`, not approx — deterministic and oracle-matched)
@@ -1175,6 +1190,18 @@ object DataPipelineQueries extends Catalog {
         |mx AS (SELECT user_id, max(sid) AS msid FROM agg GROUP BY 1)
         |SELECT user_id, events, first_ts_micros, last_ts_micros
         |FROM agg JOIN mx USING (user_id) WHERE sid < msid""".stripMargin,
+
+    // µs-cast before every comparison, matching the Spark read-side
+    // truncation (events.parquet is TIMESTAMP(NANOS))
+    "q102_attribution_join" ->
+      """SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+        |  epoch_us(CAST(c.ts AS TIMESTAMP)) AS click_us,
+        |  epoch_us(CAST(p.ts AS TIMESTAMP)) AS purchase_us, p.value
+        |FROM events c JOIN events p ON c.user_id = p.user_id
+        |WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+        |  AND CAST(p.ts AS TIMESTAMP) >= CAST(c.ts AS TIMESTAMP)
+        |  AND CAST(p.ts AS TIMESTAMP)
+        |    <= CAST(c.ts AS TIMESTAMP) + INTERVAL 30 MINUTE""".stripMargin,
 
     // tumbling 1h windows are epoch-aligned in both engines: date_trunc is
     // Spark's window(ts, '1 hour') start for hour-multiples

@@ -239,6 +239,51 @@ object EventStream {
         col("first_ts_micros"), col("last_ts_micros"))
   }
 
+  /** Stream-stream click→purchase attribution: every purchase pairs with
+    * each same-user click in the preceding `horizonMinutes` — the last big
+    * Structured Streaming surface beside windowed aggregation (q47),
+    * session windows (q50/q98), stateful emission (X68) and streaming
+    * dedup (q67). On streaming inputs both sides carry watermarks and the
+    * join keeps its time-RANGE condition on the raw event-time columns —
+    * exactly what Spark's state-cleanup analysis needs to bound the
+    * buffers: a click evicts once the purchase watermark passes
+    * click.ts + horizon, a purchase as soon as its own watermark passes
+    * (purchases never match older-than-horizon clicks). Without the range
+    * condition, stream-stream inner join state grows forever — the same
+    * unbounded-state failure `dropDuplicates` has in q67.
+    *
+    * The SAME code runs on batch frames (no watermarks — they don't exist
+    * in batch) and is the q102 oracle twin; timestamps leave as epoch
+    * micros, never raw TIMESTAMP (driver-comparator contract). Purchases
+    * with no prior click simply don't appear (inner join — the
+    * attribution grain); the horizon bound is inclusive on both ends.
+    *
+    * 100 TB shape: the join is user-keyed equi + time residual, so state
+    * and shuffle partition by user_id; per-user buffered state is bounded
+    * by horizon + watermark delay worth of events.
+    */
+  def attributionJoin(clicks: DataFrame, purchases: DataFrame,
+                      horizonMinutes: Int = 30,
+                      watermark: String = "1 hour"): DataFrame = {
+    val (c, p) =
+      if (clicks.isStreaming)
+        (clicks.withWatermark("ts", watermark),
+          purchases.withWatermark("ts", watermark))
+      else (clicks, purchases)
+    val cc = c.select(col("event_id").as("click_id"),
+      col("user_id"), col("ts").as("click_ts"))
+    val pp = p.select(col("event_id").as("purchase_id"),
+      col("user_id").as("__pu"), col("ts").as("purchase_ts"), col("value"))
+    cc.join(pp,
+        col("user_id") === col("__pu") &&
+          col("purchase_ts") >= col("click_ts") &&
+          col("purchase_ts") <= col("click_ts") +
+            expr(s"INTERVAL $horizonMinutes MINUTES"))
+      .select(col("user_id"), col("click_id"), col("purchase_id"),
+        unix_micros(col("click_ts")).as("click_us"),
+        unix_micros(col("purchase_ts")).as("purchase_us"), col("value"))
+  }
+
   /** Wire a streaming frame to an in-memory table (tests) or console. */
   def startToMemory(df: DataFrame, queryName: String,
                     outputMode: OutputMode = OutputMode.Update()) =

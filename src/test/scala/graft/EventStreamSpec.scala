@@ -269,4 +269,47 @@ class EventStreamSpec extends AnyFunSuite with SparkTestBase {
     assert(acc.size === oneShot.size)
     assert(acc.toSet === oneShot)
   }
+
+  test("stream-stream attribution join buffers across batches and equals " +
+      "the batch twin") {
+    implicit val ctx = spark.sqlContext
+    val cIn = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val pIn = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val cols = Seq("event_id", "ts", "user_id", "event_type", "value")
+    val joined = EventStream.attributionJoin(
+      cIn.toDF().toDF(cols: _*), pIn.toDF().toDF(cols: _*),
+      horizonMinutes = 30, watermark = "10 minutes")
+    val q = EventStream.startToMemory(joined, "attr", OutputMode.Append())
+    val clicks = Seq[(Long, Timestamp, Long, String, Double)](
+      (1L, ts("2022-06-15 10:00:00"), 7L, "click", 0.0),
+      (2L, ts("2022-06-15 10:10:00"), 7L, "click", 0.0),
+      (3L, ts("2022-06-15 10:00:00"), 9L, "click", 0.0))
+    val purchases = Seq[(Long, Timestamp, Long, String, Double)](
+      // batch 2: matches clicks 1 AND 2 (both within 30 min, same user)
+      (10L, ts("2022-06-15 10:25:00"), 7L, "purchase", 9.5),
+      // exactly on the horizon bound of click 1 — inclusive, must match
+      (11L, ts("2022-06-15 10:30:00"), 7L, "purchase", 1.5),
+      // same user, outside the horizon of every click — no match
+      (12L, ts("2022-06-15 11:30:00"), 7L, "purchase", 2.0),
+      // other user: purchase BEFORE its user's click — no match
+      (13L, ts("2022-06-15 09:50:00"), 9L, "purchase", 3.0))
+    try {
+      // clicks arrive first, purchases in a LATER micro-batch: the join
+      // must buffer click state across the batch boundary
+      cIn.addData(clicks)
+      q.processAllAvailable()
+      pIn.addData(purchases)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("attr")
+      .select("click_id", "purchase_id").as[(Long, Long)].collect().toSet
+    assert(got === Set((1L, 10L), (2L, 10L), (1L, 11L), (2L, 11L)))
+    // identical code path on batch frames equals the streaming output
+    val all = (clicks ++ purchases).toDF(cols: _*)
+    val twin = EventStream.attributionJoin(
+        all.filter($"event_type" === "click"),
+        all.filter($"event_type" === "purchase"))
+      .select("click_id", "purchase_id").as[(Long, Long)].collect().toSet
+    assert(twin === got)
+  }
 }
