@@ -301,6 +301,49 @@ object CorpusOps extends Catalog {
           (abs(col("approx_users") - col("exact_users")) * 20 <=
             col("exact_users")).cast("long").as("within_bound"))
     }),
+
+    // ---- approx-percentile error contract (q66's device for quantiles) -----
+    // the quantile member of the sketch family (X40 HLL counts, X67 MG
+    // heavy hitters, X72 KMV): percentile_approx is GK-style with a
+    // documented RANK guarantee — |rank(est) − p·n| ≤ n/accuracy — and,
+    // like HLL's registers, its estimate is engine-specific. So the oracle
+    // pins what IS portable: the exact kth-order-statistic BRACKET
+    // [value@(⌊p·n⌋ − ⌈n/100⌉), value@(⌈p·n⌉ + ⌈n/100⌉)] — both endpoints
+    // hash-checked — plus a within_bound flag the DuckDB twin emits as
+    // constant true from ITS exact ranks: the hash matches iff every
+    // estimate lands inside its bracket. Sketch state is O(accuracy) per
+    // group vs the exact form's per-group sort — the 100 TB trade; the
+    // exact bracket side here exists only to CHECK the sketch.
+    "q104_quantile_sketch_bound" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .select(col("l_returnflag").as("grp"), col("l_extendedprice").as("val"))
+      val byG = org.apache.spark.sql.expressions.Window.partitionBy("grp")
+      val ranked = li
+        .withColumn("rn", row_number().over(byG.orderBy(col("val"))).cast("long"))
+        .withColumn("n", count(lit(1)).over(byG))
+      val est = li.groupBy("grp").agg(
+          percentile_approx(col("val"), lit(0.5), lit(100)).as("e50"),
+          percentile_approx(col("val"), lit(0.9), lit(100)).as("e90"),
+          percentile_approx(col("val"), lit(0.99), lit(100)).as("e99"))
+        .select(col("grp"),
+          expr("stack(3, 0.5D, e50, 0.9D, e90, 0.99D, e99) as (p, est)"))
+      val sizes = li.groupBy("grp").agg(count(lit(1)).as("n"))
+      val eps = ceil(col("n") / lit(100.0)).cast("long")
+      val bounds = est.join(sizes, "grp")
+        .withColumn("klo",
+          greatest(lit(1L), floor(col("p") * col("n")).cast("long") - eps))
+        .withColumn("khi",
+          least(col("n"), ceil(col("p") * col("n")).cast("long") + eps))
+      bounds
+        .join(ranked.select(col("grp"), col("rn").as("klo"),
+          col("val").as("exact_lo")), Seq("grp", "klo"))
+        .join(ranked.select(col("grp"), col("rn").as("khi"),
+          col("val").as("exact_hi")), Seq("grp", "khi"))
+        .select(col("grp"), col("p"), col("n"),
+          col("exact_lo"), col("exact_hi"),
+          (col("est") >= col("exact_lo") && col("est") <= col("exact_hi"))
+            .cast("long").as("within_bound"))
+    }),
   )
 
   override def oracles: Map[String, String] = Map(
@@ -312,6 +355,28 @@ object CorpusOps extends Catalog {
         |  CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
         |  CAST(1 AS BIGINT) AS within_bound
         |FROM events GROUP BY 1""".stripMargin,
+
+    // exact kth-order-statistic brackets from DuckDB's own sort; the flag
+    // is constant true — the hash matches iff Spark's estimates all land
+    // inside their brackets (the q66 within-bound device)
+    "q104_quantile_sketch_bound" ->
+      """WITH r AS (SELECT l_returnflag AS grp, l_extendedprice AS val,
+        |    row_number() OVER (PARTITION BY l_returnflag
+        |      ORDER BY l_extendedprice) AS rn,
+        |    count(*) OVER (PARTITION BY l_returnflag) AS n
+        |  FROM lineitem),
+        |sizes AS (SELECT grp, CAST(count(*) AS BIGINT) AS n FROM r GROUP BY 1),
+        |b AS (SELECT grp, n, p,
+        |    greatest(1, CAST(floor(p*n) AS BIGINT)
+        |      - CAST(ceil(n/100.0) AS BIGINT)) AS klo,
+        |    least(n, CAST(ceil(p*n) AS BIGINT)
+        |      + CAST(ceil(n/100.0) AS BIGINT)) AS khi
+        |  FROM sizes CROSS JOIN (SELECT unnest([0.5, 0.9, 0.99]) AS p))
+        |SELECT b.grp, b.p, b.n, lo.val AS exact_lo, hi.val AS exact_hi,
+        |  CAST(1 AS BIGINT) AS within_bound
+        |FROM b
+        |JOIN r lo ON lo.grp = b.grp AND lo.rn = b.klo
+        |JOIN r hi ON hi.grp = b.grp AND hi.rn = b.khi""".stripMargin,
     // same FNV bucket arithmetic per stratum (pmod == ((x%n)+n)%n)
     "q82_mixture_rebalance" -> {
       import graft.plans.Fnv1a64Expression.{longSqlText, toSignedSqlText}

@@ -119,6 +119,35 @@ class CorpusOpsSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("q104 bracket ranks: exact order statistics around p·n, estimate " +
+      "inside") {
+    val got = CorpusOps.queries("q104_quantile_sketch_bound")(spark, sf)
+      .select("grp", "p", "n", "exact_lo", "exact_hi", "within_bound")
+      .collect()
+    assert(got.length === 9) // 3 return flags x 3 quantiles
+    // every bracket is ordered, every estimate landed inside (the GK rank
+    // guarantee at accuracy 100 — the property the oracle hash rides on)
+    got.foreach { r =>
+      assert(r.getAs[Double]("exact_lo") <= r.getAs[Double]("exact_hi"))
+      assert(r.getAs[Long]("within_bound") === 1L)
+    }
+    // independent driver-side check for one group: sort the values and
+    // index the same klo/khi formulas directly
+    val vals = graft.sources.Tables.lineitem(spark, sf)
+      .filter(col("l_returnflag") === "R")
+      .select(col("l_extendedprice")).as[Double].collect().sorted
+    val n = vals.length
+    val eps = math.ceil(n / 100.0).toLong
+    for (p <- Seq(0.5, 0.9, 0.99)) {
+      val klo = math.max(1L, math.floor(p * n).toLong - eps)
+      val khi = math.min(n.toLong, math.ceil(p * n).toLong + eps)
+      val row = got.find(r => r.getAs[String]("grp") == "R" &&
+        r.getAs[Double]("p") == p).get
+      assert(row.getAs[Double]("exact_lo") === vals((klo - 1).toInt))
+      assert(row.getAs[Double]("exact_hi") === vals((khi - 1).toInt))
+    }
+  }
+
   test("q64 centroid quantization is order-independent (repartition-stable)") {
     val q = CorpusOps.queries("q64_embedding_centroids")(spark, sf)
     val shuffled = graft.sources.Tables.embeddings(spark, sf)
