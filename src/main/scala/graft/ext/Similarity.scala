@@ -666,4 +666,78 @@ object Similarity {
   def cosineLongSqlText(a: String, b: String): String =
     s"(${dotLongSqlText(a, b)} / (sqrt(CAST(${dotLongSqlText(a, a)} AS DOUBLE))" +
       s" * sqrt(CAST(${dotLongSqlText(b, b)} AS DOUBLE))))"
+
+  /** Distributed Gram (uncentered second-moment) matrix per group: for each
+    * `grp`, Σ over rows of qᵢ·qⱼ on the 1e6-quantized vectors, upper
+    * triangle (i ≤ j) only — the exact-integer input to PCA / whitening /
+    * covariance analysis over an embedding column. Everything is integer
+    * sums of integer products, so the matrix is order-independent and
+    * hash-exact cross-engine — q91's exact-moment device generalized from
+    * the diagonal (squared norms) to the full cross-moment matrix.
+    *
+    * Each row explodes to its d·(d+1)/2 upper-triangle products via one
+    * nested `transform` + `flatten` (array math in whole-stage codegen, no
+    * UDF), and one (grp, i, j)-keyed exchange carries the partial sums —
+    * rows·d²/2 explode map-side but only \|groups\|·d²/2 cross the wire.
+    * Overflow bound: \|q\|∞ ≤ s·max\|x\| and n rows give Σ ≤ n·(s·max\|x\|)²
+    * — at s = 1e6, \|x\| ≤ 1.1, n ≤ 7·10⁵ that is ~8.5·10¹⁷ < 2⁶³; past
+    * that, drop `scale` one decade per 100× rows (the q84 mean-scale
+    * trade). The d×d result (d = 64: 2,080 cells/group) is driver-sized
+    * by construction — the [[pcaTopComponent]] eigensolve runs there,
+    * MLlib-style, like the k-means centroid state.
+    *
+    * Output: (grp, i, j, n, s) with 1-based dims, i ≤ j, s the exact
+    * integer Σ qᵢ·qⱼ.
+    */
+  def gramMatrix(df: DataFrame, grp: String, vec: String,
+                 scale: Double = DefaultScale): DataFrame = {
+    val d = size(col("__qv"))
+    val pairs = flatten(transform(sequence(lit(1), d), i =>
+      transform(sequence(i, d), j =>
+        struct(i.as("i"), j.as("j"),
+          (element_at(col("__qv"), i) * element_at(col("__qv"), j))
+            .as("p")))))
+    df.select(col(grp).as("grp"), quantize(col(vec), scale).as("__qv"))
+      .select(col("grp"), explode(pairs).as("__e"))
+      .groupBy(col("grp"), col("__e.i").as("i"), col("__e.j").as("j"))
+      .agg(count(lit(1)).as("n"), sum(col("__e.p")).as("s"))
+  }
+
+  /** Driver-side top principal component of a COLLECTED Gram matrix
+    * (d×d doubles — k·dims²-sized state, the same driver-resident model
+    * tier as the k-means centroids): `iters` fixed power-iteration rounds
+    * from the all-ones vector, normalized each round. Deterministic — no
+    * randomness, fixed iteration count, plain double arithmetic — so any
+    * two runs (and any driver) produce bit-identical components. Returns
+    * the unnormalized direction's unit vector; sign fixed by making the
+    * largest-magnitude coordinate positive (eigenvectors are defined up
+    * to sign).
+    *
+    * The projection of corpus rows onto the component is then a literal
+    * zero-exchange map (the q84 assignment shape) — dot with a constant
+    * vector — which callers build with [[dotLong]] against `lit` arrays.
+    */
+  def pcaTopComponent(gram: Array[(Int, Int, Long)], d: Int,
+                      iters: Int = 30): Array[Double] = {
+    val a = Array.ofDim[Double](d, d)
+    gram.foreach { case (i, j, s) =>
+      a(i - 1)(j - 1) = s.toDouble
+      a(j - 1)(i - 1) = s.toDouble
+    }
+    var v = Array.fill(d)(1.0 / math.sqrt(d.toDouble))
+    var it = 0
+    while (it < iters) {
+      val w = Array.tabulate(d) { i =>
+        var acc = 0.0
+        var j = 0
+        while (j < d) { acc += a(i)(j) * v(j); j += 1 }
+        acc
+      }
+      val norm = math.sqrt(w.map(x => x * x).sum)
+      v = if (norm == 0.0) v else w.map(_ / norm)
+      it += 1
+    }
+    val maxIdx = v.indices.maxBy(i => math.abs(v(i)))
+    if (v(maxIdx) < 0) v.map(x => -x) else v
+  }
 }

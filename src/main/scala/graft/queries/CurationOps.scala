@@ -391,6 +391,22 @@ object CurationOps extends Catalog {
           (num > lit(9.0) * den).cast("int").as("is_outlier"))
     }),
 
+    // ---- distributed Gram matrix (the PCA/whitening input) -----------------
+    // q91's exact-moment device generalized from the diagonal (squared
+    // norms) to the full cross-moment matrix: per label, Σ qᵢ·qⱼ over the
+    // 1e6-quantized vectors, upper triangle — integer sums of integer
+    // products, order-independent, hash-exact. One (label, i, j)-keyed
+    // exchange of partial sums; the d×d result is driver-sized, where
+    // Similarity.pcaTopComponent runs the deterministic power iteration
+    // (spec-land — eigensolves are k·dims² driver math, like the k-means
+    // centroid state; projection back onto the corpus is then a literal
+    // zero-exchange map, the q84 assignment shape).
+    "q105_gram_matrix" -> ((s, d) => {
+      Similarity.gramMatrix(Tables.embeddings(s, d), "label", "embedding")
+        .select(col("grp").as("label"), col("i").cast("long").as("i"),
+          col("j").cast("long").as("j"), col("n"), col("s"))
+    }),
+
     // ---- composite quality-filter verdict (C4/Gopher rule chain) ----------
     // the keep/drop decision a curation pipeline makes per document, with
     // the FIRST failing rule named (the audit trail production filters
@@ -697,6 +713,23 @@ object CurationOps extends Catalog {
          |  CASE WHEN $num > 9.0 * $den THEN 1 ELSE 0 END AS is_outlier
          |FROM q JOIN st USING (label)""".stripMargin
     },
+
+    // the same quantization, the same upper-triangle products, re-derived
+    // through DuckDB's nested list comprehension; sum(BIGINT) → HUGEINT →
+    // CAST back (every cell bounded ≪ 2⁶³ — see the gramMatrix scaladoc)
+    "q105_gram_matrix" ->
+      """WITH qv AS (SELECT label,
+        |    [CAST(floor(CAST(embedding[i] AS DOUBLE)*1000000.0 + 0.5)
+        |      AS BIGINT) FOR i IN range(1, len(embedding)+1)] AS v
+        |  FROM embeddings),
+        |pairs AS (SELECT label,
+        |    unnest(flatten([[{'i': i, 'j': j, 'p': v[i]*v[j]}
+        |                     FOR j IN range(i, len(v)+1)]
+        |                    FOR i IN range(1, len(v)+1)])) AS e
+        |  FROM qv)
+        |SELECT label, CAST(e.i AS BIGINT) AS i, CAST(e.j AS BIGINT) AS j,
+        |  CAST(count(*) AS BIGINT) AS n, CAST(sum(e.p) AS BIGINT) AS s
+        |FROM pairs GROUP BY 1, 2, 3""".stripMargin,
 
     "q88_quantized_rerank" -> {
       val cosCoarse = Similarity.cosineSqlText("qe", "embedding", 1e2)

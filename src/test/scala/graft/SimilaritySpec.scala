@@ -297,4 +297,51 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(dropped === expectedDrops)
     assert(verdict.filter($"keep" === 1 && $"dup_of".isNotNull).count() === 0)
   }
+
+  test("gramMatrix equals the driver-side cross-moment sums and is " +
+      "repartition-stable") {
+    val rows = Seq(
+      ("a", Seq(1.0f, 2.0f, -1.0f)),
+      ("a", Seq(0.5f, -0.25f, 3.0f)),
+      ("b", Seq(2.0f, 0.0f, 1.0f)))
+    val df = rows.toDF("grp", "vec")
+    val got = Similarity.gramMatrix(df, "grp", "vec")
+      .select("grp", "i", "j", "n", "s")
+      .as[(String, Int, Int, Long, Long)].collect()
+      .map(r => (r._1, r._2, r._3) -> ((r._4, r._5))).toMap
+    // independent driver-side computation with the same quantization
+    def q(x: Float): Long = math.floor(x.toDouble * 1e6 + 0.5).toLong
+    val want = rows.groupBy(_._1).flatMap { case (g, rs) =>
+      for (i <- 1 to 3; j <- i to 3) yield (g, i, j) ->
+        ((rs.size.toLong,
+          rs.map(r => q(r._2(i - 1)) * q(r._2(j - 1))).sum))
+    }
+    assert(got === want)
+    assert(got.size === 2 * 6) // 2 groups x upper triangle of 3x3
+    val reparted = Similarity.gramMatrix(df.repartition(7), "grp", "vec")
+      .select("grp", "i", "j", "n", "s")
+      .as[(String, Int, Int, Long, Long)].collect()
+      .map(r => (r._1, r._2, r._3) -> ((r._4, r._5))).toMap
+    assert(reparted === got)
+  }
+
+  test("pcaTopComponent recovers a planted dominant direction") {
+    // 40 vectors strongly along e1 with small e2/e3 noise: the Gram
+    // matrix's top eigenvector must align with e1
+    val rnd = new scala.util.Random(7)
+    val planted = (1 to 40).map { _ =>
+      val s = if (rnd.nextBoolean()) 1.0f else -1.0f
+      ("x", Seq(s * (0.9f + rnd.nextFloat() * 0.1f),
+        (rnd.nextFloat() - 0.5f) * 0.1f, (rnd.nextFloat() - 0.5f) * 0.1f))
+    }
+    val gram = Similarity.gramMatrix(planted.toDF("grp", "vec"), "grp", "vec")
+      .select("i", "j", "s").as[(Int, Int, Long)].collect()
+    val v = Similarity.pcaTopComponent(gram, d = 3)
+    assert(math.abs(math.sqrt(v.map(x => x * x).sum) - 1.0) < 1e-9)
+    assert(math.abs(v(0)) > 0.99, s"component ${v.toSeq} must align with e1")
+    // sign contract: largest-magnitude coordinate is positive
+    assert(v(0) > 0)
+    // determinism: a second run is bit-identical
+    assert(Similarity.pcaTopComponent(gram, d = 3).toSeq === v.toSeq)
+  }
 }
