@@ -126,6 +126,52 @@ object AdvancedOps extends Catalog {
     // repartitions can't change membership, unlike sampleBy), keep the
     // first ceil(0.1·n). Exact quotas inherently rank the stratum; the
     // hash-threshold split (q55) is the sort-free approximate alternative.
+    // ---- priority sampling: weighted k-sample + unbiased estimator ---------
+    // Duffield–Lund–Thorup priority sampling, the WEIGHTED member of the
+    // deterministic-sampling family (q55 hash split, q58 stratified, q82
+    // rebalance): per language, the k = 20 docs with highest priority
+    // w/u, where u ∈ (0,1] derives from fnv(doc_id) via the q97
+    // signed-double + conditional-2⁶⁴ sequence — every arithmetic step is
+    // IEEE +,−,×,÷ mirrored in the oracle, so the whole sample AND the
+    // estimator are hash-exact, and membership is rerun/repartition/
+    // ingestion-stable where a random weighted sampler is not. Heavy docs
+    // are preferentially kept (P[keep] ∝ w roughly), and est_w =
+    // max(w, τ) with τ = the (k+1)-th priority makes Σ est_w over the
+    // sample an UNBIASED estimate of the stratum's total token mass —
+    // the subset-sum contract that lets a pipeline audit its corpus from
+    // k rows per stratum. Ranking runs through the bounded-state top-k
+    // aggregate (k+1 rows per language cross the exchange, never a
+    // corpus sort); the weight joins back over the k·|langs| sample only.
+    "q106_priority_sample" -> ((s, d) => {
+      import graft.ext.TextAnalysis
+      val k = 20
+      val two64 = math.pow(2, 64) // exact: a power of two
+      val docs = Tables.documents(s, d).filter(col("text").isNotNull)
+        .select(col("doc_id"), col("lang"),
+          TextAnalysis.tokenCount(col("text")).as("w"))
+        .filter(col("w") > 0)
+      val h = fnv1a64(col("doc_id"))
+      val u1 = h.cast("double") +
+        when(h < 0, lit(two64)).otherwise(lit(0.0)) + lit(1.0)
+      val top = docs
+        .withColumn("__p", col("w").cast("double") * lit(two64) / u1)
+        .groupBy("lang")
+        .agg(graft.plans.TopKByAggregate.topkBy(col("__p"), col("doc_id"),
+          k + 1).as("tk"))
+        .select(col("lang"), posexplode(col("tk")))
+        .select(col("lang"), (col("pos") + 1).cast("long").as("rnk"),
+          col("col.id").as("doc_id"), col("col.score").as("__p"))
+      top
+        .withColumn("__tau", max(when(col("rnk") === k + 1, col("__p")))
+          .over(Window.partitionBy("lang")))
+        .filter(col("rnk") <= k)
+        .join(docs.select(col("doc_id"), col("w")), Seq("doc_id"))
+        .select(col("lang"), col("rnk"), col("doc_id"), col("w"),
+          (floor(greatest(col("w").cast("double"),
+            coalesce(col("__tau"), lit(0.0))) * 1e6 + 0.5) / 1e6)
+            .as("est_w"))
+    }),
+
     "q58_stratified_sample" -> ((s, d) => {
       val byLang = Window.partitionBy("lang")
       val w = byLang.orderBy(fnv1a64(col("doc_id")), col("doc_id"))
@@ -182,6 +228,33 @@ object AdvancedOps extends Catalog {
   )
 
   override def oracles: Map[String, String] = Map(
+    // same FNV uniform, same priority arithmetic in the same IEEE op
+    // order, same (priority DESC, doc_id) ranking and (k+1)-th-priority
+    // threshold — the whole sketch re-derives bit-for-bit
+    "q106_priority_sample" -> {
+      import graft.plans.Fnv1a64Expression.{longSqlText, toSignedSqlText}
+      val hs = toSignedSqlText(
+        longSqlText("14695981039346656037::HUGEINT", "doc_id::HUGEINT"))
+      val two64 = "18446744073709551616.0"
+      s"""WITH base AS (SELECT doc_id, lang, len(ws) AS w FROM (
+         |    SELECT doc_id, lang, ${TextSql.words} AS ws FROM documents
+         |    WHERE text IS NOT NULL) WHERE len(ws) > 0),
+         |p AS (SELECT doc_id, lang, w,
+         |    CAST(w AS DOUBLE) * $two64
+         |      / ((CAST(hs AS DOUBLE) + (CASE WHEN hs < 0 THEN $two64
+         |          ELSE 0.0 END)) + 1.0) AS pr
+         |  FROM (SELECT doc_id, lang, w, $hs AS hs FROM base)),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY lang
+         |        ORDER BY pr DESC, doc_id) AS rnk FROM p),
+         |tau AS (SELECT lang, max(CASE WHEN rnk = 21 THEN pr END) AS tau
+         |        FROM r GROUP BY 1)
+         |SELECT r.lang, CAST(rnk AS BIGINT) AS rnk, doc_id,
+         |  CAST(w AS BIGINT) AS w,
+         |  floor(greatest(CAST(w AS DOUBLE), coalesce(tau.tau, 0.0))
+         |    * 1000000.0 + 0.5)/1000000.0 AS est_w
+         |FROM r JOIN tau USING (lang) WHERE rnk <= 20""".stripMargin
+    },
+
     // the same box aggregate straight off the raw table — the clustered
     // write + re-read must not change a single row
     "q79_zorder_box" ->

@@ -401,3 +401,62 @@ class TopKByAggregateSpec extends AnyFunSuite with SparkTestBase {
     assert(got === Seq(1L))
   }
 }
+
+/** q106 — Duffield–Lund–Thorup priority sampling (rides the topk
+  * aggregate: priorities are scores, the sample is the per-stratum top k).
+  */
+class PrioritySampleSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  private def priorityOn(docs: Seq[(Long, String, String)]) = {
+    val dir = java.nio.file.Files.createTempDirectory("psample").toString
+    docs.toDF("doc_id", "text", "lang")
+      .withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    graft.queries.AdvancedOps.queries("q106_priority_sample")(spark, dir)
+  }
+
+  test("priority sample: a stratum at-or-under k is kept whole and exact") {
+    // 10 docs < k = 20: no (k+1)-th priority exists, tau is NULL, the
+    // sample IS the stratum and est_w degrades to w — the estimator is
+    // EXACT, not just unbiased, when nothing was left out
+    val docs = (1L to 10L).map(i =>
+      (i, (1 to i.toInt * 3).map(j => s"w$j").mkString(" "), "en"))
+    val got = priorityOn(docs)
+      .select("doc_id", "w", "est_w").as[(Long, Long, Double)].collect()
+    assert(got.length === 10)
+    assert(got.forall(r => r._3 === r._2.toDouble))
+    assert(got.map(_._1).toSet === (1L to 10L).toSet)
+  }
+
+  test("priority sample: deterministic estimator band and weight " +
+      "preference on the real corpus") {
+    val sf = "/root/testdata/sf0.001"
+    val got = graft.queries.AdvancedOps
+      .queries("q106_priority_sample")(spark, sf)
+      .groupBy("lang").agg(count(lit(1)).as("k"),
+        sum("est_w").as("est_total"), avg("w").as("mean_sampled_w"))
+    val truth = graft.sources.Tables.documents(spark, sf)
+      .filter(col("text").isNotNull)
+      .select(col("lang"),
+        graft.ext.TextAnalysis.tokenCount(col("text")).as("w"))
+      .filter(col("w") > 0)
+      .groupBy("lang").agg(sum("w").as("true_total"),
+        avg("w").as("mean_corpus_w"))
+    val rows = got.join(truth, "lang").collect()
+    assert(rows.length === 5)
+    rows.foreach { r =>
+      // every stratum has > k docs at sf0.001, so exactly k are kept
+      assert(r.getAs[Long]("k") === 20L)
+      val ratio = r.getAs[Double]("est_total") /
+        r.getAs[Long]("true_total").toDouble
+      // deterministic given the data (no RNG): the priority-sampling
+      // subset-sum estimate from 20 rows sits well inside [0.4, 2.5]
+      assert(ratio > 0.4 && ratio < 2.5, s"${r.getAs[String]("lang")}: $ratio")
+      // w/u priorities prefer heavy docs: sampled mean exceeds corpus mean
+      assert(r.getAs[Double]("mean_sampled_w") >
+        r.getAs[Double]("mean_corpus_w"), r.toString)
+    }
+  }
+}
