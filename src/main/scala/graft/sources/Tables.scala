@@ -39,12 +39,25 @@ object Tables {
   def documents(spark: SparkSession, d: String): DataFrame = read(spark, d, "documents")
   def embeddings(spark: SparkSession, d: String): DataFrame = read(spark, d, "embeddings")
 
-  /** events with `ts` converted long-nanos -> timestamp(µs). `ts DIV 1000` is integer
-    * division: a double roundtrip would lose precision above 2^53 and scramble µs.
+  /** events with `ts` as a session-TZ timestamp at µs precision, whatever the
+    * file's physical encoding. The driver has shipped two encodings across
+    * rounds — INT64 TIMESTAMP(NANOS) (read as long via the legacy flag, then
+    * truncated ns -> µs; `ts DIV 1000` is integer division because a double
+    * roundtrip loses precision above 2^53) and plain TIMESTAMP(MICROS)
+    * (read as TIMESTAMP_NTZ, cast to TIMESTAMP — a value-preserving cast
+    * under the UTC session TZ every entrypoint pins). Branching on the
+    * scanned type keeps both vintages readable and matches DuckDB's view of
+    * the same file in either case.
     */
-  def events(spark: SparkSession, d: String): DataFrame =
-    read(spark, d, "events")
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+  def events(spark: SparkSession, d: String): DataFrame = {
+    val df = read(spark, d, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case _ =>
+        df.withColumn("ts", col("ts").cast("timestamp"))
+    }
+  }
 
   /** events with the raw long-nanos ts (for callers that want the physical value). */
   def eventsRaw(spark: SparkSession, d: String): DataFrame = read(spark, d, "events")
