@@ -1,0 +1,113 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Behavioral analytics operators: windowed funnels, cohort retention,
+  * market-basket lift. All three compute in exact integer arithmetic
+  * (epoch-µs longs, counts, one truncating division at the end) so their
+  * results hash-check cell-exact cross-engine — see the q107–q110 oracles
+  * in [[graft.queries.AnalyticsOps]].
+  */
+object Behavioral {
+
+  /** Windowed funnel with first-touch semantics (the ClickHouse-
+    * windowFunnel-style greedy matcher): anchor at the user's FIRST
+    * `steps.head` event, then per subsequent step take the first matching
+    * event within `horizonUs` of the previous step's matched time
+    * (inclusive bound). Greedy-from-first-anchor is deterministic and
+    * one-pass; it is NOT the maximal matcher (a later anchor could open a
+    * window the first one misses) — that variant is a per-user sequence
+    * fold, deliberately out of scope.
+    *
+    * `ev` columns: `user_id`, `t` (epoch µs long), `event_type`.
+    * Returns one row per user who reached step 1: `user_id`,
+    * `t_<step>` epoch-µs per step (null once the chain breaks), and
+    * `stage` = number of steps reached. By construction `t_<step i>`
+    * is non-null only when `t_<step i-1>` is.
+    *
+    * Scale shape: every stage aggregation and every stage join is keyed
+    * by `user_id` — one hash partitioning serves the whole chain with no
+    * repartitioning between stages, and each stage's events are filtered
+    * by type at the scan.
+    */
+  def funnelSteps(ev: DataFrame, steps: Seq[String],
+                  horizonUs: Long): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val frames = steps.foldLeft(List.empty[(DataFrame, String)]) {
+      case (acc, step) =>
+        val tc = s"t_$step"
+        val f = acc match {
+          case Nil =>
+            ev.filter(col("event_type") === step)
+              .groupBy("user_id").agg(min("t").as(tc))
+          case (prev, prevCol) :: _ =>
+            ev.filter(col("event_type") === step)
+              .join(prev, Seq("user_id"))
+              .filter(col("t") >= col(prevCol) &&
+                col("t") <= col(prevCol) + horizonUs)
+              .groupBy("user_id").agg(min("t").as(tc))
+        }
+        (f, tc) :: acc
+    }.reverse
+    val joined = frames.tail.foldLeft(frames.head._1) {
+      case (acc, (f, _)) => acc.join(f, Seq("user_id"), "left")
+    }
+    joined.withColumn("stage",
+      frames.map { case (_, tc) =>
+        when(col(tc).isNotNull, 1L).otherwise(0L)
+      }.reduce(_ + _))
+  }
+
+  /** Cohort retention matrix: cohort = the user's first-event bucket,
+    * `k` = activity bucket − cohort bucket, cell = distinct users from
+    * that cohort active `k` buckets later. Buckets are FIXED spans of
+    * `bucketUs` µs from the pinned `originUs` (`(t − origin) div span`),
+    * not calendar weeks: week-start conventions (ISO vs US) differ across
+    * engines and locales, integer division does not.
+    *
+    * `ev` columns: `user_id`, `t` (epoch µs long). Returns
+    * (cohort_w, k, users). Scale shape: one user-keyed aggregation + a
+    * co-partitioned join back, then a (cohort, k)-keyed count-distinct
+    * whose output cardinality is |buckets|² — tiny at any corpus size.
+    */
+  def cohortRetention(ev: DataFrame, originUs: Long,
+                      bucketUs: Long): DataFrame = {
+    val first = ev.groupBy("user_id").agg(min("t").as("t0"))
+    ev.join(first, Seq("user_id"))
+      .select(col("user_id"),
+        expr(s"(t0 - ${originUs}L) div ${bucketUs}L").as("cohort_w"),
+        expr(s"(t - ${originUs}L) div ${bucketUs}L" +
+          s" - (t0 - ${originUs}L) div ${bucketUs}L").as("k"))
+      .groupBy("cohort_w", "k")
+      .agg(countDistinct("user_id").as("users"))
+  }
+
+  /** Market-basket lift (association mining): for part pairs co-occurring
+    * in at least `minsup` baskets, lift = co·N/(s1·s2) in integer micros —
+    * how much more often the pair appears together than independence
+    * predicts (1e6 = independent). `bk` columns: `o` (basket id), `p`
+    * (item id, long); rows must be distinct (o, p).
+    *
+    * Scale shape: candidate pairs come from a per-basket self-join on
+    * `p1 < p2` — Σ|basket|² work per basket, never |items|² (the bounded-
+    * explosion contract every dedup candidate generator here keeps);
+    * supports and the basket count join/broadcast back per-part. Overflow
+    * bound: co·N·10⁶ < 2⁶³ holds through ~9·10¹² basket-pair mass; past
+    * that drop the scale a decade (the q105 Gram-matrix rule).
+    */
+  def basketLift(bk: DataFrame, minsup: Long): DataFrame = {
+    val n = bk.select("o").distinct().agg(count(lit(1)).as("__n"))
+    val supp = bk.groupBy("p").agg(count(lit(1)).as("s"))
+    bk.as("a").join(bk.as("b"),
+        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .select(col("a.p").as("p1"), col("b.p").as("p2"))
+      .groupBy("p1", "p2").agg(count(lit(1)).as("co"))
+      .filter(col("co") >= minsup)
+      .join(supp.select(col("p").as("p1"), col("s").as("s1")), Seq("p1"))
+      .join(supp.select(col("p").as("p2"), col("s").as("s2")), Seq("p2"))
+      .crossJoin(broadcast(n))
+      .select(col("p1"), col("p2"), col("co"),
+        expr("(co * __n * 1000000L) div (s1 * s2)").as("lift_micro"))
+  }
+}

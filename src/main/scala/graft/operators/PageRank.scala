@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Fixed-iteration PageRank in exact integer arithmetic.
+  *
+  * The iterative-graph tier beside [[ConnectedComponents]]: where CC
+  * answers "which nodes are connected", PageRank scores HOW CENTRAL each
+  * node is — the domain-authority / co-purchasing-importance signal
+  * curation mixes use to weight sources.
+  *
+  * Determinism design: the usual double-precision rank vector is
+  * order-sensitive under distributed summation (a float Σ over in-edges
+  * depends on shuffle arrival order), so ranks here are LONGS in
+  * nano-rank units (total mass 10⁹). Every step is integer arithmetic —
+  * init `r = 10⁹ div N`; each node sends `r div deg` along each out-edge
+  * (truncating division, exact); the long sum over in-edges is
+  * associative hence partitioning-independent; the damped update is
+  * `r' = (15·10⁹) div (100·N) + (85·csum) div 100`. Flooring leaks a few
+  * nano-units of mass per step — the price of a bit-exact distributed
+  * fixed point that replays identically on any cluster size (spec-pinned
+  * under repartitioning). Overflow bound: 85·csum ≤ 85·10⁹ ≪ 2⁶³.
+  *
+  * Scale shape (the 100 TB contract): the rank vector STAYS a DataFrame —
+  * node count grows with the data, unlike the k-means centroid state
+  * (k·dims, driver-sized, collected per iteration), so nothing here ever
+  * reaches the driver. Each iteration is one src-keyed join (contribution
+  * fan-out) + one dst-keyed aggregation (partial sums map-side); the edge
+  * list with out-degrees is iteration-invariant and pinned once via
+  * [[graft.ext.Caches]]. Fixed iteration count, no convergence test: a
+  * convergence check would add a driver round-trip per iteration and —
+  * worse for reproducibility — make the OUTPUT depend on a float
+  * tolerance; fixed-k integer iteration is a pure function of the graph.
+  */
+object PageRank {
+
+  /** Total rank mass, in nano-rank units. */
+  val Scale = 1000000000L
+
+  /** Integer PageRank with damping 0.85 over directed `edges` (columns
+    * `src`, `dst`; parallel edges count once per occurrence in the degree
+    * and the fan-out — pre-`distinct` if multiplicity is not wanted).
+    * Returns (node, r) for every node with at least one OUT-edge; nodes
+    * appearing only as destinations are outside the walk's support (feed
+    * a symmetrized edge list — e.g. both directions of a bipartite
+    * incidence — when every endpoint must be ranked, which also removes
+    * dangling-mass loss).
+    */
+  def pagerankInt(edges: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    // edge list + out-degrees are iteration-invariant: pin once so the
+    // iterations don't re-run the upstream chain (released by the caller
+    // or harness via Caches.releaseAll after materialization)
+    val ej = graft.ext.Caches.pin(edges
+      .join(edges.groupBy("src").agg(count(lit(1)).as("deg")), Seq("src")))
+    val nodes =
+      graft.ext.Caches.pin(edges.select(col("src").as("node")).distinct())
+    val n = nodes.agg(count(lit(1)).as("__n"))
+    var ranks = nodes.crossJoin(broadcast(n))
+      .select(col("node"), expr(s"${Scale}L div __n").as("r"))
+    for (_ <- 1 to iters) {
+      val contrib = ej.join(ranks, col("src") === col("node"))
+        .select(col("dst"), expr("r div deg").as("c"))
+        .groupBy("dst").agg(sum("c").as("csum"))
+      ranks = nodes.join(contrib, col("node") === col("dst"), "left")
+        .crossJoin(broadcast(n))
+        .select(col("node"),
+          (expr(s"(15L * ${Scale}L) div (100L * __n)")
+            + expr("(85L * coalesce(csum, 0L)) div 100L")).as("r"))
+    }
+    ranks.select(col("node"), col("r"))
+  }
+}
