@@ -38,4 +38,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // block manager (~4.6g storage) filled with unreaped broadcasts and the
   // late-alphabet heavy queries paid the GC churn (BENCH_r04 q49).
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // a full-catalog bench generates thousands of codegen classes in one
+  // JVM; the default ~240m code cache fills mid-catalog, the JIT stops
+  // compiling, and late-alphabet heavy queries run ~2x interpreted
+  "-XX:ReservedCodeCacheSize=512m",
 )

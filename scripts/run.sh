@@ -13,6 +13,12 @@ OPENS="$OPENS --add-opens java.base/sun.nio.ch=ALL-UNNAMED"
 OPENS="$OPENS --add-opens java.base/sun.nio.cs=ALL-UNNAMED"
 OPENS="$OPENS --add-opens java.base/sun.security.action=ALL-UNNAMED"
 OPENS="$OPENS --add-opens java.base/sun.util.calendar=ALL-UNNAMED"
-exec java $OPENS -Xmx${SPARK_DRIVER_MEM:-8g} \
+# 24g + code-cache sizing mirror build.sbt's run/javaOptions: a full-catalog
+# bench (110+ queries x N runs in ONE JVM) generates thousands of codegen
+# classes — at the JVM's default ~240m ReservedCodeCacheSize the JIT stops
+# compiling mid-catalog and late-alphabet heavy queries run 2x slow
+# (measured: q54 11s in-catalog vs 5.6s isolated before this flag).
+exec java $OPENS -Xmx${SPARK_DRIVER_MEM:-24g} \
+  -XX:ReservedCodeCacheSize=512m \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
   -cp "$CP" "$@"

@@ -83,6 +83,72 @@ object Behavioral {
       .agg(countDistinct("user_id").as("users"))
   }
 
+  /** First-order Markov transition matrix over a per-user event stream:
+    * for each ordered pair of consecutive events (by `(t, tieCol)` within
+    * a user — the explicit tie column makes the order total and the
+    * matrix deterministic), count transitions and estimate
+    * P(next = b | cur = a) in integer micros (`n_ab·10⁶ div n_a`). The
+    * resulting directed weighted graph is exactly the input shape
+    * [[PageRank.pagerankInt]] ranks — transition extraction and walk
+    * scoring compose into behavioral flow analysis.
+    *
+    * `ev` columns: `user_id`, `t` (epoch-µs long), `event_type`, plus
+    * `tieCol`. Returns (from_type, to_type, n, p_micro). Scale shape: one
+    * user-keyed window (the only data-sized exchange), then an
+    * aggregation whose output is |types|² rows.
+    */
+  def markovTransitions(ev: DataFrame, tieCol: String): DataFrame = {
+    val byUser = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("t"), col(tieCol))
+    val pairs = ev
+      .withColumn("__next", lead(col("event_type"), 1).over(byUser))
+      .filter(col("__next").isNotNull)
+      .groupBy(col("event_type").as("from_type"),
+        col("__next").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val outTotals = org.apache.spark.sql.expressions.Window
+      .partitionBy("from_type")
+    pairs
+      .withColumn("__tot", sum("n").over(outTotals))
+      .select(col("from_type"), col("to_type"), col("n"),
+        expr("(n * 1000000L) div __tot").as("p_micro"))
+  }
+
+  /** Dyadic EWMA baseline of the `k` STRICTLY PRIOR values per key
+    * (current row excluded — a baseline that contains the tested value
+    * can never flag it): weighted sum Σ_{j=1..k} lag_j(v) div 2ʲ⁻¹
+    * (nearest past value weight 1, then halving), using only truncating
+    * integer division — so unlike a float EWMA (whose recurrence
+    * accumulates rounding differently per evaluation order) it
+    * hash-checks cell-exact cross-engine. Missing history (a key's first
+    * rows) contributes 0 and `n_hist` reports how many real values
+    * entered.
+    *
+    * `ev` columns: `key`, `t` (epoch-µs long), `v` (long, pre-quantized
+    * by the caller), plus `tieCol` for total order. Returns
+    * (key, t, v, ewma_num, n_hist) where `ewma_num` is the un-normalized
+    * dyadic sum — the normalizer Σ_{j=1..k} 2¹⁻ʲ = (2ᵏ−1)/2ᵏ⁻¹ is a
+    * constant, so callers test deviation by cross-multiplying into pure
+    * integers (e.g. "v > 2× baseline" at k = 4 is 15·v > 16·ewma_num).
+    * Scale shape: one key-partitioned window; the k lags share one
+    * window spec and collapse into a single physical Window operator —
+    * bounded per-key state, no global sort.
+    */
+  def dyadicEwma(ev: DataFrame, k: Int, tieCol: String): DataFrame = {
+    require(k >= 1 && k <= 62, s"k must be in [1, 62], got $k")
+    val byKey = org.apache.spark.sql.expressions.Window
+      .partitionBy("key").orderBy(col("t"), col(tieCol))
+    val withLags = (1 to k).foldLeft(ev) { (df, j) =>
+      df.withColumn(s"__l$j", lag(col("v"), j).over(byKey))
+    }
+    val num = (1 to k).map(j =>
+      expr(s"coalesce(__l$j, 0L) div ${1L << (j - 1)}L")).reduce(_ + _)
+    val hist = (1 to k).map(j =>
+      when(col(s"__l$j").isNotNull, 1L).otherwise(0L)).reduce(_ + _)
+    withLags.select(col("key"), col("t"), col("v"),
+      num.as("ewma_num"), hist.as("n_hist"))
+  }
+
   /** Market-basket lift (association mining): for part pairs co-occurring
     * in at least `minsup` baskets, lift = co·N/(s1·s2) in integer micros —
     * how much more often the pair appears together than independence

@@ -3,13 +3,15 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Behavioral, PageRank}
+import graft.operators.{Behavioral, PageRank, Scd2}
 import graft.sources.Tables
 
 /** Round-7 behavioral/graph analytics catalog: the product-analytics and
   * graph-scoring surface a warehouse serves beside curation — windowed
   * funnels (q107), cohort retention (q108), fixed-iteration PageRank
-  * (q109), and market-basket lift (q110).
+  * (q109), market-basket lift (q110), SCD2 dimension build (q111),
+  * Markov transitions (q112), per-stratum percentile gate (q113), and a
+  * dyadic-exact EWMA anomaly baseline (q114).
   *
   * Cross-engine device shared by all four: EVERY computation is integer
   * arithmetic on epoch-µs longs or scaled counts — division is Spark `div`
@@ -121,6 +123,96 @@ object AnalyticsOps extends Catalog {
           col("l_partkey").cast("long").as("p"))
         .distinct()
       Behavioral.basketLift(bk, minsup = 2L)
+    }),
+
+    // ---- SCD2 dimension build ----------------------------------------------
+    // Each user's 'signup' events carry a double `value`; the SCD2 build
+    // versions it: no-change events collapse (version counts CHANGES),
+    // validity is half-open [from, to) with NULL to = current, (t,
+    // event_id) makes the order total. The value passes through with NO
+    // arithmetic, so the parquet double hash-checks bit-exact. The as-of
+    // join (q53/q83) is this dimension's query-side twin.
+    "q111_scd2_user_dim" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .filter(col("event_type") === "signup")
+        .select(col("user_id").as("key"), unix_micros(col("ts")).as("t"),
+          col("value").as("v"), col("event_id"))
+      Scd2.build(ev, tieCol = "event_id")
+        .select(col("key").as("user_id"), col("v").as("value"),
+          col("valid_from"), col("valid_to"), col("version"))
+    }),
+
+    // ---- Markov transition matrix ------------------------------------------
+    // P(next event type | current) per consecutive same-user pair — the
+    // behavioral-flow signal (Sankey/attribution input), and exactly the
+    // directed weighted graph q109's PageRank ranks. One user-keyed
+    // window is the only data-sized exchange; output is |types|² rows.
+    "q112_markov_transitions" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), unix_micros(col("ts")).as("t"),
+          col("event_type"), col("event_id"))
+      Behavioral.markovTransitions(ev, tieCol = "event_id")
+    }),
+
+    // ---- per-language percentile quality gate ------------------------------
+    // The FineWeb-style relative filter: keep documents above the 25th
+    // length percentile WITHIN their language — an absolute threshold
+    // drifts as the corpus mix shifts; a per-stratum percentile doesn't.
+    // percent_rank over the total order (n_chars, doc_id) is
+    // (rank−1)/(n−1): rank is integer-exact under a total order, and the
+    // single IEEE division reproduces bit-identically, quantized to
+    // micros on both sides anyway (the X34 belt-and-suspenders). One
+    // lang-keyed window exchange; at 100 TB the stratum is the natural
+    // partition and per-partition state is bounded by the sort spill.
+    "q113_percentile_gate" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("lang").orderBy(col("n_chars"), col("doc_id"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .withColumn("pct_micro",
+          floor(percent_rank().over(w) * 1e6 + 0.5).cast("long"))
+        .withColumn("keep",
+          when(col("pct_micro") >= 250000L, 1L).otherwise(0L))
+    }),
+
+    // ---- dyadic EWMA anomaly baseline --------------------------------------
+    // Exact EWMA of each user's 4 PRIOR purchase values (current
+    // excluded; values quantized to micros BEFORE the window —
+    // floor(v·10⁶+0.5), plain IEEE ops). The dyadic weights make the
+    // whole baseline integer-exact where a float EWMA recurrence is
+    // evaluation-order-sensitive. spike flag: v > 2× the normalized
+    // baseline, cross-multiplied into integers — normalizer at k = 4 is
+    // 15/8, so the test is 15·v > 16·ewma_num — and gated on real
+    // history (n_hist > 0: a first purchase has no baseline to exceed).
+    "q114_ewma_deviation" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id").as("key"), unix_micros(col("ts")).as("t"),
+          floor(col("value") * 1e6 + 0.5).cast("long").as("v"),
+          col("event_id"))
+      Behavioral.dyadicEwma(ev, k = 4, tieCol = "event_id")
+        .select(col("key").as("user_id"), col("t"), col("v"),
+          col("ewma_num"), col("n_hist"),
+          when(col("n_hist") > 0L && col("v") * 15L > col("ewma_num") * 16L,
+            1L).otherwise(0L).as("spike"))
+    }),
+
+    // ---- sliding windows in batch mode (q47's device for overlap) ----------
+    // EventStream.slidingTypeCounts on the batch table: 1 h windows
+    // sliding every 15 min, so each event lands in 4 overlapping windows.
+    // The oracle re-derives Spark's window assignment from first
+    // principles — slide-aligned starts w with t − len < w ≤ t via
+    // generate_series — so the window SEMANTICS (alignment, overlap
+    // count, boundary membership) are pinned cross-engine, not assumed.
+    "q115_sliding_windows" -> ((s, d) => {
+      graft.streaming.EventStream
+        .slidingTypeCounts(Tables.events(s, d))
+        .select(
+          date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss")
+            .as("window_start"),
+          date_format(col("window_end"), "yyyy-MM-dd HH:mm:ss")
+            .as("window_end"),
+          col("event_type"), col("events"))
     })
   )
 
@@ -197,6 +289,93 @@ object AnalyticsOps extends Catalog {
         |FROM pairs pr
         |JOIN supp s1 ON s1.p = pr.p1
         |JOIN supp s2 ON s2.p = pr.p2
-        |CROSS JOIN nn""".stripMargin
+        |CROSS JOIN nn""".stripMargin,
+
+    // value passes through with no arithmetic — the parquet double is
+    // bit-identical in both engines; IS DISTINCT FROM mirrors Spark's
+    // null-safe <=> negation
+    "q111_scd2_user_dim" ->
+      """WITH ev AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS t,
+        |              value AS v, event_id FROM events
+        |            WHERE event_type = 'signup'),
+        |ch AS (SELECT * FROM (
+        |    SELECT user_id, t, v, event_id,
+        |      lag(v) OVER (PARTITION BY user_id ORDER BY t, event_id)
+        |        AS prev,
+        |      row_number() OVER (PARTITION BY user_id ORDER BY t, event_id)
+        |        AS rn
+        |    FROM ev)
+        |  WHERE rn = 1 OR v IS DISTINCT FROM prev)
+        |SELECT user_id, v AS value, t AS valid_from,
+        |  lead(t) OVER (PARTITION BY user_id ORDER BY t, event_id)
+        |    AS valid_to,
+        |  CAST(row_number() OVER (PARTITION BY user_id ORDER BY t, event_id)
+        |    AS BIGINT) AS version
+        |FROM ch""".stripMargin,
+
+    "q112_markov_transitions" ->
+      """WITH ev AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS t,
+        |              event_type, event_id FROM events),
+        |pairs AS (SELECT event_type AS from_type,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY t, event_id) AS to_type
+        |  FROM ev),
+        |cnt AS (SELECT from_type, to_type, count(*) AS n FROM pairs
+        |  WHERE to_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_type, to_type, CAST(n AS BIGINT) AS n,
+        |  CAST((n * 1000000) //
+        |    (sum(n) OVER (PARTITION BY from_type)) AS BIGINT) AS p_micro
+        |FROM cnt""".stripMargin,
+
+    "q113_percentile_gate" ->
+      """SELECT doc_id, lang, n_chars,
+        |  CAST(floor(percent_rank() OVER (PARTITION BY lang
+        |    ORDER BY n_chars, doc_id) * 1000000.0 + 0.5) AS BIGINT)
+        |    AS pct_micro,
+        |  CAST(CASE WHEN floor(percent_rank() OVER (PARTITION BY lang
+        |    ORDER BY n_chars, doc_id) * 1000000.0 + 0.5) >= 250000
+        |    THEN 1 ELSE 0 END AS BIGINT) AS keep
+        |FROM documents""".stripMargin,
+
+    "q114_ewma_deviation" ->
+      """WITH ev AS (SELECT user_id AS key,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS t,
+        |    CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS v, event_id
+        |  FROM events WHERE event_type = 'purchase'),
+        |lg AS (SELECT key, t, v,
+        |    lag(v, 1) OVER w AS l1, lag(v, 2) OVER w AS l2,
+        |    lag(v, 3) OVER w AS l3, lag(v, 4) OVER w AS l4
+        |  FROM ev WINDOW w AS (PARTITION BY key ORDER BY t, event_id)),
+        |s AS (SELECT key, t, v,
+        |    coalesce(l1, 0) // 1 + coalesce(l2, 0) // 2
+        |      + coalesce(l3, 0) // 4 + coalesce(l4, 0) // 8 AS ewma_num,
+        |    (CASE WHEN l1 IS NULL THEN 0 ELSE 1 END)
+        |      + (CASE WHEN l2 IS NULL THEN 0 ELSE 1 END)
+        |      + (CASE WHEN l3 IS NULL THEN 0 ELSE 1 END)
+        |      + (CASE WHEN l4 IS NULL THEN 0 ELSE 1 END) AS n_hist
+        |  FROM lg)
+        |SELECT key AS user_id, t, v, CAST(ewma_num AS BIGINT) AS ewma_num,
+        |  CAST(n_hist AS BIGINT) AS n_hist,
+        |  CAST(CASE WHEN n_hist > 0 AND v * 15 > ewma_num * 16
+        |    THEN 1 ELSE 0 END AS BIGINT) AS spike
+        |FROM s""".stripMargin,
+
+    // window starts are the slide-aligned epoch multiples w with
+    // t − len < w ≤ t: k ranges over floor(t/s)−len/s+1 .. floor(t/s)
+    // (s divides len; all t > 0 so floor = integer division)
+    "q115_sliding_windows" ->
+      """WITH ev AS (SELECT event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS t FROM events),
+        |ks AS (SELECT event_type,
+        |    unnest(generate_series(t // 900000000 - 3, t // 900000000))
+        |      AS k
+        |  FROM ev),
+        |w AS (SELECT event_type,
+        |    make_timestamp(k * 900000000) AS ws FROM ks)
+        |SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+        |  strftime(ws + INTERVAL 1 HOUR, '%Y-%m-%d %H:%M:%S')
+        |    AS window_end,
+        |  event_type, count(*) AS events
+        |FROM w GROUP BY 1, 2, 3""".stripMargin
   )
 }

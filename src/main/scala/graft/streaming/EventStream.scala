@@ -38,6 +38,30 @@ object EventStream {
         col("window.end").as("window_end"),
         col("event_type"), col("events"), col("approx_users"))
 
+  /** SLIDING event-time windows: length `windowLen`, advancing every
+    * `slide` — each event lands in len/slide overlapping windows (the
+    * smoothing a tumbling window can't give: a burst at a window boundary
+    * splits across tumbling buckets but is fully visible in some sliding
+    * one). Spark assigns the window set per-row at plan time (a
+    * generator, no state beyond the per-window aggregates), watermark
+    * eviction closes windows once `start + len` falls behind — state is
+    * len/slide live windows per (window, type) key, bounded. Works
+    * identically on batch and streaming frames (q115 pins the batch twin
+    * against a generate_series oracle).
+    */
+  def slidingTypeCounts(events: DataFrame,
+                        watermark: String = "1 hour",
+                        windowLen: String = "1 hour",
+                        slide: String = "15 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen, slide), col("event_type"))
+      .agg(count(lit(1)).as("events"))
+      .select(
+        col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("event_type"), col("events"))
+
   /** Session-window aggregation: events gapped less than `gap` apart merge
     * into one variable-length window per user — the "visit" grain a
     * fixed-length tumbling window cannot express. Works identically on

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{Behavioral, PageRank}
+import graft.operators.{Behavioral, PageRank, Scd2}
 
 /** Behavioral + graph analytics operators (q107–q110): windowed funnel,
   * cohort retention, integer PageRank, basket lift.
@@ -146,6 +146,103 @@ class AnalyticsSpec extends AnyFunSuite with SparkTestBase {
     val out = Behavioral.basketLift(bk, minsup = 2L)
       .select("p1", "p2").as[(Long, Long)].collect().toSet
     assert(out === Set((3L, 5L))) // (3,9) occurs once -> filtered
+  }
+
+  // ---- SCD2 ----------------------------------------------------------------
+
+  test("SCD2 collapses no-change events and chains validity half-open") {
+    // key 1: v=10@100, 10@200 (no change), 20@300, 20@350, 10@400
+    val ev = Seq((1L, 100L, Some(10.0), 1L), (1L, 200L, Some(10.0), 2L),
+      (1L, 300L, Some(20.0), 3L), (1L, 350L, Some(20.0), 4L),
+      (1L, 400L, Some(10.0), 5L))
+      .toDF("key", "t", "v", "eid")
+    val out = Scd2.build(ev, "eid")
+      .as[(Long, Option[Double], Long, Option[Long], Long)]
+      .collect().sortBy(_._5).toSeq
+    assert(out === Seq(
+      (1L, Some(10.0), 100L, Some(300L), 1L),
+      (1L, Some(20.0), 300L, Some(400L), 2L),
+      (1L, Some(10.0), 400L, None, 3L)))
+  }
+
+  test("SCD2 keeps a first NULL value and versions null transitions") {
+    val ev = Seq((1L, 100L, None: Option[Double], 1L),
+      (1L, 200L, Some(5.0), 2L), (1L, 300L, None: Option[Double], 3L),
+      (1L, 400L, None: Option[Double], 4L))
+      .toDF("key", "t", "v", "eid")
+    val out = Scd2.build(ev, "eid")
+      .as[(Long, Option[Double], Long, Option[Long], Long)]
+      .collect().sortBy(_._5).toSeq
+    assert(out === Seq(
+      (1L, None, 100L, Some(200L), 1L),
+      (1L, Some(5.0), 200L, Some(300L), 2L),
+      (1L, None, 300L, None, 3L)))
+  }
+
+  test("SCD2 breaks timestamp ties by the tie column, deterministically") {
+    val ev = Seq((1L, 100L, Some(1.0), 2L), (1L, 100L, Some(2.0), 1L))
+      .toDF("key", "t", "v", "eid")
+    val out = Scd2.build(ev, "eid")
+      .as[(Long, Option[Double], Long, Option[Long], Long)]
+      .collect().sortBy(_._5).toSeq
+    assert(out === Seq(
+      (1L, Some(2.0), 100L, Some(100L), 1L),
+      (1L, Some(1.0), 100L, None, 2L)))
+  }
+
+  // ---- Markov transitions --------------------------------------------------
+
+  test("Markov transitions count consecutive pairs and normalize per source") {
+    // user 1: a b a b ; user 2: a b  => (a->b): 3, (b->a): 1
+    val ev = Seq((1L, 10L, "a", 1L), (1L, 20L, "b", 2L), (1L, 30L, "a", 3L),
+      (1L, 40L, "b", 4L), (2L, 10L, "a", 5L), (2L, 20L, "b", 6L))
+      .toDF("user_id", "t", "event_type", "eid")
+    val out = Behavioral.markovTransitions(ev, "eid")
+      .as[(String, String, Long, Long)].collect().toSet
+    assert(out === Set(("a", "b", 3L, 1000000L), ("b", "a", 1L, 1000000L)))
+  }
+
+  test("Markov probabilities split by observed fan-out in integer micros") {
+    // from a: 2x to b, 1x to c => 666666 and 333333 micros
+    val ev = Seq((1L, 1L, "a", 1L), (1L, 2L, "b", 2L), (1L, 3L, "a", 3L),
+      (1L, 4L, "c", 4L), (2L, 1L, "a", 5L), (2L, 2L, "b", 6L))
+      .toDF("user_id", "t", "event_type", "eid")
+    val out = Behavioral.markovTransitions(ev, "eid")
+      .as[(String, String, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._4).toMap
+    assert(out(("a", "b")) === 666666L)
+    assert(out(("a", "c")) === 333333L)
+  }
+
+  test("last event of a user emits no transition") {
+    val ev = Seq((1L, 1L, "a", 1L)).toDF("user_id", "t", "event_type", "eid")
+    assert(Behavioral.markovTransitions(ev, "eid").count() === 0L)
+  }
+
+  // ---- dyadic EWMA ---------------------------------------------------------
+
+  test("dyadic EWMA weights strictly prior values by halving powers") {
+    // key 1 values 80, 40, 8, 100: at the 4th row
+    // ewma_num = 8/1 + 40/2 + 80/4 = 48, n_hist = 3
+    val ev = Seq((1L, 10L, 80L, 1L), (1L, 20L, 40L, 2L), (1L, 30L, 8L, 3L),
+      (1L, 40L, 100L, 4L)).toDF("key", "t", "v", "eid")
+    val out = Behavioral.dyadicEwma(ev, k = 4, tieCol = "eid")
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._2).toSeq
+    assert(out === Seq(
+      (1L, 10L, 80L, 0L, 0L),
+      (1L, 20L, 40L, 80L, 1L),
+      (1L, 30L, 8L, 40L + 40L, 2L),
+      (1L, 40L, 100L, 8L + 20L + 20L, 3L)))
+  }
+
+  test("dyadic EWMA truncating divisions are exact integer ops") {
+    // lags 7, 9, 11, 13 => 13/1 + 11/2 + 9/4 + 7/8 = 13+5+2+0 = 20
+    val ev = (1 to 5).map(i => (1L, i.toLong * 10, Seq(7L, 9L, 11L, 13L,
+      0L)(i - 1), i.toLong)).toDF("key", "t", "v", "eid")
+    val last = Behavioral.dyadicEwma(ev, k = 4, tieCol = "eid")
+      .filter(col("t") === 50L)
+      .select("ewma_num", "n_hist").as[(Long, Long)].head()
+    assert(last === ((20L, 4L)))
   }
 
   private implicit class Map2Ops(

@@ -38,6 +38,39 @@ class EventStreamSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("sliding windows land each event in len/slide overlapping windows") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String, Long)]
+    val events = in.toDF().toDF("ts", "event_type", "user_id")
+    val q = EventStream.startToMemory(
+      EventStream.slidingTypeCounts(events, watermark = "10 minutes",
+        windowLen = "1 hour", slide = "15 minutes"),
+      "slide_counts", OutputMode.Update())
+    try {
+      in.addData((ts("2022-06-15 10:35:00"), "click", 1L))
+      q.processAllAvailable()
+      val rows = spark.table("slide_counts")
+        .select("window_start", "events")
+        .as[(Timestamp, Long)].collect().toSet
+      // 10:35 is inside exactly the 4 slide-aligned hour windows starting
+      // 09:45, 10:00, 10:15, 10:30
+      assert(rows === Set(
+        (ts("2022-06-15 09:45:00"), 1L), (ts("2022-06-15 10:00:00"), 1L),
+        (ts("2022-06-15 10:15:00"), 1L), (ts("2022-06-15 10:30:00"), 1L)))
+      // a second event 20 min later shares 3 of those 4 windows
+      in.addData((ts("2022-06-15 10:55:00"), "click", 2L))
+      q.processAllAvailable()
+      val upd = spark.table("slide_counts")
+        .groupBy("window_start").agg(max("events").as("events"))
+        .as[(Timestamp, Long)].collect().toMap
+      assert(upd(ts("2022-06-15 10:00:00")) === 2L)
+      assert(upd(ts("2022-06-15 10:15:00")) === 2L)
+      assert(upd(ts("2022-06-15 10:30:00")) === 2L)
+      assert(upd(ts("2022-06-15 09:45:00")) === 1L)
+      assert(upd(ts("2022-06-15 10:45:00")) === 1L)
+    } finally q.stop()
+  }
+
   test("session windows merge events gapped under 30 minutes") {
     implicit val ctx = spark.sqlContext
     val in = MemoryStream[(Timestamp, String, Long)]
