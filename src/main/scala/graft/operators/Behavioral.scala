@@ -149,6 +149,39 @@ object Behavioral {
       num.as("ewma_num"), hist.as("n_hist"))
   }
 
+  /** Daily gap-fill + forward-fill (time-series densification): expand
+    * each key's observed span to EVERY day, then carry the last
+    * observation forward into the gaps — the densification step that
+    * turns an irregular event series into the regular grid dashboards
+    * and models consume ([[graft.operators.AsOfJoin]] answers the same
+    * question for a single point lookup; this materializes the whole
+    * grid).
+    *
+    * `daily` columns: `key`, `day` (DateType, unique per key), `v`
+    * (long). Returns (key, day, v_filled, filled) — `filled` = 1 on
+    * fabricated rows. `last(v, ignoreNulls)` over the per-key day order
+    * is deterministic because the grid makes `day` unique within a key.
+    *
+    * Scale shape: the grid explode is bounded by each key's span in
+    * days; the span aggregate, the grid join, and the fill window all
+    * key on `key` (the join adds `day`, a co-partitioned refinement) —
+    * no global sort, bounded per-key window state.
+    */
+  def gapFillDaily(daily: DataFrame): DataFrame = {
+    val spans = daily.groupBy("key")
+      .agg(min("day").as("__d0"), max("day").as("__d1"))
+    val grid = spans.select(col("key"),
+      explode(sequence(col("__d0"), col("__d1"))).as("day"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("key").orderBy("day")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    grid.join(daily, Seq("key", "day"), "left")
+      .withColumn("filled", when(col("v").isNull, 1L).otherwise(0L))
+      .withColumn("v_filled", last(col("v"), ignoreNulls = true).over(w))
+      .select(col("key"), col("day"), col("v_filled"), col("filled"))
+  }
+
   /** Market-basket lift (association mining): for part pairs co-occurring
     * in at least `minsup` baskets, lift = co·N/(s1·s2) in integer micros —
     * how much more often the pair appears together than independence

@@ -3,15 +3,17 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Behavioral, PageRank, Scd2}
+import graft.operators.{Behavioral, Graphs, PageRank, Scd2}
 import graft.sources.Tables
 
 /** Round-7 behavioral/graph analytics catalog: the product-analytics and
   * graph-scoring surface a warehouse serves beside curation — windowed
   * funnels (q107), cohort retention (q108), fixed-iteration PageRank
   * (q109), market-basket lift (q110), SCD2 dimension build (q111),
-  * Markov transitions (q112), per-stratum percentile gate (q113), and a
-  * dyadic-exact EWMA anomaly baseline (q114).
+  * Markov transitions (q112), per-stratum percentile gate (q113), a
+  * dyadic-exact EWMA anomaly baseline (q114), sliding windows in batch
+  * mode (q115), co-purchase triangle counting (q116), and time-series
+  * gap-fill with forward-fill (q117).
   *
   * Cross-engine device shared by all four: EVERY computation is integer
   * arithmetic on epoch-µs longs or scaled counts — division is Spark `div`
@@ -197,6 +199,43 @@ object AnalyticsOps extends Catalog {
             1L).otherwise(0L).as("spike"))
     }),
 
+    // ---- triangle counting on the co-purchase graph ------------------------
+    // Per-part triangle membership over the co ≥ 2 co-purchase edges
+    // (q110's pair stage as a graph): a triangle a < b < c is found
+    // exactly once via the oriented wedge join e(a,b) ⋈ e(b,c) ⋈ e(a,c).
+    // The cohesion signal beside q54's components (connected ≠ cohesive)
+    // and q109's centrality.
+    "q116_triangle_counts" -> ((s, d) => {
+      val bk = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("o"),
+          col("l_partkey").cast("long").as("p"))
+        .distinct()
+      val edges = bk.as("a").join(bk.as("b"),
+          col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+        .select(col("a.p").as("p1"), col("b.p").as("p2"))
+        .groupBy("p1", "p2").agg(count(lit(1)).as("co"))
+        .filter(col("co") >= 2).select("p1", "p2")
+      Graphs.triangleCounts(edges)
+    }),
+
+    // ---- daily gap-fill + forward-fill -------------------------------------
+    // Densify each user's purchase series to every day in its span and
+    // carry the last daily total forward — the regular-grid step between
+    // raw events and dashboards/models. Day strings out (never raw
+    // dates), totals in integer micros.
+    "q117_gap_fill" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id").as("key"),
+          to_date(col("ts")).as("day"),
+          floor(col("value") * 1e6 + 0.5).cast("long").as("v0"))
+        .groupBy("key", "day").agg(sum("v0").as("v"))
+      Behavioral.gapFillDaily(daily)
+        .select(col("key").as("user_id"),
+          date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("v_filled"), col("filled"))
+    }),
+
     // ---- sliding windows in batch mode (q47's device for overlap) ----------
     // EventStream.slidingTypeCounts on the batch table: 1 h windows
     // sliding every 15 min, so each event lands in 4 overlapping windows.
@@ -359,6 +398,41 @@ object AnalyticsOps extends Catalog {
         |  CAST(CASE WHEN n_hist > 0 AND v * 15 > ewma_num * 16
         |    THEN 1 ELSE 0 END AS BIGINT) AS spike
         |FROM s""".stripMargin,
+
+    "q116_triangle_counts" ->
+      """WITH bk AS (SELECT DISTINCT l_orderkey AS o,
+        |              CAST(l_partkey AS BIGINT) AS p FROM lineitem),
+        |e AS (SELECT a.p AS p1, b.p AS p2
+        |  FROM bk a JOIN bk b ON a.o = b.o AND a.p < b.p
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |tri AS (SELECT e1.p1 AS a, e1.p2 AS b, e2.p2 AS c
+        |  FROM e e1 JOIN e e2 ON e1.p2 = e2.p1
+        |  JOIN e e3 ON e3.p1 = e1.p1 AND e3.p2 = e2.p2),
+        |n AS (SELECT a AS node FROM tri
+        |  UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri)
+        |SELECT node, CAST(count(*) AS BIGINT) AS triangles
+        |FROM n GROUP BY 1""".stripMargin,
+
+    "q117_gap_fill" ->
+      """WITH ev AS (SELECT user_id,
+        |    CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+        |    CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS v0
+        |  FROM events WHERE event_type = 'purchase'),
+        |daily AS (SELECT user_id, day, CAST(sum(v0) AS BIGINT) AS v
+        |  FROM ev GROUP BY 1, 2),
+        |spans AS (SELECT user_id, min(day) AS d0, max(day) AS d1
+        |  FROM daily GROUP BY 1),
+        |grid AS (SELECT user_id,
+        |    CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE)
+        |      AS day
+        |  FROM spans),
+        |j AS (SELECT g.user_id, g.day, d.v FROM grid g
+        |  LEFT JOIN daily d ON d.user_id = g.user_id AND d.day = g.day)
+        |SELECT user_id, strftime(day, '%Y-%m-%d') AS day,
+        |  last_value(v IGNORE NULLS) OVER (PARTITION BY user_id
+        |    ORDER BY day) AS v_filled,
+        |  CAST(CASE WHEN v IS NULL THEN 1 ELSE 0 END AS BIGINT) AS filled
+        |FROM j""".stripMargin,
 
     // window starts are the slide-aligned epoch multiples w with
     // t − len < w ≤ t: k ranges over floor(t/s)−len/s+1 .. floor(t/s)

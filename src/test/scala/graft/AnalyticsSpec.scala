@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{Behavioral, PageRank, Scd2}
+import graft.operators.{Behavioral, Graphs, PageRank, Scd2}
 
 /** Behavioral + graph analytics operators (q107–q110): windowed funnel,
   * cohort retention, integer PageRank, basket lift.
@@ -243,6 +243,51 @@ class AnalyticsSpec extends AnyFunSuite with SparkTestBase {
       .filter(col("t") === 50L)
       .select("ewma_num", "n_hist").as[(Long, Long)].head()
     assert(last === ((20L, 4L)))
+  }
+
+  // ---- triangle counting ---------------------------------------------------
+
+  test("triangle counts find each triangle once and credit all 3 corners") {
+    // K4 on {1,2,3,4} has 4 triangles; each node sits in exactly 3
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L)).toDF("p1", "p2")
+    val out = Graphs.triangleCounts(k4)
+      .as[(Long, Long)].collect().toMap
+    assert(out === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+  }
+
+  test("open wedges and disconnected edges produce no triangles") {
+    // path 1-2-3 (open wedge) + lone edge 8-9
+    val g = Seq((1L, 2L), (2L, 3L), (8L, 9L)).toDF("p1", "p2")
+    assert(Graphs.triangleCounts(g).count() === 0L)
+  }
+
+  // ---- gap fill ------------------------------------------------------------
+
+  test("gap fill densifies the span and carries the last value forward") {
+    val d0 = java.sql.Date.valueOf("2024-01-01")
+    val d2 = java.sql.Date.valueOf("2024-01-03")
+    val d4 = java.sql.Date.valueOf("2024-01-05")
+    val daily = Seq((1L, d0, 10L), (1L, d2, 30L), (1L, d4, 50L))
+      .toDF("key", "day", "v")
+    val out = Behavioral.gapFillDaily(daily)
+      .select(col("day").cast("string"), col("v_filled"), col("filled"))
+      .as[(String, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(out === Seq(
+      ("2024-01-01", 10L, 0L), ("2024-01-02", 10L, 1L),
+      ("2024-01-03", 30L, 0L), ("2024-01-04", 30L, 1L),
+      ("2024-01-05", 50L, 0L)))
+  }
+
+  test("gap fill spans are per key, single-day keys stay single rows") {
+    val daily = Seq(
+      (1L, java.sql.Date.valueOf("2024-01-01"), 1L),
+      (1L, java.sql.Date.valueOf("2024-01-02"), 2L),
+      (2L, java.sql.Date.valueOf("2024-02-10"), 9L))
+      .toDF("key", "day", "v")
+    val out = Behavioral.gapFillDaily(daily)
+    assert(out.count() === 3L)
+    assert(out.filter(col("key") === 2L).count() === 1L)
   }
 
   private implicit class Map2Ops(
