@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Behavioral, Graphs, PageRank, Scd2}
+import graft.operators.{Behavioral, CdcApply, Graphs, PageRank, Scd2}
 import graft.sources.Tables
 
 /** Round-7 behavioral/graph analytics catalog: the product-analytics and
@@ -12,8 +12,9 @@ import graft.sources.Tables
   * (q109), market-basket lift (q110), SCD2 dimension build (q111),
   * Markov transitions (q112), per-stratum percentile gate (q113), a
   * dyadic-exact EWMA anomaly baseline (q114), sliding windows in batch
-  * mode (q115), co-purchase triangle counting (q116), and time-series
-  * gap-fill with forward-fill (q117).
+  * mode (q115), co-purchase triangle counting (q116), time-series
+  * gap-fill with forward-fill (q117), CDC MERGE apply (q118), and
+  * point-in-time SCD2 enrichment (q119).
   *
   * Cross-engine device shared by all four: EVERY computation is integer
   * arithmetic on epoch-µs longs or scaled counts — division is Spark `div`
@@ -236,6 +237,66 @@ object AnalyticsOps extends Catalog {
           col("v_filled"), col("filled"))
     }),
 
+    // ---- CDC MERGE apply (Delta-MERGE / Debezium-compaction batch form) ----
+    // Fold a change feed (upserts + deletes, latest seq wins per key,
+    // delete beats upsert on a tie) into the customer snapshot. The feed
+    // derives deterministically from orders: 'F' orders upsert the
+    // customer's balance (seq = orderkey, so a customer's LATEST filled
+    // order wins), cheap open orders tombstone, and every 97th orderkey
+    // inserts a shifted-keyspace row (insert = upsert on a new key).
+    "q118_cdc_merge" -> ((s, d) => {
+      val target = Tables.customer(s, d)
+        .select(col("c_custkey").cast("long").as("key"),
+          col("c_name").as("name"),
+          floor(col("c_acctbal") * 1e6 + 0.5).cast("long").as("bal_micro"))
+      val o = Tables.orders(s, d)
+      val upserts = o.filter(col("o_orderstatus") === "F")
+        .select(col("o_custkey").cast("long").as("key"),
+          col("o_orderkey").cast("long").as("seq"), lit("U").as("op"),
+          concat(lit("UPD#"), col("o_custkey").cast("long")).as("name"),
+          floor(col("o_totalprice") * 1e6 + 0.5).cast("long")
+            .as("bal_micro"))
+      val deletes = o
+        .filter(col("o_orderstatus") === "O" && col("o_totalprice") < 1000.0)
+        .select(col("o_custkey").cast("long").as("key"),
+          col("o_orderkey").cast("long").as("seq"), lit("D").as("op"),
+          lit(null).cast("string").as("name"),
+          lit(null).cast("long").as("bal_micro"))
+      val inserts = o.filter(col("o_orderkey") % 97 === 0)
+        .select((col("o_custkey").cast("long") + 1000000L).as("key"),
+          col("o_orderkey").cast("long").as("seq"), lit("U").as("op"),
+          concat(lit("NEW#"), col("o_custkey").cast("long") + 1000000L)
+            .as("name"),
+          lit(0L).as("bal_micro"))
+      CdcApply.run(target, upserts.unionByName(deletes).unionByName(inserts))
+    }),
+
+    // ---- point-in-time enrichment against the SCD2 dimension ---------------
+    // Each purchase reads the user's signup-value version VALID AT its
+    // event time — the lookup naive joins get wrong (they read today's
+    // version for yesterday's event). Because SCD2 validity chains
+    // (valid_to = next valid_from), "version valid at t" is exactly the
+    // backward as-of join on valid_from — X27's operator composed with
+    // X85's build; purchases before the first version keep NULLs.
+    "q119_pit_enrichment" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val dim = Scd2.build(
+        ev.filter(col("event_type") === "signup")
+          .select(col("user_id").as("key"), unix_micros(col("ts")).as("t"),
+            col("value").as("v"), col("event_id")),
+        tieCol = "event_id")
+        .select(col("key").as("user_id"), col("valid_from"),
+          col("v").as("dim_value"), col("version"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("t"))
+      graft.operators.AsOfJoin.backward(purchases, dim, Seq("user_id"),
+          "t", "valid_from", Seq("dim_value", "version"))
+        .select(col("event_id"), col("user_id"), col("t"),
+          col("asof_dim_value").as("dim_value"),
+          col("asof_version").as("version"))
+    }),
+
     // ---- sliding windows in batch mode (q47's device for overlap) ----------
     // EventStream.slidingTypeCounts on the batch table: 1 h windows
     // sliding every 15 min, so each event lands in 4 overlapping windows.
@@ -398,6 +459,61 @@ object AnalyticsOps extends Catalog {
         |  CAST(CASE WHEN n_hist > 0 AND v * 15 > ewma_num * 16
         |    THEN 1 ELSE 0 END AS BIGINT) AS spike
         |FROM s""".stripMargin,
+
+    "q118_cdc_merge" ->
+      """WITH tgt AS (SELECT CAST(c_custkey AS BIGINT) AS key,
+        |    c_name AS name,
+        |    CAST(floor(c_acctbal * 1000000.0 + 0.5) AS BIGINT) AS bal_micro
+        |  FROM customer),
+        |chg AS (
+        |  SELECT CAST(o_custkey AS BIGINT) AS key,
+        |      CAST(o_orderkey AS BIGINT) AS seq, 'U' AS op,
+        |      'UPD#' || CAST(o_custkey AS BIGINT) AS name,
+        |      CAST(floor(o_totalprice * 1000000.0 + 0.5) AS BIGINT)
+        |        AS bal_micro
+        |    FROM orders WHERE o_orderstatus = 'F'
+        |  UNION ALL
+        |  SELECT CAST(o_custkey AS BIGINT), CAST(o_orderkey AS BIGINT),
+        |      'D', NULL, NULL
+        |    FROM orders WHERE o_orderstatus = 'O' AND o_totalprice < 1000
+        |  UNION ALL
+        |  SELECT CAST(o_custkey AS BIGINT) + 1000000,
+        |      CAST(o_orderkey AS BIGINT), 'U',
+        |      'NEW#' || (CAST(o_custkey AS BIGINT) + 1000000), 0
+        |    FROM orders WHERE o_orderkey % 97 = 0),
+        |latest AS (SELECT * FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY key ORDER BY seq DESC,
+        |      CASE WHEN op = 'D' THEN 0 ELSE 1 END) AS rn FROM chg)
+        |  WHERE rn = 1)
+        |SELECT t.key, t.name, t.bal_micro FROM tgt t
+        |WHERE NOT EXISTS (SELECT 1 FROM latest l WHERE l.key = t.key)
+        |UNION ALL
+        |SELECT key, name, bal_micro FROM latest WHERE op <> 'D'"""
+        .stripMargin,
+
+    // DuckDB's NATIVE ASOF JOIN — an independent algorithm — against the
+    // union-marker as-of implementation composed with the SCD2 build
+    "q119_pit_enrichment" ->
+      """WITH ev AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS t,
+        |    value AS v, event_id, event_type FROM events),
+        |ch AS (SELECT * FROM (
+        |    SELECT user_id, t, v, event_id,
+        |      lag(v) OVER (PARTITION BY user_id ORDER BY t, event_id)
+        |        AS prev,
+        |      row_number() OVER (PARTITION BY user_id ORDER BY t, event_id)
+        |        AS rn
+        |    FROM ev WHERE event_type = 'signup')
+        |  WHERE rn = 1 OR v IS DISTINCT FROM prev),
+        |dim AS (SELECT user_id, t AS valid_from, v AS dim_value,
+        |    CAST(row_number() OVER (PARTITION BY user_id
+        |      ORDER BY t, event_id) AS BIGINT) AS version
+        |  FROM ch),
+        |p AS (SELECT event_id, user_id, t FROM ev
+        |  WHERE event_type = 'purchase')
+        |SELECT p.event_id, p.user_id, p.t, d.dim_value, d.version
+        |FROM p ASOF LEFT JOIN dim d
+        |  ON p.user_id = d.user_id AND p.t >= d.valid_from"""
+        .stripMargin,
 
     "q116_triangle_counts" ->
       """WITH bk AS (SELECT DISTINCT l_orderkey AS o,

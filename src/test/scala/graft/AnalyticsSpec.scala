@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{Behavioral, Graphs, PageRank, Scd2}
+import graft.operators.{Behavioral, CdcApply, Graphs, PageRank, Scd2}
 
 /** Behavioral + graph analytics operators (q107–q110): windowed funnel,
   * cohort retention, integer PageRank, basket lift.
@@ -288,6 +288,47 @@ class AnalyticsSpec extends AnyFunSuite with SparkTestBase {
     val out = Behavioral.gapFillDaily(daily)
     assert(out.count() === 3L)
     assert(out.filter(col("key") === 2L).count() === 1L)
+  }
+
+  // ---- CDC apply -----------------------------------------------------------
+
+  private def tgt(rows: (Long, String, Long)*) =
+    rows.toDF("key", "name", "bal_micro")
+  private def chg(rows: (Long, Long, String, String, Long)*) =
+    rows.map { case (k, s, o, n, b) =>
+      (k, s, o, Option(n), if (o == "D") None else Some(b))
+    }.toDF("key", "seq", "op", "name", "bal_micro")
+
+  test("CDC apply: latest seq wins, upsert replaces, delete tombstones") {
+    val out = CdcApply.run(
+      tgt((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L)),
+      chg((1L, 5L, "U", "a1", 11L), (1L, 9L, "U", "a2", 12L),
+        (2L, 7L, "D", null, 0L)))
+      .as[(Long, String, Long)].collect().toSet
+    assert(out === Set((1L, "a2", 12L), (3L, "c", 30L)))
+  }
+
+  test("CDC apply: upsert on an unseen key inserts; untouched rows survive") {
+    val out = CdcApply.run(
+      tgt((1L, "a", 10L)),
+      chg((9L, 1L, "U", "new", 99L)))
+      .as[(Long, String, Long)].collect().toSet
+    assert(out === Set((1L, "a", 10L), (9L, "new", 99L)))
+  }
+
+  test("CDC apply: on a seq tie the delete beats the upsert") {
+    val out = CdcApply.run(
+      tgt((1L, "a", 10L)),
+      chg((1L, 5L, "U", "res", 1L), (1L, 5L, "D", null, 0L)))
+    assert(out.count() === 0L)
+  }
+
+  test("CDC apply: a delete then a LATER upsert resurrects the key") {
+    val out = CdcApply.run(
+      tgt((1L, "a", 10L)),
+      chg((1L, 5L, "D", null, 0L), (1L, 6L, "U", "back", 2L)))
+      .as[(Long, String, Long)].collect().toSet
+    assert(out === Set((1L, "back", 2L)))
   }
 
   private implicit class Map2Ops(
