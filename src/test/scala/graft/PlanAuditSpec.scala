@@ -38,7 +38,9 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
       "q78_bloom_pruned_join", "q82_mixture_rebalance",
       "q87_boilerplate_ngrams", "q88_quantized_rerank",
       "q93_heavy_hitters", "q96_heavy_sources",
-      "q101_bm25_topk") // 1-row scalar attaches (q101: N + total-len stats)
+      "q101_bm25_topk", // 1-row scalar attaches (q101: N + total-len stats)
+      "q109_pagerank_bipartite", // 1-row node-count scalar (teleport term)
+      "q110_basket_lift") // 1-row basket-count scalar (lift denominator)
 
   test("no catalog query plans a CartesianProduct") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
