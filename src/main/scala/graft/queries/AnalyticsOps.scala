@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Behavioral, CdcApply, Graphs, PageRank, Scd2}
+import graft.operators.{Behavioral, CdcApply, Graphs, PageRank, Quality, Scd2}
 import graft.sources.Tables
 
 /** Round-7 behavioral/graph analytics catalog: the product-analytics and
@@ -13,8 +13,10 @@ import graft.sources.Tables
   * Markov transitions (q112), per-stratum percentile gate (q113), a
   * dyadic-exact EWMA anomaly baseline (q114), sliding windows in batch
   * mode (q115), co-purchase triangle counting (q116), time-series
-  * gap-fill with forward-fill (q117), CDC MERGE apply (q118), and
-  * point-in-time SCD2 enrichment (q119).
+  * gap-fill with forward-fill (q117), CDC MERGE apply (q118),
+  * point-in-time SCD2 enrichment (q119), snapshot diff (q120),
+  * single-pass column profiling (q121), and declarative constraint
+  * checks (q122).
   *
   * Cross-engine device shared by all four: EVERY computation is integer
   * arithmetic on epoch-µs longs or scaled counts — division is Spark `div`
@@ -297,6 +299,51 @@ object AnalyticsOps extends Catalog {
           col("asof_version").as("version"))
     }),
 
+    // ---- snapshot diff (reconciliation) ------------------------------------
+    // Row-level diff of the customer snapshot BEFORE vs AFTER q118's CDC
+    // merge — the nightly reconciliation a warehouse runs to audit its
+    // own ingestion: 'A' added (shifted-keyspace inserts), 'R' removed
+    // (tombstoned), 'C' changed (balance upserts). One full-outer
+    // key-equi join; co-located and exchange-free on bucketed snapshots.
+    "q120_snapshot_diff" -> ((s, d) => {
+      val target = Tables.customer(s, d)
+        .select(col("c_custkey").cast("long").as("key"),
+          col("c_name").as("name"),
+          floor(col("c_acctbal") * 1e6 + 0.5).cast("long").as("bal_micro"))
+      Quality.snapshotDiff(target,
+        queries("q118_cdc_merge")(s, d), "key")
+    }),
+
+    // ---- single-pass column profiling (the Deequ analyzer shape) -----------
+    // Per-column row count / nulls / distincts / min / max for the
+    // customer table, ALL analyzers in one scan + one aggregation (the
+    // point of the analyzer pattern), unpivoted to a row per column. The
+    // double column is micro-quantized to a long BEFORE profiling —
+    // min/max leave as strings and double→string rendering is the one
+    // step IEEE semantics don't pin cross-engine.
+    "q121_column_profile" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+        .select(col("c_custkey").cast("long").as("c_custkey"),
+          col("c_name"), col("c_mktsegment"),
+          floor(col("c_acctbal") * 1e6 + 0.5).cast("long").as("bal_micro"))
+      Quality.profile(c,
+        Seq("c_custkey", "c_name", "c_mktsegment", "bal_micro"))
+    }),
+
+    // ---- declarative constraint checks -------------------------------------
+    // The assertion side of q121's profiling: pk uniqueness of
+    // o_orderkey, referential integrity orders→customer, and a positive-
+    // price rule — each an exact violation count (all zero on this data;
+    // the spec plants violations to prove the counters move).
+    "q122_constraint_checks" -> ((s, d) => {
+      Quality.checks(
+        Tables.orders(s, d).select(col("o_orderkey").cast("long"),
+          col("o_custkey").cast("long"), col("o_totalprice")),
+        pkCol = "o_orderkey",
+        fk = Some((Tables.customer(s, d), "o_custkey", "c_custkey")),
+        predicate = ("price_positive", col("o_totalprice") > 0.0))
+    }),
+
     // ---- sliding windows in batch mode (q47's device for overlap) ----------
     // EventStream.slidingTypeCounts on the batch table: 1 h windows
     // sliding every 15 min, so each event lands in 4 overlapping windows.
@@ -459,6 +506,90 @@ object AnalyticsOps extends Catalog {
         |  CAST(CASE WHEN n_hist > 0 AND v * 15 > ewma_num * 16
         |    THEN 1 ELSE 0 END AS BIGINT) AS spike
         |FROM s""".stripMargin,
+
+    // same merge re-derivation as q118, then a semantic full-outer diff
+    // (IS DISTINCT FROM on the native columns — no string signatures
+    // needed in SQL)
+    "q120_snapshot_diff" ->
+      """WITH tgt AS (SELECT CAST(c_custkey AS BIGINT) AS key,
+        |    c_name AS name,
+        |    CAST(floor(c_acctbal * 1000000.0 + 0.5) AS BIGINT) AS bal_micro
+        |  FROM customer),
+        |chg AS (
+        |  SELECT CAST(o_custkey AS BIGINT) AS key,
+        |      CAST(o_orderkey AS BIGINT) AS seq, 'U' AS op,
+        |      'UPD#' || CAST(o_custkey AS BIGINT) AS name,
+        |      CAST(floor(o_totalprice * 1000000.0 + 0.5) AS BIGINT)
+        |        AS bal_micro
+        |    FROM orders WHERE o_orderstatus = 'F'
+        |  UNION ALL
+        |  SELECT CAST(o_custkey AS BIGINT), CAST(o_orderkey AS BIGINT),
+        |      'D', NULL, NULL
+        |    FROM orders WHERE o_orderstatus = 'O' AND o_totalprice < 1000
+        |  UNION ALL
+        |  SELECT CAST(o_custkey AS BIGINT) + 1000000,
+        |      CAST(o_orderkey AS BIGINT), 'U',
+        |      'NEW#' || (CAST(o_custkey AS BIGINT) + 1000000), 0
+        |    FROM orders WHERE o_orderkey % 97 = 0),
+        |latest AS (SELECT * FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY key ORDER BY seq DESC,
+        |      CASE WHEN op = 'D' THEN 0 ELSE 1 END) AS rn FROM chg)
+        |  WHERE rn = 1),
+        |aft AS (
+        |  SELECT t.key, t.name, t.bal_micro FROM tgt t
+        |  WHERE NOT EXISTS (SELECT 1 FROM latest l WHERE l.key = t.key)
+        |  UNION ALL
+        |  SELECT key, name, bal_micro FROM latest WHERE op <> 'D'),
+        |d AS (SELECT coalesce(t.key, a.key) AS key,
+        |    CASE WHEN t.key IS NULL THEN 'A'
+        |         WHEN a.key IS NULL THEN 'R'
+        |         WHEN (t.name IS DISTINCT FROM a.name)
+        |           OR (t.bal_micro IS DISTINCT FROM a.bal_micro) THEN 'C'
+        |    END AS op
+        |  FROM tgt t FULL OUTER JOIN aft a ON t.key = a.key)
+        |SELECT key, op FROM d WHERE op IS NOT NULL""".stripMargin,
+
+    "q121_column_profile" ->
+      """WITH c AS (SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_name,
+        |    c_mktsegment,
+        |    CAST(floor(c_acctbal * 1000000.0 + 0.5) AS BIGINT) AS bal_micro
+        |  FROM customer)
+        |SELECT 'c_custkey' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(count(*) - count(c_custkey) AS BIGINT) AS n_null,
+        |  CAST(count(DISTINCT c_custkey) AS BIGINT) AS n_distinct,
+        |  CAST(min(c_custkey) AS VARCHAR) AS min_s,
+        |  CAST(max(c_custkey) AS VARCHAR) AS max_s FROM c
+        |UNION ALL
+        |SELECT 'c_name', CAST(count(*) AS BIGINT),
+        |  CAST(count(*) - count(c_name) AS BIGINT),
+        |  CAST(count(DISTINCT c_name) AS BIGINT),
+        |  CAST(min(c_name) AS VARCHAR), CAST(max(c_name) AS VARCHAR) FROM c
+        |UNION ALL
+        |SELECT 'c_mktsegment', CAST(count(*) AS BIGINT),
+        |  CAST(count(*) - count(c_mktsegment) AS BIGINT),
+        |  CAST(count(DISTINCT c_mktsegment) AS BIGINT),
+        |  CAST(min(c_mktsegment) AS VARCHAR),
+        |  CAST(max(c_mktsegment) AS VARCHAR) FROM c
+        |UNION ALL
+        |SELECT 'bal_micro', CAST(count(*) AS BIGINT),
+        |  CAST(count(*) - count(bal_micro) AS BIGINT),
+        |  CAST(count(DISTINCT bal_micro) AS BIGINT),
+        |  CAST(min(bal_micro) AS VARCHAR),
+        |  CAST(max(bal_micro) AS VARCHAR) FROM c""".stripMargin,
+
+    "q122_constraint_checks" ->
+      """SELECT 'pk_unique' AS check_name,
+        |  CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT)
+        |    AS violations
+        |FROM orders
+        |UNION ALL
+        |SELECT 'price_positive',
+        |  CAST(count(*) FILTER (WHERE NOT (o_totalprice > 0)) AS BIGINT)
+        |FROM orders
+        |UNION ALL
+        |SELECT 'fk_exists', CAST(count(*) AS BIGINT) FROM orders o
+        |WHERE NOT EXISTS (SELECT 1 FROM customer c
+        |                  WHERE c.c_custkey = o.o_custkey)""".stripMargin,
 
     "q118_cdc_merge" ->
       """WITH tgt AS (SELECT CAST(c_custkey AS BIGINT) AS key,

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{Behavioral, CdcApply, Graphs, PageRank, Scd2}
+import graft.operators.{Behavioral, CdcApply, Graphs, PageRank, Quality, Scd2}
 
 /** Behavioral + graph analytics operators (q107–q110): windowed funnel,
   * cohort retention, integer PageRank, basket lift.
@@ -329,6 +329,48 @@ class AnalyticsSpec extends AnyFunSuite with SparkTestBase {
       chg((1L, 5L, "D", null, 0L), (1L, 6L, "U", "back", 2L)))
       .as[(Long, String, Long)].collect().toSet
     assert(out === Set((1L, "back", 2L)))
+  }
+
+  // ---- data quality --------------------------------------------------------
+
+  test("snapshot diff classifies added, removed, changed; silent on same") {
+    val before = tgt((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L))
+    val after = tgt((1L, "a", 10L), (2L, "b2", 20L), (4L, "d", 40L))
+    val out = Quality.snapshotDiff(before, after, "key")
+      .as[(Long, String)].collect().toSet
+    assert(out === Set((2L, "C"), (3L, "R"), (4L, "A")))
+  }
+
+  test("snapshot diff treats NULL payloads null-safely") {
+    val b = Seq((1L, Option.empty[String], 5L), (2L, Some("x"), 6L))
+      .toDF("key", "name", "bal_micro")
+    val a = Seq((1L, Option.empty[String], 5L), (2L, Option.empty[String], 6L))
+      .toDF("key", "name", "bal_micro")
+    val out = Quality.snapshotDiff(b, a, "key")
+      .as[(Long, String)].collect().toSet
+    assert(out === Set((2L, "C"))) // null == null stays silent; x -> null is C
+  }
+
+  test("column profile computes all analyzers in one pass") {
+    val df = Seq((1L, Some("x")), (2L, Some("y")), (3L, None),
+      (4L, Some("x"))).toDF("id", "s")
+    val out = Quality.profile(df, Seq("id", "s"))
+      .as[(String, Long, Long, Long, String, String)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out("id") === (("id", 4L, 0L, 4L, "1", "4")))
+    assert(out("s") === (("s", 4L, 1L, 2L, "x", "y")))
+  }
+
+  test("constraint checks count violations exactly") {
+    val child = Seq((1L, 10L, 5.0), (1L, 10L, -1.0), (2L, 99L, 3.0))
+      .toDF("o_orderkey", "o_custkey", "o_totalprice")
+    val parent = Seq(Tuple1(10L)).toDF("c_custkey")
+    val out = Quality.checks(child, "o_orderkey",
+      Some((parent, "o_custkey", "c_custkey")),
+      ("price_positive", col("o_totalprice") > 0.0))
+      .as[(String, Long)].collect().toMap
+    assert(out === Map("pk_unique" -> 1L, "price_positive" -> 1L,
+      "fk_exists" -> 1L))
   }
 
   private implicit class Map2Ops(
