@@ -15,8 +15,9 @@ import graft.sources.Tables
   * mode (q115), co-purchase triangle counting (q116), time-series
   * gap-fill with forward-fill (q117), CDC MERGE apply (q118),
   * point-in-time SCD2 enrichment (q119), snapshot diff (q120),
-  * single-pass column profiling (q121), and declarative constraint
-  * checks (q122).
+  * single-pass column profiling (q121), declarative constraint checks
+  * (q122), temperature-balanced mixture allocation (q123), and the
+  * leakage-safe dup-aware split (q124).
   *
   * Cross-engine device shared by all four: EVERY computation is integer
   * arithmetic on epoch-µs longs or scaled counts — division is Spark `div`
@@ -344,6 +345,65 @@ object AnalyticsOps extends Catalog {
         predicate = ("price_positive", col("o_totalprice") > 0.0))
     }),
 
+    // ---- temperature-balanced mixture allocation (mT5/CC-100 device) -------
+    // Per-language sample targets under temperature sampling at τ = 2:
+    // w_i = (n_i/N)^(1/τ) = sqrt(n_i/N) — τ is PINNED at 2 because sqrt
+    // is IEEE-correctly-rounded in every engine while pow(x, 1/τ) is
+    // libm-dependent. Weights quantize to integer micros BEFORE the
+    // normalizer sum (a double Σw would depend on evaluation order; the
+    // long sum is associative), targets are (S·w_micro) div Z_micro in
+    // pure integer arithmetic, and the sample itself is the top-target
+    // rows per language under the (fnv(id), id) order —
+    // rerun/repartition/ingestion-stable membership (the q55/q90
+    // device), id-sum-checksummed so the oracle pins MEMBERSHIP, not
+    // just size.
+    "q123_temperature_mixture" -> ((s, d) => {
+      import graft.plans.Fnv1a64Expression.fnv1a64
+      val sampleTotal = 1000L
+      val docs = Tables.documents(s, d)
+      val byLang = docs.groupBy("lang").agg(count(lit(1)).as("n"))
+      val alloc = byLang
+        .crossJoin(broadcast(byLang.agg(sum("n").as("__N"))))
+        .withColumn("w_micro",
+          floor(sqrt(col("n").cast("double") / col("__N")) * 1e6 + 0.5)
+            .cast("long"))
+      val allocZ = alloc
+        .crossJoin(broadcast(alloc.agg(sum("w_micro").as("__z"))))
+        .withColumn("target",
+          expr(s"($sampleTotal * w_micro) div __z"))
+      val byRank = org.apache.spark.sql.expressions.Window
+        .partitionBy("lang").orderBy(fnv1a64(col("doc_id")), col("doc_id"))
+      val sampled = docs
+        .withColumn("__r", row_number().over(byRank).cast("long"))
+        .join(allocZ.select("lang", "target"), Seq("lang"))
+        .filter(col("__r") <= col("target"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("sampled"),
+          sum("doc_id").as("sample_id_sum"))
+      allocZ.select(col("lang"), col("n"), col("w_micro"), col("target"))
+        .join(sampled, Seq("lang"), "left")
+    }),
+
+    // ---- leakage-safe split (dup-cluster-aware train/val/test) -------------
+    // The q55 hash split assigns per DOC, so two exact duplicates can
+    // straddle train and test — the canonical evaluation-leakage bug.
+    // Here the split is assigned per exact-dup GROUP (md5 fingerprint,
+    // X1's grouping): rep = min doc_id of the group, bucket =
+    // pmod(fnv(rep), 100) — every copy of a text lands in ONE split by
+    // construction. Output keeps the group rep so the invariant is
+    // mechanically checkable (and spec-pinned): doc_ids differ, reps
+    // and splits agree.
+    "q124_leakage_safe_split" -> ((s, d) => {
+      import graft.plans.Fnv1a64Expression.fnv1a64
+      val g = graft.ext.Dedup.exactDupGroups(
+        Tables.documents(s, d), "doc_id", "text")
+      val bucket = pmod(fnv1a64(col("rep_id")), lit(100L))
+      g.select(col("doc_id"), col("canonical_id").as("rep_id"))
+        .withColumn("split",
+          when(bucket < 80, "train").when(bucket < 90, "val")
+            .otherwise("test"))
+    }),
+
     // ---- sliding windows in batch mode (q47's device for overlap) ----------
     // EventStream.slidingTypeCounts on the batch table: 1 h windows
     // sliding every 15 min, so each event lands in 4 overlapping windows.
@@ -506,6 +566,50 @@ object AnalyticsOps extends Catalog {
         |  CAST(CASE WHEN n_hist > 0 AND v * 15 > ewma_num * 16
         |    THEN 1 ELSE 0 END AS BIGINT) AS spike
         |FROM s""".stripMargin,
+
+    "q123_temperature_mixture" -> {
+      import graft.plans.Fnv1a64Expression.{longSqlText, toSignedSqlText}
+      val fnv = toSignedSqlText(
+        longSqlText("14695981039346656037::HUGEINT", "doc_id::HUGEINT"))
+      s"""WITH byl AS (SELECT lang, CAST(count(*) AS BIGINT) AS n
+         |  FROM documents GROUP BY 1),
+         |nn AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM byl),
+         |al AS (SELECT byl.lang, byl.n,
+         |    CAST(floor(sqrt(CAST(byl.n AS DOUBLE) / nn.tot) * 1000000.0
+         |      + 0.5) AS BIGINT) AS w_micro
+         |  FROM byl CROSS JOIN nn),
+         |zz AS (SELECT CAST(sum(w_micro) AS BIGINT) AS z FROM al),
+         |t AS (SELECT lang, n, w_micro,
+         |    CAST((1000 * w_micro) // z AS BIGINT) AS target
+         |  FROM al CROSS JOIN zz),
+         |r AS (SELECT lang, doc_id,
+         |    row_number() OVER (PARTITION BY lang
+         |      ORDER BY ($fnv), doc_id) AS rr
+         |  FROM documents),
+         |smp AS (SELECT r.lang, CAST(count(*) AS BIGINT) AS sampled,
+         |    CAST(sum(r.doc_id) AS BIGINT) AS sample_id_sum
+         |  FROM r JOIN t ON r.lang = t.lang WHERE r.rr <= t.target
+         |  GROUP BY 1)
+         |SELECT t.lang, t.n, t.w_micro, t.target, smp.sampled,
+         |  smp.sample_id_sum
+         |FROM t LEFT JOIN smp ON smp.lang = t.lang""".stripMargin
+    },
+
+    "q124_leakage_safe_split" -> {
+      import graft.plans.Fnv1a64Expression.{longSqlText, toSignedSqlText}
+      val fnv = toSignedSqlText(
+        longSqlText("14695981039346656037::HUGEINT", "rep_id::HUGEINT"))
+      s"""WITH g AS (SELECT doc_id, md5(${TextSql.norm}) AS fp
+         |  FROM documents),
+         |c AS (SELECT doc_id,
+         |    min(doc_id) OVER (PARTITION BY fp) AS rep_id FROM g),
+         |b AS (SELECT doc_id, rep_id,
+         |    ((($fnv) % 100) + 100) % 100 AS bucket FROM c)
+         |SELECT doc_id, rep_id,
+         |  CASE WHEN bucket < 80 THEN 'train'
+         |       WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
+         |FROM b""".stripMargin
+    },
 
     // same merge re-derivation as q118, then a semantic full-outer diff
     // (IS DISTINCT FROM on the native columns — no string signatures

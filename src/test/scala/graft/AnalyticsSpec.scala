@@ -373,6 +373,45 @@ class AnalyticsSpec extends AnyFunSuite with SparkTestBase {
       "fk_exists" -> 1L))
   }
 
+  // ---- mixture allocation + leakage-safe split (catalog-level) -------------
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("temperature mixture flattens shares and fills targets exactly") {
+    val rows = SparkEntry.queries("q123_temperature_mixture")(spark, sf)
+      .as[(String, Long, Long, Long, Option[Long], Option[Long])]
+      .collect().map(r => r._1 -> r).toMap
+    // every language fills its target exactly (sampled == target)
+    rows.values.foreach { case (_, n, _, t, sampled, _) =>
+      assert(sampled.getOrElse(0L) === math.min(t, n),
+        "sample must fill the target (capped by stratum size)")
+    }
+    // temperature flattening: the biggest stratum's sampling RATE is
+    // below a smaller stratum's (sqrt compresses shares)
+    val big = rows.values.maxBy(_._2)
+    val small = rows.values.minBy(_._2)
+    if (big._2 > small._2) {
+      assert(big._4.toDouble / big._2 < small._4.toDouble / small._2,
+        "temperature sampling must over-sample small strata relatively")
+    }
+    // targets sum to at most the configured total (floor rounding)
+    assert(rows.values.map(_._4).sum <= 1000L)
+  }
+
+  test("leakage-safe split never places two copies of a text apart") {
+    // sf0.1: the only driver scale whose corpus carries exact-dup groups
+    val out = SparkEntry
+      .queries("q124_leakage_safe_split")(spark, "/root/testdata/sf0.1")
+      .groupBy("rep_id")
+      .agg(countDistinct("split").as("nsplits"),
+        count(lit(1)).as("members"))
+    assert(out.filter(col("nsplits") > 1).count() === 0L,
+      "all members of a dup group must share one split")
+    // and the fixture actually exercises multi-member groups
+    assert(out.filter(col("members") > 1).count() > 0L,
+      "fixture must contain at least one exact-dup group")
+  }
+
   private implicit class Map2Ops(
       rows: Array[(Long, Long, Option[Long], Long)]) {
     def toMap2: Map[Long, (Long, Option[Long], Long)] =
