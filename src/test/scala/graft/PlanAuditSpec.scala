@@ -40,7 +40,8 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
       "q93_heavy_hitters", "q96_heavy_sources",
       "q101_bm25_topk", // 1-row scalar attaches (q101: N + total-len stats)
       "q109_pagerank_bipartite", // 1-row node-count scalar (teleport term)
-      "q110_basket_lift") // 1-row basket-count scalar (lift denominator)
+      "q110_basket_lift", // 1-row basket-count scalar (lift denominator)
+      "q123_temperature_mixture") // 1-row N and Z scalars (allocation)
 
   test("no catalog query plans a CartesianProduct") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
