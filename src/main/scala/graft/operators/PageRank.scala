@@ -17,17 +17,22 @@ import org.apache.spark.sql.functions._
   * init `r = 10⁹ div N`; each node sends `r div deg` along each out-edge
   * (truncating division, exact); the long sum over in-edges is
   * associative hence partitioning-independent; the damped update is
-  * `r' = (15·10⁹) div (100·N) + (85·csum) div 100`. Flooring leaks a few
-  * nano-units of mass per step — the price of a bit-exact distributed
-  * fixed point that replays identically on any cluster size (spec-pinned
-  * under repartitioning). Overflow bound: 85·csum ≤ 85·10⁹ ≪ 2⁶³.
+  * `r' = (15·10⁹) div (100·N) + (85·(csum + D div N)) div 100` where `D`
+  * is the dangling mass (Σ rank over sink nodes), redistributed
+  * uniformly — the standard dangling-node treatment, in truncating
+  * integer form. Flooring leaks a few nano-units of mass per step — the
+  * price of a bit-exact distributed fixed point that replays identically
+  * on any cluster size (spec-pinned under repartitioning). Overflow
+  * bound: 85·(csum + D div N) ≤ 85·10⁹ ≪ 2⁶³.
   *
   * Scale shape (the 100 TB contract): the rank vector STAYS a DataFrame —
   * node count grows with the data, unlike the k-means centroid state
   * (k·dims, driver-sized, collected per iteration), so nothing here ever
   * reaches the driver. Each iteration is one src-keyed join (contribution
-  * fan-out) + one dst-keyed aggregation (partial sums map-side); the edge
-  * list with out-degrees is iteration-invariant and pinned once via
+  * fan-out) + one dst-keyed aggregation (partial sums map-side) + one
+  * scalar aggregate for the dangling mass (a 1-row broadcast attach,
+  * O(1) bytes at any graph size); the edge list with out-degrees and the
+  * sink-node set are iteration-invariant and pinned once via
   * [[graft.ext.Caches]]. Fixed iteration count, no convergence test: a
   * convergence check would add a driver round-trip per iteration and —
   * worse for reproducibility — make the OUTPUT depend on a float
@@ -41,21 +46,26 @@ object PageRank {
   /** Integer PageRank with damping 0.85 over directed `edges` (columns
     * `src`, `dst`; parallel edges count once per occurrence in the degree
     * and the fan-out — pre-`distinct` if multiplicity is not wanted).
-    * Returns (node, r) for every node with at least one OUT-edge; nodes
-    * appearing only as destinations are outside the walk's support (feed
-    * a symmetrized edge list — e.g. both directions of a bipartite
-    * incidence — when every endpoint must be ranked, which also removes
-    * dangling-mass loss).
+    * Returns (node, r) for EVERY node in `src ∪ dst`. Sink nodes (no
+    * out-edges — a natural web/citation-graph shape) are ranked like any
+    * other node and their mass is redistributed uniformly each iteration
+    * instead of silently leaving the accounting, so general directed
+    * graphs get correct centrality, not just symmetrized ones.
     */
   def pagerankInt(edges: DataFrame, iters: Int): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
-    // edge list + out-degrees are iteration-invariant: pin once so the
-    // iterations don't re-run the upstream chain (released by the caller
-    // or harness via Caches.releaseAll after materialization)
+    // edge list + out-degrees, the node universe, and the sink set are
+    // iteration-invariant: pin once so the iterations don't re-run the
+    // upstream chain (released by the caller or harness via
+    // Caches.releaseAll after materialization)
     val ej = graft.ext.Caches.pin(edges
       .join(edges.groupBy("src").agg(count(lit(1)).as("deg")), Seq("src")))
-    val nodes =
-      graft.ext.Caches.pin(edges.select(col("src").as("node")).distinct())
+    val nodes = graft.ext.Caches.pin(
+      edges.select(col("src").as("node"))
+        .unionByName(edges.select(col("dst").as("node"))).distinct())
+    val sinks = graft.ext.Caches.pin(
+      nodes.join(edges.select(col("src").as("node")).distinct(),
+        Seq("node"), "left_anti"))
     val n = nodes.agg(count(lit(1)).as("__n"))
     var ranks = nodes.crossJoin(broadcast(n))
       .select(col("node"), expr(s"${Scale}L div __n").as("r"))
@@ -63,11 +73,16 @@ object PageRank {
       val contrib = ej.join(ranks, col("src") === col("node"))
         .select(col("dst"), expr("r div deg").as("c"))
         .groupBy("dst").agg(sum("c").as("csum"))
+      // dangling mass: Σ rank over sinks — an exact long sum (associative,
+      // partitioning-independent); empty sink set sums to NULL → 0
+      val dangling = ranks.join(sinks, Seq("node"), "left_semi")
+        .agg(coalesce(sum("r"), lit(0L)).as("__d"))
       ranks = nodes.join(contrib, col("node") === col("dst"), "left")
-        .crossJoin(broadcast(n))
+        .crossJoin(broadcast(n)).crossJoin(broadcast(dangling))
         .select(col("node"),
           (expr(s"(15L * ${Scale}L) div (100L * __n)")
-            + expr("(85L * coalesce(csum, 0L)) div 100L")).as("r"))
+            + expr("(85L * (coalesce(csum, 0L) + __d div __n)) div 100L"))
+            .as("r"))
     }
     ranks.select(col("node"), col("r"))
   }

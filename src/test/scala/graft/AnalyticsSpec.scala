@@ -128,6 +128,33 @@ class AnalyticsSpec extends AnyFunSuite with SparkTestBase {
     assert(total > PageRank.Scale - 3 * 3 * 3)
   }
 
+  test("PageRank ranks sink nodes and redistributes dangling mass") {
+    // pure-sink star: three sources all pointing at node 3, which has no
+    // out-edges — the natural web/citation shape. Node 3 must appear in
+    // the output (it is in src ∪ dst) and its mass must be redistributed
+    // each iteration, not silently dropped.
+    val edges = Seq((0L, 3L), (1L, 3L), (2L, 3L)).toDF("src", "dst")
+    val got = PageRank.pagerankInt(edges, iters = 2)
+      .as[(Long, Long)].collect().toMap
+    graft.ext.Caches.releaseAll()
+    // driver-side twin of the same integer recurrence with the uniform
+    // dangling redistribution (d div n, truncating)
+    val n = 4L
+    val tele = 15L * 1000000000L / (100L * n)
+    var r = (0L to 3L).map(_ -> 1000000000L / n).toMap
+    for (_ <- 1 to 2) {
+      val d = r(3L)
+      val csum = Map(0L -> 0L, 1L -> 0L, 2L -> 0L,
+        3L -> (r(0L) + r(1L) + r(2L)))
+      r = r.keys.map(k => k -> (tele + 85L * (csum(k) + d / n) / 100L)).toMap
+    }
+    assert(got === r)
+    assert(got(3L) > got(0L), "sink must outrank its sources")
+    val total = got.values.sum
+    assert(total <= PageRank.Scale && total > PageRank.Scale - 40L,
+      "dangling mass must be redistributed, not dropped")
+  }
+
   // ---- basket lift ---------------------------------------------------------
 
   test("basket lift matches the hand-computed contingency") {
