@@ -43,6 +43,12 @@ object Bench {
         .groupBy("r_regionkey").count()
         .write.format("noop").mode("overwrite").save()
     } catch { case _: Throwable => () }
+    // load-insensitive cost accounting: task CPU time per query, summed by
+    // a single long-lived listener; per-run deltas are attributable
+    // because queries run strictly sequentially (round-7 lesson: q49 wall
+    // swung 2.3x on machine load with identical plans — CPU would have
+    // settled it in one read)
+    val cpu = Instrument.cpuAccum(spark)
     var failed = List.empty[String]
     // median-of-5 per query: best-of-2 let one loaded-machine outlier swing
     // the round-3 total by +64% on an inert diff, and round 5's median-of-3
@@ -61,7 +67,7 @@ object Bench {
       // counts are plan-determined and identical across runs, and the
       // listener drain (~300 ms) happens outside the timed region
       var shape: Option[Instrument.Counts] = None
-      val times = (1 to runs).flatMap { runIdx =>
+      val samples = (1 to runs).flatMap { runIdx =>
         // operators that cache internally (e.g. GridNearestJoin) must not
         // hand their warm cache to the next timed run
         spark.catalog.clearCache()
@@ -74,11 +80,17 @@ object Bench {
         // the next timed region
         System.gc()
         Thread.sleep(250)
-        def timedRun(): Option[Double] = {
+        def timedRun(): Option[(Double, Double)] = {
+          // the prior run's settle() + the 250 ms sleep above drained the
+          // listener bus, so a plain read is the run's true CPU baseline
+          val c0 = cpu.value
           val t0 = System.nanoTime()
           try {
             fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-            Some((System.nanoTime() - t0) / 1e9)
+            val wall = (System.nanoTime() - t0) / 1e9
+            // settle AFTER wall is captured: the bounded bus drain charges
+            // nothing to the timed region
+            Some((wall, (cpu.settle() - c0) / 1e9))
           } catch { case e: Throwable =>
             System.err.println(s"[bench] $name FAILED")
             e.printStackTrace()
@@ -92,6 +104,7 @@ object Bench {
           t
         } else timedRun()
       }
+      val times = samples.map(_._1)
       // upper-middle element: for odd counts this IS the median; for even
       // counts (SPARK_GRAFT_BENCH_RUNS=2, or a failed run out of 3) it takes
       // the higher of the two middles — conservative against the fast-
@@ -99,7 +112,12 @@ object Bench {
       val median =
         if (times.isEmpty) -1.0
         else times.sorted.apply(times.size / 2)
-      (name, median, times, shape)
+      // CPU median over its OWN sorted order (not wall's index): the first
+      // run carries codegen-compile CPU, which the median discards
+      val cpuMedian =
+        if (samples.isEmpty) -1.0
+        else samples.map(_._2).sorted.apply(samples.size / 2)
+      (name, median, cpuMedian, times, shape)
     }
     // The driver parses ONE JSON line from the tail (last ~2000 chars) of the
     // process output. Keep that line compact (3-decimal medians, no raw runs)
@@ -124,10 +142,12 @@ object Bench {
         val bd = BigDecimal(v).setScale(1, BigDecimal.RoundingMode.HALF_UP)
         if (bd.signum == 0) "0" else bd.underlying.stripTrailingZeros.toPlainString
       }
-    val raw = results.map { case (k, _, ts, _) =>
+    val raw = results.map { case (k, _, _, ts, _) =>
       s"\"" + k + "\":" + ts.map(r3).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
-    val total = results.collect { case (_, v, _, _) if v >= 0 => v }.sum
+    val total = results.collect { case (_, v, _, _, _) if v >= 0 => v }.sum
+    val cpuTotal =
+      results.collect { case (_, _, c, _, _) if c >= 0 => c }.sum
     val errs = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     // full per-run detail for humans, on stderr so it can't shadow the line
     System.err.println(s"""[bench-runs] {"runs":$raw,"runs_per_query":$runs,"agg":"median","sf":"$sfDir"}""")
@@ -136,13 +156,13 @@ object Bench {
     // goes to a FILE so the tail-line budget never constrains precision:
     // SPARK_GRAFT_BENCH_OUT if set, else bench_full.json in the CWD
     val fullJson = {
-      val qs = results.map { case (k, v, ts, shape) =>
+      val qs = results.map { case (k, v, cpuV, ts, shape) =>
         val sh = shape.map(c =>
           ",\"jobs\":" + c.jobs + ",\"stages\":" + c.stages).getOrElse("")
-        "\"" + k + "\":{\"median\":" + r3(v) + ",\"runs\":" +
-          ts.map(r3).mkString("[", ",", "]") + sh + "}"
+        "\"" + k + "\":{\"median\":" + r3(v) + ",\"cpu\":" + r3(cpuV) +
+          ",\"runs\":" + ts.map(r3).mkString("[", ",", "]") + sh + "}"
       }.mkString("{", ",", "}")
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"errors":$errs,"runs_per_query":$runs,"agg":"median","sf":"$sfName"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","cpu_total":${r3(cpuTotal)},"queries":$qs,"errors":$errs,"runs_per_query":$runs,"agg":"median","sf":"$sfName"}"""
     }
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json")
     try {
@@ -161,13 +181,15 @@ object Bench {
     // a partial map must not shadow a full one.
     if (only.isEmpty) {
       val shapeJson = {
-        val qs = results.map { case (k, v, _, shape) =>
+        val qs = results.map { case (k, v, cpuV, _, shape) =>
           val sh = shape.map(c =>
-            "\"wall\":" + r2(v) + ",\"jobs\":" + c.jobs +
-              ",\"stages\":" + c.stages).getOrElse("\"wall\":" + r2(v))
+            "\"wall\":" + r2(v) + ",\"cpu\":" + r2(cpuV) +
+              ",\"jobs\":" + c.jobs +
+              ",\"stages\":" + c.stages)
+            .getOrElse("\"wall\":" + r2(v) + ",\"cpu\":" + r2(cpuV))
           "\"" + k + "\":{" + sh + "}"
         }.mkString("{", ",", "}")
-        s"""{"queries":$qs,"runs_per_query":$runs,"agg":"median","sf":"$sfName"}"""
+        s"""{"cpu_total":${r2(cpuTotal)},"queries":$qs,"runs_per_query":$runs,"agg":"median","sf":"$sfName"}"""
       }
       try {
         java.nio.file.Files.write(
@@ -184,20 +206,23 @@ object Bench {
     // full names overflowed at 74. Full names live in bench_full.json and
     // the [bench-runs] stderr line. If truncation ever collides, fall back
     // to full names rather than silently merging two queries' timings.
-    val shortKeys = results.map { case (k, _, _, _) => k.takeWhile(_ != '_') }
+    val shortKeys =
+      results.map { case (k, _, _, _, _) => k.takeWhile(_ != '_') }
     val keys =
       if (shortKeys.distinct.size == results.size) shortKeys
       else results.map(_._1)
     def mkLine(fmt: Double => String, withQueries: Boolean): String = {
       val qs =
         if (withQueries)
-          keys.zip(results).map { case (k, (_, v, _, _)) =>
+          keys.zip(results).map { case (k, (_, v, _, _, _)) =>
             "\"" + k + "\":" + fmt(v)
           }.mkString("{", ",", "}")
         else "{}"
       // empty errors array is dead weight on a tight budget — omit it
       val errField = if (failed.isEmpty) "" else s""","errors":$errs"""
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs$errField,"sf":"$sfName"}"""
+      // cpu_total: one scalar buys the load-insensitive round comparator
+      // on the driver's record without per-query line budget
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","cpu_total":${r1(cpuTotal)},"queries":$qs$errField,"sf":"$sfName"}"""
     }
     // degradation ladder — the line must fit a ~2000-char tail capture or
     // the round records "parsed": null. Nothing prints after this line

@@ -1,8 +1,8 @@
 package graft
 
-import java.util.concurrent.atomic.AtomicInteger
+import java.util.concurrent.atomic.{AtomicInteger, AtomicLong}
 
-import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart, SparkListenerStageSubmitted}
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart, SparkListenerStageSubmitted, SparkListenerTaskEnd}
 import org.apache.spark.sql.SparkSession
 
 /** Execution-shape counters: how many jobs and stages a block of Spark
@@ -60,4 +60,59 @@ object Instrument {
       }
     (result, Counts(jobs.get, stages.get))
   }
+
+  /** Cumulative executor-CPU accounting: a long-lived listener summing
+    * `executorCpuTime` (+ deserialize CPU) over every finished task, in
+    * nanoseconds. Deltas between two reads attribute CPU to whatever ran
+    * in between — valid because Bench executes queries strictly
+    * sequentially.
+    *
+    * Why CPU and not wall: wall time swings ±2x with machine load on a
+    * shared box (round 7: q49 read 9.6 s under driver load vs 4.2 s idle,
+    * identical plans), while task CPU time barely moves — the scheduler
+    * charges a task only for cycles it actually burned. CPU is therefore
+    * the load-insensitive round-over-round comparator; wall remains the
+    * user-facing latency number.
+    *
+    * The listener bus is asynchronous: `settle()` polls until the counter
+    * stops moving (bounded) so a read taken right after an action returns
+    * does not miss late task-end events.
+    */
+  final class CpuAccum private[Instrument] (sc: org.apache.spark.SparkContext) {
+    private val cpuNs = new AtomicLong
+    private val listener = new SparkListener {
+      override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+        val m = t.taskMetrics
+        if (m != null) {
+          cpuNs.addAndGet(m.executorCpuTime + m.executorDeserializeCpuTime)
+          ()
+        }
+      }
+    }
+    sc.addSparkListener(listener)
+
+    /** Current total without waiting for the bus to drain — only safe when
+      * nothing ran since the last settle(). */
+    def value: Long = cpuNs.get
+
+    /** Wait (bounded) for the async listener bus to drain, then read. */
+    def settle(maxMs: Int = 3000): Long = {
+      var last = -1L
+      var cur = cpuNs.get
+      var waited = 0
+      while (cur != last && waited < maxMs) {
+        Thread.sleep(40)
+        waited += 40
+        last = cur
+        cur = cpuNs.get
+      }
+      cur
+    }
+
+    def detach(): Unit = sc.removeSparkListener(listener)
+  }
+
+  /** Attach a cumulative CPU accumulator to the session's context. */
+  def cpuAccum(spark: SparkSession): CpuAccum =
+    new CpuAccum(spark.sparkContext)
 }
