@@ -36,6 +36,49 @@ object TextAnalysis {
     size(regexp_extract_all(Dedup.normalizeText(text), lit(SubtokenRegex), lit(0)))
       .cast("long")
 
+  /** Default subword vocabulary for [[wordpieceCount]]: every lowercase
+    * letter and digit as both a start piece and a `##` continuation piece
+    * (so alphanumeric words never fall to `[UNK]` — only words carrying
+    * out-of-vocabulary characters do), plus common English onsets and
+    * suffix pieces so real words split into 1–3 multi-character pieces
+    * rather than characters. A production pipeline would plug a learned
+    * BPE/WordPiece vocabulary here; the ALGORITHM (greedy longest-match,
+    * `##` continuations, whole-word `[UNK]`) is what the engine provides
+    * and what the oracle re-derives.
+    */
+  val WordpieceVocab: Seq[String] = {
+    val singles = (('a' to 'z') ++ ('0' to '9')).map(_.toString)
+    val starts = Seq(
+      "ag", "ba", "bi", "co", "cu", "da", "du", "fa", "fi", "gr", "ha",
+      "jo", "ke", "li", "me", "or", "pa", "qu", "ro", "sc", "sl", "sm",
+      "so", "sp", "st", "ta", "th", "va", "ve", "wi",
+      "the", "spa", "str", "val", "win", "tab", "cus", "dat")
+    val conts = Seq(
+      "##er", "##in", "##ing", "##ion", "##ble", "##ue", "##ow", "##an",
+      "##all", "##ey", "##up", "##ge", "##it", "##ta", "##ark", "##art",
+      "##ast", "##atch", "##dow", "##eam", "##ery", "##lter", "##lumn",
+      "##oup", "##ort", "##ash", "##ine", "##tor", "##tomer", "##rge",
+      "##oin", "##der", "##can", "##mall", "##low", "##ata", "##ream")
+    singles ++ singles.map("##" + _) ++ starts ++ conts
+  }
+
+  /** Greedy longest-match subword token count of the normalized text —
+    * the number production token budgets are denominated in (see
+    * [[graft.plans.WordpieceExpression]]); NULL text → NULL (callers
+    * coalesce to 0 like [[tokenCount]] consumers do).
+    */
+  def wordpieceCount(text: Column,
+                     vocab: Seq[String] = WordpieceVocab): Column =
+    graft.plans.WordpieceExpression.wordpieceCount(
+      Dedup.normalizeText(text), vocab)
+
+  /** The subword pieces themselves, space-joined — [[wordpieceCount]]'s
+    * debuggable twin. */
+  def wordpiecePieces(text: Column,
+                      vocab: Seq[String] = WordpieceVocab): Column =
+    graft.plans.WordpieceExpression.wordpiecePieces(
+      Dedup.normalizeText(text), vocab)
+
   /** characters of punctuation / total characters of the normalized text */
   def punctRatio(text: Column): Column = {
     val norm = Dedup.normalizeText(text)

@@ -35,6 +35,49 @@ object TextSql {
   val words = s"list_filter(string_split($norm, ' '), x -> x != '')"
 }
 
+/** DuckDB re-derivation of greedy longest-match subword tokenization —
+  * the oracle twin of [[graft.plans.WordpieceExpression]]. An INDEPENDENT
+  * formulation: where the Spark side is an imperative per-row scalar, the
+  * oracle is a recursive CTE over the corpus's DISTINCT words (the
+  * recursion advances one matched piece per step; `pos > length(w)` is the
+  * fixpoint), with the longest-match probe expressed as a CASE ladder over
+  * per-length `list_contains` literals generated from the same vocabulary
+  * constant. Scalar-only recursion — no joins or aggregates in the
+  * recursive term, the subset every recursive-CTE implementation supports.
+  */
+object WordpieceSql {
+  /** CASE ladder returning the longest piece length matching at `pos`
+    * (NULL when none): one WHEN per piece length, longest first. */
+  private def lenCase(byLen: Seq[(Int, Seq[String])]): String =
+    byLen.map { case (l, ps) =>
+      val list = ps.sorted.map(p => s"'$p'").mkString("[", ", ", "]")
+      s"WHEN list_contains($list, substr(w, pos, $l)) THEN $l"
+    }.mkString("CASE ", " ", " END")
+
+  /** CTE block `dw, tk, wp` mapping every distinct corpus word `w` to its
+    * subword token count `ntok`. Prepend `WITH RECURSIVE`. */
+  def tokenCtes(vocab: Seq[String]): String = {
+    val startCase = lenCase(vocab.filterNot(_.startsWith("##"))
+      .filter(_.nonEmpty).groupBy(_.length).toSeq.sortBy(-_._1))
+    val contCase = lenCase(vocab.filter(_.startsWith("##")).map(_.drop(2))
+      .filter(_.nonEmpty).groupBy(_.length).toSeq.sortBy(-_._1))
+    s"""dw AS (SELECT DISTINCT w
+       |  FROM (SELECT unnest(${TextSql.words}) AS w FROM documents) u),
+       |tk(w, pos, cont, ntok, unk) AS (
+       |  SELECT w, 1, 0, 0, 0 FROM dw
+       |  UNION ALL
+       |  SELECT w,
+       |    CASE WHEN bl IS NULL THEN length(w) + 1 ELSE pos + bl END,
+       |    1,
+       |    CASE WHEN bl IS NULL THEN 1 ELSE ntok + 1 END,
+       |    CASE WHEN bl IS NULL THEN 1 ELSE 0 END
+       |  FROM (SELECT w, pos, cont, ntok, unk,
+       |      CASE WHEN cont = 0 THEN $startCase ELSE $contCase END AS bl
+       |    FROM tk WHERE pos <= length(w) AND unk = 0) s),
+       |wp AS (SELECT w, ntok FROM tk WHERE pos > length(w))""".stripMargin
+  }
+}
+
 object XDet {
   /** order-independent SUM(x) at `scale` decimal digits, as double */
   def moneySum(c: Column, scale: Int): Column = {

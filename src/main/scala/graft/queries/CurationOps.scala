@@ -202,6 +202,79 @@ object CurationOps extends Catalog {
             .as("n_tokens")))
     }),
 
+    // ---- greedy subword (WordPiece-style) tokenization ---------------------
+    // the round-7 verdict's top item: every token-budget operator (q90
+    // packing, q95 capstone, q96 weighted hitters, q123 mixture) counted
+    // WHITESPACE tokens, but production budgets are denominated in
+    // subword tokens. graft_wordpiece is the native greedy longest-match
+    // expression (no UDF, map-only, zero exchanges); the oracle
+    // re-derives the same greedy match as a recursive CTE over distinct
+    // words. ws_tokens rides along so the wp/ws ratio — the number the
+    // whitespace approximation gets wrong — is itself oracle-pinned.
+    "q125_subword_tokens" -> ((s, d) => {
+      Tables.documents(s, d).select(col("doc_id"), col("lang"),
+        coalesce(greatest(TextAnalysis.tokenCount(col("text")), lit(0L)),
+          lit(0L)).as("ws_tokens"),
+        coalesce(TextAnalysis.wordpieceCount(col("text")), lit(0L))
+          .as("wp_tokens"))
+    }),
+
+    // ---- token-denominated temperature mixture (q123 re-denominated) -------
+    // q123 allocated per-language sample targets by DOC counts; the
+    // production question is token-budgeted: weights from subword-token
+    // mass per language (w = sqrt(share), τ = 2 pinned — sqrt is
+    // correctly rounded everywhere), targets in TOKENS, and the sample
+    // is the greedy prefix of the (fnv(id), id)-ordered stream whose
+    // cumulative subword count fits the target — q90's packing device
+    // under q123's allocation. Membership is id-sum-checksummed.
+    "q126_subword_mixture" -> ((s, d) => {
+      import graft.plans.Fnv1a64Expression.fnv1a64
+      val budgetTokens = 20000L
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          coalesce(TextAnalysis.wordpieceCount(col("text")), lit(0L))
+            .as("tok"))
+      val byLang = docs.groupBy("lang").agg(sum("tok").as("n_tokens"))
+      val alloc = byLang
+        .crossJoin(broadcast(byLang.agg(sum("n_tokens").as("__N"))))
+        .withColumn("w_micro",
+          floor(sqrt(col("n_tokens").cast("double") / col("__N")) * 1e6
+            + 0.5).cast("long"))
+      val allocZ = alloc
+        .crossJoin(broadcast(alloc.agg(sum("w_micro").as("__z"))))
+        .withColumn("target_tokens",
+          expr(s"($budgetTokens * w_micro) div __z"))
+      val byRank = org.apache.spark.sql.expressions.Window
+        .partitionBy("lang").orderBy(fnv1a64(col("doc_id")), col("doc_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      val sampled = docs
+        .withColumn("__cum", sum("tok").over(byRank))
+        .join(allocZ.select("lang", "target_tokens"), Seq("lang"))
+        .filter(col("__cum") <= col("target_tokens"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("sampled_docs"),
+          sum("tok").as("sampled_tokens"),
+          sum("doc_id").as("sample_id_sum"))
+      allocZ.select(col("lang"), col("n_tokens"), col("w_micro"),
+          col("target_tokens"))
+        .join(sampled, Seq("lang"), "left")
+    }),
+
+    // ---- subword-denominated shard packing (q90 re-denominated) ------------
+    // q90's greedy 512-token shard packing with the budget counted in
+    // SUBWORD tokens — the unit a training run actually streams. Same
+    // stable (fnv(id), id) order, same offset-div-budget shard rule;
+    // only the denomination changes, so diffing q90 vs q127 shard
+    // boundaries measures exactly what the whitespace approximation got
+    // wrong.
+    "q127_subword_packing" -> ((s, d) => {
+      packTokens(Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          coalesce(TextAnalysis.wordpieceCount(col("text")), lit(0L))
+            .as("n_tokens")))
+    }),
+
     // ---- C4-style segment dedup with text reconstruction -------------------
     // the granularity between document dedup (q21) and vocabulary dedup
     // (q92): repeated 10-token blocks are dropped wherever they re-occur
@@ -692,6 +765,78 @@ object CurationOps extends Catalog {
          |  CAST(cum AS BIGINT) AS cum_tokens,
          |  CAST((cum - n_tokens) // 512 AS BIGINT) AS shard
          |FROM r""".stripMargin
+    },
+
+    "q125_subword_tokens" ->
+      s"""WITH RECURSIVE
+         |${WordpieceSql.tokenCtes(TextAnalysis.WordpieceVocab)},
+         |dwords AS (SELECT doc_id, unnest(${TextSql.words}) AS w
+         |  FROM documents),
+         |cnt AS (SELECT dwords.doc_id, CAST(count(*) AS BIGINT) AS ws_tokens,
+         |    CAST(sum(wp.ntok) AS BIGINT) AS wp_tokens
+         |  FROM dwords JOIN wp USING (w) GROUP BY 1)
+         |SELECT d.doc_id, d.lang,
+         |  coalesce(cnt.ws_tokens, 0) AS ws_tokens,
+         |  coalesce(cnt.wp_tokens, 0) AS wp_tokens
+         |FROM documents d LEFT JOIN cnt ON d.doc_id = cnt.doc_id""".stripMargin,
+
+    "q127_subword_packing" -> {
+      import graft.plans.Fnv1a64Expression.{longSqlText, toSignedSqlText}
+      val fnv = toSignedSqlText(
+        longSqlText("14695981039346656037::HUGEINT", "doc_id::HUGEINT"))
+      s"""WITH RECURSIVE
+         |${WordpieceSql.tokenCtes(TextAnalysis.WordpieceVocab)},
+         |dwords AS (SELECT doc_id, unnest(${TextSql.words}) AS w
+         |  FROM documents),
+         |cnt AS (SELECT doc_id, CAST(sum(wp.ntok) AS BIGINT) AS t
+         |  FROM dwords JOIN wp USING (w) GROUP BY 1),
+         |dt AS (SELECT d.doc_id, d.lang, coalesce(cnt.t, 0) AS n_tokens
+         |  FROM documents d LEFT JOIN cnt ON d.doc_id = cnt.doc_id),
+         |r AS (SELECT doc_id, lang, n_tokens,
+         |    sum(n_tokens) OVER (PARTITION BY lang
+         |      ORDER BY $fnv, doc_id) AS cum
+         |  FROM dt)
+         |SELECT doc_id, lang, n_tokens,
+         |  CAST(cum AS BIGINT) AS cum_tokens,
+         |  CAST((cum - n_tokens) // 512 AS BIGINT) AS shard
+         |FROM r""".stripMargin
+    },
+
+    "q126_subword_mixture" -> {
+      import graft.plans.Fnv1a64Expression.{longSqlText, toSignedSqlText}
+      val fnv = toSignedSqlText(
+        longSqlText("14695981039346656037::HUGEINT", "doc_id::HUGEINT"))
+      s"""WITH RECURSIVE
+         |${WordpieceSql.tokenCtes(TextAnalysis.WordpieceVocab)},
+         |dwords AS (SELECT doc_id, unnest(${TextSql.words}) AS w
+         |  FROM documents),
+         |cnt AS (SELECT doc_id, CAST(sum(wp.ntok) AS BIGINT) AS t
+         |  FROM dwords JOIN wp USING (w) GROUP BY 1),
+         |dt AS (SELECT d.doc_id, d.lang, coalesce(cnt.t, 0) AS tok
+         |  FROM documents d LEFT JOIN cnt ON d.doc_id = cnt.doc_id),
+         |byl AS (SELECT lang, CAST(sum(tok) AS BIGINT) AS n_tokens
+         |  FROM dt GROUP BY 1),
+         |nn AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tot FROM byl),
+         |al AS (SELECT lang, n_tokens,
+         |    CAST(floor(sqrt(CAST(n_tokens AS DOUBLE) / nn.tot) * 1000000.0
+         |      + 0.5) AS BIGINT) AS w_micro
+         |  FROM byl CROSS JOIN nn),
+         |zz AS (SELECT CAST(sum(w_micro) AS BIGINT) AS z FROM al),
+         |t AS (SELECT lang, n_tokens, w_micro,
+         |    CAST((20000 * w_micro) // z AS BIGINT) AS target_tokens
+         |  FROM al CROSS JOIN zz),
+         |r AS (SELECT lang, doc_id, tok,
+         |    sum(tok) OVER (PARTITION BY lang ORDER BY ($fnv), doc_id
+         |      ROWS UNBOUNDED PRECEDING) AS cum
+         |  FROM dt),
+         |smp AS (SELECT r.lang, CAST(count(*) AS BIGINT) AS sampled_docs,
+         |    CAST(sum(r.tok) AS BIGINT) AS sampled_tokens,
+         |    CAST(sum(r.doc_id) AS BIGINT) AS sample_id_sum
+         |  FROM r JOIN t ON r.lang = t.lang WHERE r.cum <= t.target_tokens
+         |  GROUP BY 1)
+         |SELECT t.lang, t.n_tokens, t.w_micro, t.target_tokens,
+         |  smp.sampled_docs, smp.sampled_tokens, smp.sample_id_sum
+         |FROM t LEFT JOIN smp ON smp.lang = t.lang""".stripMargin
     },
 
     "q91_norm_outliers" -> {

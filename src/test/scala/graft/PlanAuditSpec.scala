@@ -41,7 +41,8 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
       "q101_bm25_topk", // 1-row scalar attaches (q101: N + total-len stats)
       "q109_pagerank_bipartite", // 1-row node-count scalar (teleport term)
       "q110_basket_lift", // 1-row basket-count scalar (lift denominator)
-      "q123_temperature_mixture") // 1-row N and Z scalars (allocation)
+      "q123_temperature_mixture", // 1-row N and Z scalars (allocation)
+      "q126_subword_mixture") // same N and Z scalars, token-denominated
 
   test("no catalog query plans a CartesianProduct") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
@@ -133,7 +134,8 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
     // shuffles). A regression that introduces an exchange here is a plan
     // bug even if results stay correct.
     for (name <- Seq("q80_repetition_signals", "q84_kmeans_embed",
-        "q86_quality_verdict", "q103_chunk_windows")) {
+        "q86_quality_verdict", "q103_chunk_windows",
+        "q125_subword_tokens")) {
       val plan = SparkEntry.queries(name)(spark, sfDir)
         .queryExecution.executedPlan.toString
       val exchanges = plan.linesIterator.count(l =>

@@ -21,6 +21,48 @@ class TextMultimodalSpec extends AnyFunSuite with SparkTestBase {
     assert(m(2L) === ((8L, 8L)))
   }
 
+  test("wordpiece: greedy longest-match pieces and counts, hand-computed") {
+    val cases = Seq(
+      (1L, "the"),          // whole-word start piece
+      (2L, "table"),        // GREEDY takes 'tab' though 'ta ##ble' is shorter
+      (3L, "value"),        // val + ##ue
+      (4L, "customer"),     // cus + ##tomer
+      (5L, "query"),        // qu + ##ery
+      (6L, "x9z"),          // single-char fallback pieces
+      (7L, "ab%"),          // '%' has no piece -> whole word [UNK]
+      (8L, ""),             // empty text -> 0 tokens
+      (9L, "the value")     // multi-word sum
+    ).toDF("id", "text")
+    val got = cases.select($"id",
+        TextAnalysis.wordpieceCount($"text").as("n"),
+        TextAnalysis.wordpiecePieces($"text").as("p"))
+      .as[(Long, Long, String)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got(1L) === ((1L, "the")))
+    assert(got(2L) === ((3L, "tab ##l ##e")))
+    assert(got(3L) === ((2L, "val ##ue")))
+    assert(got(4L) === ((2L, "cus ##tomer")))
+    assert(got(5L) === ((2L, "qu ##ery")))
+    assert(got(6L) === ((3L, "x ##9 ##z")))
+    assert(got(7L) === ((1L, "[UNK]")))
+    assert(got(8L) === ((0L, "")))
+    assert(got(9L) === ((3L, "the val ##ue")))
+  }
+
+  test("wordpiece: NULL text is NULL; count equals piece-string length") {
+    val n = Seq((1L, Option.empty[String]), (2L, Some("Spark  Window")))
+      .toDF("id", "text")
+      .select($"id", TextAnalysis.wordpieceCount($"text").as("n"),
+        TextAnalysis.wordpiecePieces($"text").as("p"))
+      .as[(Long, Option[Long], Option[String])].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(n(1L) === ((None, None)))
+    // normalization lowers + collapses whitespace before matching
+    val (cnt, pieces) = (n(2L)._1.get, n(2L)._2.get)
+    assert(cnt === pieces.split(" ").length.toLong)
+    assert(pieces === "spa ##r ##k win ##dow")
+  }
+
   test("ratios, language guess, fingerprint equality for case variants") {
     val r = docs.select($"doc_id",
         TextAnalysis.stopwordRatio($"text").as("sr"),
