@@ -442,28 +442,38 @@ object Dedup {
       .select(col(id), fp.as("simhash"))
   }
 
-  /** SimHash near-dup pairs with hamming distance ≤ `maxHamming` (≤ 3 for
-    * guaranteed recall: 4 chunks of 16 bits — pigeonhole — so any pair within
-    * hamming 3 agrees on ≥1 chunk and meets in that equi-join bucket).
+  /** Generic hamming near-dup pairs over ANY 64-bit fingerprint column
+    * (SimHash, BMP aHash, WAV envelope, …): 4 chunks of 16 bits, pairs
+    * meet in the per-chunk equi-join, distinct, then the exact hamming
+    * filter. Guaranteed recall for `maxHamming` ≤ 3 by pigeonhole — a
+    * pair within hamming 3 agrees exactly on ≥1 chunk. Cost is Σ|bucket|²
+    * over 16-bit chunk values, never |corpus|².
     */
-  def simHashNearDups(docs: DataFrame, id: String, text: String,
-                      maxHamming: Int, portable: Boolean = false): DataFrame = {
-    val fps = simHash64Native(docs, id, text, portable)
-    val chunks = fps.select(col(id), col("simhash"),
+  def hammingNearDups64(fps: DataFrame, id: String, fp: String,
+                        maxHamming: Int): DataFrame = {
+    val chunks = fps.select(col(id), col(fp).as("__fp"),
         explode(array((0 until 4).map(c =>
           struct(lit(c).as("chunk"),
-            shiftright(col("simhash"), c * 16).bitwiseAND(lit(0xFFFFL))
+            shiftright(col(fp), c * 16).bitwiseAND(lit(0xFFFFL))
               .as("v"))): _*)).as("cc"))
-      .select(col(id), col("simhash"), col("cc.chunk").as("chunk"), col("cc.v").as("v"))
-    chunks.select(col(id).as("id_a"), col("simhash").as("sh_a"), col("chunk"), col("v"))
-      .join(chunks.select(col(id).as("id_b"), col("simhash").as("sh_b"),
+      .select(col(id), col("__fp"), col("cc.chunk").as("chunk"), col("cc.v").as("v"))
+    chunks.select(col(id).as("id_a"), col("__fp").as("fp_a"), col("chunk"), col("v"))
+      .join(chunks.select(col(id).as("id_b"), col("__fp").as("fp_b"),
         col("chunk"), col("v")), Seq("chunk", "v"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
+        bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }
+
+  /** SimHash near-dup pairs with hamming distance ≤ `maxHamming` (≤ 3 for
+    * guaranteed recall — see [[hammingNearDups64]]).
+    */
+  def simHashNearDups(docs: DataFrame, id: String, text: String,
+                      maxHamming: Int, portable: Boolean = false): DataFrame =
+    hammingNearDups64(simHash64Native(docs, id, text, portable), id,
+      "simhash", maxHamming)
 
   /** Segment-level dedup with text reconstruction — the C4-style "drop any
     * span seen before" pass, the granularity between document dedup (X1)

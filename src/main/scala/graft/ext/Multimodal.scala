@@ -168,6 +168,20 @@ object Multimodal {
       body))
   }
 
+  // ---- perceptual hashes --------------------------------------------------
+
+  /** 8×8 average hash over a decoded BMP's pixels — the perceptual
+    * signature feeding [[Dedup.hammingNearDups64]]; see
+    * [[graft.plans.MediaHashOps.bmpAHash64]]. */
+  def bmpAHash64(bin: Column): Column =
+    graft.plans.MediaHashExpressions.bmpAHash64(bin)
+
+  /** 64-segment energy envelope over a decoded WAV's samples — the audio
+    * twin of [[bmpAHash64]]; see
+    * [[graft.plans.MediaHashOps.wavEnvelope64]]. */
+  def wavEnvelope64(bin: Column): Column =
+    graft.plans.MediaHashExpressions.wavEnvelope64(bin)
+
   // ---- decoders -----------------------------------------------------------
 
   /** Decode a canonical 44-byte-header mono/stereo PCM WAV from its bytes

@@ -306,6 +306,52 @@ object DataPipelineQueries extends Catalog {
           col("bm.sum_pixels").as("bmp_sum_pixels"))
     }),
 
+    // ---- perceptual media near-dup (q99's decoders → q27's pairing) --------
+    // the round-7 verdict's media gap: text had five near-dup tiers while
+    // media stopped at exact byte dedup. Here each dup GROUP (doc_id div 5)
+    // shares base image/audio content and each member perturbs one corner
+    // region — recompression-style noise — so members are near but not
+    // exact duplicates. The 8×8 pixel average-hash and the 64-segment
+    // audio energy envelope (native expressions over the SERIALIZED bytes,
+    // exact-integer mean comparisons) land within hamming ≤ 3 of their
+    // group and ~32 of strangers; pairing is the chunk-bucketed hamming
+    // join (guaranteed recall ≤ 3 by pigeonhole, never all-pairs). The
+    // oracle re-derives both hashes from the generative formulas without
+    // parsing a byte — agreement proves header math, stride, sign, AND
+    // the hash arithmetic at once.
+    "q128_media_near_dups" -> ((s, d) => {
+      val id = col("doc_id")
+      val grp = expr("doc_id div 5")
+      val m = pmod(id, lit(5L))
+      // 16×16 24-bit BMP (48-byte rows, stride = rowBytes: no padding);
+      // k is the BYTE index within the row. The group MULTIPLIES the
+      // pixel gradient — a purely additive grp term would shift every
+      // byte equally, leaving the mean comparisons (hence the hash)
+      // nearly invariant across groups, and "near-dup" would match
+      // strangers.
+      val bmp = Multimodal.fabricateBmp(lit(16L), lit(16L), (r, k) =>
+        pmod((grp + 1L) * (r * 131L + k * 17L + 7L)
+          + when(r < 2L && k < 6L, m * 40L).otherwise(lit(0L)), lit(256L)))
+      // 128-sample mono PCM WAV; first 4 samples carry the member noise
+      val samples = transform(sequence(lit(0L), lit(127L)), i =>
+        pmod((grp + 1L) * (i * 7919L + 13L)
+          + when(i < 4L, m * 1000L).otherwise(lit(0L)), lit(65536L))
+          - 32768L)
+      val fps = Tables.documents(s, d).select(id)
+        .withColumn("bmp", bmp)
+        .withColumn("wav", Multimodal.fabricateWav(lit(8000L), samples))
+        .select(id, Multimodal.bmpAHash64(col("bmp")).as("ahash"),
+          Multimodal.wavEnvelope64(col("wav")).as("env"))
+      val img = Dedup.hammingNearDups64(fps.select(id, col("ahash")),
+          "doc_id", "ahash", maxHamming = 3)
+        .withColumn("modality", lit("image"))
+      val aud = Dedup.hammingNearDups64(fps.select(id, col("env")),
+          "doc_id", "env", maxHamming = 3)
+        .withColumn("modality", lit("audio"))
+      img.unionByName(aud).select(col("modality"), col("id_a"),
+        col("id_b"), col("hamming").cast("long").as("hamming"))
+    }),
+
     // ---- salted two-phase aggregation (skew-safe rollup) -------------------
     "q34_salted_rollup" -> ((s, d) => {
       Skew.saltedAggregate(Tables.lineitem(s, d), Seq("l_suppkey"),
@@ -1016,6 +1062,56 @@ object DataPipelineQueries extends Catalog {
         |  CAST(list_sum([(doc_id + ((j-1) // rowb)*31 + ((j-1) % rowb)*5) % 256
         |    FOR j IN range(1, h * rowb + 1)]) AS BIGINT) AS bmp_sum_pixels
         |FROM p""".stripMargin,
+
+    // re-derives BOTH perceptual hashes from the generative formulas (no
+    // byte parsing), builds the 64-bit words as HUGEINT bit sums folded to
+    // signed, and takes ALL-pairs hamming ≤ 3 — an independent formulation
+    // of the Spark side's chunk-bucketed join, so the bucketing's exact
+    // recall at hamming ≤ 3 (pigeonhole) is itself oracle-proven. The
+    // cell/segment mean compare is 64·s > total: the exact integer
+    // cross-multiplication with the constant counts divided out.
+    "q128_media_near_dups" -> {
+      import graft.plans.Fnv1a64Expression.toSignedSqlText
+      def bits(sCol: String, totCol: String, idxCol: String): String =
+        toSignedSqlText(
+          s"sum(CASE WHEN 64*$sCol > $totCol THEN 1::HUGEINT << $idxCol" +
+            " ELSE 0::HUGEINT END)")
+      s"""WITH base AS (SELECT doc_id, doc_id // 5 AS grp, doc_id % 5 AS m
+         |  FROM documents),
+         |ic AS (SELECT doc_id,
+         |    unnest([{'cell': ((j // 48) // 2) * 8 + ((j % 48) // 3) // 2,
+         |             'v': ((grp+1) * ((j // 48)*131 + (j % 48)*17 + 7)
+         |                   + CASE WHEN (j // 48) < 2 AND (j % 48) < 6
+         |                     THEN m*40 ELSE 0 END) % 256}
+         |           FOR j IN range(0, 768)]) AS e
+         |  FROM base),
+         |icell AS (SELECT doc_id, e.cell AS cell, sum(e.v) AS s
+         |  FROM ic GROUP BY 1, 2),
+         |itot AS (SELECT doc_id, sum(s) AS total FROM icell GROUP BY 1),
+         |ih AS (SELECT icell.doc_id, ${bits("s", "total", "cell")} AS h
+         |  FROM icell JOIN itot USING (doc_id) GROUP BY icell.doc_id),
+         |ac AS (SELECT doc_id,
+         |    unnest([{'seg': i // 2,
+         |             'a': abs((((grp+1) * (i*7919 + 13)
+         |                   + CASE WHEN i < 4 THEN m*1000 ELSE 0 END)
+         |                   % 65536) - 32768)}
+         |           FOR i IN range(0, 128)]) AS e
+         |  FROM base),
+         |acell AS (SELECT doc_id, e.seg AS seg, sum(e.a) AS s
+         |  FROM ac GROUP BY 1, 2),
+         |atot AS (SELECT doc_id, sum(s) AS total FROM acell GROUP BY 1),
+         |ah AS (SELECT acell.doc_id, ${bits("s", "total", "seg")} AS h
+         |  FROM acell JOIN atot USING (doc_id) GROUP BY acell.doc_id)
+         |SELECT 'image' AS modality, a.doc_id AS id_a, b.doc_id AS id_b,
+         |  CAST(bit_count(xor(a.h, b.h)) AS BIGINT) AS hamming
+         |FROM ih a JOIN ih b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.h, b.h)) <= 3
+         |UNION ALL
+         |SELECT 'audio', a.doc_id, b.doc_id,
+         |  CAST(bit_count(xor(a.h, b.h)) AS BIGINT)
+         |FROM ah a JOIN ah b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.h, b.h)) <= 3""".stripMargin
+    },
 
     "q34_salted_rollup" ->
       """SELECT l_suppkey,

@@ -240,6 +240,57 @@ class TextMultimodalSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("bmp aHash: one bright 2x2 block sets exactly that cell's bit") {
+    // 16x16 all-black except pixels (rows 2-3, cols 2-3) = white: those
+    // 4 pixels are exactly grid cell (1,1) = bit 9; every other cell's
+    // mean (0) is not above the global mean, so hash == 1 << 9.
+    val bmp = Multimodal.fabricateBmp(lit(16L), lit(16L), (r, k) =>
+      when(r >= 2L && r < 4L && k >= 6L && k < 12L, lit(255L))
+        .otherwise(lit(0L)))
+    val got = Seq(1).toDF("i").select(Multimodal.bmpAHash64(bmp))
+      .as[Long].head()
+    assert(got === (1L << 9))
+  }
+
+  test("wav envelope: energy in one segment sets exactly that bit") {
+    // 128 zero samples except i = 10, 11 (segment 5) — hash == 1 << 5
+    val samples = transform(sequence(lit(0L), lit(127L)),
+      i => when(i === 10L || i === 11L, lit(1000L)).otherwise(lit(0L)))
+    val got = Seq(1).toDF("i")
+      .select(Multimodal.wavEnvelope64(
+        Multimodal.fabricateWav(lit(8000L), samples)))
+      .as[Long].head()
+    assert(got === (1L << 5))
+  }
+
+  test("perceptual hashes return null on corrupt bytes, never throw") {
+    val r = Seq(1).toDF("i").select(
+        Multimodal.bmpAHash64(unhex(lit("deadbeef"))).as("b"),
+        Multimodal.wavEnvelope64(unhex(lit("deadbeef"))).as("w"))
+      .as[(Option[Long], Option[Long])].head()
+    assert(r === ((None, None)))
+  }
+
+  test("hammingNearDups64 equals the all-pairs truth (pigeonhole recall)") {
+    import graft.plans.Fnv1a64Expression.fnv1a64
+    // 100 pseudo-random fingerprints, each duplicated with 1 low bit
+    // flipped: every (2i, 2i+1) pair is hamming 1 and must be found;
+    // chance cross-pairs are whatever they are — the operator must agree
+    // with the exact all-pairs computation either way.
+    val fps = spark.range(200).select(col("id"),
+      fnv1a64(expr("id div 2")).bitwiseXOR(pmod(col("id"), lit(2L)))
+        .as("fp"))
+    val got = graft.ext.Dedup.hammingNearDups64(fps, "id", "fp", 3)
+      .as[(Long, Long, Int)].collect().toSet
+    val all = fps.as[(Long, Long)].collect()
+    val truth = (for {
+      (ia, fa) <- all; (ib, fb) <- all if ia < ib
+      h = java.lang.Long.bitCount(fa ^ fb) if h <= 3
+    } yield (ia, ib, h)).toSet
+    assert(truth.size >= 100, "planted pairs must be in the truth set")
+    assert(got === truth)
+  }
+
   test("quality verdict: each rule fires on a crafted doc, in order") {
     val en = "the and for with that this from they have was are " // stopwordy
     val longDoc = en * 3 +
