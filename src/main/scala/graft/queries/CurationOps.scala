@@ -352,6 +352,67 @@ object CurationOps extends Catalog {
             .as("share"))
     }),
 
+    // ---- domain-mix curation: URL canonicalization → weighted hitters ------
+    // the source-mix question asked of DOMAINS: each doc fabricates a
+    // deterministically messy URL (scheme/case/www/cdn/default-and-odd
+    // ports/path/query/fragment all vary by doc_id), UrlOps canonicalizes
+    // (parse_url HOST → lower → strip www.) and rolls up to the apex
+    // domain, and q96's weighted-MG + exact-recount machinery finds the
+    // apexes dominating token mass (src1 re-entered ×10, as in q96). The
+    // oracle never parses a URL: it re-derives host and apex from the
+    // generative formula, so parse_url extraction + canonicalization are
+    // proven by agreement — any case/port/fragment leak breaks the join.
+    "q129_domain_mix" -> ((s, d) => {
+      import graft.plans.Fnv1a64Expression.fnv1a64
+      val docs = Tables.documents(s, d).filter(col("text").isNotNull)
+      val id = col("doc_id")
+      val tldIdx = pmod(ascii(substring(col("source"), -1, 1)), lit(3))
+      val tld = when(tldIdx === 0, ".com").when(tldIdx === 1, ".org")
+        .otherwise(".net")
+      val baseHost = concat(col("source"), lit("-site"), tld)
+      val sub = when(pmod(id, lit(7L)) === 0L, lit("cdn."))
+        .when(pmod(id, lit(5L)) === 0L, lit("www."))
+        .otherwise(lit(""))
+      val hostRaw0 = concat(sub, baseHost)
+      val hostRaw = when(pmod(id, lit(11L)) === 0L, upper(hostRaw0))
+        .otherwise(hostRaw0)
+      val scheme = when(pmod(id, lit(2L)) === 0L, "http").otherwise("https")
+      val port = when(pmod(id, lit(13L)) === 0L,
+          when(scheme === "http", ":80").otherwise(":443"))
+        .when(pmod(id, lit(17L)) === 0L, lit(":8080"))
+        .otherwise(lit(""))
+      val url = concat(scheme, lit("://"), hostRaw, port,
+        lit("/p/"), id.cast("string"),
+        when(pmod(id, lit(3L)) === 0L, "?q=1").otherwise(""),
+        when(pmod(id, lit(4L)) === 0L, "#frag").otherwise(""))
+      val withUrl = docs.select(col("doc_id"), col("source"), col("text"),
+        url.as("url"))
+      val planted = withUrl.filter(col("source") === "src1")
+        .select(col("url"), col("text"),
+          explode(sequence(lit(1), lit(10))).as("__r"))
+        .drop("__r")
+      val corpus = withUrl.select(col("url"), col("text"))
+        .unionByName(planted)
+        .select(graft.ext.UrlOps.canonicalHost(col("url")).as("host"),
+          TextAnalysis.tokenCount(col("text")).as("w"))
+        .withColumn("domain", graft.ext.UrlOps.apexDomain(col("host")))
+      val cand = corpus
+        .agg(graft.plans.HeavyHittersAggregate
+          .heavyHittersW(fnv1a64(col("domain")), col("w"), 15).as("hh"))
+        .select(explode(col("hh")).as("c"))
+        .select(col("c.value").as("__hv"))
+      val total = corpus.select(sum(col("w")).as("__w"))
+      corpus.join(broadcast(cand), fnv1a64(col("domain")) === col("__hv"))
+        .groupBy("domain")
+        .agg(countDistinct(col("host")).as("n_hosts"),
+          sum(col("w")).as("token_sum"))
+        .crossJoin(broadcast(total))
+        .filter(col("token_sum") >= ceil(col("__w") * 0.1))
+        .select(col("domain"), col("n_hosts"), col("token_sum"),
+          (floor(col("token_sum") / col("__w") * 1e6 + 0.5) / 1e6)
+            .as("share"))
+    }),
+
     // ---- two-phase heavy hitters via a mergeable Misra-Gries sketch --------
     // the scale shape for "which keys dominate": a plain groupBy.count
     // shuffles every distinct key; the MG aggregate ships <= 127 counters
@@ -693,6 +754,37 @@ object CurationOps extends Catalog {
          |    * 1000000.0 + 0.5)/1000000.0 AS est_users
          |FROM ex JOIN kth USING (event_type)""".stripMargin
     },
+
+    // never parses a URL: host and apex re-derived from the generative
+    // formula, so the Spark side's parse_url+canonicalization chain is
+    // proven by agreement
+    "q129_domain_mix" ->
+      s"""WITH d AS (SELECT doc_id, source, ${TextSql.words} AS ws
+         |  FROM documents WHERE text IS NOT NULL),
+         |h AS (SELECT doc_id, source, ws,
+         |    CASE ascii(right(source, 1)) % 3 WHEN 0 THEN '.com'
+         |      WHEN 1 THEN '.org' ELSE '.net' END AS tld
+         |  FROM d),
+         |u AS (SELECT
+         |    CASE WHEN doc_id % 7 = 0 THEN 'cdn.' ELSE '' END
+         |      || source || '-site' || tld AS host,
+         |    source || '-site' || tld AS domain,
+         |    source, CAST(len(ws) AS BIGINT) AS w
+         |  FROM h),
+         |sk AS (SELECT host, domain, w FROM u
+         |  UNION ALL
+         |  SELECT host, domain, w FROM u
+         |    CROSS JOIN (SELECT unnest(range(1, 11)))
+         |  WHERE source = 'src1'),
+         |n AS (SELECT CAST(sum(w) AS BIGINT) AS total FROM sk),
+         |c AS (SELECT domain, CAST(count(DISTINCT host) AS BIGINT) AS n_hosts,
+         |    CAST(sum(w) AS BIGINT) AS token_sum
+         |  FROM sk GROUP BY 1)
+         |SELECT domain, n_hosts, token_sum,
+         |  floor(CAST(token_sum AS DOUBLE)/total*1000000.0 + 0.5)/1000000.0
+         |    AS share
+         |FROM c CROSS JOIN n
+         |WHERE token_sum >= ceil(total * 0.1)""".stripMargin,
 
     // sketch-free weighted twin: exact token sums per source
     "q96_heavy_sources" ->

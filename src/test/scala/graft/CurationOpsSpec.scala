@@ -20,6 +20,28 @@ class CurationOpsSpec extends AnyFunSuite with SparkTestBase {
     (4L, "xx yy")      // 2 words: no trigrams
   ).toDF("doc_id", "text")
 
+  test("url canonicalization: case, www, ports, paths, fragments collapse") {
+    val urls = Seq(
+      (1L, "HTTP://WWW.Sub.Example.COM:80/a/b?x=1#f"),
+      (2L, "https://sub.example.com:443/other"),
+      (3L, "https://sub.example.com:8080/kept-port-still-same-host"),
+      (4L, "http://example.com/"),
+      (5L, "https://cdn.assets.example.org/x"),
+      (6L, "http://localhost/x") // single label: apex passes through
+    ).toDF("id", "url")
+    val got = urls.select($"id",
+        graft.ext.UrlOps.canonicalHost($"url").as("h"))
+      .withColumn("a", graft.ext.UrlOps.apexDomain($"h"))
+      .as[(Long, String, String)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got(1L) === (("sub.example.com", "example.com")))
+    assert(got(2L) === (("sub.example.com", "example.com")))
+    assert(got(3L) === (("sub.example.com", "example.com")))
+    assert(got(4L) === (("example.com", "example.com")))
+    assert(got(5L) === (("cdn.assets.example.org", "example.org")))
+    assert(got(6L) === (("localhost", "localhost")))
+  }
+
   test("novelty: first occurrence wins, dups score zero, short docs null") {
     val sh = Dedup.wordShingles(docs, "doc_id", "text", n = 3)
     val first = sh.groupBy("shingle").agg(min("doc_id").as("first_doc"))

@@ -42,7 +42,8 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
       "q109_pagerank_bipartite", // 1-row node-count scalar (teleport term)
       "q110_basket_lift", // 1-row basket-count scalar (lift denominator)
       "q123_temperature_mixture", // 1-row N and Z scalars (allocation)
-      "q126_subword_mixture") // same N and Z scalars, token-denominated
+      "q126_subword_mixture", // same N and Z scalars, token-denominated
+      "q129_domain_mix") // 1-row token-total scalar (q96's shape)
 
   test("no catalog query plans a CartesianProduct") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
