@@ -265,6 +265,12 @@ object AnalyticsOps extends Catalog {
           col("o_orderkey").cast("long").as("seq"), lit("D").as("op"),
           lit(null).cast("string").as("name"),
           lit(null).cast("long").as("bal_micro"))
+      // the +1_000_000 shift keeps synthetic insert keys disjoint from
+      // real c_custkey values only while max(c_custkey) < 1e6 — true for
+      // TPC-H-shaped data up to sf ≈ 6 (150k keys/sf), far above any
+      // tested scale here. Beyond that, derive the shift from
+      // max(c_custkey) instead (one scalar aggregate); documented like
+      // the overflow bounds elsewhere in this file.
       val inserts = o.filter(col("o_orderkey") % 97 === 0)
         .select((col("o_custkey").cast("long") + 1000000L).as("key"),
           col("o_orderkey").cast("long").as("seq"), lit("U").as("op"),

@@ -59,7 +59,12 @@ object Tables {
     }
   }
 
-  /** events with the raw long-nanos ts (for callers that want the physical value). */
+  /** events with `ts` in whatever PHYSICAL encoding this sfDir shipped —
+    * the testdata has carried two vintages: INT64 TIMESTAMP(NANOS) read as
+    * a raw long (rounds 1–6) and plain TIMESTAMP(MICROS) read as a
+    * timestamp (round 7+). Callers must branch on the scanned type like
+    * [[events]] does; use [[events]] for the normalized TIMESTAMP view.
+    */
   def eventsRaw(spark: SparkSession, d: String): DataFrame = read(spark, d, "events")
 
   /** Date-partitioned events scan (SURVEY §2 S3). The reference reads
