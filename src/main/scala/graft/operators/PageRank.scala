@@ -66,6 +66,14 @@ object PageRank {
     val sinks = graft.ext.Caches.pin(
       nodes.join(edges.select(col("src").as("node")).distinct(),
         Seq("node"), "left_anti"))
+    // ONE construction-time emptiness probe (an O(1)-result driver check,
+    // not a per-iteration round-trip): a sink-free graph — every
+    // symmetrized edge list, q109's shape — has D = 0 identically, so the
+    // dangling aggregate would be pure overhead (+2 jobs/iteration,
+    // measured ~15-45% wall on q109); skipping it produces bit-identical
+    // ranks and the leaner round-7 plan. Graphs WITH sinks take the full
+    // accounting path below.
+    val hasSinks = !sinks.isEmpty
     val n = nodes.agg(count(lit(1)).as("__n"))
     var ranks = nodes.crossJoin(broadcast(n))
       .select(col("node"), expr(s"${Scale}L div __n").as("r"))
@@ -73,16 +81,24 @@ object PageRank {
       val contrib = ej.join(ranks, col("src") === col("node"))
         .select(col("dst"), expr("r div deg").as("c"))
         .groupBy("dst").agg(sum("c").as("csum"))
-      // dangling mass: Σ rank over sinks — an exact long sum (associative,
-      // partitioning-independent); empty sink set sums to NULL → 0
-      val dangling = ranks.join(sinks, Seq("node"), "left_semi")
-        .agg(coalesce(sum("r"), lit(0L)).as("__d"))
-      ranks = nodes.join(contrib, col("node") === col("dst"), "left")
-        .crossJoin(broadcast(n)).crossJoin(broadcast(dangling))
-        .select(col("node"),
-          (expr(s"(15L * ${Scale}L) div (100L * __n)")
-            + expr("(85L * (coalesce(csum, 0L) + __d div __n)) div 100L"))
-            .as("r"))
+      val base = nodes.join(contrib, col("node") === col("dst"), "left")
+        .crossJoin(broadcast(n))
+      ranks =
+        if (!hasSinks)
+          base.select(col("node"),
+            (expr(s"(15L * ${Scale}L) div (100L * __n)")
+              + expr("(85L * coalesce(csum, 0L)) div 100L")).as("r"))
+        else {
+          // dangling mass: Σ rank over sinks — an exact long sum
+          // (associative, partitioning-independent)
+          val dangling = ranks.join(sinks, Seq("node"), "left_semi")
+            .agg(coalesce(sum("r"), lit(0L)).as("__d"))
+          base.crossJoin(broadcast(dangling))
+            .select(col("node"),
+              (expr(s"(15L * ${Scale}L) div (100L * __n)")
+                + expr("(85L * (coalesce(csum, 0L) + __d div __n)) div 100L"))
+                .as("r"))
+        }
     }
     ranks.select(col("node"), col("r"))
   }
