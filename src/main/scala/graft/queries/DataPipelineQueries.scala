@@ -337,11 +337,15 @@ object DataPipelineQueries extends Catalog {
         pmod((grp + 1L) * (i * 7919L + 13L)
           + when(i < 4L, m * 1000L).otherwise(lit(0L)), lit(65536L))
           - 32768L)
-      val fps = Tables.documents(s, d).select(id)
+      // pin the fingerprints: serialization + both hashes run ONCE; the
+      // two modality pair-joins (each reading the frame twice for its
+      // self-join) scan the cached (id, 2×long) rows — narrow at any
+      // corpus size — instead of re-fabricating the media 4×
+      val fps = graft.ext.Caches.pin(Tables.documents(s, d).select(id)
         .withColumn("bmp", bmp)
         .withColumn("wav", Multimodal.fabricateWav(lit(8000L), samples))
         .select(id, Multimodal.bmpAHash64(col("bmp")).as("ahash"),
-          Multimodal.wavEnvelope64(col("wav")).as("env"))
+          Multimodal.wavEnvelope64(col("wav")).as("env")))
       val img = Dedup.hammingNearDups64(fps.select(id, col("ahash")),
           "doc_id", "ahash", maxHamming = 3)
         .withColumn("modality", lit("image"))
