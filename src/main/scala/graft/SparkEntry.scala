@@ -13,7 +13,7 @@ import graft.queries._
 object SparkEntry {
   private val catalogs: Seq[Catalog] =
     Seq(Relational, GeoQueries, DataPipelineQueries, ParityQueries,
-      AdvancedOps, CorpusOps, CurationOps, RetrievalOps, AnalyticsOps)
+      AdvancedOps, CorpusOps, CurationOps, RetrievalOps, AnalyticsOps, LmOps)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
