@@ -2,8 +2,12 @@
 # Run a graft main class against the compiled classes + Spark jars without
 # sbt's startup overhead. Usage: scripts/run.sh graft.Verify <args...>
 set -e
-cd "$(dirname "$0")/.."
-CP="target/scala-2.13/classes:$(ls -d /opt/spark/jars)/*"
+REPO="$(cd "$(dirname "$0")/.." && pwd)"
+# GRAFT_RUN_CWD: run from elsewhere (e.g. an sf1 bench dir so the
+# BENCH_PLANSHAPE.json sidecar, written to CWD, doesn't clobber the
+# repo-root sf0.1 one)
+cd "${GRAFT_RUN_CWD:-$REPO}"
+CP="$REPO/target/scala-2.13/classes:$(ls -d /opt/spark/jars)/*"
 OPENS=""
 for p in java.lang java.lang.invoke java.lang.reflect java.io java.net \
          java.nio java.util java.util.concurrent java.util.concurrent.atomic; do
