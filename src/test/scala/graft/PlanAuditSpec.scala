@@ -43,7 +43,9 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
       "q110_basket_lift", // 1-row basket-count scalar (lift denominator)
       "q123_temperature_mixture", // 1-row N and Z scalars (allocation)
       "q126_subword_mixture", // same N and Z scalars, token-denominated
-      "q129_domain_mix") // 1-row token-total scalar (q96's shape)
+      "q129_domain_mix", // 1-row token-total scalar (q96's shape)
+      "q130_lm_quality_filter", // 1-row vocab-size + corpus-mean scalars
+      "q131_dsir_selection") // 1-row distribution-total scalars (dist())
 
   test("no catalog query plans a CartesianProduct") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
