@@ -1,0 +1,153 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Byte-pair-encoding merge LEARNING over the corpus — the training side of
+  * the subword story ([[graft.plans.WordpieceExpression]] is the inference
+  * side over a GIVEN vocabulary; this learns the vocabulary's merge rules
+  * from the data, Sennrich et al. ACL'16).
+  *
+  * Algorithm (word-level BPE over a frequency dictionary — the standard
+  * formulation): build the (word, count) table once, represent each word as
+  * a wrapped-symbol string (initially its characters), then for k rounds:
+  * count adjacent symbol pairs weighted by word count, take the argmax pair
+  * under the total order (count DESC, left ASC, right ASC), and merge that
+  * pair everywhere.
+  *
+  * Distributed posture (the X58 k-means model): the mutable state — the
+  * learned merge list — is DRIVER-sized (k rows), collected via a bounded
+  * `TakeOrderedAndProject` (orderBy.limit(1), never a global sort) and
+  * folded back into the next round as LITERAL `replace` calls; the data-
+  * sized side stays a DataFrame. Per round: one projection + one pair
+  * explode + one mergeable groupBy over the distinct-WORD table — which is
+  * VOCABULARY-sized, not corpus-sized. The corpus is scanned exactly once
+  * (the pinned frequency table); 100 TB of text funnels into a few million
+  * distinct words before any iteration starts, so rounds cost |vocab|, and
+  * the explode/agg shape partitions on the pair key like any other
+  * aggregate here.
+  *
+  * Merge application is EXACTLY canonical greedy left-to-right list
+  * merging, via representation: each symbol rides wrapped as `(sym)`, so
+  * the merge of pair (l, r) is ONE literal `replace(sym, "(l)(r)", "(lr)")`
+  * — the pattern consumes whole wrapped tokens only (symbols are
+  * [[WordCharset]]-restricted, so '(' never occurs inside one), every token
+  * carries its own delimiters (no shared separator, the trap a
+  * space-separated encoding falls into on runs like `a a a a`), and
+  * `replace`'s non-overlapping left-to-right scan in BOTH Spark and DuckDB
+  * is precisely the greedy merge order. One pass per merge, no fixpoint
+  * iteration. The DuckDB oracle replays the whole fit — wrapped chars, pair
+  * counts, argmax, replaces — as k unrolled CTE layers, so a wrong
+  * tie-break or a non-greedy alignment breaks the hash.
+  *
+  * Pre-tokenization contract: the frequency table keeps words matching
+  * `^[a-z0-9]+$` with 2..[[MaxWordLen]] characters (normalized text is
+  * already lowercase). Real tokenizer training applies the same shape —
+  * punctuation is split off upstream and unbounded "words" (URLs, base64
+  * blobs) are excluded so they cannot dominate every round; here the
+  * charset additionally guarantees the wrapper characters stay unambiguous.
+  */
+object Bpe {
+
+  /** Symbols per word cap — bounds the per-word explode fan-out. */
+  val MaxWordLen = 16
+
+  /** Regex (full-match) for words admitted to BPE training. */
+  val WordCharset = "[a-z0-9]+"
+
+  /** (word, wc) frequency table over the normalized corpus, charset- and
+    * length-bounded. The ONE corpus-sized pass of the whole fit — pin the
+    * result.
+    */
+  def wordFreq(docs: DataFrame, text: String): DataFrame =
+    docs
+      .select(explode(split(Dedup.normalizeText(col(text)), " ")).as("word"))
+      .filter(length(col("word")).between(2, MaxWordLen) &&
+        col("word").rlike(s"^$WordCharset$$"))
+      .groupBy("word").agg(count(lit(1)).as("wc"))
+
+  /** "(h)(e)(l)(l)(o)" — each character wrapped in its own delimiters. */
+  private def wrappedSym(word: Column): Column =
+    regexp_replace(word, "(.)", "($1)")
+
+  /** All learned merges applied in rank order — one greedy replace each. */
+  def applyMerges(word: Column, merges: Seq[(String, String)]): Column =
+    merges.foldLeft(wrappedSym(word)) { case (c, (l, r)) =>
+      call_function("replace", c, lit(s"($l)($r)"), lit(s"($l$r)"))
+    }
+
+  /** Wrapped-symbol string → symbol array. */
+  private def symArray(sym: Column): Column =
+    split(regexp_replace(sym, "^\\(|\\)$", ""), "\\)\\(")
+
+  /** Adjacent symbol pairs of `sym` weighted by `wc`: (l, r, wc) rows.
+    * Words collapsed to a single symbol emit none (the size guard — Spark's
+    * `sequence(0, -1)` would DESCEND).
+    */
+  private def pairStream(freq: DataFrame, sym: Column): DataFrame =
+    freq.select(col("wc"), symArray(sym).as("__a"))
+      .filter(size(col("__a")) >= 2)
+      .select(col("wc"), explode(expr(
+        "transform(sequence(0, size(__a) - 2), " +
+          "j -> struct(__a[j] AS l, __a[j + 1] AS r))")).as("__p"))
+      .select(col("__p.l").as("l"), col("__p.r").as("r"), col("wc"))
+
+  /** Learn `k` merge rules. Returns (left, right, weighted pair count) in
+    * rank order. `freq` should be the pinned [[wordFreq]] output.
+    */
+  def learnMerges(freq: DataFrame, k: Int): Seq[(String, String, Long)] = {
+    var merges = Vector.empty[(String, String, Long)]
+    for (_ <- 1 to k) {
+      val sym = applyMerges(col("word"), merges.map(m => (m._1, m._2)))
+      val best = pairStream(freq, sym)
+        .groupBy("l", "r").agg(sum("wc").as("c"))
+        .orderBy(col("c").desc, col("l").asc, col("r").asc)
+        .limit(1).collect()
+      if (best.nonEmpty) {
+        val row = best.head
+        merges :+= ((row.getString(0), row.getString(1), row.getLong(2)))
+      }
+    }
+    merges
+  }
+
+  /** The learned merge table: (rank, left, right, merged, pair_count) — k
+    * rows, hash-checkable. `docs` is scanned once (pinned freq table).
+    */
+  def bpeMerges(docs: DataFrame, text: String, k: Int): DataFrame = {
+    val freq = Caches.pin(wordFreq(docs, text))
+    val merges = learnMerges(freq, k)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    merges.zipWithIndex
+      .map { case ((l, r, c), i) => (i + 1L, l, r, l + r, c) }
+      .toDF("rank", "left", "right", "merged", "pair_count")
+  }
+
+  /** Per-doc token accounting under a learned merge list: (id, bpe_tokens,
+    * ws_tokens) — the corpus re-tokenized by its OWN learned rules. The
+    * merge cascade (k replaces) runs once per DISTINCT word; the corpus
+    * word stream joins the result by word (Σ words rows, the LM-scoring
+    * shape), so the expression cost is vocabulary-sized. Words outside the
+    * training bounds (1 char, > [[MaxWordLen]], or off-charset) count 1
+    * token each — they were never split. The token count is the '('
+    * population of the merged string (every symbol carries exactly one).
+    */
+  def tokenCounts(docs: DataFrame, id: String, text: String,
+                  merges: Seq[(String, String)]): DataFrame = {
+    val words = docs.select(col(id),
+      explode(split(Dedup.normalizeText(col(text)), " ")).as("word"))
+      .filter(col("word") =!= "")
+    val merged = applyMerges(col("word"), merges)
+    val distinctWords = words.select("word").distinct()
+      .withColumn("__ntok",
+        when(length(col("word")).between(2, MaxWordLen) &&
+          col("word").rlike(s"^$WordCharset$$"),
+          length(merged) -
+            length(call_function("replace", merged, lit("("), lit(""))))
+          .otherwise(lit(1)).cast("long"))
+    words.join(distinctWords, Seq("word"))
+      .groupBy(col(id))
+      .agg(sum("__ntok").as("bpe_tokens"), count(lit(1)).as("ws_tokens"))
+  }
+}

@@ -101,6 +101,24 @@ object Dedup {
       .select(col(id), explode(shingleArr).as("shingle")).distinct()
   }
 
+  /** [[wordShingles]] with each shingle FNV-hashed to a long AT THE EXPLODE
+    * SITE — the X21 trick at the word grain: every downstream exchange,
+    * sort, and hash-probe moves 8-byte keys instead of n-word strings.
+    * Measured at sf1 (q100's verify join, 4.4M candidates × ~100-shingle
+    * docs): string keys cost ~40 s wall / ~1300 s CPU — memory-bandwidth
+    * on string hashing/comparison in the big hash join, not arithmetic;
+    * 8-byte keys cut both the shuffle bytes and the probe cost. A hash
+    * collision could overcount one intersection cell; at 64 bits the
+    * expected collision count stays ≪ 1 up to ~10⁹ distinct shingles (and
+    * the oracle hash-check would catch one on any tested corpus).
+    */
+  def wordShingleHashes(docs: DataFrame, id: String, text: String,
+                        n: Int): DataFrame = {
+    import graft.plans.Fnv1a64Expression.fnv1a64
+    wordShingles(docs, id, text, n)
+      .select(col(id), fnv1a64(col("shingle")).as("shingle"))
+  }
+
   /** Candidate pairs from the shingle inverted index with their true Jaccard
     * similarity; only pairs sharing ≥1 shingle are ever materialized, and
     * shingles occurring in more than `maxShingleDf` docs are dropped from
@@ -601,14 +619,27 @@ object Dedup {
     * (id_a, id_b, n_a, n_b, inter, jaccard), id_a < id_b, jaccard ≥ τ —
     * identical rows to the unguarded [[jaccardPairsFromShingles]] at the
     * same threshold (spec-pinned), with a strictly smaller candidate set.
+    *
+    * Verify shape: candidates join the two docs' COLLECTED shingle arrays
+    * (one doc-keyed aggregate, then two id-keyed equi-joins of the skinny
+    * candidate frame) and intersect per row — cost ∝ |candidates|·|doc|
+    * inside ONE codegen stage. The previous formulation exploded each
+    * candidate by doc_a's full shingle set through a (id_b, shingle) join:
+    * |candidates|·|doc| ROWS through a shuffle (260M at sf1, measured
+    * ~40 s / ~1300 s CPU — the whole query is now ~3× faster there). The
+    * array rows stay per-DOC sized, never collected.
     */
   def prefixJaccardPairsFromShingles(sh: DataFrame, id: String,
                                      minJaccard: Double): DataFrame = {
+    val docArrs = sh.groupBy(col(id))
+      .agg(sort_array(collect_list(col("shingle"))).as("__arr"))
     val inter = prefixCandidates(sh, id, minJaccard)
-      .join(sh.select(col(id).as("id_a"), col("shingle")), Seq("id_a"))
-      .join(sh.select(col(id).as("id_b"), col("shingle")),
-        Seq("id_b", "shingle"))
-      .groupBy("id_a", "id_b", "n_a", "n_b").agg(count(lit(1)).as("inter"))
+      .join(docArrs.select(col(id).as("id_a"), col("__arr").as("__aa")),
+        Seq("id_a"))
+      .join(docArrs.select(col(id).as("id_b"), col("__arr").as("__ab")),
+        Seq("id_b"))
+      .withColumn("inter",
+        size(array_intersect(col("__aa"), col("__ab"))).cast("long"))
     inter
       .withColumn("jaccard",
         col("inter") / (col("n_a") + col("n_b") - col("inter")))
@@ -650,5 +681,67 @@ object Dedup {
       .select("tok_a", "tok_b").distinct()
       .withColumn("dist", levenshtein(col("tok_a"), col("tok_b")))
       .filter(col("dist") <= 1)
+  }
+
+  /** Tf-weighted cosine near-dup pairs over the word bag — the classic
+    * bag-of-words cosine tier between set-based Jaccard ([[jaccardPairs]]:
+    * ignores term multiplicity) and the embedding cosines
+    * ([[Similarity]]: needs a vector column): two docs are near-dups when
+    * cos(tf_a, tf_b) ≥ τ, with repeated terms weighted by their counts —
+    * the metric that catches "same text, one paragraph doubled", which
+    * set-Jaccard underweights.
+    *
+    * Exact-integer device: tf vectors are integer counts, so dot = Σ
+    * tf_a·tf_b and the squared norms n2 = Σ tf² are longs, and cos ≥ τ for
+    * rational τ² = num/den tests as den·dot² ≥ num·n2_a·n2_b — pure int64,
+    * hash-exact cross-engine, no sqrt anywhere (the X75 log-free device
+    * applied to similarity). The reported `cos2_micro` = dot²·10⁶ div
+    * (n2_a·n2_b) is the same certificate as a value. Overflow bound:
+    * den·dot² < 2⁶³ needs Σtf per doc ≲ 6·10⁸/√den tokens (den ≤ 4:
+    * ~3·10⁸-token docs) — beyond any real document; past it quantize tf
+    * down a decade (the X79 rule).
+    *
+    * Candidates meet in a term-keyed inverted-index join over the KEPT
+    * vocabulary: terms present in more than `maxDfPermille`/1000 of the
+    * corpus (df·1000 > N·permille, pure integers — an absolute df stops
+    * discriminating as the corpus grows, the X61 lesson) are excluded from
+    * the vectors entirely — standard stop-word handling for similarity
+    * search, part of the METRIC's definition here (the oracle applies the
+    * same exclusion), not a recall heuristic. That makes the join cost
+    * Σ df² over kept terms, bounded by the df cap — never |corpus|². Docs
+    * whose every term is hot have no vector and pair with nothing. N rides
+    * as a 1-row broadcast scalar (the q87 shape).
+    *
+    * Output: (id_a, id_b, dot, n2_a, n2_b, cos2_micro), id_a < id_b,
+    * pairs at cos² ≥ num/den only.
+    */
+  def cosinePairs(docs: DataFrame, id: String, text: String,
+                  minCos2Num: Long, minCos2Den: Long,
+                  maxDfPermille: Long): DataFrame = {
+    val tf = docs
+      .select(col(id), explode(split(normalizeText(col(text)), " ")).as("__t"))
+      .filter(col("__t") =!= "")
+      .groupBy(col(id), col("__t")).agg(count(lit(1)).as("__tf"))
+    val nDocs = docs.agg(count(lit(1)).as("__n"))
+    val kept = tf.join(
+      tf.groupBy("__t").agg(count(lit(1)).as("__df"))
+        .crossJoin(broadcast(nDocs))
+        .filter(col("__df") * 1000 <= col("__n") * maxDfPermille)
+        .select("__t"),
+      Seq("__t"))
+    val n2 = kept.groupBy(col(id))
+      .agg(sum(col("__tf") * col("__tf")).as("n2"))
+    kept.select(col(id).as("id_a"), col("__t"), col("__tf").as("__fa"))
+      .join(kept.select(col(id).as("id_b"), col("__t"),
+        col("__tf").as("__fb")), Seq("__t"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(sum(col("__fa") * col("__fb")).as("dot"))
+      .join(n2.select(col(id).as("id_a"), col("n2").as("n2_a")), Seq("id_a"))
+      .join(n2.select(col(id).as("id_b"), col("n2").as("n2_b")), Seq("id_b"))
+      .filter(lit(minCos2Den) * col("dot") * col("dot") >=
+        lit(minCos2Num) * col("n2_a") * col("n2_b"))
+      .withColumn("cos2_micro", expr(
+        "(dot * dot * 1000000) div (n2_a * n2_b)"))
   }
 }

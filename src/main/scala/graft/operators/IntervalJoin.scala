@@ -72,4 +72,57 @@ object IntervalJoin {
       .filter(col(pointCol) >= col(loCol) && col(pointCol) <= col(hiCol))
       .drop("__bin")
   }
+
+  /** Self interval-OVERLAP pairs per key — the interval×interval twin of
+    * [[pointInInterval]] (point containment is the degenerate lo = hi
+    * case): all pairs of rows sharing `keyCol` whose closed intervals
+    * [lo, hi] overlap (`lo_a <= hi_b AND lo_b <= hi_a`), each pair
+    * reported EXACTLY once.
+    *
+    * Same bin-replication device: every interval lands in each bin its
+    * span touches, candidates meet in a (key, bin) equi-join — never the
+    * per-key cartesian the raw theta-join plans — and the residual
+    * predicate keeps true overlaps. Dedup across bins is positional, not
+    * a distinct: an overlapping pair is kept only in the bin containing
+    * max(lo_a, lo_b) — a point both intervals cover (it is ≥ both los by
+    * construction and ≤ both his by the overlap predicate), so both sides
+    * are replicated there, and it names exactly one bin. No post-join
+    * `distinct()` shuffle.
+    *
+    * Scale shape: shuffle keyed on (key, bin); fan-in per bin =
+    * co-resident intervals; replication = Σ ceil(span/binWidth) with the
+    * same fail-fast `maxBinsPerInterval` guard. Output is canonicalized
+    * `idCol` pairs (id_a < id_b — ties on identical ids are the caller's
+    * id-uniqueness contract), with both intervals' bounds.
+    */
+  def overlapPairs(intervals: DataFrame, keyCol: String, idCol: String,
+                   loCol: String, hiCol: String, binWidth: Double,
+                   maxBinsPerInterval: Long = 4096L): DataFrame = {
+    require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    val loBin = floor(col(loCol) / binWidth).cast("long")
+    val hiBin = floor(col(hiCol) / binWidth).cast("long")
+    val guardedHiBin = when(hiBin - loBin < lit(maxBinsPerInterval), hiBin)
+      .otherwise(raise_error(concat(
+        lit("IntervalJoin: interval ["), col(loCol).cast("string"),
+        lit(", "), col(hiCol).cast("string"),
+        lit(s"] replicates to more than $maxBinsPerInterval bins at " +
+          s"binWidth $binWidth; raise binWidth/maxBinsPerInterval or cap " +
+          "interval spans upstream"))).cast("long"))
+    val binned = intervals
+      .filter(col(loCol) <= col(hiCol))
+      .select(col(keyCol).as("__k"), col(idCol).as("__id"),
+        col(loCol).as("__lo"), col(hiCol).as("__hi"),
+        explode(sequence(loBin, guardedHiBin)).as("__bin"))
+    binned.select(col("__k"), col("__bin"), col("__id").as("id_a"),
+      col("__lo").as("lo_a"), col("__hi").as("hi_a"))
+      .join(binned.select(col("__k"), col("__bin"), col("__id").as("id_b"),
+        col("__lo").as("lo_b"), col("__hi").as("hi_b")),
+        Seq("__k", "__bin"))
+      .filter(col("id_a") < col("id_b") &&
+        col("lo_a") <= col("hi_b") && col("lo_b") <= col("hi_a") &&
+        col("__bin") ===
+          floor(greatest(col("lo_a"), col("lo_b")) / binWidth).cast("long"))
+      .select(col("__k").as(keyCol), col("id_a"), col("id_b"),
+        col("lo_a"), col("hi_a"), col("lo_b"), col("hi_b"))
+  }
 }

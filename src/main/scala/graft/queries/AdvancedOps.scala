@@ -102,6 +102,32 @@ object AdvancedOps extends Catalog {
           XDet.moneySum(col("o_totalprice"), 2).as("revenue"))
     }),
 
+    // ---- interval-OVERLAP self-join per key (q56's interval×interval twin) -
+    // per part, pairs of lineitem shipping windows that overlap — "which
+    // shipments of this part were in flight together". The window is
+    // [shipdate, shipdate + 1..30 days], span fabricated deterministically
+    // from the keys (this fixture carries no receiptdate — the q56 band
+    // device). Same bin-replication core as q56; dedup across bins is
+    // positional (the bin containing max(lo_a, lo_b) owns the pair), never
+    // a distinct(). The oracle runs the raw per-key theta-join — algorithm-
+    // independent. binWidth 32 days ~ the max span: each interval touches
+    // <= 2 bins.
+    "q135_overlap_join" -> ((s, d) => {
+      val epoch = lit("1970-01-01").cast("date")
+      val lo = datediff(col("l_shipdate"), epoch).cast("long")
+      val li = Tables.lineitem(s, d).select(
+        col("l_partkey"),
+        (col("l_orderkey") * 10 + col("l_linenumber")).as("item_id"),
+        lo.as("lo_day"),
+        (lo + lit(1L) +
+          (col("l_orderkey") * 7 + col("l_linenumber")) % 30).as("hi_day"))
+      IntervalJoin.overlapPairs(li, "l_partkey", "item_id",
+          "lo_day", "hi_day", binWidth = 32.0)
+        .withColumn("overlap_days",
+          least(col("hi_a"), col("hi_b")) -
+            greatest(col("lo_a"), col("lo_b")) + 1)
+    }),
+
     // ---- top-k per group via a native partial-mergeable aggregate ----------
     // graft.plans.TopKByAggregate: each map task ships <=k pairs per group
     // instead of the window idiom's shuffle-and-sort of EVERY row (the
@@ -350,5 +376,23 @@ object AdvancedOps extends Catalog {
          |  ${XDet.moneySumSql("o_totalprice", 2)} AS revenue
          |FROM bands JOIN orders ON o_totalprice >= lo AND o_totalprice <= hi
          |GROUP BY 1""".stripMargin,
+
+    // the raw per-key overlap theta-join the binned operator replaces
+    "q135_overlap_join" ->
+      s"""WITH li AS (SELECT l_partkey,
+         |    l_orderkey * 10 + l_linenumber AS item_id,
+         |    CAST(CAST(l_shipdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+         |      AS lo_day,
+         |    CAST(CAST(l_shipdate AS DATE) - DATE '1970-01-01' AS BIGINT) + 1
+         |      + (l_orderkey * 7 + l_linenumber) % 30 AS hi_day
+         |  FROM lineitem)
+         |SELECT a.l_partkey, a.item_id AS id_a, b.item_id AS id_b,
+         |  a.lo_day AS lo_a, a.hi_day AS hi_a,
+         |  b.lo_day AS lo_b, b.hi_day AS hi_b,
+         |  least(a.hi_day, b.hi_day) - greatest(a.lo_day, b.lo_day) + 1
+         |    AS overlap_days
+         |FROM li a JOIN li b ON a.l_partkey = b.l_partkey
+         |  AND a.item_id < b.item_id
+         |  AND a.lo_day <= b.hi_day AND b.lo_day <= a.hi_day""".stripMargin,
   )
 }

@@ -71,6 +71,22 @@ object DataPipelineQueries extends Catalog {
           (floor(col("jaccard") * 1e6 + 0.5) / 1e6).as("jaccard"))
     }),
 
+    // ---- tf-weighted cosine near-dup pairs ---------------------------------
+    // the bag-of-words cosine tier between q22's set-Jaccard (multiplicity-
+    // blind) and the embedding cosines (q35): catches "same text, one
+    // paragraph doubled". Integer certificate — den·dot² >= num·n2_a·n2_b
+    // with τ² = 1/2 (cos >= 0.707) — so the score hash-checks with no sqrt
+    // anywhere. The df guard is corpus-RELATIVE (df <= 10% of N, integer
+    // rational — an absolute cap stops discriminating as the corpus grows,
+    // the X61 lesson) and defines the kept vocabulary: stop-term exclusion
+    // is part of the metric here (the oracle applies the identical
+    // exclusion), and it bounds the inverted-index join at Σ df² over kept
+    // terms — never |corpus|².
+    "q134_cosine_near_dups" -> ((s, d) => {
+      Dedup.cosinePairs(Tables.documents(s, d), "doc_id", "text",
+        minCos2Num = 1L, minCos2Den = 2L, maxDfPermille = 100L)
+    }),
+
     // ---- prefix-filtered similarity join (All-Pairs / PPJoin family) -------
     // the candidate-generation tier ABOVE q22's full inverted index for
     // high thresholds: each doc indexes only its |d| − ceil(τ·|d|) + 1
@@ -84,9 +100,18 @@ object DataPipelineQueries extends Catalog {
     // candidate pairs where the full index generates 11,533 (6.3×); the
     // gap widens with τ (prefix fraction ≈ 1−τ) and with corpus-level
     // shingle skew (hot shingles leave every prefix).
+    // shingles ride FNV-hashed to longs (wordShingleHashes — the X21 trick
+    // at the word grain): the prefix ORDER becomes (df, hash) instead of
+    // (df, shingle), which changes only WHICH prefix set generates each
+    // candidate, never the verified result — and the verify join's
+    // exchanges and hash probes move 8-byte keys (measured at sf1: the
+    // string-keyed verify join was ~40 s / ~1300 s CPU, memory-bandwidth
+    // bound on string comparison)
     "q100_prefix_jaccard" -> ((s, d) => {
-      Dedup.prefixJaccardPairs(Tables.documents(s, d), "doc_id", "text",
-          n = 3, minJaccard = 0.4)
+      Dedup.prefixJaccardPairsFromShingles(
+          Dedup.wordShingleHashes(Tables.documents(s, d), "doc_id", "text",
+            n = 3),
+          "doc_id", minJaccard = 0.4)
         .select(col("id_a"), col("id_b"), col("inter").as("shared"),
           (floor(col("jaccard") * 1e6 + 0.5) / 1e6).as("jaccard"))
     }),
@@ -641,6 +666,33 @@ object DataPipelineQueries extends Catalog {
          |JOIN sizes na ON id_a = na.doc_id
          |JOIN sizes nb ON id_b = nb.doc_id
          |WHERE CAST(inter AS DOUBLE)/(na.n_sh + nb.n_sh - inter) >= 0.1""".stripMargin,
+
+    // same kept-vocabulary definition (df·1000 <= N·100), same integer
+    // certificate: the stop-term exclusion is the metric's, not a pruning
+    // heuristic, so both engines apply it and the whole score hash-checks
+    "q134_cosine_near_dups" ->
+      s"""WITH w AS (SELECT doc_id, unnest(${TextSql.words}) AS t
+         |  FROM documents),
+         |nn AS (SELECT count(*) AS n FROM documents),
+         |tf AS (SELECT doc_id, t, count(*) AS tf FROM w GROUP BY 1, 2),
+         |keptT AS (SELECT t FROM (SELECT t, count(*) AS df FROM tf
+         |  GROUP BY 1) CROSS JOIN nn WHERE df * 1000 <= n * 100),
+         |kept AS (SELECT tf.doc_id, tf.t, tf.tf
+         |  FROM tf JOIN keptT ON tf.t = keptT.t),
+         |n2 AS (SELECT doc_id, sum(tf * tf) AS n2 FROM kept GROUP BY 1),
+         |dots AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |    sum(a.tf * b.tf) AS dot
+         |  FROM kept a JOIN kept b ON a.t = b.t AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+         |  CAST(dot AS BIGINT) AS dot,
+         |  CAST(na.n2 AS BIGINT) AS n2_a, CAST(nb.n2 AS BIGINT) AS n2_b,
+         |  CAST((dot * dot * 1000000) // (na.n2 * nb.n2) AS BIGINT)
+         |    AS cos2_micro
+         |FROM dots
+         |JOIN n2 na ON dots.id_a = na.doc_id
+         |JOIN n2 nb ON dots.id_b = nb.doc_id
+         |WHERE 2 * dot * dot >= na.n2 * nb.n2""".stripMargin,
 
     // deliberately the PLAIN formulation — every shared-shingle pair with
     // its exact Jaccard, no prefix logic: the prefix filter is a pruning

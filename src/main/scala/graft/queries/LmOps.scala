@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ext.LanguageModel
+import graft.ext.{Bpe, Caches, LanguageModel}
 import graft.sources.Tables
 
 /** Round-8 language-model curation catalog: the two classic model-driven
@@ -51,6 +51,30 @@ object LmOps extends Catalog {
         target = docs.filter(col("source") === "src1"),
         source = docs, id = "doc_id", text = "text",
         buckets = 256, select = 100)
+    }),
+
+    // ---- BPE merge learning ------------------------------------------------
+    // the TRAINING side of the subword story (q125 is inference over a
+    // given vocab; this learns the merge rules from the corpus): 8 rounds
+    // of weighted adjacent-pair counting over the pinned distinct-word
+    // frequency table, argmax under (count DESC, pair ASC), merges folded
+    // back as literal greedy replaces over the wrapped-token encoding —
+    // driver-sized model state, the X58 k-means posture. The oracle
+    // replays the ENTIRE fit as 8 unrolled CTE layers, so tie-breaks and
+    // greedy run alignment are hash-pinned.
+    "q132_bpe_merges" -> ((s, d) =>
+      Bpe.bpeMerges(Tables.documents(s, d), "text", k = 8)),
+
+    // ---- BPE token accounting ----------------------------------------------
+    // the corpus re-tokenized under its OWN learned merges: per-doc
+    // (bpe_tokens, ws_tokens). The merge cascade runs once per DISTINCT
+    // word; the corpus word stream joins the result — vocabulary-sized
+    // expression cost, Σ words join rows.
+    "q133_bpe_token_counts" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val freq = Caches.pin(Bpe.wordFreq(docs, "text"))
+      val merges = Bpe.learnMerges(freq, 8).map(m => (m._1, m._2))
+      Bpe.tokenCounts(docs, "doc_id", "text", merges)
     })
   )
 
@@ -64,7 +88,63 @@ object LmOps extends Catalog {
        |bg AS (SELECT doc_id, source, ws[i] AS prev, ws[i + 1] AS w
        |  FROM bgi)""".stripMargin
 
+  /** CTE chain f0, w0, (a/p/c/b/w)1..k replaying the whole BPE fit: wrapped
+    * chars, weighted pair counts, argmax under (c DESC, l, r), one greedy
+    * replace per merge (the wrapped-token representation makes DuckDB's
+    * left-to-right `replace` exactly the greedy list merge — see the `Bpe`
+    * scaladoc). wk holds the final symbolization; b1..bk the learned
+    * merges.
+    */
+  private def bpeCtes(k: Int): String = {
+    val base =
+      s"""f0 AS (SELECT word, count(*) AS wc
+         |  FROM (SELECT unnest(${TextSql.words}) AS word FROM documents)
+         |  WHERE length(word) BETWEEN 2 AND ${graft.ext.Bpe.MaxWordLen}
+         |    AND regexp_full_match(word, '${graft.ext.Bpe.WordCharset}')
+         |  GROUP BY 1),
+         |w0 AS (SELECT word, wc,
+         |  regexp_replace(word, '(.)', '(\\1)', 'g') AS sym FROM f0)"""
+        .stripMargin
+    val rounds = (1 to k).map { i =>
+      s"""a$i AS (SELECT wc,
+         |  string_split(regexp_replace(sym, '^\\(|\\)$$', '', 'g'), ')(')
+         |    AS a FROM w${i - 1}),
+         |p$i AS (SELECT a[ii] AS l, a[ii + 1] AS r, wc FROM
+         |  (SELECT wc, a, unnest(generate_series(1, len(a) - 1)) AS ii
+         |   FROM a$i)),
+         |c$i AS (SELECT l, r, sum(wc) AS c FROM p$i GROUP BY 1, 2),
+         |b$i AS (SELECT l, r, c FROM c$i
+         |  ORDER BY c DESC, l ASC, r ASC LIMIT 1),
+         |w$i AS (SELECT w.word, w.wc,
+         |  replace(w.sym, '(' || b.l || ')(' || b.r || ')',
+         |    '(' || b.l || b.r || ')') AS sym
+         |  FROM w${i - 1} w CROSS JOIN b$i b)""".stripMargin
+    }
+    (base +: rounds).mkString(",\n")
+  }
+
   override def oracles: Map[String, String] = Map(
+
+    "q132_bpe_merges" -> {
+      val k = 8
+      val arms = (1 to k).map(i =>
+        s"""SELECT CAST($i AS BIGINT) AS "rank", l AS "left", r AS "right",
+           |  l || r AS merged, CAST(c AS BIGINT) AS pair_count FROM b$i"""
+          .stripMargin).mkString("\nUNION ALL\n")
+      s"WITH ${bpeCtes(k)}\n$arms"
+    },
+
+    "q133_bpe_token_counts" ->
+      s"""WITH ${bpeCtes(8)},
+         |dw AS (SELECT doc_id, unnest(${TextSql.words}) AS word
+         |  FROM documents)
+         |SELECT CAST(dw.doc_id AS BIGINT) AS doc_id,
+         |  CAST(sum(CASE WHEN w8.word IS NULL THEN 1
+         |    ELSE length(w8.sym) - length(replace(w8.sym, '(', '')) END)
+         |    AS BIGINT) AS bpe_tokens,
+         |  CAST(count(*) AS BIGINT) AS ws_tokens
+         |FROM dw LEFT JOIN w8 ON dw.word = w8.word
+         |GROUP BY 1""".stripMargin,
 
     "q130_lm_quality_filter" ->
       s"""WITH $bigramCtes,

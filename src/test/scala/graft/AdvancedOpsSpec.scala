@@ -310,6 +310,40 @@ class IntervalJoinSpec extends AnyFunSuite with SparkTestBase {
     assert(IntervalJoin.pointInInterval(points, intervals, "p", "lo", "hi",
       binWidth = 1.0, maxBinsPerInterval = 2000000L).count() === 1)
   }
+
+  test("overlapPairs matches the per-key theta-join, exactly once per pair") {
+    // 4 keys x 50 intervals each, spans 0..12 at width 5: plenty of pairs
+    // crossing bin boundaries, so the positional dedup is load-bearing
+    val iv = spark.range(200).select(
+      (col("id") % 4).as("k"), col("id").as("iid"),
+      (col("id") * 37 % 300).as("lo"),
+      (col("id") * 37 % 300 + col("id") % 13).as("hi"))
+    val fast = IntervalJoin.overlapPairs(iv, "k", "iid", "lo", "hi",
+      binWidth = 5.0)
+    val a = iv.select(col("k"), col("iid").as("id_a"), col("lo").as("lo_a"),
+      col("hi").as("hi_a"))
+    val b = iv.select(col("k"), col("iid").as("id_b"), col("lo").as("lo_b"),
+      col("hi").as("hi_b"))
+    val naive = a.join(b, Seq("k"))
+      .filter(col("id_a") < col("id_b") &&
+        col("lo_a") <= col("hi_b") && col("lo_b") <= col("hi_a"))
+      .select("k", "id_a", "id_b", "lo_a", "hi_a", "lo_b", "hi_b")
+    assert(fast.count() > 0)
+    assert(fast.exceptAll(naive).isEmpty && naive.exceptAll(fast).isEmpty)
+    assert(fast.count() === naive.count()) // exactly-once across bins
+  }
+
+  test("overlapPairs: closed-bound touch overlaps, one-apart does not; keys separate") {
+    val iv = Seq(
+      (1L, 10L, 0L, 5L), (1L, 11L, 5L, 9L),  // touch at 5 -> pair
+      (1L, 12L, 10L, 12L),                    // gap of 1 after 9 -> no pair
+      (2L, 20L, 0L, 100L)                     // other key: pairs with nobody
+    ).toDF("k", "iid", "lo", "hi")
+    val got = IntervalJoin.overlapPairs(iv, "k", "iid", "lo", "hi",
+        binWidth = 4.0)
+      .select("id_a", "id_b").as[(Long, Long)].collect().sorted
+    assert(got.toSeq === Seq((10L, 11L)))
+  }
 }
 
 class TopKByAggregateSpec extends AnyFunSuite with SparkTestBase {

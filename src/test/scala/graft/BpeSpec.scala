@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ext.{Bpe, Caches}
+
+/** BPE merge learning: hand-computed fits, fixpoint merge application,
+  * tie-breaks, and the length bounds. See `Bpe` scaladoc for the
+  * replace-to-fixpoint ≡ greedy-list-merge argument these pin.
+  */
+class BpeSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  private def docs(texts: String*) =
+    texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+
+  test("learned merges match a hand computation, in rank order") {
+    // freq: abab wc2, aaaa wc1, ab wc3
+    val d = docs("abab abab", "aaaa", "ab ab ab")
+    val freq = Bpe.wordFreq(d, "text")
+    val merges = Bpe.learnMerges(freq, 3)
+    // iter1: (a,b) 2*2+3 = 7 beats (a,a) 3, (b,a) 2
+    // iter2: abab -> [ab,ab]; (a,a) 3 beats (ab,ab) 2
+    // iter3: (ab,ab) 2 beats (aa,aa) 1
+    assert(merges === Seq(("a", "b", 7L), ("a", "a", 3L), ("ab", "ab", 2L)))
+  }
+
+  test("merge application is greedy left-to-right on self-pair runs") {
+    // the canonical-BPE trap: a space-separated encoding mis-aligns on
+    // runs (8 a's → aa a aa a aa); the wrapped-token representation must
+    // produce the greedy [aa aa aa aa] in ONE replace pass
+    val d = docs("aaaaaaaa")
+    val sym = d.select(
+      Bpe.applyMerges(lit("aaaaaaaa"), Seq(("a", "a"))).as("s"))
+      .head().getString(0)
+    assert(sym === "(aa)(aa)(aa)(aa)")
+    // and an odd run keeps its greedy tail: 5 a's → aa aa a
+    val sym5 = d.select(
+      Bpe.applyMerges(lit("aaaaa"), Seq(("a", "a"))).as("s"))
+      .head().getString(0)
+    assert(sym5 === "(aa)(aa)(a)")
+  }
+
+  test("argmax ties break lexicographically on (left, right)") {
+    val d = docs("cd cd", "ab ab")
+    val merges = Bpe.learnMerges(Bpe.wordFreq(d, "text"), 1)
+    assert(merges === Seq(("a", "b", 2L)))
+  }
+
+  test("off-charset and out-of-length words never enter training") {
+    // "a.b" (punctuation) and a 17-char word are excluded; only "ab" trains
+    val d = docs("a.b a.b a.b ab ab", "abcdefghijklmnopq")
+    val freq = Bpe.wordFreq(d, "text")
+    assert(freq.select("word").as[String].collect().toSeq === Seq("ab"))
+    val merges = Bpe.learnMerges(freq, 2)
+    assert(merges === Seq(("a", "b", 2L))) // round 2 finds no pair left
+  }
+
+  test("bpeMerges emits the ranked merge table") {
+    val out = Bpe.bpeMerges(docs("abab abab", "aaaa", "ab ab ab"), "text", 3)
+      .orderBy("rank").collect()
+    Caches.releaseAll()
+    assert(out.map(r => (r.getLong(0), r.getString(1), r.getString(2),
+      r.getString(3), r.getLong(4))).toSeq ===
+      Seq((1L, "a", "b", "ab", 7L), (2L, "a", "a", "aa", 3L),
+        (3L, "ab", "ab", "abab", 2L)))
+  }
+
+  test("tokenCounts applies merges per distinct word; out-of-bound words count 1") {
+    val d = docs(
+      "abab abab", // [abab][abab] under the 3 merges -> 2
+      "aaaa", // [aa aa] -> 2
+      "ab ab ab", // 3
+      "x abcdefghijklmnopq") // 1-char + 17-char: both out of bound -> 1 each
+    val freq = Caches.pin(Bpe.wordFreq(d, "text"))
+    val merges = Bpe.learnMerges(freq, 3).map(m => (m._1, m._2))
+    val out = Bpe.tokenCounts(d, "doc_id", "text", merges)
+      .orderBy("doc_id").collect()
+    Caches.releaseAll()
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ===
+      Seq((0L, 2L, 2L), (1L, 2L, 1L), (2L, 3L, 3L), (3L, 2L, 2L)))
+  }
+}

@@ -322,4 +322,54 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
       .intersect(skewSh.filter($"doc_id" === 2).select("shingle")).count()
     assert(shared > 0)
   }
+
+  test("cosinePairs: hand-computed dots, norms, and the integer threshold") {
+    val docs = Seq(
+      (1L, "a a b"),   // tf a:2 b:1, n2 = 5
+      (2L, "a a b b"), // tf a:2 b:2, n2 = 8
+      (3L, "c d"),     // shares nothing with 1/2
+      (4L, "a a b")    // exact dup of 1
+    ).toDF("doc_id", "text")
+    // τ² = 1/2, permissive guard (df <= n) keeps every term
+    val got = Dedup.cosinePairs(docs, "doc_id", "text", 1L, 2L,
+      maxDfPermille = 1000L)
+      .select("id_a", "id_b", "dot", "n2_a", "n2_b", "cos2_micro")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().sorted
+    // (1,2): dot 6, 2·36 >= 5·8 ✓, cos² = 36e6/40 = 900000
+    // (1,4): dot 5, cos² = 1e6; (2,4): dot 6 like (1,2)
+    assert(got.toSeq === Seq(
+      (1L, 2L, 6L, 5L, 8L, 900000L),
+      (1L, 4L, 5L, 5L, 5L, 1000000L),
+      (2L, 4L, 6L, 8L, 5L, 900000L)))
+  }
+
+  test("cosinePairs: hot terms leave the metric's vocabulary entirely") {
+    val docs = Seq(
+      (1L, "a a b"), (2L, "a a b b"), (4L, "a a b"),
+      (5L, "a a") // all-hot doc: no vector, pairs with nobody
+    ).toDF("doc_id", "text")
+    // "a" has df 4 of n 4 > 75% -> excluded; "b" df 3 = 75% stays:
+    // vectors over {b} alone
+    val got = Dedup.cosinePairs(docs, "doc_id", "text", 1L, 2L,
+      maxDfPermille = 750L)
+      .select("id_a", "id_b", "dot", "n2_a", "n2_b", "cos2_micro")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().sorted
+    assert(got.toSeq === Seq(
+      (1L, 2L, 2L, 1L, 4L, 1000000L),
+      (1L, 4L, 1L, 1L, 1L, 1000000L),
+      (2L, 4L, 2L, 4L, 1L, 1000000L)))
+    assert(!got.exists(p => p._1 == 5L || p._2 == 5L))
+  }
+
+  test("cosinePairs: sub-threshold pairs drop even with shared terms") {
+    // doc 6/7 share one low-weight term among many: cos well under 0.707
+    val docs = Seq(
+      (6L, "x y z w a"), (7L, "a p q r s")
+    ).toDF("doc_id", "text")
+    assert(Dedup.cosinePairs(docs, "doc_id", "text", 1L, 2L, 1000L)
+      .count() === 0)
+    // but the same pair passes at a permissive τ² = 1/100
+    assert(Dedup.cosinePairs(docs, "doc_id", "text", 1L, 100L, 1000L)
+      .count() === 1)
+  }
 }

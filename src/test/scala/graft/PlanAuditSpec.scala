@@ -45,7 +45,8 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
       "q126_subword_mixture", // same N and Z scalars, token-denominated
       "q129_domain_mix", // 1-row token-total scalar (q96's shape)
       "q130_lm_quality_filter", // 1-row vocab-size + corpus-mean scalars
-      "q131_dsir_selection") // 1-row distribution-total scalars (dist())
+      "q131_dsir_selection", // 1-row distribution-total scalars (dist())
+      "q134_cosine_near_dups") // 1-row corpus-size scalar (df guard)
 
   test("no catalog query plans a CartesianProduct") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
