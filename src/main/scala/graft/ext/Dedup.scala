@@ -93,17 +93,16 @@ object Dedup {
                         n: Int): DataFrame = {
     import graft.plans.Fnv1a64Expression.fnv1a64
     val norm = col("__norm")
-    // explode the INDEX range and hash post-explode as a scalar projection
-    // — no boxed-long array materialized per document before the generator
-    // runs (measured at sf1: a modest win, ~7%; the stage is dominated by
-    // per-row UTF8String substring + FNV over 30M shingles and scales
-    // linearly with shingle volume)
+    // hash INSIDE the per-doc transform so the generator explodes 8-byte
+    // longs: the alternative — explode the index range, then substr+hash
+    // post-explode — re-projects the whole norm string through every
+    // exploded row (O(len²) bytes per doc; measured 4× the CPU at sf0.1)
+    val shingleArr = when(length(norm) >= n,
+      transform(sequence(lit(1), length(norm) - lit(n - 1)),
+        i => fnv1a64(substr(norm, i, lit(n)))))
+      .otherwise(array())
     docs.select(col(id), normalizeText(col(text)).as("__norm"))
-      .filter(length(norm) >= n)
-      .select(col(id), norm,
-        explode(sequence(lit(1), length(norm) - lit(n - 1))).as("__i"))
-      .select(col(id), fnv1a64(substr(norm, col("__i"), lit(n))).as("shingle"))
-      .distinct()
+      .select(col(id), explode(shingleArr).as("shingle")).distinct()
   }
 
   /** [[wordShingles]] with each shingle FNV-hashed to a long AT THE EXPLODE
