@@ -699,6 +699,65 @@ object Dedup {
       .filter(col("dist") <= 1)
   }
 
+  /** Multi-pass sorted-neighborhood blocking (Hernández & Stolfo SIGMOD'95)
+    * — the entity-resolution candidate generator for FUZZY keys, beside
+    * [[typoPairs]]' deletion-neighborhood (exact-variant equi-join, ED ≤ 1
+    * only) and the shingle indexes (set overlap, blind to short keys):
+    * sort records by the key, slide a window of `windowSize` over the
+    * order, and every pair co-resident in some window is a candidate,
+    * verified with the exact `levenshtein` ≤ `maxDist` (both engines share
+    * the DP metric — candidates-only, never results).
+    *
+    * Distributed shape: the sort is BLOCKED — records partition by the
+    * key's first `blockLen` chars and the window slides inside each block
+    * (one (block)-keyed window exchange, bounded per-block state; a global
+    * sort would serialize). A single pass misses near-dups whose keys
+    * diverge in the first chars ("smith, john" vs "smyth, john"), which is
+    * the textbook failure — so this runs the textbook answer: a SECOND
+    * pass blocked and ordered on the REVERSED key, candidates unioned and
+    * deduped before the verify. Neighbors materialize as `windowSize − 1`
+    * `lead()`s over one window spec — one physical Window operator per
+    * pass, no self-join on rank.
+    *
+    * Output: (id_a, id_b, key_a, key_b, dist), id-canonicalized, dist ≤
+    * `maxDist`. Recall is governed by windowSize/blockLen (candidates-only
+    * machinery); precision is exact.
+    */
+  def sortedNeighborhoodPairs(rows: DataFrame, id: String, key: String,
+                              blockLen: Int, windowSize: Int,
+                              maxDist: Int): DataFrame = {
+    val w = Window.partitionBy("__blk").orderBy(col("__k"), col("__id"))
+    def pass(blk: Column): DataFrame = {
+      // leads materialize in a projection BEFORE the generator — Generate
+      // cannot host window expressions
+      val base = rows.select(col(id).as("__id"), col(key).as("__k"))
+        .withColumn("__blk", blk)
+      val withLeads = (1 until windowSize).foldLeft(base)((df, j) =>
+        df.withColumn(s"__id$j", lead(col("__id"), j).over(w))
+          .withColumn(s"__k$j", lead(col("__k"), j).over(w)))
+      val neighbors = array((1 until windowSize).map(j => struct(
+        col(s"__id$j").as("id2"), col(s"__k$j").as("k2"))): _*)
+      withLeads
+        .select(col("__id"), col("__k"), explode(neighbors).as("__p"))
+        .filter(col("__p.id2").isNotNull)
+        .select(
+          when(col("__id") < col("__p.id2"), col("__id"))
+            .otherwise(col("__p.id2")).as("id_a"),
+          when(col("__id") < col("__p.id2"), col("__p.id2"))
+            .otherwise(col("__id")).as("id_b"),
+          when(col("__id") < col("__p.id2"), col("__k"))
+            .otherwise(col("__p.k2")).as("key_a"),
+          when(col("__id") < col("__p.id2"), col("__p.k2"))
+            .otherwise(col("__k")).as("key_b"))
+    }
+    pass(substring(col("__k"), 1, blockLen))
+      .unionByName(pass(substring(reverse(col("__k")), 1, blockLen)))
+      .distinct()
+      .withColumn("dist",
+        levenshtein(col("key_a"), col("key_b")).cast("long"))
+      .filter(col("dist") <= maxDist)
+  }
+
   /** Tf-weighted cosine near-dup pairs over the word bag — the classic
     * bag-of-words cosine tier between set-based Jaccard ([[jaccardPairs]]:
     * ignores term multiplicity) and the embedding cosines

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Behavioral analytics operators: windowed funnels, cohort retention,
@@ -208,5 +209,39 @@ object Behavioral {
       .crossJoin(broadcast(n))
       .select(col("p1"), col("p2"), col("co"),
         expr("(co * __n * 1000000L) div (s1 * s2)").as("lift_micro"))
+  }
+
+  /** Linear (equal-split) multi-touch attribution over an attributed
+    * click↔purchase pair stream — the CREDIT layer above the pairing
+    * itself ([[graft.streaming.EventStream.attributionJoin]] produces the
+    * pairs; this decides who gets how much): each purchase's value splits
+    * equally across its touching clicks.
+    *
+    * Exact-integer conservation: the purchase value quantizes to micros
+    * once (`floor(v·10⁶ + 0.5)` — the XDet device), each touch gets
+    * `vm div n`, and the remainder `vm % n` lands one micro each on the
+    * FIRST `vm % n` touches in (click_us, click_id) order — so
+    * Σ credit_micro over a purchase's touches equals the quantized value
+    * EXACTLY, on any engine, under any partitioning (the property the
+    * oracle pins; a float v/n split conserves only approximately and
+    * differs in the last ulp across engines).
+    *
+    * One purchase-keyed window exchange serves both the touch count and
+    * the remainder ranking. Input: the [[graft.streaming.EventStream
+    * .attributionJoin]] output columns (user_id, click_id, purchase_id,
+    * click_us, purchase_us, value).
+    */
+  def linearAttribution(pairs: DataFrame): DataFrame = {
+    val byP = Window.partitionBy("purchase_id")
+    val ord = byP.orderBy(col("click_us"), col("click_id"))
+    pairs
+      .withColumn("__vm", floor(col("value") * 1e6 + 0.5).cast("long"))
+      .withColumn("__n", count(lit(1)).over(byP))
+      .withColumn("__rn", row_number().over(ord))
+      .select(col("user_id"), col("purchase_id"), col("click_id"),
+        col("click_us"), col("__n").as("n_touches"),
+        (expr("__vm div __n") +
+          when(col("__rn") <= expr("__vm % __n"), lit(1L)).otherwise(lit(0L)))
+          .as("credit_micro"))
   }
 }

@@ -426,6 +426,61 @@ object AnalyticsOps extends Catalog {
           date_format(col("window_end"), "yyyy-MM-dd HH:mm:ss")
             .as("window_end"),
           col("event_type"), col("events"))
+    }),
+
+    // ---- linear multi-touch attribution ------------------------------------
+    // the CREDIT layer above q102's pairing: each purchase's value splits
+    // equally across its touching clicks in integer micros, remainder
+    // micros landing on the earliest touches — Σ credit over a purchase
+    // equals the quantized value EXACTLY on any engine under any
+    // partitioning (a float v/n split conserves only approximately). One
+    // purchase-keyed window exchange.
+    "q136_linear_attribution" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      Behavioral.linearAttribution(
+        graft.streaming.EventStream.attributionJoin(
+          ev.filter(col("event_type") === "click"),
+          ev.filter(col("event_type") === "purchase")))
+    }),
+
+    // ---- per-stratum winsorized statistics ---------------------------------
+    // outlier-robust corpus stats (the Tukey step quality dashboards run
+    // before averaging anything): clamp n_chars to the per-language
+    // [p5, p95] EXACT order statistics — indices in pure integer
+    // arithmetic (lo = max(1, 5n div 100), hi = min(n, (95n+99) div 100)),
+    // bound values lifted onto every row by a window-max of a
+    // single-index conditional (no second join), mean in integer micros.
+    // One lang-keyed window exchange serves ranks, counts, and bounds.
+    "q137_winsorized_stats" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("lang").orderBy(col("n_chars"), col("doc_id"))
+      val byLang = org.apache.spark.sql.expressions.Window.partitionBy("lang")
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("n_chars").cast("long")
+          .as("n_chars"))
+        .withColumn("__rn", row_number().over(w))
+        .withColumn("__n", count(lit(1)).over(byLang))
+        .withColumn("__lo_i", greatest(lit(1L), expr("(__n * 5) div 100")))
+        .withColumn("__hi_i", least(col("__n"),
+          expr("(__n * 95 + 99) div 100")))
+        .withColumn("__vlo",
+          max(when(col("__rn") === col("__lo_i"), col("n_chars")))
+            .over(byLang))
+        .withColumn("__vhi",
+          max(when(col("__rn") === col("__hi_i"), col("n_chars")))
+            .over(byLang))
+        .withColumn("__cl",
+          greatest(least(col("n_chars"), col("__vhi")), col("__vlo")))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("docs"),
+          min("__vlo").as("v_lo"), min("__vhi").as("v_hi"),
+          sum(when(col("n_chars") < col("__vlo"), 1L).otherwise(0L))
+            .as("clamped_low"),
+          sum(when(col("n_chars") > col("__vhi"), 1L).otherwise(0L))
+            .as("clamped_high"),
+          sum("__cl").as("winsorized_sum"),
+          expr("(sum(__cl) * 1000000) div count(1)")
+            .as("winsorized_mean_micro"))
     })
   )
 
@@ -807,6 +862,55 @@ object AnalyticsOps extends Catalog {
         |  strftime(ws + INTERVAL 1 HOUR, '%Y-%m-%d %H:%M:%S')
         |    AS window_end,
         |  event_type, count(*) AS events
-        |FROM w GROUP BY 1, 2, 3""".stripMargin
+        |FROM w GROUP BY 1, 2, 3""".stripMargin,
+
+    // q102's pair derivation + the same integer split arithmetic
+    "q136_linear_attribution" ->
+      """WITH pairs AS (
+        |  SELECT c.user_id, c.event_id AS click_id,
+        |    p.event_id AS purchase_id,
+        |    epoch_us(CAST(c.ts AS TIMESTAMP)) AS click_us, p.value
+        |  FROM events c JOIN events p ON c.user_id = p.user_id
+        |  WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+        |    AND CAST(p.ts AS TIMESTAMP) >= CAST(c.ts AS TIMESTAMP)
+        |    AND CAST(p.ts AS TIMESTAMP)
+        |      <= CAST(c.ts AS TIMESTAMP) + INTERVAL 30 MINUTE),
+        |px AS (SELECT user_id, purchase_id, click_id, click_us,
+        |    CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS vm,
+        |    count(*) OVER (PARTITION BY purchase_id) AS n,
+        |    row_number() OVER (PARTITION BY purchase_id
+        |      ORDER BY click_us, click_id) AS rn
+        |  FROM pairs)
+        |SELECT user_id, purchase_id, click_id, click_us,
+        |  CAST(n AS BIGINT) AS n_touches,
+        |  CAST(vm // n + CASE WHEN rn <= vm % n THEN 1 ELSE 0 END
+        |    AS BIGINT) AS credit_micro
+        |FROM px""".stripMargin,
+
+    // same integer order-statistic indices and clamp arithmetic
+    "q137_winsorized_stats" ->
+      """WITH r AS (SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY n_chars, doc_id) AS rn,
+        |    count(*) OVER (PARTITION BY lang) AS n
+        |  FROM documents),
+        |b AS (SELECT lang,
+        |    max(CASE WHEN rn = greatest(1, (n * 5) // 100)
+        |      THEN n_chars END) AS v_lo,
+        |    max(CASE WHEN rn = least(n, (n * 95 + 99) // 100)
+        |      THEN n_chars END) AS v_hi
+        |  FROM r GROUP BY 1)
+        |SELECT r.lang, CAST(count(*) AS BIGINT) AS docs,
+        |  CAST(b.v_lo AS BIGINT) AS v_lo, CAST(b.v_hi AS BIGINT) AS v_hi,
+        |  CAST(sum(CASE WHEN n_chars < v_lo THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS clamped_low,
+        |  CAST(sum(CASE WHEN n_chars > v_hi THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS clamped_high,
+        |  CAST(sum(greatest(least(n_chars, v_hi), v_lo)) AS BIGINT)
+        |    AS winsorized_sum,
+        |  CAST(sum(greatest(least(n_chars, v_hi), v_lo)) * 1000000
+        |    // count(*) AS BIGINT) AS winsorized_mean_micro
+        |FROM r JOIN b ON r.lang = b.lang
+        |GROUP BY r.lang, b.v_lo, b.v_hi""".stripMargin
   )
 }

@@ -116,6 +116,22 @@ object DataPipelineQueries extends Catalog {
           (floor(col("jaccard") * 1e6 + 0.5) / 1e6).as("jaccard"))
     }),
 
+    // ---- multi-pass sorted-neighborhood blocking (ER candidates) -----------
+    // the fuzzy-key entity-resolution generator (Hernández–Stolfo) over
+    // 32-char document "titles" (normalized-text prefixes): block by the
+    // key's first 4 chars, slide a 5-window inside each block, SECOND pass
+    // on the reversed key (the textbook fix for first-char divergence),
+    // union, dedupe, verify with exact levenshtein <= 8 — both engines
+    // share the DP metric, so candidates-only machinery, exact precision.
+    // One window exchange per pass, lead()-materialized neighbors, no
+    // rank self-join, no global sort.
+    "q138_sorted_neighborhood" -> ((s, d) => {
+      Dedup.sortedNeighborhoodPairs(
+        Tables.documents(s, d).select(col("doc_id"),
+          substring(Dedup.normalizeText(col("text")), 1, 32).as("title")),
+        "doc_id", "title", blockLen = 4, windowSize = 5, maxDist = 8)
+    }),
+
     // ---- MinHash + LSH banded near-dup (scale path) ------------------------
     // portable = true: signatures use FNV-1a 64, re-spelled in the oracle's
     // HUGEINT arithmetic, so the banded-LSH candidate set and the verified
@@ -693,6 +709,33 @@ object DataPipelineQueries extends Catalog {
          |JOIN n2 na ON dots.id_a = na.doc_id
          |JOIN n2 nb ON dots.id_b = nb.doc_id
          |WHERE 2 * dot * dot >= na.n2 * nb.n2""".stripMargin,
+
+    // both passes re-derived: per-block row_number, rank-distance pairs,
+    // union + distinct, exact levenshtein — same metric, same blocks
+    "q138_sorted_neighborhood" -> {
+      val title = s"substr($normSql, 1, 32)"
+      def passSql(blk: String, alias: String) =
+        s"""$alias AS (SELECT id, k,
+           |    row_number() OVER (PARTITION BY $blk ORDER BY k, id) AS rn,
+           |    $blk AS blk
+           |  FROM v),
+           |${alias}p AS (SELECT
+           |    CASE WHEN a.id < b.id THEN a.id ELSE b.id END AS id_a,
+           |    CASE WHEN a.id < b.id THEN b.id ELSE a.id END AS id_b,
+           |    CASE WHEN a.id < b.id THEN a.k ELSE b.k END AS key_a,
+           |    CASE WHEN a.id < b.id THEN b.k ELSE a.k END AS key_b
+           |  FROM $alias a JOIN $alias b
+           |    ON a.blk = b.blk AND b.rn > a.rn AND b.rn <= a.rn + 4)"""
+          .stripMargin
+      s"""WITH v AS (SELECT doc_id AS id, $title AS k FROM documents),
+         |${passSql("substr(k, 1, 4)", "n1")},
+         |${passSql("substr(reverse(k), 1, 4)", "n2")},
+         |u AS (SELECT DISTINCT id_a, id_b, key_a, key_b FROM
+         |  (SELECT * FROM n1p UNION ALL SELECT * FROM n2p))
+         |SELECT id_a, id_b, key_a, key_b,
+         |  CAST(levenshtein(key_a, key_b) AS BIGINT) AS dist
+         |FROM u WHERE levenshtein(key_a, key_b) <= 8""".stripMargin
+    },
 
     // deliberately the PLAIN formulation — every shared-shingle pair with
     // its exact Jaccard, no prefix logic: the prefix filter is a pruning
