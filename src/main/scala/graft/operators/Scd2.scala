@@ -47,4 +47,68 @@ object Scd2 {
       .select(col("key"), col("v"), col("t").as("valid_from"),
         col("valid_to"), col("version"))
   }
+
+  /** Fold a NEW change batch into an EXISTING SCD2 dimension without
+    * re-reading unaffected history — the daily-update shape
+    * ([[graft.operators.ConnectedComponents.merge]]'s posture applied to
+    * dimensions): cost is |batch| plus the affected keys' dimension rows;
+    * every other dimension row passes through untouched on the
+    * anti-join side.
+    *
+    * Mechanics: each affected key's OPEN row re-enters the gaps-and-
+    * islands pass as an anchor event carrying its version number; batch
+    * events chain after it under the same (t, tieCol) total order, the
+    * same null-safe no-change collapse applies (a batch event repeating
+    * the current value opens NO version — the first thing naive
+    * implementations get wrong), the anchor's `valid_to` closes onto the
+    * first kept batch event, and versions continue from the anchor's.
+    * Batch keys absent from the dimension open version 1.
+    *
+    * CONTRACT (append-only): every batch event's `t` must be ≥ its key's
+    * open `valid_from`. An older event would need to SPLIT closed
+    * history — a rebuild, not a merge; there is no cheap runtime check
+    * (it would cost a per-key max join), so the contract lives here like
+    * the cross-frame id-disjointness contract on `Dedup
+    * .crossJaccardPairs`. The spec pins merge == from-scratch
+    * [[build]] on a time-split stream, and the q139 oracle re-derives
+    * the FULL rebuild independently.
+    *
+    * `dim` is a [[build]] output (key, v, valid_from, valid_to, version);
+    * `batch` carries (key, t, v, tieCol).
+    */
+  def merge(dim: DataFrame, batch: DataFrame, tieCol: String): DataFrame = {
+    val keys = batch.select("key").distinct()
+    val untouched = dim.join(keys, Seq("key"), "left_anti")
+    val affected = dim.join(keys, Seq("key"), "left_semi")
+    val closed = affected.filter(col("valid_to").isNotNull)
+    val anchor = affected.filter(col("valid_to").isNull)
+      .select(col("key"), col("v"), col("valid_from").as("t"),
+        col("version").as("__v0"), lit(1).as("__anchor"))
+    val stream = batch
+      .select(col("key"), col("t"), col("v"), lit(null).cast("long")
+        .as("__v0"), lit(0).as("__anchor"), col(tieCol).as("__tie"))
+      // the anchor's NullType __tie coerces to the batch tie's type; one
+      // anchor per key, so it never needs the tie-break itself
+      .unionByName(anchor.withColumn("__tie", lit(null)),
+        allowMissingColumns = false)
+    // anchors sort first: their t precedes the batch under the contract,
+    // and the __anchor DESC leg settles exact-t ties deterministically
+    val byKey = Window.partitionBy("key")
+      .orderBy(col("t"), col("__anchor").desc, col("__tie"))
+    val kept = stream
+      .withColumn("__prev", lag(col("v"), 1).over(byKey))
+      .withColumn("__rn", row_number().over(byKey))
+      .filter(col("__rn") === 1 || !(col("v") <=> col("__prev")))
+    val byKeyKept = Window.partitionBy("key")
+      .orderBy(col("t"), col("__anchor").desc, col("__tie"))
+    val rebuilt = kept
+      .withColumn("valid_to", lead(col("t"), 1).over(byKeyKept))
+      .withColumn("version",
+        coalesce(max(when(col("__anchor") === 1, col("__v0")))
+          .over(Window.partitionBy("key")), lit(1L)) +
+          row_number().over(byKeyKept) - lit(1L))
+      .select(col("key"), col("v"), col("t").as("valid_from"),
+        col("valid_to"), col("version"))
+    untouched.unionByName(closed).unionByName(rebuilt)
+  }
 }

@@ -148,6 +148,28 @@ object AnalyticsOps extends Catalog {
           col("valid_from"), col("valid_to"), col("version"))
     }),
 
+    // ---- incremental SCD2 merge --------------------------------------------
+    // the daily-update twin of q111 (X50's merge posture applied to
+    // dimensions): build the dimension from signups BEFORE the cutoff,
+    // fold the tail in with Scd2.merge — open rows re-enter as version-
+    // carrying anchors, the no-change collapse applies across the seam,
+    // versions continue, unaffected keys pass through on an anti join.
+    // The oracle re-derives the FULL rebuild over the whole stream (the
+    // q111 SQL — an independent from-scratch path), so merge == rebuild
+    // is hash-pinned, seam collapse included.
+    "q139_scd2_merge" -> ((s, d) => {
+      val cutoffUs = 1705881600000000L // 2024-01-22T00:00:00Z
+      val ev = Tables.events(s, d)
+        .filter(col("event_type") === "signup")
+        .select(col("user_id").as("key"), unix_micros(col("ts")).as("t"),
+          col("value").as("v"), col("event_id"))
+      val dim = Scd2.build(ev.filter(col("t") <= cutoffUs),
+        tieCol = "event_id")
+      Scd2.merge(dim, ev.filter(col("t") > cutoffUs), tieCol = "event_id")
+        .select(col("key").as("user_id"), col("v").as("value"),
+          col("valid_from"), col("valid_to"), col("version"))
+    }),
+
     // ---- Markov transition matrix ------------------------------------------
     // P(next event type | current) per consecutive same-user pair — the
     // behavioral-flow signal (Sankey/attribution input), and exactly the
@@ -563,6 +585,27 @@ object AnalyticsOps extends Catalog {
     // bit-identical in both engines; IS DISTINCT FROM mirrors Spark's
     // null-safe <=> negation
     "q111_scd2_user_dim" ->
+      """WITH ev AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS t,
+        |              value AS v, event_id FROM events
+        |            WHERE event_type = 'signup'),
+        |ch AS (SELECT * FROM (
+        |    SELECT user_id, t, v, event_id,
+        |      lag(v) OVER (PARTITION BY user_id ORDER BY t, event_id)
+        |        AS prev,
+        |      row_number() OVER (PARTITION BY user_id ORDER BY t, event_id)
+        |        AS rn
+        |    FROM ev)
+        |  WHERE rn = 1 OR v IS DISTINCT FROM prev)
+        |SELECT user_id, v AS value, t AS valid_from,
+        |  lead(t) OVER (PARTITION BY user_id ORDER BY t, event_id)
+        |    AS valid_to,
+        |  CAST(row_number() OVER (PARTITION BY user_id ORDER BY t, event_id)
+        |    AS BIGINT) AS version
+        |FROM ch""".stripMargin,
+
+    // the WHOLE-stream rebuild (q111's SQL verbatim): an independent
+    // from-scratch path — merge must be indistinguishable from it
+    "q139_scd2_merge" ->
       """WITH ev AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS t,
         |              value AS v, event_id FROM events
         |            WHERE event_type = 'signup'),

@@ -316,6 +316,51 @@ object CurationOps extends Catalog {
           / 1e6).as("est_users"))
     }),
 
+    // ---- KMV sketch ALGEBRA: global distinct from per-group sketches -------
+    // the re-aggregation story sketches exist for: per-type KMV sketches
+    // (q97's device) merge into a GLOBAL distinct-user estimate WITHOUT
+    // re-reading events — union of bottom-k sets, distinct, take the k
+    // smallest (exact by KMV mergeability: any global bottom-k hash ranks
+    // <= k inside its own group, so it is present in that group's
+    // sketch). The merge is pure array algebra over the sketch VALUES
+    // (sign-bit flip -> signed order == unsigned order -> sort, slice,
+    // flip back), and the oracle re-derives the global sketch from raw
+    // data independently — so the rollup path is hash-pinned, not just
+    // plausible. The 1-row global-exact scalar rides a broadcast.
+    "q140_kmv_rollup" -> ((s, d) => {
+      import graft.plans.Fnv1a64Expression.fnv1a64
+      val k = 64
+      val two64 = math.pow(2, 64) // exact: a power of two
+      def estimate(df: DataFrame): DataFrame = {
+        val m = size(col("kmv"))
+        val kth = element_at(col("kmv"), m)
+        val u1 = (kth.cast("double") +
+          when(kth < 0, lit(two64)).otherwise(lit(0.0))) + lit(1.0)
+        df.select(col("scope"), col("exact_users"),
+          m.cast("long").as("kmv_size"), kth.as("kth_hash"),
+          (floor(when(m < k, m.cast("double"))
+            .otherwise(lit((k - 1).toDouble) * lit(two64) / u1) * 1e6 + 0.5)
+            / 1e6).as("est_users"))
+      }
+      val ev = Tables.events(s, d)
+      val per = ev.groupBy(col("event_type").as("scope"))
+        .agg(graft.plans.KmvBottomKAggregate
+          .kmv(fnv1a64(col("user_id")), k).as("kmv"),
+          countDistinct(col("user_id")).as("exact_users"))
+      // shiftleft(1, 63) = the sign bit; xor maps unsigned order onto
+      // signed order and back (the min-long literal itself won't parse)
+      val globalSketch = per
+        .agg(flatten(collect_list(col("kmv"))).as("__all"))
+        .select(expr(s"transform(slice(array_sort(transform(" +
+          s"array_distinct(__all), x -> x ^ shiftleft(1L, 63))), 1, $k), " +
+          "x -> x ^ shiftleft(1L, 63))").as("kmv"))
+      val g = globalSketch
+        .crossJoin(broadcast(
+          ev.agg(countDistinct(col("user_id")).as("exact_users"))))
+        .withColumn("scope", lit("__all__"))
+      estimate(per).unionByName(estimate(g))
+    }),
+
     // ---- weighted heavy hitters: dominant SOURCES by token mass ------------
     // q93's weighted twin, answering the mix question a curation run
     // actually asks: which domains dominate my token budget? Values are
@@ -753,6 +798,55 @@ object CurationOps extends Catalog {
          |        ELSE 63.0 * 18446744073709551616.0 / $u1 END
          |    * 1000000.0 + 0.5)/1000000.0 AS est_users
          |FROM ex JOIN kth USING (event_type)""".stripMargin
+    },
+
+    // per-type sketches AND the global sketch each re-derived from raw
+    // data — the Spark side's array-algebra merge must land on the same
+    // bottom-k values (exact by KMV mergeability)
+    "q140_kmv_rollup" -> {
+      import graft.plans.Fnv1a64Expression.{longSqlText, toSignedSqlText}
+      val fnvU = longSqlText("14695981039346656037::HUGEINT",
+        "user_id::HUGEINT")
+      val kh = toSignedSqlText("kth.hu")
+      val khg = toSignedSqlText("kg.hu")
+      def u1(e: String) = s"((CAST($e AS DOUBLE) + (CASE WHEN ($e) < 0 " +
+        "THEN 18446744073709551616.0 ELSE 0.0 END)) + 1.0)"
+      s"""WITH d AS (SELECT DISTINCT event_type, user_id FROM events),
+         |h AS (SELECT DISTINCT event_type, $fnvU AS hu FROM d),
+         |r AS (SELECT event_type, hu,
+         |    row_number() OVER (PARTITION BY event_type ORDER BY hu) AS rn,
+         |    count(*) OVER (PARTITION BY event_type) AS m
+         |  FROM h),
+         |kth AS (SELECT event_type, hu, m FROM r
+         |        WHERE rn = CASE WHEN m < 64 THEN m ELSE 64 END),
+         |ex AS (SELECT event_type,
+         |    CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users
+         |  FROM events GROUP BY 1),
+         |hg AS (SELECT DISTINCT $fnvU AS hu
+         |  FROM (SELECT DISTINCT user_id FROM events)),
+         |rg AS (SELECT hu, row_number() OVER (ORDER BY hu) AS rn,
+         |    count(*) OVER () AS m FROM hg),
+         |kg AS (SELECT hu, m FROM rg
+         |       WHERE rn = CASE WHEN m < 64 THEN m ELSE 64 END),
+         |exg AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT)
+         |    AS exact_users FROM events)
+         |SELECT ex.event_type AS scope, ex.exact_users,
+         |  CAST(CASE WHEN kth.m < 64 THEN kth.m ELSE 64 END AS BIGINT)
+         |    AS kmv_size,
+         |  $kh AS kth_hash,
+         |  floor(CASE WHEN kth.m < 64 THEN CAST(kth.m AS DOUBLE)
+         |        ELSE 63.0 * 18446744073709551616.0 / ${u1(kh)} END
+         |    * 1000000.0 + 0.5)/1000000.0 AS est_users
+         |FROM ex JOIN kth USING (event_type)
+         |UNION ALL
+         |SELECT '__all__' AS scope, exg.exact_users,
+         |  CAST(CASE WHEN kg.m < 64 THEN kg.m ELSE 64 END AS BIGINT)
+         |    AS kmv_size,
+         |  $khg AS kth_hash,
+         |  floor(CASE WHEN kg.m < 64 THEN CAST(kg.m AS DOUBLE)
+         |        ELSE 63.0 * 18446744073709551616.0 / ${u1(khg)} END
+         |    * 1000000.0 + 0.5)/1000000.0 AS est_users
+         |FROM exg CROSS JOIN kg""".stripMargin
     },
 
     // never parses a URL: host and apex re-derived from the generative

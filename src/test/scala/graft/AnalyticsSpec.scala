@@ -217,6 +217,41 @@ class AnalyticsSpec extends AnyFunSuite with SparkTestBase {
       (1L, Some(1.0), 100L, None, 2L)))
   }
 
+  test("SCD2 merge == from-scratch build on a time-split stream") {
+    // key 1 changes across the seam; key 2 repeats its value across the
+    // seam (the no-change collapse must span the merge boundary); key 3
+    // lives wholly before the cutoff (must pass through untouched); key 4
+    // is NEW in the batch (opens version 1)
+    val all = Seq(
+      (1L, 100L, Some(10.0), 1L), (1L, 300L, Some(20.0), 2L),
+      (1L, 900L, Some(30.0), 3L),
+      (2L, 100L, Some(7.0), 4L), (2L, 800L, Some(7.0), 5L),
+      (3L, 100L, Some(1.0), 6L),
+      (4L, 700L, Some(9.0), 7L))
+      .toDF("key", "t", "v", "eid")
+    val dim = Scd2.build(all.filter($"t" <= 500L), "eid")
+    val merged = Scd2.merge(dim, all.filter($"t" > 500L), "eid")
+    val rebuilt = Scd2.build(all, "eid")
+    assert(merged.exceptAll(rebuilt).isEmpty &&
+      rebuilt.exceptAll(merged).isEmpty)
+    // and the seam semantics concretely: key 1 closes v2 at 900 and opens
+    // v3; key 2 stays a single open version; key 4 opens version 1
+    val m = merged.as[(Long, Option[Double], Long, Option[Long], Long)]
+      .collect().toSet
+    assert(m.contains((1L, Some(20.0), 300L, Some(900L), 2L)))
+    assert(m.contains((1L, Some(30.0), 900L, None, 3L)))
+    assert(m.contains((2L, Some(7.0), 100L, None, 1L)))
+    assert(m.contains((4L, Some(9.0), 700L, None, 1L)))
+  }
+
+  test("SCD2 merge with an all-collapsing batch changes nothing") {
+    val pre = Seq((1L, 100L, Some(5.0), 1L)).toDF("key", "t", "v", "eid")
+    val dim = Scd2.build(pre, "eid")
+    val batch = Seq((1L, 200L, Some(5.0), 2L)).toDF("key", "t", "v", "eid")
+    val merged = Scd2.merge(dim, batch, "eid")
+    assert(merged.exceptAll(dim).isEmpty && dim.exceptAll(merged).isEmpty)
+  }
+
   // ---- Markov transitions --------------------------------------------------
 
   test("Markov transitions count consecutive pairs and normalize per source") {

@@ -46,7 +46,8 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
       "q129_domain_mix", // 1-row token-total scalar (q96's shape)
       "q130_lm_quality_filter", // 1-row vocab-size + corpus-mean scalars
       "q131_dsir_selection", // 1-row distribution-total scalars (dist())
-      "q134_cosine_near_dups") // 1-row corpus-size scalar (df guard)
+      "q134_cosine_near_dups", // 1-row corpus-size scalar (df guard)
+      "q140_kmv_rollup") // 1-row global-exact scalar beside the sketch
 
   test("no catalog query plans a CartesianProduct") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
