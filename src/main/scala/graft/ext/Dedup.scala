@@ -776,23 +776,55 @@ object Dedup {
     * ~3·10⁸-token docs) — beyond any real document; past it quantize tf
     * down a decade (the X79 rule).
     *
-    * Candidates meet in a term-keyed inverted-index join over the KEPT
-    * vocabulary: terms present in more than `maxDfPermille`/1000 of the
-    * corpus (df·1000 > N·permille, pure integers — an absolute df stops
-    * discriminating as the corpus grows, the X61 lesson) are excluded from
-    * the vectors entirely — standard stop-word handling for similarity
-    * search, part of the METRIC's definition here (the oracle applies the
-    * same exclusion), not a recall heuristic. That makes the join cost
-    * Σ df² over kept terms, bounded by the df cap — never |corpus|². Docs
-    * whose every term is hot have no vector and pair with nothing. N rides
-    * as a 1-row broadcast scalar (the q87 shape).
+    * Two guards with different jobs (both part of the defined semantics,
+    * both mirrored in the oracle):
+    *
+    *  - METRIC vocabulary: terms present in more than `maxDfPermille`/1000
+    *    of the corpus (df·1000 > N·permille, pure integers — an absolute
+    *    cap stops discriminating as the corpus grows, the X61 lesson) are
+    *    excluded from the vectors entirely — standard stop-word handling.
+    *    Docs whose every term is hot have no vector and pair with nothing.
+    *    N rides as a 1-row broadcast scalar (the q87 shape).
+    *  - CANDIDATE generation: each doc indexes its `genPrefixK` RAREST
+    *    kept terms under the global (df, term) order (the X74 prefix
+    *    device), and a pair is considered iff some term lands in BOTH
+    *    prefixes. The relative guard alone leaves the inverted-index
+    *    self-join Σ df²-QUADRATIC in corpus size (measured: 0.9 s at
+    *    sf0.1 became 1408 s at sf1), while an absolute df cap is brittle
+    *    the other way (df ≤ 100 generated ZERO candidates at sf0.1, where
+    *    the rarest shared terms sit at df 100–500); the per-doc prefix
+    *    adapts — its terms are as rare as the corpus offers and the index
+    *    is exactly k rows per doc. Near-identical docs share their rarest
+    *    terms by construction; a pair overlapping ONLY outside both
+    *    prefixes is not considered — the recall contract, mirrored in the
+    *    oracle. The verified dot is still over the FULL kept vocabulary:
+    *    candidates join per-doc term→tf maps and fold one map against the
+    *    other (|candidates|·|doc| work in one codegen stage — the q100
+    *    verify shape), so the prefix affects which pairs are CONSIDERED,
+    *    never their score.
+    *
+    * MEASURED LIMIT of term-rarity candidates: on a vocabulary-degenerate
+    * corpus, rarity does not discriminate — the sf1 fixture (tiny
+    * vocabulary, 50k docs) puts one prefix term in up to 3,849 docs'
+    * prefixes, yielding 125M candidates for ~311k true pairs (a 2-subset
+    * signature — collide on a PAIR of prefix terms — was measured equally
+    * degenerate at 123M: the same doc groups share whole prefixes). On
+    * such corpora the scale tier for angle similarity is signature LSH
+    * over the tf VECTOR — [[simHash64]]'s token-weighted sign sums +
+    * [[simHashNearDups]]' chunk-bucketed hamming candidates (X4), or
+    * [[Similarity.srpNearDups]] for embeddings (X51) — composed with this
+    * method's exact-integer verify; candidate count then tracks ANGLE
+    * closeness, not term rarity. This operator is the exact-and-complete
+    * tier for corpora whose rare terms do discriminate (natural-language
+    * vocabularies), the same contract split as [[jaccardPairs]] (exact)
+    * vs [[minHashNearDups]] (banded).
     *
     * Output: (id_a, id_b, dot, n2_a, n2_b, cos2_micro), id_a < id_b,
     * pairs at cos² ≥ num/den only.
     */
   def cosinePairs(docs: DataFrame, id: String, text: String,
                   minCos2Num: Long, minCos2Den: Long,
-                  maxDfPermille: Long): DataFrame = {
+                  maxDfPermille: Long, genPrefixK: Int = 10): DataFrame = {
     val tf = docs
       .select(col(id), explode(split(normalizeText(col(text)), " ")).as("__t"))
       .filter(col("__t") =!= "")
@@ -801,22 +833,48 @@ object Dedup {
     val kept = tf.join(
       tf.groupBy("__t").agg(count(lit(1)).as("__df"))
         .crossJoin(broadcast(nDocs))
-        .filter(col("__df") * 1000 <= col("__n") * maxDfPermille)
-        .select("__t"),
+        .filter(col("__df") * 1000 <= col("__n") * maxDfPermille),
       Seq("__t"))
     val n2 = kept.groupBy(col(id))
       .agg(sum(col("__tf") * col("__tf")).as("n2"))
-    kept.select(col(id).as("id_a"), col("__t"), col("__tf").as("__fa"))
-      .join(kept.select(col(id).as("id_b"), col("__t"),
-        col("__tf").as("__fb")), Seq("__t"))
+    // candidate GENERATION via each doc's k RAREST kept terms under the
+    // global (df, term) order (the X74 prefix device): the relative guard
+    // alone leaves the index self-join Sigma df^2-quadratic in N
+    // (measured: 1408 s at sf1 vs 0.9 s at sf0.1), and an absolute df cap
+    // is scale-brittle in the other direction (df <= 100 generated ZERO
+    // candidates at sf0.1, where the rarest shared terms sit at df
+    // 100-500). The per-doc prefix adapts: its terms are as rare as the
+    // corpus offers, the index is exactly k rows per doc, and a pair is
+    // considered iff some term lands in BOTH prefixes
+    val byDocRarity = Window.partitionBy(col(id))
+      .orderBy(col("__df"), col("__t"))
+    val gen = kept
+      .withColumn("__r", row_number().over(byDocRarity))
+      .filter(col("__r") <= genPrefixK)
+    val cand = gen.select(col(id).as("id_a"), col("__t"))
+      .join(gen.select(col(id).as("id_b"), col("__t")), Seq("__t"))
       .filter(col("id_a") < col("id_b"))
-      .groupBy("id_a", "id_b")
-      .agg(sum(col("__fa") * col("__fb")).as("dot"))
+      .select("id_a", "id_b").distinct()
+    // full kept-vocab dot per candidate, against per-doc term->tf maps:
+    // cost ~ |candidates| x |doc| inside one codegen stage (the q100
+    // verify shape), never an exploded row per shared term
+    val vec = kept.groupBy(col(id))
+      .agg(map_from_entries(collect_list(struct(col("__t"), col("__tf"))))
+        .as("__vec"))
+    cand
+      .join(vec.select(col(id).as("id_a"), col("__vec").as("__va")),
+        Seq("id_a"))
+      .join(vec.select(col(id).as("id_b"), col("__vec").as("__vb")),
+        Seq("id_b"))
+      .withColumn("dot", expr(
+        "aggregate(map_entries(__va), 0L, (acc, e) -> " +
+          "acc + e.value * coalesce(element_at(__vb, e.key), 0L))"))
       .join(n2.select(col(id).as("id_a"), col("n2").as("n2_a")), Seq("id_a"))
       .join(n2.select(col(id).as("id_b"), col("n2").as("n2_b")), Seq("id_b"))
       .filter(lit(minCos2Den) * col("dot") * col("dot") >=
         lit(minCos2Num) * col("n2_a") * col("n2_b"))
-      .withColumn("cos2_micro", expr(
-        "(dot * dot * 1000000) div (n2_a * n2_b)"))
+      .select(col("id_a"), col("id_b"), col("dot"), col("n2_a"),
+        col("n2_b"), expr("(dot * dot * 1000000) div (n2_a * n2_b)")
+          .as("cos2_micro"))
   }
 }

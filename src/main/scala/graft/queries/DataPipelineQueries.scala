@@ -76,15 +76,24 @@ object DataPipelineQueries extends Catalog {
     // blind) and the embedding cosines (q35): catches "same text, one
     // paragraph doubled". Integer certificate — den·dot² >= num·n2_a·n2_b
     // with τ² = 1/2 (cos >= 0.707) — so the score hash-checks with no sqrt
-    // anywhere. The df guard is corpus-RELATIVE (df <= 10% of N, integer
-    // rational — an absolute cap stops discriminating as the corpus grows,
-    // the X61 lesson) and defines the kept vocabulary: stop-term exclusion
-    // is part of the metric here (the oracle applies the identical
-    // exclusion), and it bounds the inverted-index join at Σ df² over kept
-    // terms — never |corpus|².
+    // anywhere. Two mirrored guards: the corpus-RELATIVE vocabulary cap
+    // (df <= 10% of N — an absolute cap stops discriminating as the
+    // corpus grows, the X61 lesson) defines the metric, and candidates
+    // come from each doc's 10 RAREST kept terms under the global
+    // (df, term) order (the X74 prefix device) — the relative guard alone
+    // left the index self-join Σ df²-quadratic (1408 s at sf1), an
+    // absolute df cap was brittle the other way (zero candidates at
+    // sf0.1); the prefix adapts to whatever rarity the corpus offers.
+    // The verified dot spans the full kept vocabulary via per-doc term
+    // maps. On the vocabulary-degenerate sf1 fixture, rarity itself stops
+    // discriminating (measured: 125M candidates for ~311k true pairs) —
+    // the scale tier there is signature LSH over the tf vector (the X4
+    // simhash machinery) + this same exact verify; see the
+    // Dedup.cosinePairs scaladoc for the measured analysis.
     "q134_cosine_near_dups" -> ((s, d) => {
       Dedup.cosinePairs(Tables.documents(s, d), "doc_id", "text",
-        minCos2Num = 1L, minCos2Den = 2L, maxDfPermille = 100L)
+        minCos2Num = 1L, minCos2Den = 2L, maxDfPermille = 100L,
+        genPrefixK = 10)
     }),
 
     // ---- prefix-filtered similarity join (All-Pairs / PPJoin family) -------
@@ -683,22 +692,30 @@ object DataPipelineQueries extends Catalog {
          |JOIN sizes nb ON id_b = nb.doc_id
          |WHERE CAST(inter AS DOUBLE)/(na.n_sh + nb.n_sh - inter) >= 0.1""".stripMargin,
 
-    // same kept-vocabulary definition (df·1000 <= N·100), same integer
-    // certificate: the stop-term exclusion is the metric's, not a pruning
-    // heuristic, so both engines apply it and the whole score hash-checks
+    // same kept-vocabulary definition (df·1000 <= N·100), same per-doc
+    // 10-rarest-terms candidate prefix, same integer certificate — both
+    // guards are the metric's, mirrored here, so the whole score
+    // hash-checks
     "q134_cosine_near_dups" ->
       s"""WITH w AS (SELECT doc_id, unnest(${TextSql.words}) AS t
          |  FROM documents),
          |nn AS (SELECT count(*) AS n FROM documents),
          |tf AS (SELECT doc_id, t, count(*) AS tf FROM w GROUP BY 1, 2),
-         |keptT AS (SELECT t FROM (SELECT t, count(*) AS df FROM tf
+         |keptT AS (SELECT t, df FROM (SELECT t, count(*) AS df FROM tf
          |  GROUP BY 1) CROSS JOIN nn WHERE df * 1000 <= n * 100),
-         |kept AS (SELECT tf.doc_id, tf.t, tf.tf
+         |kept AS (SELECT tf.doc_id, tf.t, tf.tf, keptT.df
          |  FROM tf JOIN keptT ON tf.t = keptT.t),
          |n2 AS (SELECT doc_id, sum(tf * tf) AS n2 FROM kept GROUP BY 1),
-         |dots AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-         |    sum(a.tf * b.tf) AS dot
-         |  FROM kept a JOIN kept b ON a.t = b.t AND a.doc_id < b.doc_id
+         |gen AS (SELECT doc_id, t FROM (
+         |    SELECT doc_id, t,
+         |      row_number() OVER (PARTITION BY doc_id ORDER BY df, t) AS r
+         |    FROM kept) WHERE r <= 10),
+         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM gen a JOIN gen b ON a.t = b.t AND a.doc_id < b.doc_id),
+         |dots AS (SELECT c.id_a, c.id_b, sum(a.tf * b.tf) AS dot
+         |  FROM cand c
+         |  JOIN kept a ON a.doc_id = c.id_a
+         |  JOIN kept b ON b.doc_id = c.id_b AND b.t = a.t
          |  GROUP BY 1, 2)
          |SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
          |  CAST(dot AS BIGINT) AS dot,

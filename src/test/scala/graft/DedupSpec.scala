@@ -361,6 +361,21 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(!got.exists(p => p._1 == 5L || p._2 == 5L))
   }
 
+  test("cosinePairs: the candidate prefix decides consideration, not scores") {
+    // at prefix k = 1 each doc indexes its single rarest term: doc1/doc2
+    // index "q" (df 2 < x's 3), doc3 indexes "z" — so (1,2) is considered
+    // via the shared prefix term, while (1,3)/(2,3) share only the
+    // out-of-prefix "x" and are not; the verified dot still counts "x"
+    // (full kept-vocab dot)
+    val docs = Seq(
+      (1L, "x q"), (2L, "x q"), (3L, "x z")
+    ).toDF("doc_id", "text")
+    val got = Dedup.cosinePairs(docs, "doc_id", "text", 1L, 2L,
+        maxDfPermille = 1000L, genPrefixK = 1)
+      .select("id_a", "id_b", "dot").as[(Long, Long, Long)].collect().toSeq
+    assert(got === Seq((1L, 2L, 2L))) // dot counts x AND q
+  }
+
   test("cosinePairs: sub-threshold pairs drop even with shared terms") {
     // doc 6/7 share one low-weight term among many: cos well under 0.707
     val docs = Seq(
