@@ -74,6 +74,16 @@ object Instrument {
     * the load-insensitive round-over-round comparator; wall remains the
     * user-facing latency number.
     *
+    * Measured caveat (round 8): CPU is not CONTENTION-insensitive. Thread
+    * CPU time counts memory-stall cycles, so the same plan on an IDLE
+    * 32-core box (full parallelism, all tasks fighting for bandwidth)
+    * charges MORE cpu-ns per task than under external load (fewer
+    * effective cores, less contention): two same-code runs of q75 read
+    * wall 14.9 s / cpu 25 s (loaded) vs wall 10.1 s / cpu 86 s (idle),
+    * identical 99-job plans. Compare CPU numbers only between runs at
+    * similar machine occupancy, and treat jobs/stages as the only truly
+    * environment-free signal.
+    *
     * The listener bus is asynchronous: `settle()` polls until the counter
     * stops moving (bounded) so a read taken right after an action returns
     * does not miss late task-end events.
