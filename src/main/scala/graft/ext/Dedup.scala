@@ -699,6 +699,63 @@ object Dedup {
       .filter(col("dist") <= 1)
   }
 
+  /** Tf-cosine NEAR-DUPS via signature LSH — the scale tier of
+    * [[cosinePairs]] for high thresholds and for corpora whose rare terms
+    * do not discriminate (the measured q134 limit: term-rarity candidates
+    * collapse to near-all-pairs on vocabulary-degenerate corpora, because
+    * candidate count tracks term sharing; a SIGNATURE tracks ANGLE):
+    * candidates are pairs whose 64-bit tf-weighted simhashes
+    * ([[simHash64Native]] — sign sums over token OCCURRENCES, i.e. the
+    * random-hyperplane sketch of the tf vector) differ in ≤ `maxHamming`
+    * bits, generated by [[hammingNearDups64]]'s chunk buckets (pigeonhole
+    * recall guaranteed at ≤ 3), then verified with the EXACT integer
+    * cosine over the FULL vocabulary — no df guard at all, because
+    * candidates never touch the term index. Same integer certificate as
+    * [[cosinePairs]]; the recall contract is the signature's (hamming ≤ h
+    * ⇒ considered — the q23/q27 LSH posture), precision is exact.
+    *
+    * Angle math for choosing τ: P[sign bits agree] = 1 − θ/π, so expected
+    * hamming ≈ 64·θ/π — at cos² = 9/10 (θ ≈ 18°) that is ~6.5 bits;
+    * hamming ≤ 3 keeps the tightest half of that band plus all exact
+    * dups. This tier is for NEAR-DUP thresholds; at moderate τ (45°) the
+    * expected hamming is ~16 and signatures stop helping — then
+    * [[cosinePairs]]' exact prefix tier is the tool.
+    *
+    * Output: (id_a, id_b, hamming, dot, n2_a, n2_b, cos2_micro).
+    */
+  def cosineNearDupsSimhash(docs: DataFrame, id: String, text: String,
+                            minCos2Num: Long, minCos2Den: Long,
+                            maxHamming: Int = 3,
+                            portable: Boolean = false): DataFrame = {
+    val tf = docs
+      .select(col(id), explode(split(normalizeText(col(text)), " ")).as("__t"))
+      .filter(col("__t") =!= "")
+      .groupBy(col(id), col("__t")).agg(count(lit(1)).as("__tf"))
+    val n2 = tf.groupBy(col(id))
+      .agg(sum(col("__tf") * col("__tf")).as("n2"))
+    val vec = tf.groupBy(col(id))
+      .agg(map_from_entries(collect_list(struct(col("__t"), col("__tf"))))
+        .as("__vec"))
+    hammingNearDups64(simHash64Native(docs, id, text, portable), id,
+        "simhash", maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming").cast("long")
+        .as("hamming"))
+      .join(vec.select(col(id).as("id_a"), col("__vec").as("__va")),
+        Seq("id_a"))
+      .join(vec.select(col(id).as("id_b"), col("__vec").as("__vb")),
+        Seq("id_b"))
+      .withColumn("dot", expr(
+        "aggregate(map_entries(__va), 0L, (acc, e) -> " +
+          "acc + e.value * coalesce(element_at(__vb, e.key), 0L))"))
+      .join(n2.select(col(id).as("id_a"), col("n2").as("n2_a")), Seq("id_a"))
+      .join(n2.select(col(id).as("id_b"), col("n2").as("n2_b")), Seq("id_b"))
+      .filter(lit(minCos2Den) * col("dot") * col("dot") >=
+        lit(minCos2Num) * col("n2_a") * col("n2_b"))
+      .select(col("id_a"), col("id_b"), col("hamming"), col("dot"),
+        col("n2_a"), col("n2_b"),
+        expr("(dot * dot * 1000000) div (n2_a * n2_b)").as("cos2_micro"))
+  }
+
   /** Multi-pass sorted-neighborhood blocking (Hernández & Stolfo SIGMOD'95)
     * — the entity-resolution candidate generator for FUZZY keys, beside
     * [[typoPairs]]' deletion-neighborhood (exact-variant equi-join, ED ≤ 1

@@ -125,6 +125,22 @@ object DataPipelineQueries extends Catalog {
           (floor(col("jaccard") * 1e6 + 0.5) / 1e6).as("jaccard"))
     }),
 
+    // ---- tf-cosine near-dups via signature LSH (q134's scale tier) ---------
+    // the answer to q134's measured limit, implemented: candidates are
+    // pairs whose tf-weighted simhashes differ in <= 3 bits (angle LSH —
+    // candidate count tracks ANGLE, not term sharing, so vocabulary
+    // degeneracy cannot blow it up), verified with the exact integer
+    // cosine over the FULL vocabulary at τ² = 9/10 — the near-dup
+    // threshold where signatures genuinely discriminate (expected
+    // hamming ≈ 64·θ/π ≈ 6.5 bits at 18°). Recall contract = the
+    // signature's (the q23/q27 LSH posture); precision exact. The oracle
+    // re-derives signatures from the portable FNV hash and takes ALL
+    // pairs at hamming <= 3 — bucketing must be invisible.
+    "q141_cosine_simhash_near_dups" -> ((s, d) => {
+      Dedup.cosineNearDupsSimhash(Tables.documents(s, d), "doc_id", "text",
+        minCos2Num = 9L, minCos2Den = 10L, maxHamming = 3, portable = true)
+    }),
+
     // ---- multi-pass sorted-neighborhood blocking (ER candidates) -----------
     // the fuzzy-key entity-resolution generator (Hernández–Stolfo) over
     // 32-char document "titles" (normalized-text prefixes): block by the
@@ -1072,6 +1088,46 @@ object DataPipelineQueries extends Catalog {
          |SELECT id_a, id_b,
          |  CAST(bit_count(xor(fa, fb)) AS INTEGER) AS hamming
          |FROM cand WHERE bit_count(xor(fa, fb)) <= 3""".stripMargin
+    },
+
+    // signatures re-derived from the portable FNV hash (the q27 chain),
+    // candidates as ALL pairs at hamming <= 3 (bucketing must be
+    // invisible), exact full-vocabulary tf-cosine with the integer
+    // certificate
+    "q141_cosine_simhash_near_dups" -> {
+      import graft.plans.Fnv1a64Expression.stringSqlText
+      s"""WITH w AS (SELECT doc_id, $wordsSql AS ws FROM documents),
+         |tok AS (SELECT doc_id, unnest(ws) AS t FROM w),
+         |wh AS (SELECT doc_id, ${stringSqlText("t")} AS h FROM tok),
+         |bits AS (SELECT doc_id, b,
+         |           sum(CASE WHEN (h >> b) & 1::HUGEINT = 1::HUGEINT
+         |               THEN 1 ELSE -1 END) AS s
+         |         FROM wh CROSS JOIN (SELECT unnest(range(64)) AS b)
+         |         GROUP BY 1, 2),
+         |fp AS (SELECT doc_id,
+         |         sum(CASE WHEN s > 0 THEN (1::HUGEINT << b)
+         |             ELSE 0::HUGEINT END) AS fpu
+         |       FROM bits GROUP BY 1),
+         |tfv AS (SELECT doc_id, t, count(*) AS tf FROM tok GROUP BY 1, 2),
+         |n2 AS (SELECT doc_id, sum(tf * tf) AS n2 FROM tfv GROUP BY 1),
+         |cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |           CAST(bit_count(xor(a.fpu, b.fpu)) AS BIGINT) AS hamming
+         |         FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+         |         WHERE bit_count(xor(a.fpu, b.fpu)) <= 3),
+         |dots AS (SELECT c.id_a, c.id_b, c.hamming, sum(a.tf * b.tf) AS dot
+         |  FROM cand c
+         |  JOIN tfv a ON a.doc_id = c.id_a
+         |  JOIN tfv b ON b.doc_id = c.id_b AND b.t = a.t
+         |  GROUP BY 1, 2, 3)
+         |SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+         |  hamming, CAST(dot AS BIGINT) AS dot,
+         |  CAST(na.n2 AS BIGINT) AS n2_a, CAST(nb.n2 AS BIGINT) AS n2_b,
+         |  CAST((dot * dot * 1000000) // (na.n2 * nb.n2) AS BIGINT)
+         |    AS cos2_micro
+         |FROM dots
+         |JOIN n2 na ON dots.id_a = na.doc_id
+         |JOIN n2 nb ON dots.id_b = nb.doc_id
+         |WHERE 10 * dot * dot >= 9 * na.n2 * nb.n2""".stripMargin
     },
 
     "q25_knn_exact" -> {

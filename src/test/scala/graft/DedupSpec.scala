@@ -376,6 +376,23 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(got === Seq((1L, 2L, 2L))) // dot counts x AND q
   }
 
+  test("cosineNearDupsSimhash: colinear tf vectors pair at hamming 0, cos 1") {
+    // doc 2 is doc 1 with every sentence doubled: tf vectors are COLINEAR
+    // (the case set-Jaccard under-scores), so the weighted simhash is
+    // identical (sign sums scale) and the exact cosine is 1; doc 3 is
+    // unrelated and must not appear
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "alpha beta gamma delta alpha beta gamma delta"),
+      (3L, "совершенно other content here entirely unrelated words")
+    ).toDF("doc_id", "text")
+    val got = Dedup.cosineNearDupsSimhash(docs, "doc_id", "text",
+        minCos2Num = 9L, minCos2Den = 10L)
+      .select("id_a", "id_b", "hamming", "cos2_micro")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got === Seq((1L, 2L, 0L, 1000000L)))
+  }
+
   test("cosinePairs: sub-threshold pairs drop even with shared terms") {
     // doc 6/7 share one low-weight term among many: cos well under 0.707
     val docs = Seq(
