@@ -6,11 +6,13 @@ import org.apache.spark.sql.functions._
 import graft.ext.{Bpe, Caches, LanguageModel}
 import graft.sources.Tables
 
-/** Round-8 language-model curation catalog: the two classic model-driven
-  * data-selection operators — CCNet-style LM quality filtering (q130) and
-  * DSIR-style hashed-n-gram importance selection (q131) — both integer-
-  * exact so the scores hash-check cross-engine (see
-  * [[graft.ext.LanguageModel]] for the full design rationale).
+/** Round-8 language-model curation catalog: the classic model-driven
+  * data-selection operators — CCNet-style LM quality filtering (q130),
+  * DSIR-style hashed-n-gram importance selection (q131) — plus the
+  * tokenizer-training pair: BPE merge learning (q132) and BPE token
+  * accounting under the learned rules (q133). All integer-exact so the
+  * scores hash-check cross-engine (see [[graft.ext.LanguageModel]] and
+  * [[graft.ext.Bpe]] for the design rationale).
   *
   * Scale shapes: fit = two mergeable groupBys over the exploded reference;
   * scoring = token-keyed equi-joins (Σ tokens rows, never |corpus|²) + one
