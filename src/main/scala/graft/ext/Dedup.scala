@@ -721,6 +721,13 @@ object Dedup {
     * expected hamming is ~16 and signatures stop helping — then
     * [[cosinePairs]]' exact prefix tier is the tool.
     *
+    * Overflow bound (TIGHT constraint is the reported `cos2_micro` =
+    * dot²·10⁶, not the threshold test): dot²·10⁶ < 2⁶³ requires
+    * dot < ~3·10⁶ — since dot ≤ max doc Σtf², that is Σtf² per doc
+    * ≲ 3·10⁶ (~10⁶ tokens of natural-tf text; there is NO df guard
+    * here, so hot terms count too). Past it quantize tf down a decade
+    * (the X79 rule) before forming the dot.
+    *
     * Output: (id_a, id_b, hamming, dot, n2_a, n2_b, cos2_micro).
     */
   def cosineNearDupsSimhash(docs: DataFrame, id: String, text: String,
@@ -828,10 +835,12 @@ object Dedup {
     * rational τ² = num/den tests as den·dot² ≥ num·n2_a·n2_b — pure int64,
     * hash-exact cross-engine, no sqrt anywhere (the X75 log-free device
     * applied to similarity). The reported `cos2_micro` = dot²·10⁶ div
-    * (n2_a·n2_b) is the same certificate as a value. Overflow bound:
-    * den·dot² < 2⁶³ needs Σtf per doc ≲ 6·10⁸/√den tokens (den ≤ 4:
-    * ~3·10⁸-token docs) — beyond any real document; past it quantize tf
-    * down a decade (the X79 rule).
+    * (n2_a·n2_b) is the same certificate as a value. Overflow bound: the
+    * TIGHT constraint is cos2_micro's dot²·10⁶ < 2⁶³, i.e. dot < ~3·10⁶
+    * — since dot ≤ max doc Σtf² over the KEPT vocabulary, that is
+    * Σ kept-tf² per doc ≲ 3·10⁶, roughly 10⁶-token docs at natural tf
+    * (the threshold test den·dot² alone would admit ~6·10⁸/√den); past
+    * it quantize tf down a decade (the X79 rule).
     *
     * Two guards with different jobs (both part of the defined semantics,
     * both mirrored in the oracle):

@@ -218,13 +218,16 @@ object Behavioral {
     * equally across its touching clicks.
     *
     * Exact-integer conservation: the purchase value quantizes to micros
-    * once (`floor(v·10⁶ + 0.5)` — the XDet device), each touch gets
-    * `vm div n`, and the remainder `vm % n` lands one micro each on the
-    * FIRST `vm % n` touches in (click_us, click_id) order — so
-    * Σ credit_micro over a purchase's touches equals the quantized value
-    * EXACTLY, on any engine, under any partitioning (the property the
-    * oracle pins; a float v/n split conserves only approximately and
-    * differs in the last ulp across engines).
+    * once (`floor(v·10⁶ + 0.5)` — the XDet device), each touch gets the
+    * FLOOR quotient `(vm − pmod(vm, n)) div n`, and the remainder
+    * `pmod(vm, n) ∈ [0, n)` lands one micro each on the FIRST `pmod`
+    * touches in (click_us, click_id) order — so Σ credit_micro over a
+    * purchase's touches equals the quantized value EXACTLY, on any
+    * engine, under any partitioning, for ANY value sign (the property the
+    * oracle pins; a float v/n split conserves only approximately, and a
+    * truncating `div` with a signed `%` loses the remainder on negative
+    * values — both Spark's `div` and DuckDB's `//` truncate toward zero,
+    * so the floor/pmod pair is spelled out explicitly on both engines).
     *
     * One purchase-keyed window exchange serves both the touch count and
     * the remainder ranking. Input: the [[graft.streaming.EventStream
@@ -240,8 +243,9 @@ object Behavioral {
       .withColumn("__rn", row_number().over(ord))
       .select(col("user_id"), col("purchase_id"), col("click_id"),
         col("click_us"), col("__n").as("n_touches"),
-        (expr("__vm div __n") +
-          when(col("__rn") <= expr("__vm % __n"), lit(1L)).otherwise(lit(0L)))
+        (expr("(__vm - pmod(__vm, __n)) div __n") +
+          when(col("__rn") <= expr("pmod(__vm, __n)"), lit(1L))
+            .otherwise(lit(0L)))
           .as("credit_micro"))
   }
 }

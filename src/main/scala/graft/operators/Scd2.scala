@@ -64,14 +64,20 @@ object Scd2 {
     * first kept batch event, and versions continue from the anchor's.
     * Batch keys absent from the dimension open version 1.
     *
-    * CONTRACT (append-only): every batch event's `t` must be ≥ its key's
-    * open `valid_from`. An older event would need to SPLIT closed
-    * history — a rebuild, not a merge; there is no cheap runtime check
-    * (it would cost a per-key max join), so the contract lives here like
-    * the cross-frame id-disjointness contract on `Dedup
-    * .crossJaccardPairs`. The spec pins merge == from-scratch
-    * [[build]] on a time-split stream, and the q139 oracle re-derives
-    * the FULL rebuild independently.
+    * CONTRACT (append-only, STRICT): every batch event's `t` must be
+    * strictly GREATER than its key's open `valid_from`. An older event
+    * would need to SPLIT closed history — a rebuild, not a merge — and
+    * an EXACT-tie event (t == open valid_from) is excluded too: the
+    * anchor re-enters the order via the `__anchor DESC` leg (the
+    * dimension does not carry the original tie value), so an exact-t
+    * batch event with a smaller tie value would order after the anchor
+    * here but before the underlying event in a from-scratch [[build]],
+    * and merge ≠ rebuild. There is no cheap runtime check (it would cost
+    * a per-key max join), so the contract lives here like the
+    * cross-frame id-disjointness contract on `Dedup.crossJaccardPairs`.
+    * The spec pins merge == from-scratch [[build]] on a strictly
+    * time-split stream, and the q139 oracle re-derives the FULL rebuild
+    * independently.
     *
     * `dim` is a [[build]] output (key, v, valid_from, valid_to, version);
     * `batch` carries (key, t, v, tieCol).

@@ -907,7 +907,10 @@ object AnalyticsOps extends Catalog {
         |  event_type, count(*) AS events
         |FROM w GROUP BY 1, 2, 3""".stripMargin,
 
-    // q102's pair derivation + the same integer split arithmetic
+    // q102's pair derivation + the same integer split arithmetic:
+    // explicit pmod (((vm % n) + n) % n) and exact floor quotient
+    // ((vm - pm) // n) because both engines' native div/% truncate —
+    // conservation must hold for any value sign
     "q136_linear_attribution" ->
       """WITH pairs AS (
         |  SELECT c.user_id, c.event_id AS click_id,
@@ -926,7 +929,8 @@ object AnalyticsOps extends Catalog {
         |  FROM pairs)
         |SELECT user_id, purchase_id, click_id, click_us,
         |  CAST(n AS BIGINT) AS n_touches,
-        |  CAST(vm // n + CASE WHEN rn <= vm % n THEN 1 ELSE 0 END
+        |  CAST((vm - (((vm % n) + n) % n)) // n
+        |    + CASE WHEN rn <= ((vm % n) + n) % n THEN 1 ELSE 0 END
         |    AS BIGINT) AS credit_micro
         |FROM px""".stripMargin,
 

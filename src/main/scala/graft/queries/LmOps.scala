@@ -95,7 +95,11 @@ object LmOps extends Catalog {
     * replace per merge (the wrapped-token representation makes DuckDB's
     * left-to-right `replace` exactly the greedy list merge — see the `Bpe`
     * scaladoc). wk holds the final symbolization; b1..bk the learned
-    * merges.
+    * merges. Each w-layer LEFT JOINs its b-layer and coalesces back to the
+    * unmerged sym, so a round that learns NO merge (b_i empty — a corpus
+    * that exhausts its pairs before round k) passes symbols through
+    * unchanged instead of emptying every later layer, matching the Spark
+    * learner's behavior of simply learning fewer than k merges.
     */
   private def bpeCtes(k: Int): String = {
     val base =
@@ -118,9 +122,9 @@ object LmOps extends Catalog {
          |b$i AS (SELECT l, r, c FROM c$i
          |  ORDER BY c DESC, l ASC, r ASC LIMIT 1),
          |w$i AS (SELECT w.word, w.wc,
-         |  replace(w.sym, '(' || b.l || ')(' || b.r || ')',
-         |    '(' || b.l || b.r || ')') AS sym
-         |  FROM w${i - 1} w CROSS JOIN b$i b)""".stripMargin
+         |  coalesce(replace(w.sym, '(' || b.l || ')(' || b.r || ')',
+         |    '(' || b.l || b.r || ')'), w.sym) AS sym
+         |  FROM w${i - 1} w LEFT JOIN b$i b ON true)""".stripMargin
     }
     (base +: rounds).mkString(",\n")
   }

@@ -44,6 +44,20 @@ class LinearAttributionSpec extends AnyFunSuite with SparkTestBase {
     assert(sums(901L) === 333333L)
   }
 
+  test("conservation holds for NEGATIVE values (refund attribution)") {
+    // vm = -7, 3 touches: floor quotient -3 each, pmod remainder 2 ->
+    // earliest two touches get +1 micro; sum = -3·3 + 2 = -7 exactly
+    // (a truncating div + signed % would lose the remainder here)
+    val got = Behavioral.linearAttribution(pairs(
+        (1L, 1L, 900L, 10L, -0.000007),
+        (1L, 2L, 900L, 20L, -0.000007),
+        (1L, 3L, 900L, 30L, -0.000007)))
+      .select("click_id", "credit_micro")
+      .as[(Long, Long)].collect().sortBy(_._1)
+    assert(got.toSeq === Seq((1L, -2L), (2L, -2L), (3L, -3L)))
+    assert(got.map(_._2).sum === -7L)
+  }
+
   test("remainder ties break on click_id at equal click_us") {
     // vm = 5, 3 touches at the SAME us -> remainder 2 goes to the two
     // smallest click ids
