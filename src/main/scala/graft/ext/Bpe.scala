@@ -92,10 +92,12 @@ object Bpe {
           "j -> struct(__a[j] AS l, __a[j + 1] AS r))")).as("__p"))
       .select(col("__p.l").as("l"), col("__p.r").as("r"), col("wc"))
 
-  /** Learn `k` merge rules. Returns (left, right, weighted pair count) in
-    * rank order. `freq` should be the pinned [[wordFreq]] output.
+  /** Learn `k` merge rules, one Spark job per merge — the literal
+    * formulation (argmax, merge, repeat). Kept as the REFERENCE
+    * implementation: [[learnMerges]] must match it bit-for-bit (the
+    * BpeSpec property), and the q132 oracle replays exactly this loop.
     */
-  def learnMerges(freq: DataFrame, k: Int): Seq[(String, String, Long)] = {
+  def learnMergesSequential(freq: DataFrame, k: Int): Seq[(String, String, Long)] = {
     var merges = Vector.empty[(String, String, Long)]
     for (_ <- 1 to k) {
       val sym = applyMerges(col("word"), merges.map(m => (m._1, m._2)))
@@ -106,6 +108,83 @@ object Bpe {
       if (best.nonEmpty) {
         val row = best.head
         merges :+= ((row.getString(0), row.getString(1), row.getLong(2)))
+      }
+    }
+    merges
+  }
+
+  /** Learn `k` merge rules in BATCHED rounds — bit-identical to
+    * [[learnMergesSequential]] (spec-pinned, and the q132 oracle replays
+    * the sequential loop, so any divergence hash-fails) at a fraction of
+    * the driver barriers: each round collects the top-(2·cap+4) ranked
+    * pairs in ONE bounded `TakeOrderedAndProject` job and accepts, on the
+    * driver, the longest ranked PREFIX that sequential greedy provably
+    * also picks. A 32k-merge vocabulary then costs ~vocab-batches jobs,
+    * not 2·32k sequential barriers (the round-8 scale flag).
+    *
+    * Why a ranked prefix is safe (each condition maps to a stop rule):
+    * accepting p₁..pⱼ from the round's total order (count DESC, l, r)
+    * reproduces sequential steps 1..j iff each pᵢ₊₁'s count is INVARIANT
+    * under merges p₁..pᵢ and nothing those merges CREATE can outrank it.
+    *
+    *  - Pairwise symbol-disjointness (stop before any candidate touching
+    *    an accepted pair's l, r, OR merged string l+r): merging (l,r)
+    *    only changes counts of pairs involving l, r, or the new symbol
+    *    l+r — which may COLLIDE with an existing symbol, hence the
+    *    merged-string leg — so a disjoint pᵢ₊₁'s count is untouched.
+    *  - Strict count drop at the batch boundary (shrink j while
+    *    count(pⱼ) == count of candidate j+1): a pair CREATED by merging
+    *    pₐ occurs only where an OLD pair overlapping pₐ's symbols
+    *    occurred, so its count is ≤ that old pair's — and every old pair
+    *    overlapping an accepted pair is ranked PAST the whole prefix
+    *    (disjointness keeps it out), so created pairs rank strictly
+    *    below count(pⱼ) once the boundary drop is strict. Old surviving
+    *    pairs rank after pᵢ₊₁ by the round's own total order. Ties
+    *    INSIDE the batch are fine; only the boundary needs strictness.
+    *  - Self-pairs (l == r) TERMINATE the batch after acceptance: merging
+    *    (z,z) creates (zz,z)/(z,zz) pairs bounded only by count(z,z)
+    *    itself — the one case where a created pair can tie the batch.
+    *  - A batch of 1 is always safe (it IS the sequential step), so the
+    *    shrink loop bottoms out correct; a round with zero pairs ends
+    *    the fit (merging never creates pairs out of nothing).
+    *
+    * Rounds re-derive the symbolization by folding ALL learned merges
+    * over the base wrapped chars — O(rounds·|merges|) literal replaces
+    * over the VOCABULARY-sized freq table, cheap because rounds ≈
+    * k/batch; the corpus itself was scanned once into `freq`.
+    */
+  def learnMerges(freq: DataFrame, k: Int): Seq[(String, String, Long)] = {
+    var merges = Vector.empty[(String, String, Long)]
+    var exhausted = false
+    while (merges.size < k && !exhausted) {
+      val cap = k - merges.size
+      val window = 2 * cap + 4
+      val sym = applyMerges(col("word"), merges.map(m => (m._1, m._2)))
+      val ranked = pairStream(freq, sym)
+        .groupBy("l", "r").agg(sum("wc").as("c"))
+        .orderBy(col("c").desc, col("l").asc, col("r").asc)
+        .limit(window).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      if (ranked.isEmpty) exhausted = true
+      else {
+        var j = 0
+        val used = scala.collection.mutable.Set.empty[String]
+        var stop = false
+        while (!stop && j < ranked.length && j < cap) {
+          val (l, r, _) = ranked(j)
+          if (used.contains(l) || used.contains(r)) stop = true
+          else {
+            used += l; used += r; used += (l + r)
+            j += 1
+            if (l == r) stop = true
+          }
+        }
+        // boundary strictness: count(p_j) must strictly beat the first
+        // unaccepted candidate; j == ranked.length means NO other pair
+        // exists at all (window not even filled), which is vacuously safe
+        while (j > 1 && j < ranked.length && ranked(j - 1)._3 == ranked(j)._3)
+          j -= 1
+        merges ++= ranked.take(j)
       }
     }
     merges
@@ -122,6 +201,63 @@ object Bpe {
     merges.zipWithIndex
       .map { case ((l, r, c), i) => (i + 1L, l, r, l + r, c) }
       .toDF("rank", "left", "right", "merged", "pair_count")
+  }
+
+  /** The learned merges exported as a WordPiece-style INFERENCE vocabulary
+    * — the bridge from training ([[learnMerges]]) to the greedy
+    * longest-match tokenizer ([[graft.plans.WordpieceExpression]]): every
+    * charset character plus every merged symbol, each present BOTH as a
+    * start piece and as a `##`-prefixed continuation piece (BPE has no
+    * word-boundary asymmetry, so the two sets coincide — the export makes
+    * that explicit rather than leaving the tokenizer's continuation set
+    * empty). All 36 charset chars are included unconditionally: a char
+    * absent from the corpus never matches, and the fixed base keeps the
+    * vocabulary deterministic for the oracle replay.
+    */
+  def bpeVocab(merges: Seq[(String, String)]): Seq[String] = {
+    val chars = "abcdefghijklmnopqrstuvwxyz0123456789".map(_.toString)
+    val symbols = chars ++ merges.map { case (l, r) => l + r }
+    symbols ++ symbols.map("##" + _)
+  }
+
+  /** Learn→tokenize round-trip accounting: per doc, the corpus token count
+    * under BPE MERGE-ORDER application ([[tokenCounts]]' rule) vs greedy
+    * LONGEST-MATCH inference over the exported [[bpeVocab]] — plus how
+    * many word occurrences the two segmentations disagree on. The two
+    * rules differ in general (greedy longest-match can split differently
+    * than merge-rank order: the WordPiece-vs-BPE inference gap, public
+    * knowledge from the tokenizer literature), so the disagreement count
+    * is REPORTED, not assumed zero, and the oracle replays BOTH sides —
+    * the BPE fit as the k-layer CTE chain and the greedy matcher as a
+    * MaxWordLen-layer longest-prefix iteration.
+    *
+    * Both rules run once per DISTINCT word (vocabulary-sized expression
+    * cost) and join back to the corpus word stream — the q133 shape.
+    * Out-of-bounds words (1 char, > [[MaxWordLen]], off-charset) count 1
+    * under both rules, so they never disagree.
+    */
+  def roundTrip(docs: DataFrame, id: String, text: String,
+                merges: Seq[(String, String)]): DataFrame = {
+    val words = docs.select(col(id),
+      explode(split(Dedup.normalizeText(col(text)), " ")).as("word"))
+      .filter(col("word") =!= "")
+    val merged = applyMerges(col("word"), merges)
+    val inBounds = length(col("word")).between(2, MaxWordLen) &&
+      col("word").rlike(s"^$WordCharset$$")
+    val distinctWords = words.select("word").distinct()
+      .withColumn("__bpe",
+        when(inBounds, length(merged) -
+          length(call_function("replace", merged, lit("("), lit(""))))
+          .otherwise(lit(1)).cast("long"))
+      .withColumn("__wp",
+        when(inBounds, graft.plans.WordpieceExpression
+          .wordpieceCount(col("word"), bpeVocab(merges)))
+          .otherwise(lit(1L)))
+    words.join(distinctWords, Seq("word"))
+      .groupBy(col(id))
+      .agg(sum("__bpe").as("bpe_tokens"), sum("__wp").as("wp_tokens"),
+        sum(when(col("__bpe") =!= col("__wp"), lit(1L)).otherwise(lit(0L)))
+          .as("disagree_words"))
   }
 
   /** Per-doc token accounting under a learned merge list: (id, bpe_tokens,

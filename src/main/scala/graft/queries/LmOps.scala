@@ -77,6 +77,23 @@ object LmOps extends Catalog {
       val freq = Caches.pin(Bpe.wordFreq(docs, "text"))
       val merges = Bpe.learnMerges(freq, 8).map(m => (m._1, m._2))
       Bpe.tokenCounts(docs, "doc_id", "text", merges)
+    }),
+
+    // ---- BPE -> wordpiece round-trip ---------------------------------------
+    // the tier's closing loop: q132's learned merges exported as an
+    // inference vocabulary (every symbol as start AND ##-continuation
+    // piece) and fed to q125's greedy longest-match tokenizer, per-doc
+    // counts under BOTH rules plus the word occurrences they disagree on
+    // — merge-order application and longest-match inference are DIFFERENT
+    // algorithms (the BPE-vs-WordPiece inference gap), so the agreement
+    // is measured, not assumed. The oracle replays both sides: the 8
+    // unrolled fit layers AND a 16-layer greedy longest-prefix iteration
+    // over the exported piece set.
+    "q142_bpe_wordpiece_roundtrip" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val freq = Caches.pin(Bpe.wordFreq(docs, "text"))
+      val merges = Bpe.learnMerges(freq, 8).map(m => (m._1, m._2))
+      Bpe.roundTrip(docs, "doc_id", "text", merges)
     })
   )
 
@@ -121,7 +138,7 @@ object LmOps extends Catalog {
          |c$i AS (SELECT l, r, sum(wc) AS c FROM p$i GROUP BY 1, 2),
          |b$i AS (SELECT l, r, c FROM c$i
          |  ORDER BY c DESC, l ASC, r ASC LIMIT 1),
-         |w$i AS (SELECT w.word, w.wc,
+         |w$i AS MATERIALIZED (SELECT w.word, w.wc,
          |  coalesce(replace(w.sym, '(' || b.l || ')(' || b.r || ')',
          |    '(' || b.l || b.r || ')'), w.sym) AS sym
          |  FROM w${i - 1} w LEFT JOIN b$i b ON true)""".stripMargin
@@ -138,6 +155,55 @@ object LmOps extends Catalog {
            |  l || r AS merged, CAST(c AS BIGINT) AS pair_count FROM b$i"""
           .stripMargin).mkString("\nUNION ALL\n")
       s"WITH ${bpeCtes(k)}\n$arms"
+    },
+
+    "q142_bpe_wordpiece_roundtrip" -> {
+      val k = 8
+      // exported piece set: merged symbols from each fit layer plus the
+      // 36 charset chars (UNION dedupes merge products that collide with
+      // existing symbols); greedy longest-match replayed as MaxWordLen
+      // unrolled layers — each advances every unfinished word by its
+      // LONGEST matching piece (argmax via group-by max(plen); every
+      // single char is a piece, so no word ever stalls), finished words
+      // pass through, and 16 layers cover the 16-char word bound
+      val pieceArms = (1 to k).map(i => s"SELECT l || r AS piece FROM b$i")
+        .mkString("\n  UNION ")
+      // MATERIALIZED: each layer references its predecessor twice
+      // (finished pass-through + advance), so DuckDB's default CTE
+      // inlining would expand 2^16 copies of the base scan
+      val glayers = (1 to graft.ext.Bpe.MaxWordLen).map { i =>
+        s"""g$i AS MATERIALIZED (
+           |  SELECT word, len, pos, n FROM g${i - 1} WHERE pos >= len
+           |  UNION ALL
+           |  SELECT g.word, g.len, g.pos + max(p.plen) AS pos,
+           |    g.n + 1 AS n
+           |  FROM g${i - 1} g JOIN pieces p
+           |    ON substr(g.word, g.pos + 1, p.plen) = p.piece
+           |  WHERE g.pos < g.len
+           |  GROUP BY g.word, g.len, g.pos, g.n)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH ${bpeCtes(k)},
+         |pieces AS (SELECT piece, length(piece) AS plen FROM (
+         |  $pieceArms
+         |  UNION SELECT unnest(regexp_extract_all(
+         |    'abcdefghijklmnopqrstuvwxyz0123456789', '.')) AS piece)),
+         |g0 AS (SELECT word, length(word) AS len, 0 AS pos, 0 AS n
+         |  FROM f0),
+         |$glayers,
+         |wp AS (SELECT word, n AS wp_n FROM g${graft.ext.Bpe.MaxWordLen}),
+         |bpe AS (SELECT word,
+         |  length(sym) - length(replace(sym, '(', '')) AS bpe_n FROM w$k),
+         |wn AS (SELECT bpe.word, bpe.bpe_n, wp.wp_n
+         |  FROM bpe JOIN wp ON bpe.word = wp.word),
+         |dw AS (SELECT doc_id, unnest(${TextSql.words}) AS word
+         |  FROM documents)
+         |SELECT CAST(dw.doc_id AS BIGINT) AS doc_id,
+         |  CAST(sum(coalesce(wn.bpe_n, 1)) AS BIGINT) AS bpe_tokens,
+         |  CAST(sum(coalesce(wn.wp_n, 1)) AS BIGINT) AS wp_tokens,
+         |  CAST(sum(CASE WHEN coalesce(wn.bpe_n, 1) != coalesce(wn.wp_n, 1)
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS disagree_words
+         |FROM dw LEFT JOIN wn ON dw.word = wn.word
+         |GROUP BY 1""".stripMargin
     },
 
     "q133_bpe_token_counts" ->

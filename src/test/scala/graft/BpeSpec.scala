@@ -82,4 +82,73 @@ class BpeSpec extends AnyFunSuite with SparkTestBase {
     assert(out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ===
       Seq((0L, 2L, 2L), (1L, 2L, 1L), (2L, 3L, 3L), (3L, 2L, 2L)))
   }
+
+  test("roundTrip: greedy longest-match over the exported vocab can disagree with merge-order BPE") {
+    // fit learns (b,c) then (bc,d) then (a,b): round1 ties (b,c)/(c,d)
+    // at 5 and breaks lexically; round2 (bc,d) 5; round3 (a,b) 3.
+    // "abcd" then splits [a, bcd] (2) under merge order but greedy
+    // longest-match eats the "ab" piece first: [ab, ##c, ##d] (3) —
+    // the classic BPE-vs-WordPiece inference gap, pinned here
+    val d = docs("bcd bcd bcd bcd ab ab ab abcd")
+    val freq = Caches.pin(Bpe.wordFreq(d, "text"))
+    val merges = Bpe.learnMerges(freq, 3).map(m => (m._1, m._2))
+    assert(merges === Seq(("b", "c"), ("bc", "d"), ("a", "b")))
+    val out = Bpe.roundTrip(d, "doc_id", "text", merges).collect()
+    Caches.releaseAll()
+    // bpe: 4·[bcd] + 3·[ab] + [a,bcd] = 9; wp: 4 + 3 + 3 = 10
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getLong(3))).toSeq === Seq((0L, 9L, 10L, 1L)))
+  }
+
+  test("roundTrip: out-of-bound words count 1 under both rules and never disagree") {
+    val d = docs("ab ab x abcdefghijklmnopq")
+    val freq = Caches.pin(Bpe.wordFreq(d, "text"))
+    val merges = Bpe.learnMerges(freq, 2).map(m => (m._1, m._2))
+    val out = Bpe.roundTrip(d, "doc_id", "text", merges).collect()
+    Caches.releaseAll()
+    // [ab][ab] = 1+1 both rules; "x" and the 17-char word 1 each
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getLong(3))).toSeq === Seq((0L, 4L, 4L, 0L)))
+  }
+
+  test("batched learner is bit-identical to the sequential reference") {
+    // adversarial shapes: self-pair runs (created pairs can tie their
+    // creator), tie-heavy two-letter corpora (boundary strictness), and a
+    // symbol-collision corpus where a merged string equals an existing
+    // symbol ("ab" both as a merge product and a standalone word)
+    val corpora = Seq(
+      Seq("abab abab", "aaaa", "ab ab ab"),
+      Seq("aaaaaaaa aaaa", "bbbb", "abab baba"),
+      Seq("ab ab", "cd cd", "ef ef", "gh gh"), // all count 2: max tie field
+      Seq("abc abc ab ab c c bc", "ababc"),
+      Seq("zz zz zz", "zzz zzz", "zzzz"))
+    corpora.foreach { texts =>
+      val d = docs(texts: _*)
+      val freq = Caches.pin(Bpe.wordFreq(d, "text"))
+      val seqM = Bpe.learnMergesSequential(freq, 6)
+      val batM = Bpe.learnMerges(freq, 6)
+      Caches.releaseAll()
+      assert(batM === seqM, s"corpus: $texts")
+    }
+  }
+
+  test("batched == sequential on 30 seeded random two-letter corpora") {
+    // two-letter alphabet maximizes pair collisions, ties, self-pairs,
+    // and merged-string/symbol collisions — the regimes where an unsafe
+    // batch would diverge; seeded, so failures reproduce
+    val rnd = new scala.util.Random(20260814L)
+    (1 to 30).foreach { trial =>
+      val words = Seq.fill(2 + rnd.nextInt(12)) {
+        val len = 2 + rnd.nextInt(7)
+        (1 to len).map(_ => if (rnd.nextBoolean()) 'a' else 'b').mkString
+      }
+      val d = docs(words.grouped(4).map(_.mkString(" ")).toSeq: _*)
+      val freq = Caches.pin(Bpe.wordFreq(d, "text"))
+      val k = 1 + rnd.nextInt(7)
+      val seqM = Bpe.learnMergesSequential(freq, k)
+      val batM = Bpe.learnMerges(freq, k)
+      Caches.releaseAll()
+      assert(batM === seqM, s"trial $trial k=$k words=$words")
+    }
+  }
 }
