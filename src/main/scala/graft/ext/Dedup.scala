@@ -842,8 +842,10 @@ object Dedup {
     * (the threshold test den·dot² alone would admit ~6·10⁸/√den); past
     * it quantize tf down a decade (the X79 rule).
     *
-    * Two guards with different jobs (both part of the defined semantics,
-    * both mirrored in the oracle):
+    * Two guards with different jobs (the metric guard is part of the
+    * defined semantics and mirrored in the oracle; the candidate filter
+    * is PROVABLY COMPLETE and therefore invisible — the oracle runs the
+    * plain all-shared-term formulation, the q100 posture):
     *
     *  - METRIC vocabulary: terms present in more than `maxDfPermille`/1000
     *    of the corpus (df·1000 > N·permille, pure integers — an absolute
@@ -851,46 +853,67 @@ object Dedup {
     *    excluded from the vectors entirely — standard stop-word handling.
     *    Docs whose every term is hot have no vector and pair with nothing.
     *    N rides as a 1-row broadcast scalar (the q87 shape).
-    *  - CANDIDATE generation: each doc indexes its `genPrefixK` RAREST
-    *    kept terms under the global (df, term) order (the X74 prefix
-    *    device), and a pair is considered iff some term lands in BOTH
-    *    prefixes. The relative guard alone leaves the inverted-index
-    *    self-join Σ df²-QUADRATIC in corpus size (measured: 0.9 s at
-    *    sf0.1 became 1408 s at sf1), while an absolute df cap is brittle
-    *    the other way (df ≤ 100 generated ZERO candidates at sf0.1, where
-    *    the rarest shared terms sit at df 100–500); the per-doc prefix
-    *    adapts — its terms are as rare as the corpus offers and the index
-    *    is exactly k rows per doc. Near-identical docs share their rarest
-    *    terms by construction; a pair overlapping ONLY outside both
-    *    prefixes is not considered — the recall contract, mirrored in the
-    *    oracle. The verified dot is still over the FULL kept vocabulary:
-    *    candidates join per-doc term→tf maps and fold one map against the
-    *    other (|candidates|·|doc| work in one codegen stage — the q100
-    *    verify shape), so the prefix affects which pairs are CONSIDERED,
-    *    never their score.
+    *  - CANDIDATE generation: the tf-WEIGHTED prefix filter (the
+    *    Bayardo/Chaudhuri All-Pairs bound carried to integer tf
+    *    vectors). Each doc's kept terms sort under the GLOBAL
+    *    (df, term) order — rarest first, the same total order for every
+    *    doc — and a term at rank r is INDEXED iff the suffix squared
+    *    norm from r onward still matters: den·s2(r) ≥ num·n2, where
+    *    s2(r) = Σ_{rank ≥ r} tf². A pair is considered iff some term
+    *    lands in BOTH prefixes.
     *
-    * MEASURED LIMIT of term-rarity candidates: on a vocabulary-degenerate
-    * corpus, rarity does not discriminate — the sf1 fixture (tiny
-    * vocabulary, 50k docs) puts one prefix term in up to 3,849 docs'
-    * prefixes, yielding 125M candidates for ~311k true pairs (a 2-subset
-    * signature — collide on a PAIR of prefix terms — was measured equally
-    * degenerate at 123M: the same doc groups share whole prefixes). On
-    * such corpora the scale tier for angle similarity is signature LSH
-    * over the tf VECTOR — [[simHash64]]'s token-weighted sign sums +
-    * [[simHashNearDups]]' chunk-bucketed hamming candidates (X4), or
-    * [[Similarity.srpNearDups]] for embeddings (X51) — composed with this
-    * method's exact-integer verify; candidate count then tracks ANGLE
-    * closeness, not term rarity. This operator is the exact-and-complete
-    * tier for corpora whose rare terms do discriminate (natural-language
-    * vocabularies), the same contract split as [[jaccardPairs]] (exact)
-    * vs [[minHashNearDups]] (banded).
+    *    COMPLETENESS LEMMA (why the filter is invisible): suppose
+    *    cos(x,y) ≥ τ with τ² = num/den, and let t₀ be the shared term
+    *    that comes FIRST in the global order. If t₀ were outside x's
+    *    prefix, then — the order being global — EVERY shared term sits
+    *    in x's suffix S, so dot = Σ x_t y_t ≤ ‖x_S‖·‖y‖ < τ·‖x‖·‖y‖
+    *    (Cauchy–Schwarz, then the prefix rule's strict suffix bound
+    *    den·s2 < num·n2), contradicting cos ≥ τ. Same for y. Hence t₀
+    *    is in both prefixes and the pair IS generated. Rank 1 always
+    *    indexes (s2(1) = n2, den ≥ num), so no doc vanishes. All
+    *    integer: s2/n2 are long window sums under one doc-keyed
+    *    exchange.
+    *
+    *    The bound ADAPTS on both axes the fixed devices failed on: the
+    *    relative df guard alone left the index self-join Σ df²-QUADRATIC
+    *    (measured: 0.9 s at sf0.1 became 1408 s at sf1), an absolute df
+    *    cap generated ZERO candidates at sf0.1, and the round-7/8 fixed
+    *    k-rarest prefix was complete only heuristically — and on the
+    *    vocabulary-degenerate sf1 fixture indexed 10 undiscriminating
+    *    terms per doc (125M candidates). The norm bound indexes exactly
+    *    as much rarity as the threshold requires: high thresholds index
+    *    a sliver (suffix may keep up to τ² of the squared norm), and
+    *    docs whose norm concentrates in few terms index few terms.
+    *
+    *    The verified dot is still over the FULL kept vocabulary:
+    *    candidates join per-doc term→tf maps and fold one map against
+    *    the other (|candidates|·|doc| work in one codegen stage — the
+    *    q100 verify shape), so the prefix affects WORK, never scores,
+    *    and the reported pair set is CANONICAL: all pairs at
+    *    cos² ≥ num/den over the kept vocabulary, independent of the
+    *    candidate machinery. The oracle exploits exactly that — it runs
+    *    the unfiltered all-shared-term formulation, so any recall loss
+    *    in the prefix filter hash-fails (the filter is CHECKED, not
+    *    mirrored).
+    *
+    * REGIME NOTE: at moderate thresholds (τ² = 1/2 ⇒ suffixes keep only
+    * half the squared norm) prefixes are necessarily long — that is the
+    * price of PROVABLE completeness, paid by any exact filter. On
+    * corpora where rarity does not discriminate (tiny vocabularies) the
+    * candidate set can still approach quadratic; the scale tier for
+    * angle similarity there is signature LSH over the tf VECTOR
+    * ([[cosineNearDupsSimhash]], X4 machinery; or
+    * [[Similarity.srpNearDups]] for embeddings) composed with the same
+    * exact-integer verify — candidate count then tracks ANGLE closeness,
+    * not term rarity. The contract split is [[jaccardPairs]] (exact) vs
+    * [[minHashNearDups]] (banded), replayed one tier up.
     *
     * Output: (id_a, id_b, dot, n2_a, n2_b, cos2_micro), id_a < id_b,
     * pairs at cos² ≥ num/den only.
     */
   def cosinePairs(docs: DataFrame, id: String, text: String,
                   minCos2Num: Long, minCos2Den: Long,
-                  maxDfPermille: Long, genPrefixK: Int = 10): DataFrame = {
+                  maxDfPermille: Long): DataFrame = {
     val tf = docs
       .select(col(id), explode(split(normalizeText(col(text)), " ")).as("__t"))
       .filter(col("__t") =!= "")
@@ -903,20 +926,20 @@ object Dedup {
       Seq("__t"))
     val n2 = kept.groupBy(col(id))
       .agg(sum(col("__tf") * col("__tf")).as("n2"))
-    // candidate GENERATION via each doc's k RAREST kept terms under the
-    // global (df, term) order (the X74 prefix device): the relative guard
-    // alone leaves the index self-join Sigma df^2-quadratic in N
-    // (measured: 1408 s at sf1 vs 0.9 s at sf0.1), and an absolute df cap
-    // is scale-brittle in the other direction (df <= 100 generated ZERO
-    // candidates at sf0.1, where the rarest shared terms sit at df
-    // 100-500). The per-doc prefix adapts: its terms are as rare as the
-    // corpus offers, the index is exactly k rows per doc, and a pair is
-    // considered iff some term lands in BOTH prefixes
+    // candidate GENERATION via the tf-weighted prefix filter: each doc's
+    // kept terms sort under the GLOBAL (df, term) order and rank r is
+    // indexed while the suffix squared norm still matters
+    // (den*s2(r) >= num*n2) — see the completeness lemma in the scaladoc;
+    // one doc-keyed window exchange serves both running sums
     val byDocRarity = Window.partitionBy(col(id))
       .orderBy(col("__df"), col("__t"))
     val gen = kept
-      .withColumn("__r", row_number().over(byDocRarity))
-      .filter(col("__r") <= genPrefixK)
+      .withColumn("__s2", sum(col("__tf") * col("__tf")).over(
+        byDocRarity.rowsBetween(Window.currentRow,
+          Window.unboundedFollowing)))
+      .withColumn("__n2", sum(col("__tf") * col("__tf")).over(
+        Window.partitionBy(col(id))))
+      .filter(lit(minCos2Den) * col("__s2") >= lit(minCos2Num) * col("__n2"))
     val cand = gen.select(col(id).as("id_a"), col("__t"))
       .join(gen.select(col(id).as("id_b"), col("__t")), Seq("__t"))
       .filter(col("id_a") < col("id_b"))

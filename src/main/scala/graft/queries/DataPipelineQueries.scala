@@ -79,21 +79,21 @@ object DataPipelineQueries extends Catalog {
     // anywhere. Two mirrored guards: the corpus-RELATIVE vocabulary cap
     // (df <= 10% of N — an absolute cap stops discriminating as the
     // corpus grows, the X61 lesson) defines the metric, and candidates
-    // come from each doc's 10 RAREST kept terms under the global
-    // (df, term) order (the X74 prefix device) — the relative guard alone
-    // left the index self-join Σ df²-quadratic (1408 s at sf1), an
-    // absolute df cap was brittle the other way (zero candidates at
-    // sf0.1); the prefix adapts to whatever rarity the corpus offers.
-    // The verified dot spans the full kept vocabulary via per-doc term
-    // maps. On the vocabulary-degenerate sf1 fixture, rarity itself stops
-    // discriminating (measured: 125M candidates for ~311k true pairs) —
-    // the scale tier there is signature LSH over the tf vector (the X4
-    // simhash machinery) + this same exact verify; see the
-    // Dedup.cosinePairs scaladoc for the measured analysis.
+    // come from the tf-WEIGHTED prefix filter (the Bayardo/Chaudhuri
+    // All-Pairs bound in integers): each doc indexes its rarest kept
+    // terms under the global (df, term) order until the remaining
+    // suffix's squared norm drops below τ²·n2 — PROVABLY complete at
+    // cos ≥ τ (lemma in the Dedup.cosinePairs scaladoc), so the result
+    // is the CANONICAL pair set and the oracle runs the plain
+    // all-shared-term formulation: the filter is checked, not mirrored
+    // (the q100 posture; the round-7/8 fixed k-rarest prefix was
+    // complete only heuristically). The verified dot spans the full
+    // kept vocabulary via per-doc term maps. On corpora where rarity
+    // does not discriminate, the scale tier is q141's signature LSH
+    // over the tf vector + this same exact verify.
     "q134_cosine_near_dups" -> ((s, d) => {
       Dedup.cosinePairs(Tables.documents(s, d), "doc_id", "text",
-        minCos2Num = 1L, minCos2Den = 2L, maxDfPermille = 100L,
-        genPrefixK = 10)
+        minCos2Num = 1L, minCos2Den = 2L, maxDfPermille = 100L)
     }),
 
     // ---- prefix-filtered similarity join (All-Pairs / PPJoin family) -------
@@ -708,10 +708,11 @@ object DataPipelineQueries extends Catalog {
          |JOIN sizes nb ON id_b = nb.doc_id
          |WHERE CAST(inter AS DOUBLE)/(na.n_sh + nb.n_sh - inter) >= 0.1""".stripMargin,
 
-    // same kept-vocabulary definition (df·1000 <= N·100), same per-doc
-    // 10-rarest-terms candidate prefix, same integer certificate — both
-    // guards are the metric's, mirrored here, so the whole score
-    // hash-checks
+    // same kept-vocabulary definition (df·1000 <= N·100), same integer
+    // certificate — but candidates here come from the UNFILTERED
+    // all-shared-term inverted index: the Spark side's weighted prefix
+    // filter claims provable completeness, so the oracle must not
+    // mirror it — any recall loss hash-fails
     "q134_cosine_near_dups" ->
       s"""WITH w AS (SELECT doc_id, unnest(${TextSql.words}) AS t
          |  FROM documents),
@@ -722,12 +723,8 @@ object DataPipelineQueries extends Catalog {
          |kept AS (SELECT tf.doc_id, tf.t, tf.tf, keptT.df
          |  FROM tf JOIN keptT ON tf.t = keptT.t),
          |n2 AS (SELECT doc_id, sum(tf * tf) AS n2 FROM kept GROUP BY 1),
-         |gen AS (SELECT doc_id, t FROM (
-         |    SELECT doc_id, t,
-         |      row_number() OVER (PARTITION BY doc_id ORDER BY df, t) AS r
-         |    FROM kept) WHERE r <= 10),
          |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-         |  FROM gen a JOIN gen b ON a.t = b.t AND a.doc_id < b.doc_id),
+         |  FROM kept a JOIN kept b ON a.t = b.t AND a.doc_id < b.doc_id),
          |dots AS (SELECT c.id_a, c.id_b, sum(a.tf * b.tf) AS dot
          |  FROM cand c
          |  JOIN kept a ON a.doc_id = c.id_a

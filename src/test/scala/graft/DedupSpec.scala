@@ -361,19 +361,41 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(!got.exists(p => p._1 == 5L || p._2 == 5L))
   }
 
-  test("cosinePairs: the candidate prefix decides consideration, not scores") {
-    // at prefix k = 1 each doc indexes its single rarest term: doc1/doc2
-    // index "q" (df 2 < x's 3), doc3 indexes "z" — so (1,2) is considered
-    // via the shared prefix term, while (1,3)/(2,3) share only the
-    // out-of-prefix "x" and are not; the verified dot still counts "x"
-    // (full kept-vocab dot)
+  test("cosinePairs: the weighted prefix filter is complete — result is canonical") {
+    // the case the round-7/8 fixed-k prefix could miss by construction:
+    // a qualifying pair whose ONLY shared term is each doc's COMMONEST.
+    // Global rarity order puts w/v/u/q/z (df 1) before x (df 3); docs 1
+    // and 3 share only "x", yet their cosine meets τ² = 1/10 — under
+    // the suffix-norm bound (den·s2 ≥ num·n2) "x" stays indexed in both
+    // docs (its suffix still carries ≥ 1/10 of each n2), so the pair IS
+    // generated; at a prefix of any fixed k = 1 rarest it would not be
     val docs = Seq(
-      (1L, "x q"), (2L, "x q"), (3L, "x z")
+      (1L, "x x x w"),  // tf x:3 w:1, n2 = 10; rarity order: w then x
+      (2L, "v u q"),    // unrelated
+      (3L, "x x x z")   // tf x:3 z:1, n2 = 10
     ).toDF("doc_id", "text")
-    val got = Dedup.cosinePairs(docs, "doc_id", "text", 1L, 2L,
-        maxDfPermille = 1000L, genPrefixK = 1)
-      .select("id_a", "id_b", "dot").as[(Long, Long, Long)].collect().toSeq
-    assert(got === Seq((1L, 2L, 2L))) // dot counts x AND q
+    val got = Dedup.cosinePairs(docs, "doc_id", "text", 1L, 10L,
+        maxDfPermille = 1000L)
+      .select("id_a", "id_b", "dot", "cos2_micro")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // dot = 9, cos² = 81/100 ≥ 1/10 ✓ — and nothing pairs with doc 2
+    assert(got === Seq((1L, 3L, 9L, 810000L)))
+  }
+
+  test("cosinePairs: prefix indexes exactly while the suffix norm matters") {
+    // τ² = 9/10: suffix may keep < 9/10 of n2. doc "a b c d" (tf all 1,
+    // n2 = 4, global order a<b<c<d at equal df): s2 by rank is 4,3,2,1;
+    // den·s2 ≥ num·n2 ⇔ 10·s2 ≥ 36 holds only at rank 1 — exactly one
+    // term indexes per doc. Two exact dups still meet at rank 1 (same
+    // global order ⇒ same first term), so the pair survives
+    val docs = Seq(
+      (1L, "a b c d"), (2L, "a b c d")
+    ).toDF("doc_id", "text")
+    val got = Dedup.cosinePairs(docs, "doc_id", "text", 9L, 10L,
+        maxDfPermille = 1000L)
+      .select("id_a", "id_b", "cos2_micro")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got === Seq((1L, 2L, 1000000L)))
   }
 
   test("cosineNearDupsSimhash: colinear tf vectors pair at hamming 0, cos 1") {
