@@ -253,7 +253,10 @@ object Bpe {
         when(inBounds, graft.plans.WordpieceExpression
           .wordpieceCount(col("word"), bpeVocab(merges)))
           .otherwise(lit(1L)))
-    words.join(distinctWords, Seq("word"))
+    // the VOCABULARY side broadcasts (bounded; the corpus word stream is
+    // the data-sized side) — without the hint Spark's post-explode size
+    // estimate can invert the build side and serialize the aggregation
+    words.join(broadcast(distinctWords), Seq("word"))
       .groupBy(col(id))
       .agg(sum("__bpe").as("bpe_tokens"), sum("__wp").as("wp_tokens"),
         sum(when(col("__bpe") =!= col("__wp"), lit(1L)).otherwise(lit(0L)))
@@ -282,7 +285,8 @@ object Bpe {
           length(merged) -
             length(call_function("replace", merged, lit("("), lit(""))))
           .otherwise(lit(1)).cast("long"))
-    words.join(distinctWords, Seq("word"))
+    // vocabulary side broadcasts — see [[roundTrip]]'s join note
+    words.join(broadcast(distinctWords), Seq("word"))
       .groupBy(col(id))
       .agg(sum("__ntok").as("bpe_tokens"), count(lit(1)).as("ws_tokens"))
   }
