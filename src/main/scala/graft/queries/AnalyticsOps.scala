@@ -503,6 +503,28 @@ object AnalyticsOps extends Catalog {
           sum("__cl").as("winsorized_sum"),
           expr("(sum(__cl) * 1000000) div count(1)")
             .as("winsorized_mean_micro"))
+    }),
+
+    // ---- stream-static enrichment mart -------------------------------------
+    // the batch twin of EventStream.enrichEvents (the STATELESS streaming
+    // join: dimension broadcast, no watermark, no state store — the spec
+    // pins stateOperators empty on a live MemoryStream run): every event
+    // picks up its user's market segment from the customer dimension
+    // (LEFT join — a dim gap must not drop events) and rolls up to
+    // (segment, event_type) with an order-independent money sum. The
+    // exact code path runs on streaming frames; this batch face is the
+    // oracle-able one (the q67/q102 posture).
+    "q143_stream_enrichment" -> ((s, d) => {
+      graft.streaming.EventStream.enrichEvents(
+          Tables.events(s, d),
+          Tables.customer(s, d)
+            .select(col("c_custkey"), col("c_mktsegment"),
+              col("c_nationkey").cast("long").as("c_nationkey")),
+          dimKey = "c_custkey")
+        .groupBy(col("c_mktsegment").as("segment"), col("event_type"))
+        .agg(count(lit(1)).as("events"),
+          countDistinct(col("user_id")).as("users"),
+          XDet.moneySum(col("value"), 2).as("value_sum"))
     })
   )
 
@@ -958,6 +980,17 @@ object AnalyticsOps extends Catalog {
         |  CAST(sum(greatest(least(n_chars, v_hi), v_lo)) * 1000000
         |    // count(*) AS BIGINT) AS winsorized_mean_micro
         |FROM r JOIN b ON r.lang = b.lang
-        |GROUP BY r.lang, b.v_lo, b.v_hi""".stripMargin
+        |GROUP BY r.lang, b.v_lo, b.v_hi""".stripMargin,
+
+    // plain left-join + rollup — the enrichment must be join-semantics
+    // faithful (no event drops on dim gaps) and the money sum
+    // order-independent
+    "q143_stream_enrichment" ->
+      s"""SELECT c.c_mktsegment AS segment, e.event_type,
+         |  CAST(count(*) AS BIGINT) AS events,
+         |  CAST(count(DISTINCT e.user_id) AS BIGINT) AS users,
+         |  ${XDet.moneySumSql("e.value", 2)} AS value_sum
+         |FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+         |GROUP BY 1, 2""".stripMargin
   )
 }

@@ -308,6 +308,34 @@ object EventStream {
         unix_micros(col("purchase_ts")).as("purchase_us"), col("value"))
   }
 
+  /** Stream-STATIC enrichment join — the remaining Structured Streaming
+    * join surface beside the stream-stream range join above: each event
+    * picks up its user's dimension attributes from a BATCH table. The join
+    * is STATELESS — no watermark, no state store, nothing to evict: every
+    * micro-batch hash-joins its rows against the static relation (the spec
+    * asserts `stateOperators` stays empty), which is the property that
+    * distinguishes this from the stream-stream case and makes it the
+    * default enrichment tool.
+    *
+    * LEFT join, not inner: an event whose user is missing from the
+    * dimension must survive with NULL attributes — silently dropping
+    * events on a dim gap is the classic enrichment bug.
+    *
+    * 100 TB shape: the dimension rides as a BROADCAST (dims are
+    * customer/geo-sized, events are the 100 TB side), so the stream never
+    * shuffles — each executor probes its local hash relation per batch.
+    * A parquet-backed static frame is re-planned per micro-batch, which
+    * is exactly how a slowly-refreshed dimension picks up new files
+    * without restarting the query.
+    *
+    * `dim`'s `dimKey` column joins `events.user_id`; all other dim
+    * columns attach.
+    */
+  def enrichEvents(events: DataFrame, dim: DataFrame,
+                   dimKey: String): DataFrame =
+    events.join(broadcast(dim.withColumnRenamed(dimKey, "user_id")),
+      Seq("user_id"), "left")
+
   /** Wire a streaming frame to an in-memory table (tests) or console. */
   def startToMemory(df: DataFrame, queryName: String,
                     outputMode: OutputMode = OutputMode.Update()) =

@@ -303,6 +303,43 @@ class EventStreamSpec extends AnyFunSuite with SparkTestBase {
     assert(acc.toSet === oneShot)
   }
 
+  test("stream-static enrichment join is stateless, keeps dim-gap events, " +
+      "and equals the batch twin") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val cols = Seq("event_id", "ts", "user_id", "event_type", "value")
+    val dim = Seq((7L, "AUTO"), (9L, "HOME"))
+      .toDF("c_custkey", "segment")
+    val enriched = EventStream.enrichEvents(
+      in.toDF().toDF(cols: _*), dim, dimKey = "c_custkey")
+    val q = EventStream.startToMemory(enriched, "enrich",
+      OutputMode.Append())
+    val b1 = Seq[(Long, Timestamp, Long, String, Double)](
+      (1L, ts("2022-06-15 10:00:00"), 7L, "click", 1.0),
+      // user 8 is MISSING from the dim: the event must survive with NULL
+      (2L, ts("2022-06-15 10:01:00"), 8L, "click", 2.0))
+    val b2 = Seq[(Long, Timestamp, Long, String, Double)](
+      (3L, ts("2022-06-15 10:02:00"), 9L, "purchase", 3.0))
+    try {
+      in.addData(b1)
+      q.processAllAvailable()
+      in.addData(b2)
+      q.processAllAvailable()
+      // the join is STATELESS: no state-store operator anywhere in the
+      // query — the property that separates stream-static from
+      // stream-stream
+      assert(q.lastProgress.stateOperators.isEmpty)
+    } finally q.stop()
+    val got = spark.table("enrich")
+      .select("event_id", "segment").as[(Long, String)].collect().toSet
+    assert(got === Set((1L, "AUTO"), (2L, null), (3L, "HOME")))
+    // identical code path on a batch frame equals the streaming output
+    val twin = EventStream.enrichEvents((b1 ++ b2).toDF(cols: _*), dim,
+        dimKey = "c_custkey")
+      .select("event_id", "segment").as[(Long, String)].collect().toSet
+    assert(twin === got)
+  }
+
   test("stream-stream attribution join buffers across batches and equals " +
       "the batch twin") {
     implicit val ctx = spark.sqlContext
