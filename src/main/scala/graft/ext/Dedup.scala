@@ -738,29 +738,18 @@ object Dedup {
       .select(col(id), explode(split(normalizeText(col(text)), " ")).as("__t"))
       .filter(col("__t") =!= "")
       .groupBy(col(id), col("__t")).agg(count(lit(1)).as("__tf"))
-    val n2 = tf.groupBy(col(id))
-      .agg(sum(col("__tf") * col("__tf")).as("n2"))
-    val vec = tf.groupBy(col(id))
-      .agg(map_from_entries(collect_list(struct(col("__t"), col("__tf"))))
-        .as("__vec"))
-    hammingNearDups64(simHash64Native(docs, id, text, portable), id,
-        "simhash", maxHamming)
+    val cand = hammingNearDups64(simHash64Native(docs, id, text, portable),
+        id, "simhash", maxHamming)
       .select(col("id_a"), col("id_b"), col("hamming").cast("long")
         .as("hamming"))
-      .join(vec.select(col(id).as("id_a"), col("__vec").as("__va")),
-        Seq("id_a"))
-      .join(vec.select(col(id).as("id_b"), col("__vec").as("__vb")),
-        Seq("id_b"))
-      .withColumn("dot", expr(
-        "aggregate(map_entries(__va), 0L, (acc, e) -> " +
-          "acc + e.value * coalesce(element_at(__vb, e.key), 0L))"))
-      .join(n2.select(col(id).as("id_a"), col("n2").as("n2_a")), Seq("id_a"))
-      .join(n2.select(col(id).as("id_b"), col("n2").as("n2_b")), Seq("id_b"))
-      .filter(lit(minCos2Den) * col("dot") * col("dot") >=
-        lit(minCos2Num) * col("n2_a") * col("n2_b"))
-      .select(col("id_a"), col("id_b"), col("hamming"), col("dot"),
-        col("n2_a"), col("n2_b"),
-        expr("(dot * dot * 1000000) div (n2_a * n2_b)").as("cos2_micro"))
+    // same sparse merge-dot verify as cosinePairs (fnv64 key arrays, n2
+    // inside the vector row); plain shuffle joins — signature candidates
+    // track angle, so the candidate frame stays near the true pair mass
+    // and never needs the broadcast tier
+    verifyCosine(cand, sparseVecs(tf, id), broadcastVecs = false,
+      minCos2Num, minCos2Den)
+      .select("id_a", "id_b", "hamming", "dot", "n2_a", "n2_b",
+        "cos2_micro")
   }
 
   /** Multi-pass sorted-neighborhood blocking (Hernández & Stolfo SIGMOD'95)
@@ -913,19 +902,22 @@ object Dedup {
     */
   def cosinePairs(docs: DataFrame, id: String, text: String,
                   minCos2Num: Long, minCos2Den: Long,
-                  maxDfPermille: Long): DataFrame = {
+                  maxDfPermille: Long,
+                  modelTierMaxPostings: Long = VerifyBroadcastPostings)
+      : DataFrame = {
     val tf = docs
       .select(col(id), explode(split(normalizeText(col(text)), " ")).as("__t"))
       .filter(col("__t") =!= "")
       .groupBy(col(id), col("__t")).agg(count(lit(1)).as("__tf"))
     val nDocs = docs.agg(count(lit(1)).as("__n"))
-    val kept = tf.join(
+    // pinned: the kept postings feed candidate generation AND the verify
+    // vectors, and the count below sizes the verify join's build side
+    val kept = Caches.pin(tf.join(
       tf.groupBy("__t").agg(count(lit(1)).as("__df"))
         .crossJoin(broadcast(nDocs))
         .filter(col("__df") * 1000 <= col("__n") * maxDfPermille),
-      Seq("__t"))
-    val n2 = kept.groupBy(col(id))
-      .agg(sum(col("__tf") * col("__tf")).as("n2"))
+      Seq("__t")))
+    val nPostings = kept.count()
     // candidate GENERATION via the tf-weighted prefix filter: each doc's
     // kept terms sort under the GLOBAL (df, term) order and rank r is
     // indexed while the suffix squared norm still matters
@@ -940,30 +932,107 @@ object Dedup {
       .withColumn("__n2", sum(col("__tf") * col("__tf")).over(
         Window.partitionBy(col(id))))
       .filter(lit(minCos2Den) * col("__s2") >= lit(minCos2Num) * col("__n2"))
-    val cand = gen.select(col(id).as("id_a"), col("__t"))
-      .join(gen.select(col(id).as("id_b"), col("__t")), Seq("__t"))
+    // POSITIONAL filter (the ppjoin refinement, same integer arithmetic):
+    // a qualifying pair survives at its min-order shared term t0, where
+    // every shared term sits in BOTH suffixes from t0's positions — so
+    // dot ≤ √(s2_a·s2_b) there, and den·s2_a·s2_b ≥ num·n2_a·n2_b is a
+    // necessary condition AT THAT TERM. Applied per joined posting before
+    // the distinct: pairs meeting only deep in some hot term's postings
+    // (tiny residual norms) die at the probe instead of flooding the
+    // distinct exchange — completeness is untouched because t0's posting
+    // row always passes
+    val pairs = gen.select(col(id).as("id_a"), col("__t"),
+        col("__s2").as("__s2a"), col("__n2").as("__n2a"))
+      .join(gen.select(col(id).as("id_b"), col("__t"),
+        col("__s2").as("__s2b"), col("__n2").as("__n2b")), Seq("__t"))
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
-    // full kept-vocab dot per candidate, against per-doc term->tf maps:
-    // cost ~ |candidates| x |doc| inside one codegen stage (the q100
-    // verify shape), never an exploded row per shared term
-    val vec = kept.groupBy(col(id))
-      .agg(map_from_entries(collect_list(struct(col("__t"), col("__tf"))))
-        .as("__vec"))
+      .filter(lit(minCos2Den) * col("__s2a") * col("__s2b") >=
+        lit(minCos2Num) * col("__n2a") * col("__n2b"))
+    val cand = pairs.select("id_a", "id_b").distinct()
+    if (nPostings <= modelTierMaxPostings) {
+      // DEGENERATE-REGIME verify (vector table tiny by the measured gate,
+      // candidate mass enormous): collect the vectors into one compact
+      // model per executor (the q84/q85 collected-model device) and check
+      // each DISTINCT candidate inline — no vector joins, no per-row
+      // array materialization. The check runs after the distinct, where
+      // pairs are hash-balanced: checking the raw posting-join rows
+      // instead was measured WORSE (488 s vs 295 s at sf1 — the ~5.6×
+      // duplicate factor multiplies the binary-search cache misses, and
+      // the posting join's term skew caps its stage at a few effective
+      // cores).
+      val model = graft.plans.SparseVecModel.collect(sparseVecs(kept, id))
+      val chk = graft.plans.SparseDotLookupExpression
+        .cosineCheck(col("id_a"), col("id_b"), minCos2Num, minCos2Den,
+          model)
+      cand
+        .withColumn("__c", chk)
+        .filter(col("__c").isNotNull)
+        .select(col("id_a"), col("id_b"), col("__c")(0).as("dot"),
+          col("__c")(1).as("n2_a"), col("__c")(2).as("n2_b"))
+        .withColumn("cos2_micro",
+          expr("(dot * dot * 1000000) div (n2_a * n2_b)"))
+        .select("id_a", "id_b", "dot", "n2_a", "n2_b", "cos2_micro")
+    } else {
+      // SCALE-REGIME verify (natural vocabulary: vector table too large
+      // to collect, candidate frame small): the sparse merge-dot over
+      // sorted fnv64 key arrays attached by two id-keyed equi-joins
+      // (SparseDotLongExpression — O(|a|+|b|) long compares per pair in
+      // codegen; the map-fold it replaces linear-scanned string keys per
+      // term and dominated the sf1 verify); n2 rides inside the vector
+      // row
+      verifyCosine(cand, sparseVecs(kept, id), broadcastVecs = false,
+        minCos2Num, minCos2Den)
+        .select("id_a", "id_b", "dot", "n2_a", "n2_b", "cos2_micro")
+    }
+  }
+
+  /** Postings bound under which [[cosinePairs]] COLLECTS the per-doc
+    * vector table into a [[graft.plans.SparseVecModel]] (16 B per posting
+    * → ≤ ~64 MB, one shared object per executor) and verifies every
+    * posting-join row inline: on vocabulary-degenerate corpora the
+    * candidate frame is enormous while the vector table is tiny, and the
+    * model removes the pre-verify distinct, both vector joins, and all
+    * per-row array copies. Past the bound (a 100 TB natural-vocabulary
+    * corpus — vector table unbounded, candidates few) the verify keeps
+    * the distinct + shuffle-join tier. The gate is a MEASURED count of
+    * the pinned postings, not a guess.
+    */
+  val VerifyBroadcastPostings = 4000000L
+
+  /** Per-doc sparse tf vectors from a (id, __t, __tf) postings frame:
+    * (id, __ks, __vs, __n2) with strictly-ascending fnv64 term keys —
+    * the [[graft.plans.SparseDotLongExpression]] input contract.
+    */
+  private def sparseVecs(tf: DataFrame, id: String): DataFrame =
+    tf.groupBy(col(id))
+      .agg(sort_array(collect_list(struct(
+          graft.plans.Fnv1a64Expression.fnv1a64(col("__t")).as("k"),
+          col("__tf").as("v")))).as("__kv"),
+        sum(col("__tf") * col("__tf")).as("__n2"))
+      .select(col(id), expr("transform(__kv, x -> x.k)").as("__ks"),
+        expr("transform(__kv, x -> x.v)").as("__vs"), col("__n2"))
+
+  /** Exact-integer cosine verify of an (id_a, id_b) candidate frame
+    * against [[sparseVecs]] vectors: attach both docs' vectors (broadcast
+    * when `broadcastVecs` — see [[VerifyBroadcastPostings]]), merge-dot,
+    * threshold den·dot² ≥ num·n2_a·n2_b, emit the integer certificate.
+    */
+  private def verifyCosine(cand: DataFrame, vecs: DataFrame,
+                           broadcastVecs: Boolean,
+                           minCos2Num: Long, minCos2Den: Long): DataFrame = {
+    val v = if (broadcastVecs) broadcast(vecs) else vecs
+    val id = vecs.columns.head
     cand
-      .join(vec.select(col(id).as("id_a"), col("__vec").as("__va")),
-        Seq("id_a"))
-      .join(vec.select(col(id).as("id_b"), col("__vec").as("__vb")),
-        Seq("id_b"))
-      .withColumn("dot", expr(
-        "aggregate(map_entries(__va), 0L, (acc, e) -> " +
-          "acc + e.value * coalesce(element_at(__vb, e.key), 0L))"))
-      .join(n2.select(col(id).as("id_a"), col("n2").as("n2_a")), Seq("id_a"))
-      .join(n2.select(col(id).as("id_b"), col("n2").as("n2_b")), Seq("id_b"))
+      .join(v.select(col(id).as("id_a"), col("__ks").as("__ksa"),
+        col("__vs").as("__vsa"), col("__n2").as("n2_a")), Seq("id_a"))
+      .join(v.select(col(id).as("id_b"), col("__ks").as("__ksb"),
+        col("__vs").as("__vsb"), col("__n2").as("n2_b")), Seq("id_b"))
+      .withColumn("dot", graft.plans.SparseDotLongExpression.sparseDot(
+        col("__ksa"), col("__vsa"), col("__ksb"), col("__vsb")))
       .filter(lit(minCos2Den) * col("dot") * col("dot") >=
         lit(minCos2Num) * col("n2_a") * col("n2_b"))
-      .select(col("id_a"), col("id_b"), col("dot"), col("n2_a"),
-        col("n2_b"), expr("(dot * dot * 1000000) div (n2_a * n2_b)")
-          .as("cos2_micro"))
+      .withColumn("cos2_micro",
+        expr("(dot * dot * 1000000) div (n2_a * n2_b)"))
+      .drop("__ksa", "__vsa", "__ksb", "__vsb")
   }
 }

@@ -415,6 +415,21 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(got === Seq((1L, 2L, 0L, 1000000L)))
   }
 
+  test("cosinePairs: the scale-tier shuffle verify equals the model tier") {
+    // same corpora as the hand-computed test, forced down the else-branch
+    // (modelTierMaxPostings = -1): both tiers must produce identical rows
+    val docs = Seq(
+      (1L, "a a b"), (2L, "a a b b"), (3L, "c d"), (4L, "a a b")
+    ).toDF("doc_id", "text")
+    def run(gate: Long) =
+      Dedup.cosinePairs(docs, "doc_id", "text", 1L, 2L,
+        maxDfPermille = 1000L, modelTierMaxPostings = gate)
+        .select("id_a", "id_b", "dot", "n2_a", "n2_b", "cos2_micro")
+        .as[(Long, Long, Long, Long, Long, Long)].collect().sorted.toSeq
+    assert(run(-1L) === run(Long.MaxValue))
+    assert(run(-1L).nonEmpty)
+  }
+
   test("cosinePairs: sub-threshold pairs drop even with shared terms") {
     // doc 6/7 share one low-weight term among many: cos well under 0.707
     val docs = Seq(

@@ -18,7 +18,7 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
 
   private val runDate = "2022-06-15"
 
-  private lazy val outBase: String = {
+  private lazy val fixtureDir: String = {
     val dir = Files.createTempDirectory("graft-pipeline").toString
     val eventsPath = s"$dir/events"
     val geoPath = s"$dir/geo"
@@ -40,9 +40,16 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
 
     eventsDf(spark, rows).write.partitionBy("date").parquet(eventsPath)
     geoDf(spark).write.parquet(geoPath)
+    dir
+  }
 
-    Pipeline.run(spark, eventsPath, geoPath, s"$dir/marts", runDate, 100.0)
-    s"$dir/marts"
+  private def eventsPath = s"$fixtureDir/events"
+  private def geoPath = s"$fixtureDir/geo"
+
+  private lazy val outBase: String = {
+    Pipeline.run(spark, eventsPath, geoPath, s"$fixtureDir/marts", runDate,
+      100.0)
+    s"$fixtureDir/marts"
   }
 
   test("user mart: schema, home/act city, travel route") {
@@ -78,5 +85,57 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
       .as[(Long, Long, Long, String)].collect()
     // reference quirk: both output columns carry the LEFT (greater) user id
     assert(rows.toSeq === Seq((3L, 3L, 1L, runDate)))
+  }
+
+  private def martRows(base: String, mart: String): Seq[String] =
+    spark.read.parquet(s"$base/$mart").collect()
+      .map(_.toString).sorted.toSeq
+
+  private def partitionDirs(base: String, mart: String): Seq[String] =
+    new java.io.File(s"$base/$mart").listFiles()
+      .filter(_.isDirectory).map(_.getName).sorted.toSeq
+
+  test("mid-chain crash rerun is safe: marts identical to a clean run") {
+    // the retry semantics the reference gets from Airflow
+    // (/root/reference/src/dags/project_dag.py:29-69): a pipeline that
+    // died between sinks must be rerunnable from the top with no manual
+    // cleanup. Simulated here as the worst recoverable state — step 1
+    // landed, step 2 landed then one of its partitions was CORRUPTED by
+    // the dying writer, step 3 never ran — then a full rerun, compared
+    // mart-by-mart (rows AND partition layout) against a clean
+    // single-shot run. processedAt pinned in both runs so the
+    // recommendation mart is comparable.
+    import graft.jobs.{UserMartJob, ZoneMartJob}
+    import graft.sources.Sink
+    val pinned = Some(to_timestamp(lit("2022-06-16 00:00:00")))
+    val cleanBase = {
+      val d = Files.createTempDirectory("graft-clean").toString + "/marts"
+      Pipeline.run(spark, eventsPath, geoPath, d, runDate, 100.0, pinned)
+      d
+    }
+    val crashBase = Files.createTempDirectory("graft-crash").toString +
+      "/marts"
+    val events = spark.read.parquet(eventsPath)
+    val geo = spark.read.parquet(geoPath)
+    // crashed attempt: steps 1 and 2 only (exactly Pipeline.run's sinks)
+    Sink.writePartitionedSorted(UserMartJob.transform(events, geo),
+      s"$crashBase/user_mart", "act_city", Seq("user_id"))
+    Sink.writePartitionedSorted(ZoneMartJob.transform(events, geo),
+      s"$crashBase/zone_mart", "month", Seq("week", "city_id"))
+    // the dying writer left one zone_mart partition truncated to garbage
+    val corrupted = new java.io.File(s"$crashBase/zone_mart").listFiles()
+      .filter(_.isDirectory).head
+    corrupted.listFiles().filter(_.getName.endsWith(".parquet"))
+      .foreach(f => Files.write(f.toPath, Array[Byte](0, 1, 2)))
+    // full rerun from the top — dynamic partition overwrite must replace
+    // every partition it produces, corrupt or not, and write step 3
+    Pipeline.run(spark, eventsPath, geoPath, crashBase, runDate, 100.0,
+      pinned)
+    Seq("user_mart", "zone_mart", "recommendations").foreach { m =>
+      assert(partitionDirs(crashBase, m) === partitionDirs(cleanBase, m),
+        s"$m partition layout diverged after rerun")
+      assert(martRows(crashBase, m) === martRows(cleanBase, m),
+        s"$m rows diverged after rerun")
+    }
   }
 }
