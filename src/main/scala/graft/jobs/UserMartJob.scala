@@ -42,17 +42,32 @@ object UserMartJob {
       .drop("lat_message", "lon_message", "lat", "lon")
   }
 
-  /** Latest message's city + Sydney-local time per user (project_step_1.py:40-54). */
-  def lastGeo(messageGeo: DataFrame): DataFrame = {
+  /** Latest message's city + local time per user (project_step_1.py:40-54).
+    *
+    * `perCityTz = false` is the reference as shipped: local time hard-coded
+    * Australia/Sydney. `perCityTz = true` is the reference's own commented
+    * intent one line below (project_step_1.py:52 — per-city local time):
+    * the zone comes from the geo dimension's `timezone` column, which
+    * [[messageGeo]] carries through the nearest join like any other dim
+    * attribute. One behavioral consequence worth naming: a user whose
+    * last-instant messages TIE across cities in different zones groups
+    * into one row per distinct local_time (the reference's
+    * groupBy(user, local_time) retained verbatim) — unreachable on the
+    * fixture, where city separation forbids ties.
+    */
+  def lastGeo(messageGeo: DataFrame, perCityTz: Boolean = false): DataFrame = {
     val w = Window.partitionBy("user_id")
+    val cols = if (perCityTz) Seq("user_id", "datetime", "city", "timezone")
+               else Seq("user_id", "datetime", "city")
     messageGeo
-      .select("user_id", "datetime", "city")
+      .select(cols.map(col): _*)
       .withColumn("dt_max", max("datetime").over(w))
       .filter(col("datetime") === col("dt_max"))
       .drop("dt_max")
       .withColumn("local_time",
-        from_utc_timestamp(col("datetime"), "Australia/Sydney"))
-      .drop("datetime")
+        if (perCityTz) from_utc_timestamp(col("datetime"), col("timezone"))
+        else from_utc_timestamp(col("datetime"), "Australia/Sydney"))
+      .drop("datetime", "timezone")
       .groupBy("user_id", "local_time")
       .agg(first("city").as("act_city"))
   }
@@ -120,12 +135,17 @@ object UserMartJob {
   /** Full step-1 transform. `strictOrder` follows [[travel]]: false is the
     * reference's exchange-inherited `collect_list` order, true rebuilds the
     * route deterministically (required when the output is oracle-compared).
+    * `perCityLocalTime` follows [[lastGeo]]: true requires a `timezone`
+    * column on `geo` and emits each user's local time in their act city's
+    * zone instead of the reference's hard-coded Sydney.
     */
   def transform(events: DataFrame, geo: DataFrame, minDays: Int = 27,
-                strictOrder: Boolean = false): DataFrame = {
+                strictOrder: Boolean = false,
+                perCityLocalTime: Boolean = false): DataFrame = {
     val mg = messageGeo(events, geo).cache() // 3 branches fan out (ref :35)
     val home = homeGeo(mg, minDays).cache() // reused by travel + final join (ref :83)
-    userMart(lastGeo(mg), home, travel(mg, home, strictOrder))
+    userMart(lastGeo(mg, perCityLocalTime), home,
+      travel(mg, home, strictOrder))
   }
 
   /** CLI parity with project_step_1.py:114-140: events geo out. */

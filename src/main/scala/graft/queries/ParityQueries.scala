@@ -74,6 +74,132 @@ object ParityQueries extends Catalog {
       (lit(-60) + col("n_nationkey") * 137 % 120).cast("double").as("lat"),
       (lit(-170) + col("n_nationkey") * 211 % 340).cast("double").as("lon"))
 
+  /** Six real IANA zones keyed by nation — Darwin/Adelaide carry the
+    * half-hour offsets, so the per-city variant is visibly not a constant
+    * shift. Spark (JDK tzdb) and DuckDB (ICU) both speak IANA ids;
+    * Australian rules have been stable since 2008.
+    */
+  private val AusZones = Seq("Australia/Sydney", "Australia/Perth",
+    "Australia/Brisbane", "Australia/Darwin", "Australia/Adelaide",
+    "Australia/Hobart")
+
+  /** The composed user-mart job on derived inputs — q46 (reference
+    * semantics: Sydney local time) and q144 (`perCityTz`: the geo dim
+    * carries a timezone and local_time follows the act city). Every user
+    * "lives" in city (user_id % 25) and "travels" to
+    * ((user_id + event_id) % 25) on every 10th event; strictOrder and the
+    * 0.05° offset keep the output engine-deterministic; minDays = 5.
+    */
+  private def derivedUserMart(s: SparkSession, d: String,
+                              perCityTz: Boolean): DataFrame = {
+    val ev = Tables.events(s, d)
+    val cityIdx = when(col("event_id") % 10 === 0,
+      (col("user_id") + col("event_id")) % 25).otherwise(col("user_id") % 25)
+    val refEvents = ev.select(
+      struct(
+        col("user_id").as("message_from"),
+        col("event_id").as("message_id"),
+        col("ts").cast("string").as("message_ts"),
+        col("ts").cast("string").as("datetime")).as("event"),
+      lit("message").as("event_type"),
+      (lit(-60) + cityIdx * 137 % 120 + lit(0.05)).as("lat"),
+      (lit(-170) + cityIdx * 211 % 340 + lit(0.05)).as("lon"))
+    val geo0 = refGeo(s, d)
+    val geo =
+      if (perCityTz) geo0.withColumn("timezone",
+        element_at(array(AusZones.map(lit): _*),
+          (col("id") % 6 + 1).cast("int")))
+      else geo0
+    graft.jobs.UserMartJob.transform(refEvents, geo, minDays = 5,
+        strictOrder = true, perCityLocalTime = perCityTz)
+      .select(col("user_id"),
+        date_format(col("local_time"), "yyyy-MM-dd HH:mm:ss").as("local_time"),
+        col("act_city"), col("home_city"),
+        col("travel_count"), concat_ws(",", col("travel_array")).as("route"))
+  }
+
+  /** The whole three-branch user-mart DAG in DuckDB SQL — q46 (Sydney
+    * hard-code) and q144 (`perCityTz`: the cities CTE carries the same
+    * nation-keyed zone list as [[derivedUserMart]] and local_time converts
+    * per act city). Derived message events -> nearest city (933 km min
+    * city separation vs 7.8 km offset: no ties) -> argmax act-city /
+    * gaps-and-islands home-city / route-change travel.
+    */
+  private def userMartOracleSql(perCityTz: Boolean): String = {
+    val hav = Geo.haversineSqlText("lat_m", "lat", "lon_m", "lon")
+    val tzList = AusZones.map(z => s"'$z'").mkString("[", ",", "]")
+    val tzCities = if (perCityTz)
+      s",\n    ($tzList)[n_nationkey % 6 + 1] AS tz" else ""
+    val tzSel = if (perCityTz) ", tz" else ""
+    val zone = if (perCityTz) "tz" else "'Australia/Sydney'"
+    s"""WITH ev AS (
+       |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS datetime,
+       |    CASE WHEN event_id % 10 = 0 THEN (user_id + event_id) % 25
+       |         ELSE user_id % 25 END AS ci
+       |  FROM events),
+       |msg AS (
+       |  SELECT user_id, datetime,
+       |    -60 + ci*137 % 120 + 0.05 AS lat_m,
+       |    -170 + ci*211 % 340 + 0.05 AS lon_m
+       |  FROM ev),
+       |cities AS (
+       |  SELECT n_name AS city,
+       |    CAST(-60 + n_nationkey*137 % 120 AS DOUBLE) AS lat,
+       |    CAST(-170 + n_nationkey*211 % 340 AS DOUBLE) AS lon$tzCities
+       |  FROM nation),
+       |nn AS (
+       |  SELECT user_id, datetime, city$tzSel FROM (
+       |    SELECT user_id, datetime, city$tzSel, $hav AS dist,
+       |      min($hav) OVER (PARTITION BY user_id, datetime) AS dmin
+       |    FROM msg CROSS JOIN cities)
+       |  WHERE dist = dmin),
+       |last_geo AS (
+       |  SELECT user_id,
+       |    strftime(timezone($zone, timezone('UTC', datetime)),
+       |      '%Y-%m-%d %H:%M:%S') AS local_time,
+       |    min(city) AS act_city
+       |  FROM (SELECT *, max(datetime) OVER (PARTITION BY user_id) AS mdt
+       |        FROM nn)
+       |  WHERE datetime = mdt GROUP BY 1, 2),
+       |days AS (SELECT DISTINCT user_id, CAST(datetime AS DATE) AS d, city
+       |         FROM nn),
+       |dr_t AS (
+       |  SELECT user_id, d, city,
+       |    dense_rank() OVER (PARTITION BY user_id ORDER BY d DESC) AS dr
+       |  FROM days),
+       |ranked AS (
+       |  SELECT *, coalesce(lag(dr) OVER (PARTITION BY user_id, city
+       |    ORDER BY d DESC), 0) AS ldr
+       |  FROM dr_t),
+       |isl AS (
+       |  SELECT user_id, city, dr - rn AS diff, max(d) AS d, count(*) AS n
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY user_id, city
+       |          ORDER BY d DESC) AS rn
+       |        FROM ranked WHERE dr = ldr + 1)
+       |  GROUP BY 1, 2, 3 HAVING count(*) >= 5),
+       |home AS (
+       |  SELECT user_id, min(city) AS home_city FROM (
+       |    SELECT *, max(d) OVER (PARTITION BY user_id) AS md FROM isl)
+       |  WHERE d = md GROUP BY 1),
+       |stops AS (
+       |  SELECT s.user_id, s.datetime, s.city FROM (
+       |    SELECT *, lag(city) OVER (PARTITION BY user_id
+       |      ORDER BY datetime, city) AS lc
+       |    FROM (SELECT DISTINCT user_id, datetime, city FROM nn)) s
+       |  LEFT JOIN home h ON s.user_id = h.user_id AND s.city = h.home_city
+       |  WHERE (s.city != s.lc OR s.lc IS NULL) AND h.user_id IS NULL),
+       |trav AS (
+       |  SELECT user_id, count(city) AS travel_count,
+       |    array_to_string(list(city ORDER BY datetime, city), ',') AS route
+       |  FROM stops GROUP BY 1)
+       |SELECT l.user_id, l.local_time, l.act_city, h.home_city,
+       |  t.travel_count,
+       |  coalesce(t.route, '') AS route
+       |FROM last_geo l
+       |LEFT JOIN home h ON l.user_id = h.user_id
+       |LEFT JOIN trav t ON l.user_id = t.user_id""".stripMargin
+  }
+
   /** DuckDB CTE text shared by the q48/q49 oracles: the [[refEventsFull]]
     * derivation (`shaped`) and the city dim (`cities`).
     */
@@ -303,31 +429,17 @@ object ParityQueries extends Catalog {
     // utive *event*-day runs in the home city comfortably exceed it, noise
     // cities never do. travel_array joins to a string (arrays don't survive
     // the driver comparator).
-    "q46_user_mart" -> ((s, d) => {
-      val ev = Tables.events(s, d)
-      val cityIdx = when(col("event_id") % 10 === 0,
-        (col("user_id") + col("event_id")) % 25).otherwise(col("user_id") % 25)
-      val refEvents = ev.select(
-        struct(
-          col("user_id").as("message_from"),
-          col("event_id").as("message_id"),
-          col("ts").cast("string").as("message_ts"),
-          col("ts").cast("string").as("datetime")).as("event"),
-        lit("message").as("event_type"),
-        (lit(-60) + cityIdx * 137 % 120 + lit(0.05)).as("lat"),
-        (lit(-170) + cityIdx * 211 % 340 + lit(0.05)).as("lon"))
-      val geo = Tables.nation(s, d).select(
-        col("n_nationkey").as("id"),
-        col("n_name").as("city"),
-        (lit(-60) + col("n_nationkey") * 137 % 120).cast("double").as("lat"),
-        (lit(-170) + col("n_nationkey") * 211 % 340).cast("double").as("lon"))
-      graft.jobs.UserMartJob.transform(refEvents, geo, minDays = 5,
-          strictOrder = true)
-        .select(col("user_id"),
-          date_format(col("local_time"), "yyyy-MM-dd HH:mm:ss").as("local_time"),
-          col("act_city"), col("home_city"),
-          col("travel_count"), concat_ws(",", col("travel_array")).as("route"))
-    }),
+    "q46_user_mart" -> ((s, d) => derivedUserMart(s, d, perCityTz = false)),
+
+    // ---- the per-city local-time VARIANT (the reference's own commented
+    // intent at project_step_1.py:52): the geo dimension carries a
+    // timezone column (six real Australian zones by nation key — Darwin
+    // and Adelaide exercise the half-hour offsets) and the user mart
+    // reports each user's local time in their act city's zone instead of
+    // hard-coded Sydney. Everything else is exactly q46; the oracle is
+    // the same DAG with timezone(tz, ...) per city.
+    "q144_user_mart_city_tz" -> ((s, d) =>
+      derivedUserMart(s, d, perCityTz = true)),
 
     // ---- O1 end-to-end: the composed zone-mart job -------------------------
     // ZoneMartJob.transform (last-message coordinate fill -> pre-aggregate ->
@@ -530,75 +642,10 @@ object ParityQueries extends Catalog {
     // argmax act-city / gaps-and-islands home-city / route-change travel.
     // timezone(tz, timezone('UTC', ts)) = Spark's from_utc_timestamp,
     // independent of the DuckDB session timezone.
-    "q46_user_mart" -> {
-      val hav = Geo.haversineSqlText("lat_m", "lat", "lon_m", "lon")
-      s"""WITH ev AS (
-         |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS datetime,
-         |    CASE WHEN event_id % 10 = 0 THEN (user_id + event_id) % 25
-         |         ELSE user_id % 25 END AS ci
-         |  FROM events),
-         |msg AS (
-         |  SELECT user_id, datetime,
-         |    -60 + ci*137 % 120 + 0.05 AS lat_m,
-         |    -170 + ci*211 % 340 + 0.05 AS lon_m
-         |  FROM ev),
-         |cities AS (
-         |  SELECT n_name AS city,
-         |    CAST(-60 + n_nationkey*137 % 120 AS DOUBLE) AS lat,
-         |    CAST(-170 + n_nationkey*211 % 340 AS DOUBLE) AS lon
-         |  FROM nation),
-         |nn AS (
-         |  SELECT user_id, datetime, city FROM (
-         |    SELECT user_id, datetime, city, $hav AS dist,
-         |      min($hav) OVER (PARTITION BY user_id, datetime) AS dmin
-         |    FROM msg CROSS JOIN cities)
-         |  WHERE dist = dmin),
-         |last_geo AS (
-         |  SELECT user_id,
-         |    strftime(timezone('Australia/Sydney', timezone('UTC', datetime)),
-         |      '%Y-%m-%d %H:%M:%S') AS local_time,
-         |    min(city) AS act_city
-         |  FROM (SELECT *, max(datetime) OVER (PARTITION BY user_id) AS mdt
-         |        FROM nn)
-         |  WHERE datetime = mdt GROUP BY 1, 2),
-         |days AS (SELECT DISTINCT user_id, CAST(datetime AS DATE) AS d, city
-         |         FROM nn),
-         |dr_t AS (
-         |  SELECT user_id, d, city,
-         |    dense_rank() OVER (PARTITION BY user_id ORDER BY d DESC) AS dr
-         |  FROM days),
-         |ranked AS (
-         |  SELECT *, coalesce(lag(dr) OVER (PARTITION BY user_id, city
-         |    ORDER BY d DESC), 0) AS ldr
-         |  FROM dr_t),
-         |isl AS (
-         |  SELECT user_id, city, dr - rn AS diff, max(d) AS d, count(*) AS n
-         |  FROM (SELECT *, row_number() OVER (PARTITION BY user_id, city
-         |          ORDER BY d DESC) AS rn
-         |        FROM ranked WHERE dr = ldr + 1)
-         |  GROUP BY 1, 2, 3 HAVING count(*) >= 5),
-         |home AS (
-         |  SELECT user_id, min(city) AS home_city FROM (
-         |    SELECT *, max(d) OVER (PARTITION BY user_id) AS md FROM isl)
-         |  WHERE d = md GROUP BY 1),
-         |stops AS (
-         |  SELECT s.user_id, s.datetime, s.city FROM (
-         |    SELECT *, lag(city) OVER (PARTITION BY user_id
-         |      ORDER BY datetime, city) AS lc
-         |    FROM (SELECT DISTINCT user_id, datetime, city FROM nn)) s
-         |  LEFT JOIN home h ON s.user_id = h.user_id AND s.city = h.home_city
-         |  WHERE (s.city != s.lc OR s.lc IS NULL) AND h.user_id IS NULL),
-         |trav AS (
-         |  SELECT user_id, count(city) AS travel_count,
-         |    array_to_string(list(city ORDER BY datetime, city), ',') AS route
-         |  FROM stops GROUP BY 1)
-         |SELECT l.user_id, l.local_time, l.act_city, h.home_city,
-         |  t.travel_count,
-         |  coalesce(t.route, '') AS route
-         |FROM last_geo l
-         |LEFT JOIN home h ON l.user_id = h.user_id
-         |LEFT JOIN trav t ON l.user_id = t.user_id""".stripMargin
-    },
+    "q46_user_mart" -> userMartOracleSql(perCityTz = false),
+
+    // same DAG, local_time in the act city's own zone (the q144 variant)
+    "q144_user_mart_city_tz" -> userMartOracleSql(perCityTz = true),
 
     // full zone-mart DAG: last-message fill -> (week, month, type, coord)
     // pre-aggregate -> per-coordinate nearest city -> conditional-agg pivots
