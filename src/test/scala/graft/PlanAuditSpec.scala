@@ -47,7 +47,8 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
       "q130_lm_quality_filter", // 1-row vocab-size + corpus-mean scalars
       "q131_dsir_selection", // 1-row distribution-total scalars (dist())
       "q134_cosine_near_dups", // 1-row corpus-size scalar (df guard)
-      "q140_kmv_rollup") // 1-row global-exact scalar beside the sketch
+      "q140_kmv_rollup", // 1-row global-exact scalar beside the sketch
+      "q144_user_mart_city_tz") // q46's broadcast nearest-city shape
 
   test("no catalog query plans a CartesianProduct") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
@@ -88,7 +89,19 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
       "q59_corpus_dedup" -> Instrument.Counts(41, 41),
       "q75_pipeline_sink" -> Instrument.Counts(90, 90),
       "q76_incremental_clusters" -> Instrument.Counts(78, 78),
-      "q77_srp_near_dups" -> Instrument.Counts(7, 7))
+      "q77_srp_near_dups" -> Instrument.Counts(7, 7),
+      // round-8/9 tier (measured at this sf + jitter): q128 media hashes,
+      // q131 DSIR's fit+spine+selection chain, q132/q133/q142 the BPE fit
+      // (batched rounds ARE the job count — a return of the one-merge-
+      // per-job loop would double it), q134's pin+count+model collect,
+      // q135 the interval-overlap bucket join
+      "q128_media_near_dups" -> Instrument.Counts(12, 12),
+      "q131_dsir_selection" -> Instrument.Counts(33, 33),
+      "q132_bpe_merges" -> Instrument.Counts(16, 16),
+      "q133_bpe_token_counts" -> Instrument.Counts(17, 17),
+      "q134_cosine_near_dups" -> Instrument.Counts(18, 18),
+      "q135_overlap_join" -> Instrument.Counts(5, 5),
+      "q142_bpe_wordpiece_roundtrip" -> Instrument.Counts(17, 17))
     val got = bounds.toSeq.sortBy(_._1).map { case (name, bound) =>
       val fn = SparkEntry.queries(name)
       val (_, c) = Instrument.countStages(spark) {
