@@ -28,7 +28,7 @@ import duckdb
 
 SRC = "/root/testdata/sf0.1"
 DST = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf1"
-K = 10  # replicas
+K = int(sys.argv[2]) if len(sys.argv) > 2 else 10  # replicas of sf0.1
 
 os.makedirs(DST, exist_ok=True)
 con = duckdb.connect()
@@ -52,29 +52,29 @@ for t in ("region", "nation"):
     print(f"{t}: copied 1x")
 
 gen("customer", lambda k: f"""
-  SELECT c_custkey + {k}*1000000 AS c_custkey, c_name, c_nationkey,
+  SELECT c_custkey + {k*1000000} AS c_custkey, c_name, c_nationkey,
          c_acctbal, c_mktsegment
   FROM '{SRC}/customer.parquet'""")
 
 gen("supplier", lambda k: f"""
-  SELECT s_suppkey + {k}*1000000 AS s_suppkey, s_name, s_nationkey, s_acctbal
+  SELECT s_suppkey + {k*1000000} AS s_suppkey, s_name, s_nationkey, s_acctbal
   FROM '{SRC}/supplier.parquet'""")
 
 gen("part", lambda k: f"""
-  SELECT p_partkey + {k}*1000000 AS p_partkey, p_name, p_brand, p_type,
+  SELECT p_partkey + {k*1000000} AS p_partkey, p_name, p_brand, p_type,
          p_size, p_retailprice
   FROM '{SRC}/part.parquet'""")
 
 gen("orders", lambda k: f"""
-  SELECT o_orderkey + {k}*100000000 AS o_orderkey,
-         o_custkey + {k}*1000000 AS o_custkey,
+  SELECT o_orderkey + {k*100000000} AS o_orderkey,
+         o_custkey + {k*1000000} AS o_custkey,
          o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
   FROM '{SRC}/orders.parquet'""")
 
 gen("lineitem", lambda k: f"""
-  SELECT l_orderkey + {k}*100000000 AS l_orderkey,
-         l_partkey + {k}*1000000 AS l_partkey,
-         l_suppkey + {k}*1000000 AS l_suppkey,
+  SELECT l_orderkey + {k*100000000} AS l_orderkey,
+         l_partkey + {k*1000000} AS l_partkey,
+         l_suppkey + {k*1000000} AS l_suppkey,
          l_linenumber, l_quantity, l_extendedprice, l_discount, l_tax,
          l_returnflag, l_linestatus, l_shipdate
   FROM '{SRC}/lineitem.parquet'""")
@@ -84,16 +84,16 @@ gen("lineitem", lambda k: f"""
 # (legacy nanosAsLong) and divides to micros — a plain TIMESTAMP column
 # here would hit its `ts DIV 1000` with the wrong type
 gen("events", lambda k: f"""
-  SELECT event_id + {k}*100000000 AS event_id,
+  SELECT event_id + {k*100000000} AS event_id,
          epoch_ns(ts) AS ts,
-         user_id + {k}*1000000 AS user_id,
+         user_id + {k*1000000} AS user_id,
          event_type, value, props
   FROM '{SRC}/events.parquet'""")
 
 gen("documents", lambda k: (f"""
   SELECT doc_id, text, lang, source, n_chars FROM '{SRC}/documents.parquet'"""
     if k == 0 else f"""
-  SELECT doc_id + {k}*1000000 AS doc_id,
+  SELECT doc_id + {k*1000000} AS doc_id,
          array_to_string(list_transform(string_split(text, ' '),
            x -> CASE WHEN x = '' THEN x ELSE x || 'r{k}' END), ' ') AS text,
          lang, source,
@@ -110,7 +110,7 @@ dim = con.sql(
 gen("embeddings", lambda k: (f"""
   SELECT vec_id, embedding, label FROM '{SRC}/embeddings.parquet'"""
     if k == 0 else f"""
-  SELECT vec_id + {k}*100000000 AS vec_id,
+  SELECT vec_id + {k*100000000} AS vec_id,
          [CAST((CAST(hash(vec_id * 131071 + i * 524287 + {k} * 8191)
             % 2001 AS BIGINT) - 1000) / 1000.0 AS FLOAT)
           FOR i IN range(1, {dim} + 1)] AS embedding,
