@@ -263,6 +263,65 @@ object Bpe {
           .as("disagree_words"))
   }
 
+  /** Raw-word length bound for [[vocabCoverage]]: words longer than this
+    * are excluded from the coverage metric entirely (an unbounded blob —
+    * URL, base64 — is not a word; real coverage dashboards apply the same
+    * cap). 2× the training bound, so every word the FIT ever saw is
+    * covered plus a band of longer natural words.
+    */
+  val MaxCoverageWordLen: Int = 2 * MaxWordLen
+
+  /** Vocabulary coverage / UNK-rate of the learned-BPE inference
+    * vocabulary over the RAW word stream — the production question a
+    * tokenizer report answers ("what fraction of my corpus does this
+    * vocabulary even tokenize"): per `group`, the word occurrences, the
+    * occurrences the greedy tokenizer maps to `[UNK]`, the distinct
+    * `[UNK]` word forms, the total subword tokens, and the UNK rate in
+    * integer permille.
+    *
+    * Unlike [[roundTrip]]/[[tokenCounts]] — whose contract EXCLUDES
+    * out-of-bounds words from tokenization (count 1, never split) — this
+    * operator feeds every word (up to [[MaxCoverageWordLen]]) to the
+    * greedy longest-match tokenizer, so the `[UNK]` path of
+    * [[graft.plans.WordpieceExpression]] is exercised on data, not just in
+    * specs: the exported vocabulary contains all 36 charset characters, so
+    * a word is `[UNK]` exactly when it carries an off-charset character
+    * (`-`, `#`, …) — the ids, URLs, and punctuation-glued tokens real
+    * corpora are full of. The UNK verdict is taken from the TOKENIZER
+    * (pieces == "[UNK]"), not re-derived from a charset regex, so the
+    * expression's own discard-partial-matches rule is what is measured.
+    *
+    * Scale shape: DIRECT per-occurrence evaluation — unlike
+    * [[roundTrip]]/[[tokenCounts]], no distinct-word join. The raw word
+    * stream here contains unbounded-cardinality id/URL tokens, so a
+    * distinct-word table is corpus-sized (never broadcastable at 100 TB),
+    * while the greedy matcher is a cheap codegen'd scalar (a handful of
+    * bounded hash probes per word). The whole plan is one map-only
+    * projection plus a mergeable groupBy on the small `group` key; the
+    * only distinct aggregate (`unk_vocab`) partial-dedupes map-side and
+    * shuffles (group, unk-word) pairs — the UNK vocabulary, not the
+    * corpus.
+    */
+  def vocabCoverage(docs: DataFrame, group: String, text: Column,
+                    merges: Seq[(String, String)]): DataFrame = {
+    import graft.plans.WordpieceExpression.{wordpieceCount, wordpiecePieces}
+    val vocab = bpeVocab(merges)
+    docs.select(col(group),
+        explode(split(Dedup.normalizeText(text), " ")).as("word"))
+      .filter(col("word") =!= "" &&
+        length(col("word")) <= MaxCoverageWordLen)
+      .withColumn("__wp", wordpieceCount(col("word"), vocab))
+      .withColumn("__unk",
+        (wordpiecePieces(col("word"), vocab) === "[UNK]").cast("long"))
+      .groupBy(col(group))
+      .agg(count(lit(1)).as("n_words"),
+        sum("__unk").as("unk_words"),
+        sum("__wp").as("wp_tokens"),
+        countDistinct(when(col("__unk") === 1, col("word")))
+          .as("unk_vocab"))
+      .withColumn("unk_permille", expr("(unk_words * 1000) div n_words"))
+  }
+
   /** Per-doc token accounting under a learned merge list: (id, bpe_tokens,
     * ws_tokens) — the corpus re-tokenized by its OWN learned rules. The
     * merge cascade (k replaces) runs once per DISTINCT word; the corpus

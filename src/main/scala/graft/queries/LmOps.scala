@@ -94,6 +94,27 @@ object LmOps extends Catalog {
       val freq = Caches.pin(Bpe.wordFreq(docs, "text"))
       val merges = Bpe.learnMerges(freq, 8).map(m => (m._1, m._2))
       Bpe.roundTrip(docs, "doc_id", "text", merges)
+    }),
+
+    // ---- learned-vocabulary coverage / UNK rate ----------------------------
+    // the tokenizer report real pipelines run before committing to a
+    // vocabulary: every RAW word (no training-bounds bypass — this is the
+    // query that exercises the greedy tokenizer's [UNK] path on data)
+    // goes through greedy longest-match over q132's exported vocabulary,
+    // per-source UNK occurrences / distinct UNK forms / subword tokens /
+    // UNK permille. The fixture text itself is all-charset, so the
+    // off-charset mass is fabricated deterministically from fixture
+    // columns (the q129 URL device): each doc contributes a "doc-<id>"
+    // id-token and a "src#lang" tag-token — exactly the id/URL/punct
+    // shapes that dominate real UNK tails.
+    "q145_vocab_coverage" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val freq = Caches.pin(Bpe.wordFreq(docs, "text"))
+      val merges = Bpe.learnMerges(freq, 8).map(m => (m._1, m._2))
+      val aug = concat(col("text"), lit(" doc-"),
+        col("doc_id").cast("string"), lit(" "), col("source"), lit("#"),
+        col("lang"))
+      Bpe.vocabCoverage(docs, "source", aug, merges)
     })
   )
 
@@ -146,6 +167,41 @@ object LmOps extends Catalog {
     (base +: rounds).mkString(",\n")
   }
 
+  /** Greedy longest-match layers g1..gN over an existing `g0 (word, len,
+    * pos, n)` and `pieces (piece, plen)`: each layer passes finished words
+    * (pos >= len) through and advances every unfinished word by its
+    * LONGEST matching piece (argmax via group-by max(plen)). A word with
+    * NO matching piece at its position — an off-charset character — drops
+    * out of the chain entirely: absence from the final layer's finished
+    * set IS the `[UNK]` verdict, mirroring the expression's
+    * discard-partial-matches rule. MATERIALIZED: each layer references its
+    * predecessor twice, so default CTE inlining would expand 2^N copies of
+    * the base scan. */
+  private def greedyCtes(layers: Int): String =
+    (1 to layers).map { i =>
+      s"""g$i AS MATERIALIZED (
+         |  SELECT word, len, pos, n FROM g${i - 1} WHERE pos >= len
+         |  UNION ALL
+         |  SELECT g.word, g.len, g.pos + max(p.plen) AS pos,
+         |    g.n + 1 AS n
+         |  FROM g${i - 1} g JOIN pieces p
+         |    ON substr(g.word, g.pos + 1, p.plen) = p.piece
+         |  WHERE g.pos < g.len
+         |  GROUP BY g.word, g.len, g.pos, g.n)""".stripMargin
+    }.mkString(",\n")
+
+  /** The exported inference piece set as a CTE: merged symbols from each
+    * fit layer (UNION dedupes collisions) plus the 36 charset chars. */
+  private def piecesCte(k: Int): String = {
+    val arms = (1 to k).map(i => s"SELECT l || r AS piece FROM b$i")
+      .mkString("\n  UNION ")
+    s"""pieces AS (SELECT piece, length(piece) AS plen FROM (
+       |  $arms
+       |  UNION SELECT unnest(regexp_extract_all(
+       |    'abcdefghijklmnopqrstuvwxyz0123456789', '.')) AS piece))"""
+      .stripMargin
+  }
+
   override def oracles: Map[String, String] = Map(
 
     "q132_bpe_merges" -> {
@@ -159,37 +215,15 @@ object LmOps extends Catalog {
 
     "q142_bpe_wordpiece_roundtrip" -> {
       val k = 8
-      // exported piece set: merged symbols from each fit layer plus the
-      // 36 charset chars (UNION dedupes merge products that collide with
-      // existing symbols); greedy longest-match replayed as MaxWordLen
-      // unrolled layers — each advances every unfinished word by its
-      // LONGEST matching piece (argmax via group-by max(plen); every
-      // single char is a piece, so no word ever stalls), finished words
-      // pass through, and 16 layers cover the 16-char word bound
-      val pieceArms = (1 to k).map(i => s"SELECT l || r AS piece FROM b$i")
-        .mkString("\n  UNION ")
-      // MATERIALIZED: each layer references its predecessor twice
-      // (finished pass-through + advance), so DuckDB's default CTE
-      // inlining would expand 2^16 copies of the base scan
-      val glayers = (1 to graft.ext.Bpe.MaxWordLen).map { i =>
-        s"""g$i AS MATERIALIZED (
-           |  SELECT word, len, pos, n FROM g${i - 1} WHERE pos >= len
-           |  UNION ALL
-           |  SELECT g.word, g.len, g.pos + max(p.plen) AS pos,
-           |    g.n + 1 AS n
-           |  FROM g${i - 1} g JOIN pieces p
-           |    ON substr(g.word, g.pos + 1, p.plen) = p.piece
-           |  WHERE g.pos < g.len
-           |  GROUP BY g.word, g.len, g.pos, g.n)""".stripMargin
-      }.mkString(",\n")
+      // greedy longest-match replayed as MaxWordLen unrolled layers over
+      // the TRAINED word table (every word in f0 is in-charset, and every
+      // single char is a piece, so no word ever stalls here — the stall
+      // path only fires in q145's raw-word oracle)
       s"""WITH ${bpeCtes(k)},
-         |pieces AS (SELECT piece, length(piece) AS plen FROM (
-         |  $pieceArms
-         |  UNION SELECT unnest(regexp_extract_all(
-         |    'abcdefghijklmnopqrstuvwxyz0123456789', '.')) AS piece)),
+         |${piecesCte(k)},
          |g0 AS (SELECT word, length(word) AS len, 0 AS pos, 0 AS n
          |  FROM f0),
-         |$glayers,
+         |${greedyCtes(graft.ext.Bpe.MaxWordLen)},
          |wp AS (SELECT word, n AS wp_n FROM g${graft.ext.Bpe.MaxWordLen}),
          |bpe AS (SELECT word,
          |  length(sym) - length(replace(sym, '(', '')) AS bpe_n FROM w$k),
@@ -203,6 +237,44 @@ object LmOps extends Catalog {
          |  CAST(sum(CASE WHEN coalesce(wn.bpe_n, 1) != coalesce(wn.wp_n, 1)
          |    THEN 1 ELSE 0 END) AS BIGINT) AS disagree_words
          |FROM dw LEFT JOIN wn ON dw.word = wn.word
+         |GROUP BY 1""".stripMargin
+    },
+
+    "q145_vocab_coverage" -> {
+      val k = 8
+      val maxLen = graft.ext.Bpe.MaxCoverageWordLen
+      // raw augmented word stream (normalize, split, length cap only — no
+      // training-bounds filter: off-charset words MUST reach the greedy
+      // matcher so its [UNK] path is what the oracle replays); greedy runs
+      // once per DISTINCT word, UNK = absent from the final layer's
+      // finished set (the stall-drop rule of greedyCtes), UNK words count
+      // 1 token — exactly WordpieceOps.wordTokens' contract
+      val aug = "text || ' doc-' || CAST(doc_id AS VARCHAR) || ' ' || " +
+        "source || '#' || lang"
+      val norm =
+        s"lower(trim(regexp_replace($aug, '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')))"
+      s"""WITH ${bpeCtes(k)},
+         |${piecesCte(k)},
+         |cw AS (SELECT source, word FROM (
+         |  SELECT source, unnest(list_filter(string_split($norm, ' '),
+         |    x -> x != '')) AS word FROM documents)
+         |  WHERE length(word) <= $maxLen),
+         |dwords AS (SELECT DISTINCT word FROM cw),
+         |g0 AS (SELECT word, length(word) AS len, 0 AS pos, 0 AS n
+         |  FROM dwords),
+         |${greedyCtes(maxLen)},
+         |fin AS (SELECT word, n FROM g$maxLen WHERE pos >= len),
+         |wr AS (SELECT d.word, coalesce(fin.n, 1) AS wp_n,
+         |    CASE WHEN fin.word IS NULL THEN 1 ELSE 0 END AS unk
+         |  FROM dwords d LEFT JOIN fin ON d.word = fin.word)
+         |SELECT cw.source AS source,
+         |  CAST(count(*) AS BIGINT) AS n_words,
+         |  CAST(sum(wr.unk) AS BIGINT) AS unk_words,
+         |  CAST(sum(wr.wp_n) AS BIGINT) AS wp_tokens,
+         |  CAST(count(DISTINCT CASE WHEN wr.unk = 1 THEN cw.word END)
+         |    AS BIGINT) AS unk_vocab,
+         |  CAST((sum(wr.unk) * 1000) // count(*) AS BIGINT) AS unk_permille
+         |FROM cw JOIN wr ON cw.word = wr.word
          |GROUP BY 1""".stripMargin
     },
 

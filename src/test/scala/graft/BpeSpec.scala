@@ -151,4 +151,28 @@ class BpeSpec extends AnyFunSuite with SparkTestBase {
       assert(batM === seqM, s"trial $trial k=$k words=$words")
     }
   }
+
+  test("vocabCoverage: UNK verdicts, length cap, and the rollup, hand-computed") {
+    // one merge (a,b): pieces = 36 chars + "ab" (start and ## forms).
+    // s1 exercises the three UNK shapes: off-charset at pos 0 after a
+    // 1-char match ("a-b": a matches, '-' stalls), off-charset mid-word
+    // after a MERGED match ("ab-x": greedy eats "ab" then stalls — the
+    // discard-partial-matches rule), and off-charset interior ("xy#z").
+    // s2 exercises the boundary: a 32-char word IS counted (32 single
+    // chars), a 33-char word is excluded from the metric entirely.
+    val d = Seq(
+      ("s1", "ab ab ab a-b xy#z ab-x"),
+      ("s2", "abc " + "a" * 33 + " cd " + "a" * 32))
+      .toDF("source", "text")
+    val merges = Seq(("a", "b"))
+    val out = Bpe.vocabCoverage(d, "source", col("text"), merges)
+      .orderBy("source").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(out.toSeq === Seq(
+      // s1: 6 words, 3 UNK (all distinct forms), wp = 3·[ab] + 3·1 = 6
+      ("s1", 6L, 3L, 6L, 3L, 500L),
+      // s2: abc = [ab,##c] 2, a*32 = 32, cd = [c,##d] 2
+      ("s2", 3L, 0L, 36L, 0L, 0L)))
+  }
 }
