@@ -1,8 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout, OutputMode}
 
 /** Structured Streaming slice of the analytics surface.
   *
@@ -324,9 +324,16 @@ object EventStream {
     * 100 TB shape: the dimension rides as a BROADCAST (dims are
     * customer/geo-sized, events are the 100 TB side), so the stream never
     * shuffles — each executor probes its local hash relation per batch.
-    * A parquet-backed static frame is re-planned per micro-batch, which
-    * is exactly how a slowly-refreshed dimension picks up new files
-    * without restarting the query.
+    *
+    * FROZEN-DIM CAVEAT (measured, and pinned by the spec): a
+    * parquet-backed static frame's file listing is captured when the
+    * QUERY STARTS and never re-listed — files appended to the dim path
+    * mid-query are silently invisible to later batches, an in-place
+    * overwrite fails the next batch with FILE_NOT_EXIST (the listing
+    * points at deleted part files), and `spark.catalog.refreshByPath`
+    * does not reach a running query's already-analyzed plan (all three
+    * probed on this Spark). A dimension that REFRESHES while the query
+    * runs must re-read per batch: [[enrichEventsPerBatch]].
     *
     * `dim`'s `dimKey` column joins `events.user_id`; all other dim
     * columns attach.
@@ -335,6 +342,29 @@ object EventStream {
                    dimKey: String): DataFrame =
     events.join(broadcast(dim.withColumnRenamed(dimKey, "user_id")),
       Seq("user_id"), "left")
+
+  /** Stream-static enrichment with a PER-BATCH-REFRESHED dimension — the
+    * slowly-changing-dim variant of [[enrichEvents]]: `readDim` runs
+    * inside `foreachBatch` at every trigger, so each micro-batch builds a
+    * FRESH dim frame (new file listing, new broadcast) and in-place
+    * rewrites or appended files land at the next batch boundary — the
+    * semantics the frozen static join above cannot give without a query
+    * restart. Within a batch the join is the same stateless broadcast
+    * left join, so the per-event cost is identical; the refresh costs one
+    * dim re-read per trigger, which is the right trade for a
+    * customer-sized dim under a minutes-scale trigger.
+    *
+    * `write` receives each enriched micro-batch with its batch id —
+    * foreachBatch's contract (exactly-once only as far as `write` is
+    * idempotent on batch id, same as any foreachBatch sink).
+    */
+  def enrichEventsPerBatch(events: DataFrame, readDim: () => DataFrame,
+                           dimKey: String)(
+      write: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
+    events.writeStream.foreachBatch {
+      (batch: Dataset[Row], batchId: java.lang.Long) =>
+        write(enrichEvents(batch.toDF(), readDim(), dimKey), batchId)
+    }
 
   /** Wire a streaming frame to an in-memory table (tests) or console. */
   def startToMemory(df: DataFrame, queryName: String,

@@ -340,6 +340,65 @@ class EventStreamSpec extends AnyFunSuite with SparkTestBase {
     assert(twin === got)
   }
 
+  test("per-batch dim refresh: a mid-query IN-PLACE dim rewrite lands at " +
+      "the next batch; the frozen static join never sees appended files") {
+    implicit val ctx = spark.sqlContext
+    val dimPath = java.nio.file.Files.createTempDirectory("dimref")
+      .toString + "/dim"
+    val cols = Seq("event_id", "ts", "user_id", "event_type", "value")
+    Seq((7L, "AUTO")).toDF("c_custkey", "segment")
+      .repartition(1).write.mode("overwrite").parquet(dimPath)
+
+    // refreshed route: readDim runs per trigger, so batch 2 sees the
+    // IN-PLACE OVERWRITE (changed segment AND new user) that would fail
+    // the frozen static join with FILE_NOT_EXIST
+    val in = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val acc = scala.collection.mutable.Buffer[(Long, Long, String)]()
+    val q = EventStream.enrichEventsPerBatch(in.toDF().toDF(cols: _*),
+        () => spark.read.parquet(dimPath), dimKey = "c_custkey") {
+      (df, batchId) =>
+        val out = df.select("event_id", "segment").as[(Long, String)]
+          .collect().map { case (e, s) => (batchId, e, s) }
+        acc.synchronized { acc ++= out }
+        ()
+    }.start()
+    try {
+      in.addData(
+        (1L, ts("2022-06-15 10:00:00"), 7L, "click", 1.0),
+        (2L, ts("2022-06-15 10:01:00"), 8L, "click", 2.0))
+      q.processAllAvailable()
+      Seq((7L, "AUTO2"), (8L, "HOME")).toDF("c_custkey", "segment")
+        .repartition(1).write.mode("overwrite").parquet(dimPath)
+      in.addData(
+        (3L, ts("2022-06-15 10:02:00"), 7L, "click", 3.0),
+        (4L, ts("2022-06-15 10:03:00"), 8L, "click", 4.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(acc.toSet === Set(
+      (0L, 1L, "AUTO"), (0L, 2L, null), // batch 0: v1 dim, user 8 a gap
+      (1L, 3L, "AUTO2"), (1L, 4L, "HOME"))) // batch 1: the rewritten dim
+
+    // frozen route, pinned as the hazard it is: the plain static join's
+    // file listing is captured at query start — a file APPENDED to the
+    // dim path mid-query is silently invisible to later batches
+    val in2 = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val frozen = EventStream.enrichEvents(in2.toDF().toDF(cols: _*),
+      spark.read.parquet(dimPath), dimKey = "c_custkey")
+    val q2 = EventStream.startToMemory(frozen, "enrich_frozen",
+      OutputMode.Append())
+    try {
+      in2.addData((5L, ts("2022-06-15 10:04:00"), 8L, "click", 5.0))
+      q2.processAllAvailable()
+      Seq((9L, "PLUS")).toDF("c_custkey", "segment")
+        .repartition(1).write.mode("append").parquet(dimPath)
+      in2.addData((6L, ts("2022-06-15 10:05:00"), 9L, "click", 6.0))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val got2 = spark.table("enrich_frozen")
+      .select("event_id", "segment").as[(Long, String)].collect().toSet
+    assert(got2 === Set((5L, "HOME"), (6L, null)))
+  }
+
   test("stream-stream attribution join buffers across batches and equals " +
       "the batch twin") {
     implicit val ctx = spark.sqlContext
