@@ -940,11 +940,44 @@ object Dedup {
     // the distinct: pairs meeting only deep in some hot term's postings
     // (tiny residual norms) die at the probe instead of flooding the
     // distinct exchange — completeness is untouched because t0's posting
-    // row always passes
-    val pairs = gen.select(col(id).as("id_a"), col("__t"),
+    // row always passes.
+    //
+    // SKEW: the self-join's work per term is df², but AQE's skew-join
+    // detection sees shuffle INPUT bytes — a hot term's posting list is a
+    // few MB in and millions of pairs OUT, so the explosion is invisible
+    // and one task runs the whole hot term (measured at sf1: the join
+    // stage's max task 64.7 s == stage wall 64.8 s, 181.7M shuffle-write
+    // rows dominated by one of 14 tasks). The textbook balanced
+    // quadratic-self-join fix: number each term's postings (one linear
+    // __t-keyed window), chunk by SelfJoinChunk, and join on the CHUNK
+    // CELL (__t, __ca, __cb) — the left posting replicates to cells
+    // (c, c..nc−1), the right to (0..c, c), so every unordered posting
+    // pair meets in EXACTLY the cell (min chunk, max chunk) and a hot
+    // term's df² work spreads over (df/B)² independent keys, each ≤ B²
+    // probes. Replication is Σ df²/B rows (≈ 0.1% of the pair mass at
+    // B = 1024); terms with one chunk collapse to a single (t, 0, 0)
+    // cell with zero replication, so natural corpora pay only the
+    // posting-numbering window.
+    val byTerm = Window.partitionBy("__t")
+    val chunked = gen
+      .select(col(id), col("__t"), col("__s2"), col("__n2"))
+      .withColumn("__pos",
+        row_number().over(byTerm.orderBy(col(id))).cast("long") - 1)
+      .withColumn("__nc",
+        expr(s"(count(1) over (partition by __t) + ${SelfJoinChunk - 1}) " +
+          s"div $SelfJoinChunk"))
+      .withColumn("__c", expr(s"__pos div $SelfJoinChunk"))
+    val pairs = chunked
+      .withColumn("__cb", explode(sequence(col("__c"), col("__nc") - 1)))
+      .withColumnRenamed("__c", "__ca")
+      .select(col(id).as("id_a"), col("__t"), col("__ca"), col("__cb"),
         col("__s2").as("__s2a"), col("__n2").as("__n2a"))
-      .join(gen.select(col(id).as("id_b"), col("__t"),
-        col("__s2").as("__s2b"), col("__n2").as("__n2b")), Seq("__t"))
+      .join(chunked
+        .withColumn("__ca", explode(sequence(lit(0L), col("__c"))))
+        .withColumnRenamed("__c", "__cb")
+        .select(col(id).as("id_b"), col("__t"), col("__ca"), col("__cb"),
+          col("__s2").as("__s2b"), col("__n2").as("__n2b")),
+        Seq("__t", "__ca", "__cb"))
       .filter(col("id_a") < col("id_b"))
       .filter(lit(minCos2Den) * col("__s2a") * col("__s2b") >=
         lit(minCos2Num) * col("__n2a") * col("__n2b"))
@@ -998,6 +1031,15 @@ object Dedup {
     * the pinned postings, not a guess.
     */
   val VerifyBroadcastPostings = 4000000L
+
+  /** Posting-chunk size for [[cosinePairs]]' balanced self-join: a term
+    * with df postings splits into ⌈df/B⌉ chunks and its df² probe work
+    * spreads over the chunk-pair cells, each ≤ B² probes — small enough
+    * that dozens of cells fill a wave of tasks, large enough that the
+    * replication overhead (Σ df²/B rows) stays ~0.1% of the pair mass.
+    * Terms under B postings form one chunk and pay nothing.
+    */
+  val SelfJoinChunk = 2048L
 
   /** Per-doc sparse tf vectors from a (id, __t, __tf) postings frame:
     * (id, __ks, __vs, __n2) with strictly-ascending fnv64 term keys —
