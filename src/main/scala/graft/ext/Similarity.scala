@@ -219,6 +219,211 @@ object Similarity {
         pinnedScore(col("__cos")), col("neighbor_id"), k).as("__tk")))
   }
 
+  // ---- product quantization (PQ) ------------------------------------------
+
+  /** Per-subspace L2 argmin against driver-side codewords, as a literal
+    * projection (the [[assignLiteral]] device under the L2 metric): for
+    * codeword c, ‖x−c‖² = ‖x‖² − (2·x·c − ‖c‖²), so argmin distance =
+    * argmax of score = 2·dot − n2c — pure long arithmetic (dot ≤
+    * dims·scale² ≪ 2⁶²), ties to the LOWER cell via the greatest-struct
+    * trick. Returns the winning cell as a Column over `sub`, a quantized
+    * subvector Column. */
+  private def pqArgminCell(sub: Column,
+                           words: Seq[(Int, Array[Long])]): Column = {
+    val scored = words.map { case (cell, cv) =>
+      val cvCol = array(cv.map(lit).toIndexedSeq: _*)
+      val n2c = lit(cv.map(x => x * x).sum)
+      struct((lit(2L) * dotLong(sub, cvCol) - n2c).as("s"),
+        lit(-cell).as("nc"))
+    }
+    val best = if (scored.size == 1) scored.head else greatest(scored: _*)
+    -best.getField("nc")
+  }
+
+  /** 1-based Spark slice of subspace `j` (0-based) out of a quantized
+    * vector: dims/m consecutive entries. */
+  private def pqSlice(v: Column, j: Int, sub: Int): Column =
+    slice(v, j * sub + 1, sub)
+
+  /** Product-quantization codebooks — the vector-COMPRESSION tier of the
+    * ANN family (X13 exact / IVF bucket / SRP-LSH / scalar-quantized
+    * rerank): the d-dim space splits into `m` subspaces of d/m dims and
+    * each learns its own `kc`-codeword codebook by deterministic L2 Lloyd,
+    * so a vector stores as m small codes (m·log₂kc bits — the device that
+    * fits billion-vector indexes in RAM) and query-vector dots are
+    * approximated from m table lookups ([[pqTopK]]).
+    *
+    * The fit is [[kmeansFit]]'s machinery re-based on L2 (PQ's metric —
+    * codewords minimize reconstruction error, so magnitude matters and
+    * cosine assignment would be wrong) and run for ALL m subspaces in the
+    * SAME corpus passes: seeds are the first `kc` rows in (fnv1a64(id),
+    * id) order sliced per subspace, and each Lloyd iteration is ONE scan
+    * computing every subspace's literal argmin + ONE (subspace, cell,
+    * dim)-keyed mean aggregation (m·kc·(d/m) = kc·d long rows over the
+    * exchange after map-side combine — never the corpus). Means are
+    * sign·(|Σ| div n) exact integers; empty cells keep their codeword.
+    * Codebook state is m·kc·(d/m) longs — driver-sized by construction.
+    *
+    * Output: (subspace, cell, centroid: array<long>), subspace 0-based,
+    * cell 1-based.
+    */
+  def pqFit(corpus: DataFrame, id: String, vec: String, m: Int, kc: Int,
+            iters: Int, scale: Double = DefaultScale): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    pqFitSeq(corpus, id, vec, m, kc, iters, scale)
+      .map { case (j, cell, v) => (j, cell, v.toSeq) }
+      .toDF("subspace", "cell", "centroid")
+  }
+
+  private def pqFitSeq(corpus: DataFrame, id: String, vec: String, m: Int,
+                       kc: Int, iters: Int, scale: Double)
+      : Seq[(Int, Int, Array[Long])] = {
+    require(m >= 1 && kc >= 1 && iters >= 0, s"bad pq params ($m, $kc, $iters)")
+    val q = prep(corpus, id, vec, "__id", scale)
+    val seeds = q
+      .withColumn("__h", graft.plans.Fnv1a64Expression.fnv1a64(col("__id")))
+      .orderBy(col("__h"), col("__id")).limit(kc)
+      .select(col("__qv")).collect()
+      .map(_.getSeq[Long](0).toArray)
+    require(seeds.nonEmpty, "pqFit needs a non-empty corpus")
+    val dims = seeds.head.length
+    require(dims % m == 0, s"dims $dims not divisible by m=$m")
+    val sub = dims / m
+    val cent0: Seq[(Int, Int, Array[Long])] = for {
+      j <- 0 until m
+      (s, i) <- seeds.zipWithIndex
+    } yield (j, i + 1, s.slice(j * sub, (j + 1) * sub))
+    (1 to iters).foldLeft(cent0) { (cent, _) =>
+      val byJ = cent.groupBy(_._1)
+      // one struct per subspace: (j, winning cell, subvector) — exploded so
+      // a single scan + one (j, cell, dim) aggregation serves all m fits
+      val arms = (0 until m).map { j =>
+        val sv = pqSlice(col("__qv"), j, sub)
+        struct(lit(j).as("j"),
+          pqArgminCell(sv, byJ(j).map(c => (c._2, c._3))).as("cell"),
+          sv.as("sv"))
+      }
+      val updated = q
+        .select(explode(array(arms: _*)).as("__a"))
+        .select(col("__a.j").as("__j"), col("__a.cell").as("__cell"),
+          posexplode(col("__a.sv")).as(Seq("__dim", "__x")))
+        .groupBy("__j", "__cell", "__dim")
+        .agg(sum(col("__x")).as("__s"), count(lit(1)).as("__n"))
+        .withColumn("__c",
+          when(col("__s") < 0, lit(-1L)).otherwise(lit(1L)) *
+            expr("abs(__s) div __n"))
+        .groupBy("__j", "__cell")
+        .agg(transform(
+          array_sort(collect_list(struct(col("__dim"), col("__c")))),
+          e => e.getField("__c")).as("__cv"))
+        .collect()
+        .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Long](2).toArray)
+        .toMap
+      cent.map { case (j, c, old) => (j, c, updated.getOrElse((j, c), old)) }
+    }
+  }
+
+  /** PQ encoding: each vector compressed to its m codebook cells, in
+    * subspace order — a literal argmin projection per subspace (zero
+    * shuffle, whole-stage codegen; the codebooks fold to constants).
+    * Output: (id, codes: array<int>), codes(j) ∈ 1..kc. */
+  def pqEncode(corpus: DataFrame, id: String, vec: String,
+               codebooks: Seq[(Int, Int, Array[Long])],
+               scale: Double = DefaultScale): DataFrame = {
+    val byJ = codebooks.groupBy(_._1)
+    val m = byJ.size
+    val sub = codebooks.head._3.length
+    val q = prep(corpus, id, vec, "__id", scale)
+    val codes = array((0 until m).map(j =>
+      pqArgminCell(pqSlice(col("__qv"), j, sub),
+        byJ(j).map(c => (c._2, c._3)))): _*)
+    q.select(col("__id").as(id), codes.as("codes"))
+  }
+
+  /** Asymmetric-distance (ADC) approximate top-k by PQ codes: each query
+    * precomputes its lookup table — the exact long dot of its j-th
+    * subvector with every codeword (m·kc entries, flattened j-major) — and
+    * a corpus row scores as Σ_j lut[j·kc + code_j]: m array lookups per
+    * pair instead of d multiplies, the PQ read-time win. The table build
+    * is a literal projection over the (sample-sized) query frame; scoring
+    * crossJoins the broadcast tables against the encoded corpus ([[knnExact]]'s
+    * shape) with a statically-unrolled m-term lookup sum in codegen, and
+    * ranks via the bounded map-side top-k aggregate (k·|queries| over the
+    * exchange, never the product). Scores are exact longs (ADC dot ≤
+    * d·scale² < 2⁵³, so the aggregate's double carries it exactly).
+    *
+    * Output: (query_id, rank, neighbor_id, adc_dot), self-pairs excluded,
+    * ties to the lower neighbor id.
+    */
+  def pqTopK(corpus: DataFrame, queries: DataFrame,
+             corpusId: String, corpusVec: String,
+             queryId: String, queryVec: String,
+             codebooks: Seq[(Int, Int, Array[Long])], k: Int,
+             scale: Double = DefaultScale): DataFrame = {
+    val byJ = codebooks.groupBy(_._1)
+    val m = byJ.size
+    val kc = byJ(0).size
+    val sub = codebooks.head._3.length
+    val enc = pqEncode(corpus, corpusId, corpusVec, codebooks, scale)
+      .select(col(corpusId).as("neighbor_id"), col("codes"))
+    // j-major flattened lut: entry j·kc + (cell−1) = dot(query_j, word_cell)
+    val lutEntries = for {
+      j <- 0 until m
+      (_, cell, cv) <- byJ(j).sortBy(_._2)
+    } yield dotLong(pqSlice(col("__qv"), j, sub),
+      array(cv.map(lit).toIndexedSeq: _*))
+    val qlut = prep(queries, queryId, queryVec, "query_id", scale)
+      .select(col("query_id"), array(lutEntries: _*).as("__lut"))
+    require(byJ.forall(_._2.size == kc), "ragged codebook")
+    val adc = (0 until m).map(j =>
+        element_at(col("__lut"), lit(j * kc) + col("codes")(j)))
+      .reduce(_ + _)
+    enc.crossJoin(broadcast(qlut))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), pinnedScore(adc.cast("double")).as("__s"),
+        col("neighbor_id"))
+      .groupBy("query_id")
+      .agg(graft.plans.TopKByAggregate.topkBy(
+        col("__s"), col("neighbor_id"), k).as("__tk"))
+      .select(col("query_id"), posexplode(col("__tk")).as(Seq("__p", "__e")))
+      .select(col("query_id"), (col("__p") + 1).cast("long").as("rank"),
+        col("__e.id").as("neighbor_id"),
+        col("__e.score").cast("long").as("adc_dot"))
+  }
+
+  /** [[pqFit]]'s frame collected back to the Seq form [[pqEncode]]/
+    * [[pqTopK]] consume (m·kc·(d/m) longs — driver-sized). */
+  def collectCodebooks(codebooks: DataFrame): Seq[(Int, Int, Array[Long])] =
+    codebooks.select(col("subspace"), col("cell"), col("centroid")).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Long](2).toArray))
+      .sortBy(c => (c._1, c._2)).toSeq
+
+  /** Recall@k of an approximate top-k frame against the exact baseline —
+    * the number every ANN deployment tunes on (nprobe / band count / probe
+    * budget move recall; this measures it instead of guessing): per query,
+    * how many of the EXACT top-k neighbors the approximate result also
+    * returned. Both inputs are (queryCol, neighborCol) frames as produced
+    * by [[knnExact]]/[[knnIvf]]; ranks are irrelevant to recall@k, only
+    * set membership counts. Integer-exact: hits and recall in permille
+    * (hits·1000 div k), so the metric hash-checks cross-engine.
+    *
+    * Scale shape: recall is evaluated on a SAMPLE of queries (the
+    * standard practice — the exact baseline costs |sample|·N and is the
+    * evaluation harness, not the production path), so both inputs are
+    * |sample|·k rows. The approx side broadcasts into the join; the
+    * rollup is one mergeable groupBy on query id.
+    */
+  def recallAtK(exact: DataFrame, approx: DataFrame,
+                queryCol: String, neighborCol: String, k: Int): DataFrame =
+    exact.select(col(queryCol), col(neighborCol))
+      .join(broadcast(approx.select(col(queryCol), col(neighborCol))
+        .withColumn("__hit", lit(1L))), Seq(queryCol, neighborCol), "left")
+      .groupBy(col(queryCol))
+      .agg(count(lit(1)).as("evaluated"),
+        sum(coalesce(col("__hit"), lit(0L))).as("hits"))
+      .withColumn("recall_permille", expr(s"(hits * 1000) div $k"))
+
   /** Embedding-cosine near-duplicate pairs, bucketed by IVF cell: vectors
     * are assigned to their nearest centroid and only same-cell pairs are
     * compared — the all-pairs comparison never happens. Near-identical

@@ -48,7 +48,9 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
       "q131_dsir_selection", // 1-row distribution-total scalars (dist())
       "q134_cosine_near_dups", // 1-row corpus-size scalar (df guard)
       "q140_kmv_rollup", // 1-row global-exact scalar beside the sketch
-      "q144_user_mart_city_tz") // q46's broadcast nearest-city shape
+      "q144_user_mart_city_tz", // q46's broadcast nearest-city shape
+      "q146_ann_recall", // q25/q26's sample-broadcast products (graded)
+      "q147_pq_recall") // q25's product + the ADC lut broadcast
 
   test("no catalog query plans a CartesianProduct") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {

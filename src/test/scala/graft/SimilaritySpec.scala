@@ -344,4 +344,102 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     // determinism: a second run is bit-identical
     assert(Similarity.pcaTopComponent(gram, d = 3).toSeq === v.toSeq)
   }
+
+  test("pqEncode is argmin-L2 (not cosine), ties to the lower cell") {
+    // j=0: c1 = (4e6, 0) is COLINEAR with x's subvector (1e6, 0) — cosine
+    // would pick it — but c2 = (1e6, 0.5e6) is far closer in L2
+    // (0.25e12 vs 9e12): the code must be 2, pinning the metric.
+    // j=1: x's subvector (1e6, 0) is equidistant from (1e6, 1e6) and
+    // (1e6, -1e6) (dist² = 1e12 each): tie must go to cell 1.
+    val cb = Seq(
+      (0, 1, Array(4000000L, 0L)), (0, 2, Array(1000000L, 500000L)),
+      (1, 1, Array(1000000L, 1000000L)), (1, 2, Array(1000000L, -1000000L)))
+    val corpus = Seq((7L, Seq(1.0f, 0.0f, 1.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.pqEncode(corpus, "vec_id", "embedding", cb)
+      .as[(Long, Seq[Int])].collect().toSeq
+    assert(got === Seq((7L, Seq(2, 1))))
+  }
+
+  test("pqTopK ranks by the hand-computed ADC lookup sum") {
+    // codebook j=0: c1=(1e6,0), c2=(0,1e6); j=1: c1=(1e6,0), c2=(0,1e6).
+    // corpus: a=(1,0,1,0)->codes(1,1), b=(0,1,1,0)->codes(2,1),
+    //         c=(0,1,0,1)->codes(2,2)
+    // query q=(1,0,0,1): lut dots j0: c1=1e12, c2=0; j1: c1=0, c2=1e12.
+    // ADC: a = 1e12+0, b = 0+0, c = 0+1e12 -> ranking (a, c tie at 1e12 ->
+    // lower id first), then b at 0.
+    val cb = Seq(
+      (0, 1, Array(1000000L, 0L)), (0, 2, Array(0L, 1000000L)),
+      (1, 1, Array(1000000L, 0L)), (1, 2, Array(0L, 1000000L)))
+    val corpus = Seq(
+      (1L, Seq(1.0f, 0.0f, 1.0f, 0.0f)),
+      (2L, Seq(0.0f, 1.0f, 1.0f, 0.0f)),
+      (3L, Seq(0.0f, 1.0f, 0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val queries = Seq((9L, Seq(1.0f, 0.0f, 0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.pqTopK(corpus, queries, "vec_id", "embedding",
+        "vec_id", "embedding", cb, k = 3)
+      .orderBy("rank")
+      .select("query_id", "rank", "neighbor_id", "adc_dot")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got === Seq((9L, 1L, 1L, 1000000000000L),
+      (9L, 2L, 3L, 1000000000000L), (9L, 3L, 2L, 0L)))
+  }
+
+  test("pqFit shape, determinism, and fit∘encode argmin self-consistency") {
+    val rnd = new scala.util.Random(42)
+    val corpus = (1L to 60L).map { i =>
+      (i, Seq.fill(8)(rnd.nextFloat() * 2 - 1))
+    }.toDF("vec_id", "embedding")
+    val cb = Similarity.collectCodebooks(Similarity.pqFit(
+      corpus, "vec_id", "embedding", m = 4, kc = 3, iters = 2))
+    assert(cb.size === 12)
+    assert(cb.map(c => (c._1, c._2)).toSet ===
+      (for (j <- 0 until 4; c <- 1 to 3) yield (j, c)).toSet)
+    assert(cb.forall(_._3.length === 2))
+    // determinism: a second fit is bit-identical
+    val cb2 = Similarity.collectCodebooks(Similarity.pqFit(
+      corpus, "vec_id", "embedding", m = 4, kc = 3, iters = 2))
+    assert(cb2.map(c => (c._1, c._2, c._3.toSeq)) ===
+      cb.map(c => (c._1, c._2, c._3.toSeq)))
+    // every emitted code is the true argmin-L2 codeword of that subvector,
+    // recomputed here from first principles over the quantized vectors
+    val byJ = cb.groupBy(_._1)
+    val qv = corpus.select(col("vec_id"),
+        Similarity.quantize(col("embedding")).as("q"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val codes = Similarity.pqEncode(corpus, "vec_id", "embedding", cb)
+      .as[(Long, Seq[Int])].collect()
+    codes.foreach { case (id, cs) =>
+      cs.zipWithIndex.foreach { case (code, j) =>
+        val sv = qv(id).slice(j * 2, (j + 1) * 2)
+        val best = byJ(j).map { case (_, cell, w) =>
+          val d2 = sv.zip(w).map { case (x, c) => (x - c) * (x - c) }.sum
+          (d2, cell)
+        }.minBy(identity)._2
+        assert(code === best, s"id=$id j=$j")
+      }
+    }
+  }
+
+  test("recallAtK counts set hits per query; misses and extras don't score") {
+    // q1: exact {10,11,12}, approx {11,12,13} -> 2 hits, 666 permille
+    // q2: exact {20,21,22}, approx {}        -> 0 hits (LEFT join path)
+    // q3: exact {30,31,32}, approx all 3 + an extra neighbor the exact
+    //     side lacks (extras must not inflate recall) -> 1000 permille
+    val exact = Seq((1L, 10L), (1L, 11L), (1L, 12L), (2L, 20L), (2L, 21L),
+      (2L, 22L), (3L, 30L), (3L, 31L), (3L, 32L))
+      .toDF("query_id", "neighbor_id")
+    val approx = Seq((1L, 11L), (1L, 12L), (1L, 13L), (3L, 30L), (3L, 31L),
+      (3L, 32L), (3L, 33L))
+      .toDF("query_id", "neighbor_id")
+    val got = Similarity.recallAtK(exact, approx, "query_id", "neighbor_id",
+        k = 3)
+      .orderBy("query_id")
+      .select("query_id", "evaluated", "hits", "recall_permille")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got === Seq((1L, 3L, 2L, 666L), (2L, 3L, 0L, 0L),
+      (3L, 3L, 3L, 1000L)))
+  }
 }
