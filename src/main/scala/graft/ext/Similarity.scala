@@ -365,8 +365,14 @@ object Similarity {
     val m = byJ.size
     val kc = byJ(0).size
     val sub = codebooks.head._3.length
-    val enc = pqEncode(corpus, corpusId, corpusVec, codebooks, scale)
-      .select(col(corpusId).as("neighbor_id"), col("codes"))
+    // PINNED: without the materialization barrier the encode projection —
+    // 32 literal-codeword argmin dots — collapses into the per-pair
+    // scoring stage and re-evaluates PER JOINED ROW (measured ~115 µs/pair
+    // at sf1, 790 s for an 8M-row product; the pinned plan probes the
+    // 4 cached codes instead: the entire point of encoding once)
+    val enc = graft.ext.Caches.pin(
+      pqEncode(corpus, corpusId, corpusVec, codebooks, scale)
+        .select(col(corpusId).as("neighbor_id"), col("codes")))
     // j-major flattened lut: entry j·kc + (cell−1) = dot(query_j, word_cell)
     val lutEntries = for {
       j <- 0 until m
@@ -381,11 +387,17 @@ object Similarity {
       .reduce(_ + _)
     enc.crossJoin(broadcast(qlut))
       .filter(col("neighbor_id") =!= col("query_id"))
-      .select(col("query_id"), pinnedScore(adc.cast("double")).as("__s"),
+      .select(col("query_id"), adc.cast("double").as("__s"),
         col("neighbor_id"))
       .groupBy("query_id")
+      // pinnedScore wraps the ATTRIBUTE at the aggregate (not the adc
+      // expression in the select): the double reference blocks
+      // CollapseProject from inlining the lookup sum into the aggregate
+      // child, where update() would evaluate it INTERPRETED per product
+      // row — measured 755 s at sf1 vs 8 s for the identically-shaped
+      // q146 before this line matched knnExact's placement
       .agg(graft.plans.TopKByAggregate.topkBy(
-        col("__s"), col("neighbor_id"), k).as("__tk"))
+        pinnedScore(col("__s")), col("neighbor_id"), k).as("__tk"))
       .select(col("query_id"), posexplode(col("__tk")).as(Seq("__p", "__e")))
       .select(col("query_id"), (col("__p") + 1).cast("long").as("rank"),
         col("__e.id").as("neighbor_id"),
