@@ -90,7 +90,18 @@ object RecommendationJob {
       .drop("dt_max", "datetime")
       .groupBy("user_id")
       .agg(first("lat").as("last_lat"), first("lon").as("last_lon"))
+    // The channel self-join below is a broadcast hash join whose PAIR
+    // fan-out runs inside the stream side's existing tasks — and that
+    // stream arrives from a date-pruned scan, often ONE partition, so the
+    // whole per-channel pair expansion serialized on one core (measured at
+    // sf10 inside q75: a 125k→80M-row stage as a single 169 s task; AQE
+    // never re-splits because it sizes partitions by INPUT bytes, blind to
+    // join fan-out). One explicit user-keyed exchange of the slim
+    // positioned-subscriber rows buys full-width fan-out; the pinned
+    // partition count keeps AQE from re-coalescing it.
     val positionedSubs = lastPosition.join(subs, Seq("user_id"), "inner")
+      .repartition(subs.sparkSession.sparkContext.defaultParallelism,
+        col("user_id"))
     positionedSubs
       .join(positionedSubs.select(
           col("subscription_channel"),
