@@ -903,7 +903,8 @@ object Dedup {
   def cosinePairs(docs: DataFrame, id: String, text: String,
                   minCos2Num: Long, minCos2Den: Long,
                   maxDfPermille: Long,
-                  modelTierMaxPostings: Long = VerifyBroadcastPostings)
+                  modelTierMaxPostings: Long = VerifyBroadcastPostings,
+                  selfJoinChunk: Long = SelfJoinChunk)
       : DataFrame = {
     val tf = docs
       .select(col(id), explode(split(normalizeText(col(text)), " ")).as("__t"))
@@ -964,9 +965,9 @@ object Dedup {
       .withColumn("__pos",
         row_number().over(byTerm.orderBy(col(id))).cast("long") - 1)
       .withColumn("__nc",
-        expr(s"(count(1) over (partition by __t) + ${SelfJoinChunk - 1}) " +
-          s"div $SelfJoinChunk"))
-      .withColumn("__c", expr(s"__pos div $SelfJoinChunk"))
+        expr(s"(count(1) over (partition by __t) + ${selfJoinChunk - 1}) " +
+          s"div $selfJoinChunk"))
+      .withColumn("__c", expr(s"__pos div $selfJoinChunk"))
     val pairs = chunked
       .withColumn("__cb", explode(sequence(col("__c"), col("__nc") - 1)))
       .withColumnRenamed("__c", "__ca")

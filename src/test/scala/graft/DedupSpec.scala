@@ -343,6 +343,34 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
       (2L, 4L, 6L, 8L, 5L, 900000L)))
   }
 
+  test("cosinePairs: the pair set is invariant to the self-join chunk size") {
+    // the balanced-self-join cells are candidates-only machinery, so ANY
+    // chunk size must yield the identical canonical pair set. The sf
+    // fixtures' hot terms never exceed the production chunk (2048), so
+    // without this test the multi-chunk cells (replicated left rows,
+    // (0..c) right fans, within-cell (c,c) dedup by id order) would only
+    // ever execute un-oracled at sf1. Seeded random corpora over a tiny
+    // alphabet maximize shared terms; chunk=1 is the max-replication edge
+    // (every posting its own chunk), 3 exercises ragged tails, 1<<30
+    // degenerates to the unchunked join that defines the expected set.
+    val rnd = new scala.util.Random(20260814L)
+    (1 to 5).foreach { trial =>
+      val docs = (1L to 30L).map { i =>
+        val len = 2 + rnd.nextInt(8)
+        (i, (1 to len).map(_ => ('a' + rnd.nextInt(3)).toChar).mkString(" "))
+      }.toDF("doc_id", "text")
+      val results = Seq(1L, 3L, 1L << 30).map { chunk =>
+        Dedup.cosinePairs(docs, "doc_id", "text", 1L, 2L,
+            maxDfPermille = 1000L, selfJoinChunk = chunk)
+          .select("id_a", "id_b", "dot", "n2_a", "n2_b", "cos2_micro")
+          .as[(Long, Long, Long, Long, Long, Long)].collect().sorted.toSeq
+      }
+      assert(results(0) === results(2), s"trial $trial: chunk=1 diverged")
+      assert(results(1) === results(2), s"trial $trial: chunk=3 diverged")
+      assert(results(2).nonEmpty, s"trial $trial: degenerate fixture")
+    }
+  }
+
   test("cosinePairs: hot terms leave the metric's vocabulary entirely") {
     val docs = Seq(
       (1L, "a a b"), (2L, "a a b b"), (4L, "a a b"),
