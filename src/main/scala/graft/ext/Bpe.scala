@@ -244,22 +244,31 @@ object Bpe {
     val merged = applyMerges(col("word"), merges)
     val inBounds = length(col("word")).between(2, MaxWordLen) &&
       col("word").rlike(s"^$WordCharset$$")
+    // only IN-BOUNDS words enter the broadcast table: the unbounded-
+    // cardinality token mass (ids, URLs, base64) is over-length or
+    // off-charset, so the build side stays vocabulary-sized at 100 TB —
+    // an unfiltered distinct-word broadcast would be corpus-sized on
+    // exactly those corpora. Out-of-bounds occurrences take the
+    // constant-1 path through the left join's null branch (both rules
+    // count them 1, so they never disagree — no join needed).
     val distinctWords = words.select("word").distinct()
+      .filter(inBounds)
       .withColumn("__bpe",
-        when(inBounds, length(merged) -
+        (length(merged) -
           length(call_function("replace", merged, lit("("), lit(""))))
-          .otherwise(lit(1)).cast("long"))
-      .withColumn("__wp",
-        when(inBounds, graft.plans.WordpieceExpression
-          .wordpieceCount(col("word"), bpeVocab(merges)))
-          .otherwise(lit(1L)))
-    // the VOCABULARY side broadcasts (bounded; the corpus word stream is
-    // the data-sized side) — without the hint Spark's post-explode size
-    // estimate can invert the build side and serialize the aggregation
-    words.join(broadcast(distinctWords), Seq("word"))
+          .cast("long"))
+      .withColumn("__wp", graft.plans.WordpieceExpression
+        .wordpieceCount(col("word"), bpeVocab(merges)))
+    // the VOCABULARY side broadcasts (bounded per the filter above; the
+    // corpus word stream is the data-sized side) — without the hint
+    // Spark's post-explode size estimate can invert the build side and
+    // serialize the aggregation
+    words.join(broadcast(distinctWords), Seq("word"), "left")
       .groupBy(col(id))
-      .agg(sum("__bpe").as("bpe_tokens"), sum("__wp").as("wp_tokens"),
-        sum(when(col("__bpe") =!= col("__wp"), lit(1L)).otherwise(lit(0L)))
+      .agg(sum(coalesce(col("__bpe"), lit(1L))).as("bpe_tokens"),
+        sum(coalesce(col("__wp"), lit(1L))).as("wp_tokens"),
+        sum(when(coalesce(col("__bpe"), lit(1L)) =!=
+            coalesce(col("__wp"), lit(1L)), lit(1L)).otherwise(lit(0L)))
           .as("disagree_words"))
   }
 
@@ -337,16 +346,21 @@ object Bpe {
       explode(split(Dedup.normalizeText(col(text)), " ")).as("word"))
       .filter(col("word") =!= "")
     val merged = applyMerges(col("word"), merges)
+    // in-bounds words only on the broadcast side (out-of-bounds words
+    // count 1 via the left join's null branch) — see [[roundTrip]]'s
+    // cardinality note: the unbounded id/URL token mass must not reach
+    // the broadcast build
     val distinctWords = words.select("word").distinct()
+      .filter(length(col("word")).between(2, MaxWordLen) &&
+        col("word").rlike(s"^$WordCharset$$"))
       .withColumn("__ntok",
-        when(length(col("word")).between(2, MaxWordLen) &&
-          col("word").rlike(s"^$WordCharset$$"),
-          length(merged) -
-            length(call_function("replace", merged, lit("("), lit(""))))
-          .otherwise(lit(1)).cast("long"))
+        (length(merged) -
+          length(call_function("replace", merged, lit("("), lit(""))))
+          .cast("long"))
     // vocabulary side broadcasts — see [[roundTrip]]'s join note
-    words.join(broadcast(distinctWords), Seq("word"))
+    words.join(broadcast(distinctWords), Seq("word"), "left")
       .groupBy(col(id))
-      .agg(sum("__ntok").as("bpe_tokens"), count(lit(1)).as("ws_tokens"))
+      .agg(sum(coalesce(col("__ntok"), lit(1L))).as("bpe_tokens"),
+        count(lit(1)).as("ws_tokens"))
   }
 }

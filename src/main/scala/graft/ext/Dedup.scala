@@ -983,7 +983,13 @@ object Dedup {
       .filter(lit(minCos2Den) * col("__s2a") * col("__s2b") >=
         lit(minCos2Num) * col("__n2a") * col("__n2b"))
     val cand = pairs.select("id_a", "id_b").distinct()
-    if (nPostings <= modelTierMaxPostings) {
+    // the collected model keys docs by a primitive long (Row.getLong +
+    // LongType lookups in SparseDotLookupExpression), so the tier is
+    // additionally gated on the id column's type — a string-id corpus
+    // takes the distributed merge-dot verify regardless of posting count
+    val idIsLong = docs.schema(id).dataType ==
+      org.apache.spark.sql.types.LongType
+    if (nPostings <= modelTierMaxPostings && idIsLong) {
       // DEGENERATE-REGIME verify (vector table tiny by the measured gate,
       // candidate mass enormous): collect the vectors into one compact
       // model per executor (the q84/q85 collected-model device) and check

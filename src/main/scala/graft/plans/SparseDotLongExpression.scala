@@ -117,12 +117,19 @@ final class SparseVecModel(val ids: Array[Long], val offsets: Array[Int],
   // open-addressing id index (linear probing, load ≤ 0.5): a binary
   // search over `ids` was measured memory-latency-bound at 124M probes
   // (log₂(50k) dependent misses per lookup); the hash table pays 1-2.
-  // Rebuilt lazily after deserialization on each executor.
-  @transient private var table: Array[Int] = _
-  @transient private var mask: Int = _
+  // Rebuilt lazily after deserialization on each executor. The index is
+  // ONE volatile array reference (mask derived as table.length-1) so a
+  // racing reader either sees null (and builds/waits under the lock) or
+  // a fully-published table — two separate non-volatile fields let a
+  // second thread observe table != null with mask still 0.
+  @transient @volatile private var table: Array[Int] = _
 
-  private def ensure(): Unit = if (table == null) synchronized {
-    if (table == null) {
+  private def ensure(): Array[Int] = {
+    val t0 = table
+    if (t0 != null) return t0
+    synchronized {
+      val t1 = table
+      if (t1 != null) return t1
       var cap = 16
       while (cap < ids.length * 2) cap <<= 1
       val t = new Array[Int](cap)
@@ -134,15 +141,16 @@ final class SparseVecModel(val ids: Array[Long], val offsets: Array[Int],
         t(h) = i + 1
         i += 1
       }
-      mask = m
       table = t
+      t
     }
   }
 
-  private def find(id: Long): Int = {
+  private def find(t: Array[Int], id: Long): Int = {
+    val mask = t.length - 1
     var h = (id * -7046029254386353131L >>> 40).toInt & mask
-    while (table(h) != 0) {
-      val idx = table(h) - 1
+    while (t(h) != 0) {
+      val idx = t(h) - 1
       if (ids(idx) == id) return idx
       h = (h + 1) & mask
     }
@@ -155,9 +163,9 @@ final class SparseVecModel(val ids: Array[Long], val offsets: Array[Int],
     * Called from generated code — plain static-shaped method. */
   def check(a: Long, b: Long, num: Long,
             den: Long): org.apache.spark.sql.catalyst.util.ArrayData = {
-    ensure()
-    val ia = find(a)
-    val ib = find(b)
+    val t = ensure()
+    val ia = find(t, a)
+    val ib = find(t, b)
     if (ia < 0 || ib < 0) return null
     var i = offsets(ia)
     val ie = offsets(ia + 1)

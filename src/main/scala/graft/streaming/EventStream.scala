@@ -336,12 +336,24 @@ object EventStream {
     * runs must re-read per batch: [[enrichEventsPerBatch]].
     *
     * `dim`'s `dimKey` column joins `events.user_id`; all other dim
-    * columns attach.
+    * columns attach. The join condition is explicit (no rename), the dim
+    * key is dropped from the output, and the remaining dim attribute
+    * names are REQUIRED disjoint from the event columns — a rename-based
+    * join silently produced duplicate/ambiguous columns when the dim
+    * already carried a `user_id` or shared an attribute name with the
+    * events.
     */
   def enrichEvents(events: DataFrame, dim: DataFrame,
-                   dimKey: String): DataFrame =
-    events.join(broadcast(dim.withColumnRenamed(dimKey, "user_id")),
-      Seq("user_id"), "left")
+                   dimKey: String): DataFrame = {
+    val clash = dim.columns.filter(_ != dimKey).toSet
+      .intersect(events.columns.toSet)
+    require(clash.isEmpty,
+      s"dim attribute columns collide with event columns: " +
+        s"${clash.mkString(", ")} — rename them before enriching")
+    val d = broadcast(dim)
+    events.join(d, events("user_id") === d(dimKey), "left")
+      .drop(d(dimKey))
+  }
 
   /** Stream-static enrichment with a PER-BATCH-REFRESHED dimension — the
     * slowly-changing-dim variant of [[enrichEvents]]: `readDim` runs

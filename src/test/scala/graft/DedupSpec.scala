@@ -343,6 +343,25 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
       (2L, 4L, 6L, 8L, 5L, 900000L)))
   }
 
+  test("cosinePairs: a STRING-id corpus takes the distributed verify " +
+      "tier and returns the same pairs") {
+    // the collected model keys docs by primitive long, so the model tier
+    // is gated on the id dtype — a string-id corpus under the postings
+    // bound must still run (through the merge-dot join tier), not fail
+    // at Row.getLong
+    val docs = Seq(
+      ("d1", "a a b"), ("d2", "a a b b"), ("d3", "c d"), ("d4", "a a b")
+    ).toDF("doc_id", "text")
+    val got = Dedup.cosinePairs(docs, "doc_id", "text", 1L, 2L,
+      maxDfPermille = 1000L)
+      .select("id_a", "id_b", "dot", "n2_a", "n2_b", "cos2_micro")
+      .as[(String, String, Long, Long, Long, Long)].collect().sorted
+    assert(got.toSeq === Seq(
+      ("d1", "d2", 6L, 5L, 8L, 900000L),
+      ("d1", "d4", 5L, 5L, 5L, 1000000L),
+      ("d2", "d4", 6L, 8L, 5L, 900000L)))
+  }
+
   test("cosinePairs: the pair set is invariant to the self-join chunk size") {
     // the balanced-self-join cells are candidates-only machinery, so ANY
     // chunk size must yield the identical canonical pair set. The sf

@@ -340,6 +340,26 @@ class EventStreamSpec extends AnyFunSuite with SparkTestBase {
     assert(twin === got)
   }
 
+  test("enrichEvents: a dim keyed user_id joins cleanly; a colliding dim " +
+      "attribute is rejected up front") {
+    val events = Seq((1L, 7L, 1.0), (2L, 8L, 2.0))
+      .toDF("event_id", "user_id", "value")
+    // dim key NAMED user_id: the old rename-based join produced duplicate
+    // columns here — the explicit condition + drop keeps exactly one
+    val dimSameName = Seq((7L, "AUTO")).toDF("user_id", "segment")
+    val out = EventStream.enrichEvents(events, dimSameName, "user_id")
+    assert(out.columns.count(_ == "user_id") === 1)
+    assert(out.select("event_id", "segment").as[(Long, String)]
+      .collect().toSet === Set((1L, "AUTO"), (2L, null)))
+    // a dim ATTRIBUTE that collides with an event column would be
+    // ambiguous downstream — rejected with a named-column error
+    val dimClash = Seq((7L, 9.9)).toDF("c_custkey", "value")
+    val e = intercept[IllegalArgumentException] {
+      EventStream.enrichEvents(events, dimClash, "c_custkey")
+    }
+    assert(e.getMessage.contains("value"))
+  }
+
   test("per-batch dim refresh: a mid-query IN-PLACE dim rewrite lands at " +
       "the next batch; the frozen static join never sees appended files") {
     implicit val ctx = spark.sqlContext
