@@ -141,14 +141,63 @@ object RecommendationJob {
         from_utc_timestamp(processedAt, "Australia/Sydney").as("local_time"))
   }
 
+  /** Scale-tier zone attach — same output as [[withZone]] on tie-free
+    * data, different plan. Two structural changes, both 100 TB-motivated:
+    *
+    *  1. The argmin input is the DISTINCT midpoint set, not the pair
+    *     stream: every pair sharing a midpoint gets the same city, so the
+    *     nearest join sees |distinct midpoints| rows (map-side-combined
+    *     distinct over two doubles) instead of crossing each of the ~2B
+    *     pair rows with every city; one hash join attaches the zone back.
+    *  2. The nearest-city argmin itself is [[graft.ext.GridNearestJoin
+    *     .nearest]] — cell equi-join + ring-certified exactness — so the
+    *     city dimension is hash-partitioned, never broadcast, and the
+    *     operator survives a dimension beyond the broadcast threshold.
+    *
+    * Tie semantics diverge deliberately: [[withZone]] keeps ALL cities
+    * tied at the minimum distance (reference shape, common_func.py:22-24);
+    * this variant emits exactly one deterministic winner per midpoint
+    * (quantized distance, then city id). On data without exact ties —
+    * any real coordinate corpus — the two are row-identical.
+    *
+    * The longitude certification band needs cos(φmax) over BOTH sides'
+    * latitudes, so φmax is measured from the data (one tiny agg over the
+    * midpoint + city latitudes), not assumed.
+    */
+  def withZoneGrid(geo: DataFrame, candidates: DataFrame,
+                   processedAt: Column = current_timestamp(),
+                   cellDeg: Double = 0.0): DataFrame = {
+    val cities = geo.select(col("id").as("city_id"),
+      col("lat").as("lat_city"), col("lon").as("lon_city"))
+    val mids = candidates.select("lat_avg", "lon_avg").distinct()
+    val maxAbsLat = mids.select(abs(col("lat_avg")).as("__l"))
+      .unionByName(cities.select(abs(col("lat_city")).as("__l")))
+      .agg(max(col("__l"))).first() match {
+        case r if r.isNullAt(0) => 90.0
+        case r => math.min(r.getDouble(0) + 1e-9, 90.0)
+      }
+    val zoneOf = graft.ext.GridNearestJoin.nearest(mids, cities,
+        srcLat = "lat_avg", dimLat = "lat_city",
+        srcLon = "lon_avg", dimLon = "lon_city",
+        srcKey = Seq("lat_avg", "lon_avg"), tieBreak = Seq(col("city_id")),
+        cellDeg = cellDeg, maxAbsLatDeg = maxAbsLat)
+      .select(col("lat_avg"), col("lon_avg"), col("city_id"))
+    candidates.join(zoneOf, Seq("lat_avg", "lon_avg"))
+      .select(col("user_left"), col("user_right"),
+        col("city_id").as("zone_id"), col("processed_dttm"),
+        from_utc_timestamp(processedAt, "Australia/Sydney").as("local_time"))
+  }
+
   def transform(events: DataFrame, eventsAtDate: DataFrame, geo: DataFrame,
                 date: String, maxDistanceKm: Double,
-                processedAt: Column = current_timestamp()): DataFrame = {
+                processedAt: Column = current_timestamp(),
+                gridZone: Boolean = false): DataFrame = {
     val subs = subscribers(events).cache() // reused 2x (ref :32)
     val communicating = communicatingSubscribers(events, subs)
     val candidates = possibleSubscribersToCommunicate(
       subs, communicating, eventsAtDate, date, maxDistanceKm)
-    withZone(geo, candidates, processedAt)
+    if (gridZone) withZoneGrid(geo, candidates, processedAt)
+    else withZone(geo, candidates, processedAt)
   }
 
   /** CLI parity with project_step_3.py:167-195: date maxDistance events geo out.

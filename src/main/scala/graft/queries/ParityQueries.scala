@@ -472,6 +472,26 @@ object ParityQueries extends Catalog {
           date_format(col("local_time"), "yyyy-MM-dd HH:mm:ss").as("local_time"))
     }),
 
+    // ---- the same DAG with the GRID nearest-zone scale tier ---------------
+    // RecommendationJob.transform(gridZone = true): the midpoint→city
+    // argmin runs as distinct-midpoints → GridNearestJoin cell equi-join →
+    // hash join back, instead of the reference's per-pair broadcast cross
+    // join + window argmin. The oracle is the SAME reference-form SQL as
+    // q49, so a hash match here IS the proof that the scale tier is exact
+    // on this corpus (grid certification + deterministic tie-break).
+    "q148_recommendations_grid" -> ((s, d) => {
+      val ev = refEventsFull(s, d)
+      val atDate = ev.filter(
+        to_date(col("event.datetime")) === to_date(lit("2024-01-20")))
+      graft.jobs.RecommendationJob.transform(ev, atDate, refGeo(s, d),
+          date = "2024-01-20", maxDistanceKm = 2000.0,
+          processedAt = to_timestamp(lit("2024-02-01 00:00:00")),
+          gridZone = true)
+        .select(col("user_left"), col("user_right"), col("zone_id"),
+          col("processed_dttm"),
+          date_format(col("local_time"), "yyyy-MM-dd HH:mm:ss").as("local_time"))
+    }),
+
     // ---- S5/S6/O1/O2/O3 + S4: the WHOLE pipeline through real storage ------
     // The driver-contract surface end-to-end: a lake-shaped fixture (events
     // partitioned by date + geo dim) is WRITTEN to scratch parquet, then
@@ -712,6 +732,10 @@ object ParityQueries extends Catalog {
     // identical DAG semantics through real parquet sinks and re-reads: the
     // storage round-trip must be invisible, so the oracle is the same text
     "q75_pipeline_sink" -> recommendationDagSql,
+
+    // the grid nearest-zone scale tier must be output-identical to the
+    // reference form — same oracle text proves it hash-exactly
+    "q148_recommendations_grid" -> recommendationDagSql,
 
     "q52_bucketed_join" ->
       s"""SELECT c_mktsegment, count(*) AS orders,

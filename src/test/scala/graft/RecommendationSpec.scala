@@ -71,6 +71,24 @@ class RecommendationSpec extends AnyFunSuite with SparkTestBase {
     assert(mart.select("processed_dttm").distinct().as[String].head() === d)
   }
 
+  test("gridZone scale tier is row-identical to the reference zone attach") {
+    import org.apache.spark.sql.functions._
+    val at = to_timestamp(lit("2022-06-15 02:00:00"))
+    val ref = RecommendationJob.transform(
+      allEvents, eventsAtDate, geoDf(spark), d, maxDistanceKm = 5000.0,
+      processedAt = at)
+    val grid = RecommendationJob.transform(
+      allEvents, eventsAtDate, geoDf(spark), d, maxDistanceKm = 5000.0,
+      processedAt = at, gridZone = true)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("user_left"), col("user_right"), col("zone_id"),
+        col("processed_dttm"),
+        date_format(col("local_time"), "yyyy-MM-dd HH:mm:ss"))
+      .as[(Long, Long, Long, String, String)].collect().sorted.toSeq
+    try assert(rows(grid) === rows(ref) && rows(ref).nonEmpty)
+    finally graft.ext.GridNearestJoin.releaseCaches()
+  }
+
   test("injected processedAt pins local_time (F5 made testable)") {
     import org.apache.spark.sql.functions._
     val pinned = RecommendationJob.transform(
