@@ -563,6 +563,129 @@ object Dedup {
         coalesce(col("clean_text"), lit("")).as("clean_text"))
   }
 
+  /** ExactSubstr-style any-length duplicate-substring spans (the grain
+    * BETWEEN [[segmentDedup]]'s fixed 10-token blocks and whole-document
+    * dedup): per doc, the maximal token spans covered by some substring of
+    * at least `minTokens` tokens that occurs ≥ 2 times in the corpus
+    * (cross-doc or repeated within one doc) — the operator of Lee et al.
+    * 2022 ("Deduplicating Training Data Makes Language Models Better",
+    * arXiv:2107.06499), re-expressed without a suffix array.
+    *
+    * COVER LEMMA (why L-grams suffice, exactly): let L = `minTokens` and
+    * call a token position p *covered* when p lies inside an occurrence of
+    * some substring of length ≥ L that occurs ≥ 2 times. (⇐) a duplicated
+    * L-gram IS such a substring, so every position inside a duplicated
+    * L-gram occurrence is covered. (⇒) if p is covered by occurrence
+    * [s, s+m), m ≥ L, of a duplicated substring t, then the L-gram of t
+    * starting at offset max(0, min(p−s, m−L)) also occurs wherever t does
+    * (≥ 2 times), contains p, and starts in [s, s+m−L] — so p lies inside
+    * a duplicated L-gram occurrence. Hence the covered set is EXACTLY the
+    * union of [q, q+L) over duplicated-L-gram starts q, and the maximal
+    * spans are the interval union of those — no suffix sorting needed.
+    *
+    * Scale shape (the reason to prefer this to a distributed suffix
+    * array): one projection builds each doc's L-gram keys INSIDE a per-doc
+    * `transform` (FNV-hashed at the explode site, the [[charShingleHashes]]
+    * device — the shuffle moves 8-byte keys, the L-token gram string never
+    * leaves the projection); one gram-keyed partial-combined count finds
+    * duplicated grams (hot boilerplate grams combine map-side — no df²
+    * blow-up anywhere, this operator never forms pairs); one semi-join
+    * marks duplicated starts; one id-keyed window merges intervals. Total
+    * cost O(Σ tokens · L) CPU and ~Σ tokens shuffled rows of 8-byte keys
+    * — linear in the corpus at fixed L, against the reference family's
+    * O(n log n) suffix sort with string comparisons.
+    *
+    * Output: (id, span_start, span_end, span_tokens) — token positions,
+    * 0-based, `span_end` exclusive; docs with no duplicated span emit no
+    * rows. A 64-bit gram-hash collision could merge two distinct grams
+    * (both engines fold identically under the shared FNV, and expected
+    * collisions stay ≪ 1 below ~10⁹ distinct grams).
+    */
+  def exactSubstrSpans(docs: DataFrame, id: String, text: String,
+                       minTokens: Int): DataFrame = {
+    require(minTokens >= 1, s"minTokens must be >= 1, got $minTokens")
+    duplicatedGramStarts(docs, id, text, minTokens)
+      .transform(mergeStarts(id, minTokens))
+  }
+
+  /** ExactSubstr scrub — rebuild each doc with every covered token removed
+    * ([[exactSubstrSpans]] semantics: ALL occurrences of a duplicated
+    * substring are cut, the public ExactSubstr tool's default — no
+    * global pick-one-copy coordination, which a distributed cut cannot do
+    * without a second corpus-wide pass and which the measurements in Lee
+    * et al. 2022 show is unnecessary). Output: (id, n_tokens, n_covered,
+    * clean_text), one row per input doc, empty docs included.
+    */
+  def exactSubstrScrub(docs: DataFrame, id: String, text: String,
+                       minTokens: Int): DataFrame = {
+    require(minTokens >= 1, s"minTokens must be >= 1, got $minTokens")
+    val spans = exactSubstrSpans(docs, id, text, minTokens)
+    // covered positions re-explode from the MERGED spans (≤ n_tokens rows
+    // per doc, disjoint by construction) — never from the raw gram starts
+    // (that would be L rows per duplicated start)
+    val covered = spans.select(col(id),
+      explode(sequence(col("span_start"), col("span_end") - 1)).as("pos"))
+    val toks = docs
+      .select(col(id),
+        filter(split(normalizeText(col(text)), " "), w => w =!= "").as("__ts"))
+      .select(col(id), posexplode(col("__ts")).as(Seq("pos", "tok")))
+      .withColumn("pos", col("pos").cast("long"))
+    val kept = toks.join(covered, Seq(id, "pos"), "left_anti")
+      .groupBy(col(id))
+      .agg(count(lit(1)).as("n_kept"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("pos"), col("tok")))),
+          e => e.getField("tok"))).as("clean_text"))
+    val totals = toks.groupBy(col(id)).agg(count(lit(1)).as("n_tokens"))
+    docs.select(col(id))
+      .join(totals, Seq(id), "left")
+      .join(kept, Seq(id), "left")
+      .select(col(id),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        (coalesce(col("n_tokens"), lit(0L)) -
+          coalesce(col("n_kept"), lit(0L))).as("n_covered"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
+  /** (id, pos) starts of L-grams occurring ≥ 2 times in the corpus. */
+  private def duplicatedGramStarts(docs: DataFrame, id: String,
+                                   text: String, l: Int): DataFrame = {
+    import graft.plans.Fnv1a64Expression.fnv1a64
+    val ts = col("__ts")
+    val gramArr = when(size(ts) >= l,
+      transform(sequence(lit(0), size(ts) - l),
+        i => fnv1a64(concat_ws(" ", slice(ts, i + 1, lit(l))))))
+      .otherwise(array().cast("array<bigint>"))
+    val grams = docs
+      .select(col(id),
+        filter(split(normalizeText(col(text)), " "), w => w =!= "").as("__ts"))
+      .select(col(id), posexplode(gramArr).as(Seq("pos", "__g")))
+      .withColumn("pos", col("pos").cast("long"))
+    val dup = grams.groupBy("__g").agg(count(lit(1)).as("__c"))
+      .filter(col("__c") >= 2).select("__g")
+    grams.join(dup, Seq("__g"), "left_semi").select(col(id), col("pos"))
+  }
+
+  /** Interval-union of [pos, pos+L) starts into maximal spans — classic
+    * gaps-and-islands: a start opens a new span iff it clears the previous
+    * start by more than L (adjacent/overlapping covered runs merge).
+    */
+  private def mergeStarts(id: String, l: Int)(starts: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col(id)).orderBy(col("pos"))
+    starts
+      .withColumn("__prev", lag(col("pos"), 1).over(w))
+      .withColumn("__nw",
+        when(col("__prev").isNull || col("pos") > col("__prev") + l, 1L)
+          .otherwise(0L))
+      .withColumn("__isl", sum(col("__nw")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(id), col("__isl"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + l).as("span_end"))
+      .select(col(id), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start")).as("span_tokens"))
+  }
+
   /** Prefix-filtered exact-Jaccard similarity join (the All-Pairs / PPJoin
     * family: Bayardo et al. WWW'07, Xiao et al. WWW'08) — the candidate-
     * generation tier ABOVE the plain shingle inverted index when the

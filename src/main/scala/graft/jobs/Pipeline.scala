@@ -29,7 +29,8 @@ object Pipeline {
     */
   def run(spark: SparkSession, eventsPath: String, geoPath: String,
           outBase: String, date: String, maxDistanceKm: Double,
-          processedAt: Option[Column] = None): Unit = {
+          processedAt: Option[Column] = None,
+          gridZone: Boolean = false): Unit = {
     val events = spark.read.parquet(eventsPath)
     val geo = spark.read.parquet(geoPath)
     Sink.writePartitionedSorted(UserMartJob.transform(events, geo),
@@ -40,22 +41,25 @@ object Pipeline {
     val eventsAtDate = spark.read.parquet(s"$eventsPath/date=$date")
     Sink.writePartitionedSorted(
       RecommendationJob.transform(events, eventsAtDate, geo, date,
-        maxDistanceKm, processedAt.getOrElse(current_timestamp())),
+        maxDistanceKm, processedAt.getOrElse(current_timestamp()),
+        gridZone = gridZone),
       s"$outBase/recommendations", "zone_id", Seq("user_left", "user_right"))
   }
 
-  /** CLI surface: events geo outBase date maxDistanceKm [processedAt].
-    * The optional 6th arg ("yyyy-MM-dd HH:mm:ss", UTC) pins the wall-clock
-    * instant — same injectable as RecommendationJob.transform's
-    * `processedAt`, reachable from a shell.
+  /** CLI surface: events geo outBase date maxDistanceKm [processedAt]
+    * [gridZone]. The optional 6th arg ("yyyy-MM-dd HH:mm:ss", UTC) pins the
+    * wall-clock instant — same injectable as RecommendationJob.transform's
+    * `processedAt`, reachable from a shell. The optional 7th arg "grid"
+    * selects the [[RecommendationJob.withZoneGrid]] nearest-zone scale tier
+    * (output-identical on tie-free data, q148-proven).
     */
   def runArgs(spark: SparkSession, args: Array[String]): Unit = {
     require(args.length >= 5,
-      "usage: Pipeline events geo outBase date maxDistanceKm [processedAt]")
+      "usage: Pipeline events geo outBase date maxDistanceKm [processedAt] [grid]")
     val Array(eventsPath, geoPath, outBase, date, maxDistance) = args.take(5)
     val processedAt = args.lift(5).map(ts => to_timestamp(lit(ts)))
     run(spark, eventsPath, geoPath, outBase, date, maxDistance.toDouble,
-      processedAt)
+      processedAt, gridZone = args.lift(6).contains("grid"))
   }
 
   def main(args: Array[String]): Unit = {

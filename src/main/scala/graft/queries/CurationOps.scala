@@ -286,6 +286,24 @@ object CurationOps extends Catalog {
         segTokens = 10)
     }),
 
+    // ---- ExactSubstr any-length duplicate spans (Lee et al. 2022) ----------
+    // the grain between q94's FIXED 10-token blocks and q21's whole-doc
+    // dedup: maximal spans covered by some >=8-token substring occurring
+    // twice anywhere in the corpus — found by the duplicated-L-gram cover
+    // (exact, see Dedup.exactSubstrSpans' lemma), never a suffix sort
+    "q149_exact_substr_spans" -> ((s, d) => {
+      Dedup.exactSubstrSpans(Tables.documents(s, d), "doc_id", "text",
+        minTokens = 8)
+    }),
+
+    // the scrub composed on top: every covered token cut (all occurrences,
+    // the public ExactSubstr default), text rebuilt in order, empty and
+    // untouched docs included
+    "q150_exact_substr_scrub" -> ((s, d) => {
+      Dedup.exactSubstrScrub(Tables.documents(s, d), "doc_id", "text",
+        minTokens = 8)
+    }),
+
     // ---- portable KMV approximate distinct (q66's oracle-able cousin) ------
     // q66's approx_count_distinct is the catalog's ONE rows-only row by
     // construction: HLL registers are engine-specific. The KMV sketch is
@@ -769,6 +787,66 @@ object CurationOps extends Catalog {
          |  coalesce(kp.clean_text, '') AS clean_text
          |FROM documents d
          |LEFT JOIN pd USING (doc_id) LEFT JOIN kp USING (doc_id)""".stripMargin,
+
+    // independent formulation: gram STRINGS (the query hashes them to
+    // longs at the explode site — a collision-free corpus makes the two
+    // identical), islands via window lag instead of the query's exact
+    // same shape re-derived over string grams
+    "q149_exact_substr_spans" ->
+      s"""WITH w AS (SELECT doc_id, ${TextSql.words} AS ws FROM documents),
+         |idx AS (SELECT doc_id, ws,
+         |    unnest(range(len(ws) - 7)) AS i
+         |  FROM w WHERE len(ws) >= 8),
+         |g AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
+         |    array_to_string(ws[i+1:i+8], ' ') AS gram FROM idx),
+         |dup AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+         |dp AS (SELECT doc_id, pos FROM g
+         |       WHERE gram IN (SELECT gram FROM dup)),
+         |marked AS (SELECT doc_id, pos,
+         |    CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+         |           IS NULL
+         |         OR pos > lag(pos) OVER (PARTITION BY doc_id
+         |           ORDER BY pos) + 8
+         |         THEN 1 ELSE 0 END AS nw
+         |  FROM dp),
+         |isl AS (SELECT doc_id, pos,
+         |    sum(nw) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+         |  FROM marked)
+         |SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+         |  CAST(max(pos) + 8 AS BIGINT) AS span_end,
+         |  CAST(max(pos) + 8 - min(pos) AS BIGINT) AS span_tokens
+         |FROM isl GROUP BY doc_id, island""".stripMargin,
+
+    // scrub twin: covered positions re-exploded from the merged spans,
+    // kept tokens re-joined in order
+    "q150_exact_substr_scrub" ->
+      s"""WITH w AS (SELECT doc_id, ${TextSql.words} AS ws FROM documents),
+         |idx AS (SELECT doc_id, ws,
+         |    unnest(range(len(ws) - 7)) AS i
+         |  FROM w WHERE len(ws) >= 8),
+         |g AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
+         |    array_to_string(ws[i+1:i+8], ' ') AS gram FROM idx),
+         |dup AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+         |dp AS (SELECT doc_id, pos FROM g
+         |       WHERE gram IN (SELECT gram FROM dup)),
+         |cov AS (SELECT DISTINCT doc_id, pos FROM (
+         |  SELECT doc_id, pos + unnest(range(8)) AS pos FROM dp)),
+         |toks AS (SELECT doc_id, unnest(ws) AS tok,
+         |    CAST(unnest(range(len(ws))) AS BIGINT) AS pos FROM w),
+         |kept AS (SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+         |    array_to_string(list(t.tok ORDER BY t.pos), ' ') AS clean_text
+         |  FROM toks t LEFT JOIN cov c
+         |    ON t.doc_id = c.doc_id AND t.pos = c.pos
+         |  WHERE c.doc_id IS NULL GROUP BY 1),
+         |tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens
+         |        FROM toks GROUP BY 1)
+         |SELECT d.doc_id,
+         |  coalesce(tot.n_tokens, 0) AS n_tokens,
+         |  coalesce(tot.n_tokens, 0) - coalesce(kept.n_kept, 0)
+         |    AS n_covered,
+         |  coalesce(kept.clean_text, '') AS clean_text
+         |FROM documents d
+         |LEFT JOIN tot USING (doc_id) LEFT JOIN kept USING (doc_id)""".stripMargin,
 
     // the KMV sketch re-derived: k smallest distinct FNV hashes per group
     // in unsigned order, kth element + the identical estimator arithmetic

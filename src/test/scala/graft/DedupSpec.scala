@@ -343,6 +343,46 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
       (2L, 4L, 6L, 8L, 5L, 900000L)))
   }
 
+  test("exactSubstrSpans: planted long repeats resolve to exact maximal " +
+      "spans; sub-threshold repeats are invisible") {
+    val p = (1 to 12).map(i => s"p$i").mkString(" ")  // shared 12-token run
+    val q = (1 to 9).map(i => s"q$i").mkString(" ")   // within-doc repeat
+    val s7 = (1 to 7).map(i => s"s$i").mkString(" ")  // below minTokens=8
+    val docs = Seq(
+      (1L, s"a1 a2 a3 $p b1 b2"),     // p at positions 3..14
+      (2L, s"c1 c2 $p d1"),           // p at positions 2..13
+      (3L, s"$q x $q"),               // q at 0..8 and 10..18
+      (4L, "u1 u2 u3 u4 u5 u6 u7 u8 u9 u10"), // unique, long enough
+      (5L, ""),                        // empty
+      (6L, s"$s7 e1 e2"), (7L, s"f1 $s7 f2")  // 7 shared tokens: no span
+    ).toDF("doc_id", "text")
+    val spans = Dedup.exactSubstrSpans(docs, "doc_id", "text", minTokens = 8)
+      .as[(Long, Long, Long, Long)].collect().sorted.toSeq
+    assert(spans === Seq(
+      (1L, 3L, 15L, 12L),
+      (2L, 2L, 14L, 12L),
+      (3L, 0L, 9L, 9L), (3L, 10L, 19L, 9L)))
+    val scrub = Dedup.exactSubstrScrub(docs, "doc_id", "text", minTokens = 8)
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1).toSeq
+    assert(scrub === Seq(
+      (1L, 17L, 12L, "a1 a2 a3 b1 b2"),
+      (2L, 15L, 12L, "c1 c2 d1"),
+      (3L, 19L, 18L, "x"),
+      (4L, 10L, 0L, "u1 u2 u3 u4 u5 u6 u7 u8 u9 u10"),
+      (5L, 0L, 0L, ""),
+      (6L, 9L, 0L, s"$s7 e1 e2"),
+      (7L, 9L, 0L, s"f1 $s7 f2")))
+  }
+
+  test("exactSubstrSpans: an L-token repeat at doc edges is exactly one " +
+      "gram and still surfaces") {
+    val p8 = (1 to 8).map(i => s"w$i").mkString(" ")
+    val docs = Seq((1L, p8), (2L, s"$p8")).toDF("doc_id", "text")
+    val spans = Dedup.exactSubstrSpans(docs, "doc_id", "text", 8)
+      .as[(Long, Long, Long, Long)].collect().sorted.toSeq
+    assert(spans === Seq((1L, 0L, 8L, 8L), (2L, 0L, 8L, 8L)))
+  }
+
   test("cosinePairs: a STRING-id corpus takes the distributed verify " +
       "tier and returns the same pairs") {
     // the collected model keys docs by primitive long, so the model tier
