@@ -115,6 +115,33 @@ object LmOps extends Catalog {
         col("doc_id").cast("string"), lit(" "), col("source"), lit("#"),
         col("lang"))
       Bpe.vocabCoverage(docs, "source", aug, merges)
+    }),
+
+    // ---- vocabulary-size sweep: the coverage-vs-vocab curve ---------------
+    // the decision report a tokenizer build actually reads — q145's
+    // coverage/UNK metrics at k ∈ {8, 32, 128} learned merges. The fit
+    // runs ONCE at the largest k and each smaller vocabulary is a PREFIX
+    // slice: BPE learning is greedy, merge i never depends on any merge
+    // after it, so merges(8) == learnMerges(freq, 8) by construction —
+    // and the oracle pins exactly that, deriving every k's piece set from
+    // the b1..bk layers of ONE 128-round fit replay. One corpus pass per
+    // k for the coverage report itself (the greedy matcher is per-k
+    // state); the 100 TB shape stays q145's map-only projection + small
+    // rollup, ×|ks|.
+    "q151_vocab_size_sweep" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val freq = Caches.pin(Bpe.wordFreq(docs, "text"))
+      val all = Bpe.learnMerges(freq, 128).map(m => (m._1, m._2))
+      val aug = concat(col("text"), lit(" doc-"),
+        col("doc_id").cast("string"), lit(" "), col("source"), lit("#"),
+        col("lang"))
+      Seq(8, 32, 128).map { k =>
+        Bpe.vocabCoverage(docs, "source", aug, all.take(k))
+          .withColumn("n_merges", lit(k.toLong))
+      }.reduce(_ unionByName _)
+        .select(col("n_merges"), col("source"), col("n_words"),
+          col("unk_words"), col("wp_tokens"), col("unk_vocab"),
+          col("unk_permille"))
     })
   )
 
@@ -177,14 +204,16 @@ object LmOps extends Catalog {
     * discard-partial-matches rule. MATERIALIZED: each layer references its
     * predecessor twice, so default CTE inlining would expand 2^N copies of
     * the base scan. */
-  private def greedyCtes(layers: Int): String =
+  /** `sfx` disambiguates the CTE names so several greedy chains (one per
+    * swept vocabulary size in q151) coexist in one statement. */
+  private def greedyCtes(layers: Int, sfx: String = ""): String =
     (1 to layers).map { i =>
-      s"""g$i AS MATERIALIZED (
-         |  SELECT word, len, pos, n FROM g${i - 1} WHERE pos >= len
+      s"""g$i$sfx AS MATERIALIZED (
+         |  SELECT word, len, pos, n FROM g${i - 1}$sfx WHERE pos >= len
          |  UNION ALL
          |  SELECT g.word, g.len, g.pos + max(p.plen) AS pos,
          |    g.n + 1 AS n
-         |  FROM g${i - 1} g JOIN pieces p
+         |  FROM g${i - 1}$sfx g JOIN pieces$sfx p
          |    ON substr(g.word, g.pos + 1, p.plen) = p.piece
          |  WHERE g.pos < g.len
          |  GROUP BY g.word, g.len, g.pos, g.n)""".stripMargin
@@ -192,10 +221,10 @@ object LmOps extends Catalog {
 
   /** The exported inference piece set as a CTE: merged symbols from each
     * fit layer (UNION dedupes collisions) plus the 36 charset chars. */
-  private def piecesCte(k: Int): String = {
+  private def piecesCte(k: Int, sfx: String = ""): String = {
     val arms = (1 to k).map(i => s"SELECT l || r AS piece FROM b$i")
       .mkString("\n  UNION ")
-    s"""pieces AS (SELECT piece, length(piece) AS plen FROM (
+    s"""pieces$sfx AS (SELECT piece, length(piece) AS plen FROM (
        |  $arms
        |  UNION SELECT unnest(regexp_extract_all(
        |    'abcdefghijklmnopqrstuvwxyz0123456789', '.')) AS piece))"""
@@ -276,6 +305,49 @@ object LmOps extends Catalog {
          |  CAST((sum(wr.unk) * 1000) // count(*) AS BIGINT) AS unk_permille
          |FROM cw JOIN wr ON cw.word = wr.word
          |GROUP BY 1""".stripMargin
+    },
+
+    "q151_vocab_size_sweep" -> {
+      val ks = Seq(8, 32, 128)
+      val maxLen = graft.ext.Bpe.MaxCoverageWordLen
+      val aug = "text || ' doc-' || CAST(doc_id AS VARCHAR) || ' ' || " +
+        "source || '#' || lang"
+      val norm =
+        s"lower(trim(regexp_replace($aug, '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')))"
+      // one 128-round fit replay; per swept k, an independent piece set
+      // from b1..bk and its own greedy chain (suffixed CTE names)
+      val perK = ks.map { k =>
+        val sfx = s"k$k"
+        s"""${piecesCte(k, sfx)},
+           |g0$sfx AS (SELECT word, length(word) AS len, 0 AS pos, 0 AS n
+           |  FROM dwords),
+           |${greedyCtes(maxLen, sfx)},
+           |fin$sfx AS (SELECT word, n FROM g$maxLen$sfx WHERE pos >= len),
+           |wr$sfx AS (SELECT d.word, coalesce(f.n, 1) AS wp_n,
+           |    CASE WHEN f.word IS NULL THEN 1 ELSE 0 END AS unk
+           |  FROM dwords d LEFT JOIN fin$sfx f ON d.word = f.word)"""
+          .stripMargin
+      }.mkString(",\n")
+      val arms = ks.map { k =>
+        s"""SELECT CAST($k AS BIGINT) AS n_merges, cw.source AS source,
+           |  CAST(count(*) AS BIGINT) AS n_words,
+           |  CAST(sum(wr.unk) AS BIGINT) AS unk_words,
+           |  CAST(sum(wr.wp_n) AS BIGINT) AS wp_tokens,
+           |  CAST(count(DISTINCT CASE WHEN wr.unk = 1 THEN cw.word END)
+           |    AS BIGINT) AS unk_vocab,
+           |  CAST((sum(wr.unk) * 1000) // count(*) AS BIGINT)
+           |    AS unk_permille
+           |FROM cw JOIN wrk$k wr ON cw.word = wr.word
+           |GROUP BY 1, 2""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH ${bpeCtes(128)},
+         |cw AS (SELECT source, word FROM (
+         |  SELECT source, unnest(list_filter(string_split($norm, ' '),
+         |    x -> x != '')) AS word FROM documents)
+         |  WHERE length(word) <= $maxLen),
+         |dwords AS (SELECT DISTINCT word FROM cw),
+         |$perK
+         |$arms""".stripMargin
     },
 
     "q133_bpe_token_counts" ->

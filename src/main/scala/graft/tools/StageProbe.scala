@@ -29,12 +29,18 @@ object StageProbe {
     val sfDir = args(0)
     val qname = args(1)
     val cpus = if (args.length > 2) args(2) else "32"
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // per-probe conf overrides, e.g.
+    // SPARK_GRAFT_EXTRA_CONF="spark.sql.adaptive.advisoryPartitionSizeInBytes=8m"
+    sys.env.get("SPARK_GRAFT_EXTRA_CONF").foreach(_.split(',').foreach { kv =>
+      val Array(k, v) = kv.split("=", 2)
+      builder.config(k.trim, v.trim)
+    })
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     val stages = TrieMap.empty[Int, StageAgg]
