@@ -278,9 +278,15 @@ object Similarity {
 
   private def pqFitSeq(corpus: DataFrame, id: String, vec: String, m: Int,
                        kc: Int, iters: Int, scale: Double)
+      : Seq[(Int, Int, Array[Long])] =
+    pqFitSeqQ(prep(corpus, id, vec, "__id", scale), m, kc, iters)
+
+  /** The PQ Lloyd fit over an ALREADY-QUANTIZED (__id, __qv) frame — the
+    * entry point residual quantization needs (residuals are differences of
+    * quantized longs, never re-quantized doubles). */
+  private def pqFitSeqQ(q: DataFrame, m: Int, kc: Int, iters: Int)
       : Seq[(Int, Int, Array[Long])] = {
     require(m >= 1 && kc >= 1 && iters >= 0, s"bad pq params ($m, $kc, $iters)")
-    val q = prep(corpus, id, vec, "__id", scale)
     val seeds = q
       .withColumn("__h", graft.plans.Fnv1a64Expression.fnv1a64(col("__id")))
       .orderBy(col("__h"), col("__id")).limit(kc)
@@ -396,6 +402,178 @@ object Similarity {
       // child, where update() would evaluate it INTERPRETED per product
       // row — measured 755 s at sf1 vs 8 s for the identically-shaped
       // q146 before this line matched knnExact's placement
+      .agg(graft.plans.TopKByAggregate.topkBy(
+        pinnedScore(col("__s")), col("neighbor_id"), k).as("__tk"))
+      .select(col("query_id"), posexplode(col("__tk")).as(Seq("__p", "__e")))
+      .select(col("query_id"), (col("__p") + 1).cast("long").as("rank"),
+        col("__e.id").as("neighbor_id"),
+        col("__e.score").cast("long").as("adc_dot"))
+  }
+
+  /** Quantized-residual frame (__id, cell, __rv) of each corpus row against
+    * its assigned coarse centroid: __rv = __qv − centroid_qv, exact long
+    * differences of already-quantized vectors (never re-quantized doubles,
+    * so both engines derive the identical residual from the identical
+    * assignment). */
+  /** Canonical quantized coarse layer (cell: long, __ctv, __ctn) from a
+    * raw-embedding centroid frame. */
+  private def centC(centroids: DataFrame, centroidId: String,
+                    centroidVec: String, scale: Double): DataFrame =
+    prep(centroids, centroidId, centroidVec, "cell", scale)
+      .select(col("cell").cast("long").as("cell"), col("__qv").as("__ctv"),
+        col("__qn").as("__ctn"))
+
+  /** The same canonical layer from a [[kmeansFit]] output frame — the
+    * centroids are ALREADY quantized long arrays there, so no re-prep. */
+  private def centCFromKmeans(kmCentroids: DataFrame): DataFrame =
+    kmCentroids.select(col("cell").cast("long").as("cell"),
+        col("centroid").as("__ctv"))
+      .withColumn("__ctn", dotLong(col("__ctv"), col("__ctv")))
+
+  private def residualsC(corpus: DataFrame, corpusId: String,
+                         corpusVec: String, cent: DataFrame,
+                         scale: Double): DataFrame = {
+    val withQ = corpus
+      .select(col(corpusId).as("__id"), quantize(col(corpusVec), scale).as("__qv"))
+      .withColumn("__qn", dotLong(col("__qv"), col("__qv")))
+    val best = withQ
+      .crossJoin(broadcast(cent))
+      .select(col("__id"),
+        cosineFromQuantized(col("__qv"), col("__ctv"), col("__qn"),
+          col("__ctn")).as("__cos"),
+        col("cell"))
+      .groupBy(col("__id"))
+      .agg(max_by(col("cell"), struct(col("__cos"), -col("cell"))).as("cell"))
+    withQ.join(best, Seq("__id"))
+      .join(broadcast(cent.select(col("cell"), col("__ctv"))), Seq("cell"))
+      .select(col("__id"), col("cell"),
+        zip_with(col("__qv"), col("__ctv"), (a, b) => a - b).as("__rv"))
+  }
+
+  /** PQ codebooks fit on coarse-cell RESIDUALS — the IVF-PQ fit (Jégou et
+    * al. 2011, "Product Quantization for Nearest Neighbor Search"): each
+    * corpus vector is assigned to its nearest coarse centroid ([[assignCells]]'
+    * argmax) and the codebooks learn x − c(x) instead of x. Residuals
+    * concentrate around the origin once the coarse quantizer captures the
+    * data's macro-structure, so the SAME m·log₂kc bits of code spend their
+    * resolution on a smaller-diameter set — the recall-per-byte win over
+    * plain [[pqFit]], measured (not assumed) by the q146 harness in q152.
+    * Same output contract as [[pqFit]].
+    */
+  def pqFitResiduals(corpus: DataFrame, id: String, vec: String,
+                     centroids: DataFrame, centroidId: String,
+                     centroidVec: String, m: Int, kc: Int, iters: Int,
+                     scale: Double = DefaultScale): DataFrame =
+    pqFitResidualsC(corpus, id, vec,
+      centC(centroids, centroidId, centroidVec, scale), m, kc, iters, scale)
+
+  /** [[pqFitResiduals]] with a [[kmeansFit]] frame as the coarse layer —
+    * the production IVF-PQ pairing (data-vector "centroids" are nearly
+    * orthogonal to everything on an unstructured corpus, making residuals
+    * LARGER than the originals; Lloyd centroids make them smaller by the
+    * k-means objective itself). */
+  def pqFitResidualsKm(corpus: DataFrame, id: String, vec: String,
+                       kmCentroids: DataFrame, m: Int, kc: Int, iters: Int,
+                       scale: Double = DefaultScale): DataFrame =
+    pqFitResidualsC(corpus, id, vec, centCFromKmeans(kmCentroids),
+      m, kc, iters, scale)
+
+  private def pqFitResidualsC(corpus: DataFrame, id: String, vec: String,
+                              cent: DataFrame, m: Int, kc: Int, iters: Int,
+                              scale: Double): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val r = residualsC(corpus, id, vec, cent, scale)
+      .select(col("__id"), col("__rv").as("__qv"))
+    pqFitSeqQ(r, m, kc, iters)
+      .map { case (j, cell, v) => (j, cell, v.toSeq) }
+      .toDF("subspace", "cell", "centroid")
+  }
+
+  /** IVF-PQ approximate top-k: coarse cells prune the candidate set
+    * ([[knnIvf]]'s equi-join shape — queries probe their `nprobe` nearest
+    * cells), PQ codes over cell residuals compress the vectors, and a
+    * candidate scores as dot(q, c_cell) + Σ_j lut_j[code_j] — the exact
+    * long decomposition dot(q, x) ≈ dot(q, c) + dot(q, x−c) with the
+    * residual term read from m table lookups (ADC). The per-query lut is
+    * built ONCE (m·kc long dots, a literal projection); the per-cell
+    * offset rides the probe join; the inverted lists are the PINNED
+    * encode-once frame (the q147 materialization-barrier trap applies
+    * unchanged). Candidate cost is Σ probed-cell sizes — never |corpus| —
+    * and each candidate costs m lookups + one add.
+    *
+    * Output: (query_id, rank, neighbor_id, adc_dot), self-pairs excluded,
+    * ties to the lower neighbor id.
+    */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame,
+                corpusId: String, corpusVec: String,
+                queryId: String, queryVec: String,
+                centroids: DataFrame, centroidId: String,
+                centroidVec: String,
+                codebooks: Seq[(Int, Int, Array[Long])], k: Int,
+                nprobe: Int, scale: Double = DefaultScale): DataFrame =
+    ivfPqTopKC(corpus, queries, corpusId, corpusVec, queryId, queryVec,
+      centC(centroids, centroidId, centroidVec, scale), codebooks, k,
+      nprobe, scale)
+
+  /** [[ivfPqTopK]] over a [[kmeansFit]] coarse layer — see
+    * [[pqFitResidualsKm]]. */
+  def ivfPqTopKKm(corpus: DataFrame, queries: DataFrame,
+                  corpusId: String, corpusVec: String,
+                  queryId: String, queryVec: String,
+                  kmCentroids: DataFrame,
+                  codebooks: Seq[(Int, Int, Array[Long])], k: Int,
+                  nprobe: Int, scale: Double = DefaultScale): DataFrame =
+    ivfPqTopKC(corpus, queries, corpusId, corpusVec, queryId, queryVec,
+      centCFromKmeans(kmCentroids), codebooks, k, nprobe, scale)
+
+  private def ivfPqTopKC(corpus: DataFrame, queries: DataFrame,
+                         corpusId: String, corpusVec: String,
+                         queryId: String, queryVec: String,
+                         cent: DataFrame,
+                         codebooks: Seq[(Int, Int, Array[Long])], k: Int,
+                         nprobe: Int, scale: Double): DataFrame = {
+    val byJ = codebooks.groupBy(_._1)
+    val m = byJ.size
+    val kc = byJ(0).size
+    require(byJ.forall(_._2.size == kc), "ragged codebook")
+    val sub = codebooks.head._3.length
+    val res = residualsC(corpus, corpusId, corpusVec, cent, scale)
+    val codes = array((0 until m).map(j =>
+      pqArgminCell(pqSlice(col("__rv"), j, sub),
+        byJ(j).map(c => (c._2, c._3)))): _*)
+    val enc = graft.ext.Caches.pin(res.select(
+      col("__id").as("neighbor_id"), col("cell"), codes.as("codes")))
+    val q = prep(queries, queryId, queryVec, "query_id", scale)
+    val probeCells = q.crossJoin(broadcast(cent))
+      .select(col("query_id"),
+        cosineFromQuantized(col("__qv"), col("__ctv"), col("__qn"),
+          col("__ctn")).as("__cos"),
+        col("cell"))
+      .groupBy("query_id")
+      .agg(graft.plans.TopKByAggregate.topkBy(
+        pinnedScore(col("__cos")), col("cell"), nprobe).as("__tk"))
+      .select(col("query_id"), explode(col("__tk.id")).as("cell"))
+    val lutEntries = for {
+      j <- 0 until m
+      (_, cell, cv) <- byJ(j).sortBy(_._2)
+    } yield dotLong(pqSlice(col("__qv"), j, sub),
+      array(cv.map(lit).toIndexedSeq: _*))
+    val qlut = q.select(col("query_id"), col("__qv"),
+      array(lutEntries: _*).as("__lut"))
+    val probes = probeCells.join(qlut, Seq("query_id"))
+      .join(broadcast(cent.select(col("cell"), col("__ctv"))), Seq("cell"))
+      .select(col("query_id"), col("cell"), col("__lut"),
+        dotLong(col("__qv"), col("__ctv")).as("__off"))
+    val adcRes = (0 until m).map(j =>
+        element_at(col("__lut"), lit(j * kc) + col("codes")(j)))
+      .reduce(_ + _)
+    probes.join(enc, Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"),
+        (col("__off") + adcRes).cast("double").as("__s"),
+        col("neighbor_id"))
+      .groupBy("query_id")
       .agg(graft.plans.TopKByAggregate.topkBy(
         pinnedScore(col("__s")), col("neighbor_id"), k).as("__tk"))
       .select(col("query_id"), posexplode(col("__tk")).as(Seq("__p", "__e")))

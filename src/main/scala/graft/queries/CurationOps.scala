@@ -34,58 +34,12 @@ import graft.sources.Tables
   */
 object CurationOps extends Catalog {
 
-  /** DuckDB CTE chain re-deriving [[graft.ext.Similarity.kmeansFit]] from
-    * scratch: FNV-ranked seeds, `iters` rounds of (argmax-cosine assignment,
-    * exact-integer mean update with empty-cell carry-over). `from` is the
-    * source relation text exposing (vec_id, embedding); the returned chain
-    * defines `qv` (quantized vectors) and `c$iters` (final centroids).
-    */
   private def kmeansCtes(kSql: String, iters: Int, dims: Int,
-                         from: String): String = {
-    import graft.plans.Fnv1a64Expression.{longSqlText, toSignedSqlText}
-    val fnv = toSignedSqlText(
-      longSqlText("14695981039346656037::HUGEINT", "vec_id::HUGEINT"))
-    def cos(a: String, b: String) = Similarity.cosineLongSqlText(a, b)
-    val sb = new StringBuilder
-    sb.append(
-      s"""qv AS (SELECT vec_id,
-         |  [CAST(floor(CAST(embedding[i] AS DOUBLE)*1000000.0 + 0.5) AS BIGINT)
-         |   FOR i IN range(1, len(embedding)+1)] AS v FROM $from),
-         |c0 AS (SELECT cell, v FROM (
-         |    SELECT CAST(row_number() OVER (ORDER BY $fnv, vec_id) AS INTEGER)
-         |      AS cell, v
-         |    FROM qv) WHERE cell <= ($kSql))""".stripMargin)
-    for (it <- 1 to iters) {
-      val prev = s"c${it - 1}"
-      sb.append(
-        s""",
-           |a$it AS (SELECT vec_id, v, cell FROM (
-           |    SELECT q.vec_id, q.v, c.cell,
-           |      row_number() OVER (PARTITION BY q.vec_id
-           |        ORDER BY ${cos("q.v", "c.v")} DESC, c.cell) AS rn
-           |    FROM qv q CROSS JOIN $prev c) WHERE rn = 1),
-           |s$it AS (SELECT cell, i,
-           |      CAST(CASE WHEN sum(x) < 0 THEN -1 ELSE 1 END
-           |        * (abs(sum(x)) // count(*)) AS BIGINT) AS cx
-           |    FROM (SELECT cell, i, v[i] AS x
-           |          FROM a$it CROSS JOIN (SELECT unnest(range(1, ${dims + 1})) AS i))
-           |    GROUP BY cell, i),
-           |n$it AS (SELECT cell, list(cx ORDER BY i) AS v FROM s$it GROUP BY cell),
-           |c$it AS (SELECT p.cell, coalesce(n$it.v, p.v) AS v
-           |         FROM $prev p LEFT JOIN n$it USING (cell))""".stripMargin)
-    }
-    sb.toString
-  }
+                         from: String): String =
+    KmeansSql.kmeansCtes(kSql, iters, dims, from)
 
-  /** final-assignment CTE (`fin`): every qv row against the final centroids */
-  private def finAssignCte(iters: Int): String = {
-    val cos = Similarity.cosineLongSqlText("q.v", "c.v")
-    s"""fin AS (SELECT vec_id, cell, cs FROM (
-       |    SELECT q.vec_id, c.cell, $cos AS cs,
-       |      row_number() OVER (PARTITION BY q.vec_id
-       |        ORDER BY $cos DESC, c.cell) AS rn
-       |    FROM qv q CROSS JOIN c$iters c) WHERE rn = 1)""".stripMargin
-  }
+  private def finAssignCte(iters: Int): String =
+    KmeansSql.finAssignCte(iters)
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- deterministic k-means fit + assignment ---------------------------

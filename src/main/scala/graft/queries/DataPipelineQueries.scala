@@ -340,6 +340,38 @@ object DataPipelineQueries extends Catalog {
       Similarity.recallAtK(exact, approx, "query_id", "neighbor_id", k = 10)
     }),
 
+    // ---- IVF-PQ: coarse cells × residual codebooks, recall-graded ----------
+    // the composition of the engine's inverted-list and codebook tiers
+    // (Jégou et al. 2011): a FITTED k-means coarse layer (q84's machinery,
+    // density-adaptive k), PQ codebooks learned on the RESIDUAL x − c(x)
+    // (exact long differences of quantized vectors), candidates scoring as
+    // dot(q, c_cell) + Σ_j lut[code_j] over the nprobe probed cells only.
+    // SAME byte budget as q147 (m=4, kc=8 → 12 bits/vector + the cell id
+    // every IVF index already keeps), graded by the q146 harness against
+    // the same exact baseline. MEASURED at sf0.1 (100 queries): mean
+    // recall 73‰ at nprobe=3/40 cells vs plain PQ's 58‰ scanning the
+    // WHOLE corpus (85‰ at nprobe=5) — the residual win is real but only
+    // with a FITTED coarse layer: the same composition over q26's
+    // data-vector "centroids" measured 58-60‰ at every nprobe, because
+    // random unit vectors are near-orthogonal to everything and the
+    // residual x − c is then LARGER than x (‖r‖² = 2 − 2cos > 1).
+    "q152_ivfpq_recall" -> ((s, d) => {
+      val vecs = Tables.embeddings(s, d)
+      val qs = vecs.filter(col("vec_id") % 50 === 0)
+      val kCells = Similarity.autoSemanticK(vecs.count(),
+        targetPerCell = 50)
+      val km = Similarity.kmeansFit(vecs, "vec_id", "embedding",
+        k = kCells, iters = 2)
+      val cb = Similarity.collectCodebooks(Similarity.pqFitResidualsKm(
+        vecs, "vec_id", "embedding", km, m = 4, kc = 8, iters = 2))
+      val approx = Similarity.ivfPqTopKKm(vecs, qs,
+        "vec_id", "embedding", "vec_id", "embedding",
+        km, cb, k = 10, nprobe = 3)
+      val exact = Similarity.knnExact(vecs, qs,
+        "vec_id", "embedding", "vec_id", "embedding", k = 10)
+      Similarity.recallAtK(exact, approx, "query_id", "neighbor_id", k = 10)
+    }),
+
     // ---- SimHash near-dup (chunk-bucketed hamming) -------------------------
     // maxHamming = 3: the 4x16-bit chunk pigeonhole guarantees full recall
     // only up to hamming 3 — a larger bound would silently drop pairs that
@@ -1324,6 +1356,114 @@ object DataPipelineQueries extends Catalog {
          |    ORDER BY adc DESC, neighbor_id) <= 10),
          |q AS (SELECT vec_id AS query_id, embedding AS qe
          |      FROM embeddings WHERE vec_id % 50 = 0),
+         |exact AS (
+         |  SELECT query_id, vec_id AS neighbor_id
+         |  FROM embeddings CROSS JOIN q
+         |  WHERE vec_id != query_id
+         |  QUALIFY row_number() OVER (PARTITION BY query_id
+         |    ORDER BY $cosEx DESC, vec_id) <= 10)
+         |SELECT e.query_id,
+         |  CAST(count(*) AS BIGINT) AS evaluated,
+         |  CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS hits,
+         |  CAST((sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+         |    * 1000) // 10 AS BIGINT) AS recall_permille
+         |FROM exact e LEFT JOIN approx a
+         |  ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+         |GROUP BY 1""".stripMargin
+    },
+
+    "q152_ivfpq_recall" -> {
+      // full IVF-PQ replay: the q84 k-means chain (density-adaptive k,
+      // FNV seeds, 2 Lloyd rounds) → final assignment → exact long
+      // residuals → PQ seeds/Lloyd/codes on residual slices (pa/ps/pn
+      // CTE names; the kmeans chain owns a/s/n) → lut over QUERY slices
+      // (the query is never residualized) → per-(query,cell) coarse
+      // offset → ADC = offset + Σ lookups over probed cells only
+      val (m, kc, iters, sub) = (4, 8, 2, 16)
+      import graft.plans.Fnv1a64Expression.{longSqlText, toSignedSqlText}
+      val fnv = toSignedSqlText(
+        longSqlText("14695981039346656037::HUGEINT", "vec_id::HUGEINT"))
+      def dot(a: String, b: String) = Similarity.dotLongSqlText(a, b)
+      val cosEx = Similarity.cosineSqlText("qe", "embedding")
+      val cosQC = Similarity.cosineLongSqlText("q2.v", "c.v")
+      val kSql = "SELECT greatest(8, least(CAST(ceil(count(*) / 50.0) " +
+        "AS BIGINT), CAST(ceil(sqrt(count(*))) AS BIGINT))) FROM qv"
+      val pqLloyd = (1 to iters).map { it =>
+        s"""pa$it AS MATERIALIZED (SELECT vec_id, j, sv, code FROM (
+           |    SELECT s.vec_id, s.j, s.sv, c.code,
+           |      row_number() OVER (PARTITION BY s.vec_id, s.j
+           |        ORDER BY 2*${dot("s.sv", "c.v")} - ${dot("c.v", "c.v")}
+           |          DESC, c.code) AS rn
+           |    FROM sv s JOIN cb${it - 1} c ON s.j = c.j) WHERE rn = 1),
+           |ps$it AS (SELECT j, code, i,
+           |      CAST(CASE WHEN sum(x) < 0 THEN -1 ELSE 1 END
+           |        * (abs(sum(x)) // count(*)) AS BIGINT) AS cx
+           |    FROM (SELECT j, code, i, sv[i] AS x
+           |          FROM pa$it CROSS JOIN (SELECT unnest(range(1, ${sub + 1})) AS i))
+           |    GROUP BY j, code, i),
+           |pn$it AS (SELECT j, code, list(cx ORDER BY i) AS v
+           |         FROM ps$it GROUP BY j, code),
+           |cb$it AS MATERIALIZED (SELECT p.j, p.code, coalesce(pn$it.v, p.v) AS v
+           |         FROM cb${it - 1} p LEFT JOIN pn$it USING (j, code))"""
+          .stripMargin
+      }.mkString(",\n")
+      s"""WITH ${KmeansSql.kmeansCtes(kSql, 2, 64, "embeddings")},
+         |${KmeansSql.finAssignCte(2)},
+         |rv AS MATERIALIZED (SELECT q.vec_id, f.cell,
+         |    [q.v[i] - c.v[i] FOR i IN range(1, len(q.v)+1)] AS v
+         |  FROM qv q JOIN fin f ON q.vec_id = f.vec_id
+         |  JOIN c2 c ON f.cell = c.cell),
+         |seeds AS (SELECT v, rn FROM (
+         |    SELECT v, row_number() OVER (ORDER BY $fnv, vec_id) AS rn
+         |    FROM rv) WHERE rn <= $kc),
+         |jj AS (SELECT unnest(range($m)) AS j),
+         |cb0 AS (SELECT j, CAST(rn AS INTEGER) AS code,
+         |    list_slice(v, j*$sub + 1, (j+1)*$sub) AS v
+         |  FROM seeds CROSS JOIN jj),
+         |sv AS MATERIALIZED (SELECT vec_id, j,
+         |    list_slice(v, j*$sub + 1, (j+1)*$sub) AS sv
+         |  FROM rv CROSS JOIN jj),
+         |$pqLloyd,
+         |codes AS MATERIALIZED (SELECT vec_id, j, code FROM (
+         |    SELECT s.vec_id, s.j, c.code,
+         |      row_number() OVER (PARTITION BY s.vec_id, s.j
+         |        ORDER BY 2*${dot("s.sv", "c.v")} - ${dot("c.v", "c.v")}
+         |          DESC, c.code) AS rn
+         |    FROM sv s JOIN cb$iters c ON s.j = c.j) WHERE rn = 1),
+         |qsv AS (SELECT vec_id, j,
+         |    list_slice(v, j*$sub + 1, (j+1)*$sub) AS sv
+         |  FROM qv CROSS JOIN jj WHERE vec_id % 50 = 0),
+         |lut AS MATERIALIZED (SELECT s.vec_id AS query_id, c.j, c.code,
+         |    ${dot("s.sv", "c.v")} AS pd
+         |  FROM qsv s JOIN cb$iters c ON s.j = c.j),
+         |q AS (SELECT vec_id AS query_id, embedding AS qe
+         |      FROM embeddings WHERE vec_id % 50 = 0),
+         |probes AS (SELECT query_id, cell FROM (
+         |    SELECT q2.vec_id AS query_id, c.cell,
+         |      row_number() OVER (PARTITION BY q2.vec_id
+         |        ORDER BY $cosQC DESC, c.cell) AS rn
+         |    FROM qv q2 CROSS JOIN c2 c WHERE q2.vec_id % 50 = 0)
+         |  WHERE rn <= 3),
+         |off AS (SELECT p.query_id, p.cell, ${dot("qq.v", "c.v")} AS ofs
+         |  FROM probes p JOIN qv qq ON p.query_id = qq.vec_id
+         |  JOIN c2 c ON p.cell = c.cell),
+         |adcres AS (SELECT p.query_id, co.vec_id AS neighbor_id, r.cell,
+         |    CAST(sum(l.pd) AS BIGINT) AS adcr
+         |  FROM codes co
+         |  JOIN (SELECT vec_id, cell FROM rv) r ON co.vec_id = r.vec_id
+         |  JOIN probes p ON p.cell = r.cell
+         |  JOIN lut l ON co.j = l.j AND co.code = l.code
+         |    AND l.query_id = p.query_id
+         |  WHERE co.vec_id != p.query_id
+         |  GROUP BY 1, 2, 3),
+         |adc AS (SELECT a.query_id, a.neighbor_id,
+         |    a.adcr + o.ofs AS adc
+         |  FROM adcres a JOIN off o
+         |    ON a.query_id = o.query_id AND a.cell = o.cell),
+         |approx AS (SELECT query_id, neighbor_id FROM adc
+         |  QUALIFY row_number() OVER (PARTITION BY query_id
+         |    ORDER BY adc DESC, neighbor_id) <= 10),
          |exact AS (
          |  SELECT query_id, vec_id AS neighbor_id
          |  FROM embeddings CROSS JOIN q
