@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.ext.Caches
 import graft.functions.Geo
 import graft.operators.NearestNeighborJoin
 
@@ -169,7 +170,15 @@ object RecommendationJob {
                    cellDeg: Double = 0.0): DataFrame = {
     val cities = geo.select(col("id").as("city_id"),
       col("lat").as("lat_city"), col("lon").as("lon_city"))
-    val mids = candidates.select("lat_avg", "lon_avg").distinct()
+    // PINNED: the distinct midpoints are read by the φmax agg AND the grid
+    // join — unpinned, each action re-evaluates the whole upstream pair
+    // pipeline (measured: 3 evaluations → 2; the frame itself is tiny, the
+    // fixture's positions live on a 25-point lattice and real corpora
+    // dedupe to |users| points at most). The candidate pipeline still
+    // evaluates once more for the final attach join — the same recompute-
+    // don't-cache trade the reference shape makes with its own pair frame.
+    val mids = Caches.pin(
+      candidates.select("lat_avg", "lon_avg").distinct())
     val maxAbsLat = mids.select(abs(col("lat_avg")).as("__l"))
       .unionByName(cities.select(abs(col("lat_city")).as("__l")))
       .agg(max(col("__l"))).first() match {

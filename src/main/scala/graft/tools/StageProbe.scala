@@ -73,6 +73,53 @@ object StageProbe {
     }
     spark.sparkContext.addSparkListener(listener)
 
+    if (qname == "--sweep") {
+      // fan-out-skew sweep over the WHOLE catalog: for every query, the
+      // stage table reduces to the skew verdict — the stage with the
+      // largest max-task where that task is also a large share of the
+      // stage's wall AND the stage matters to the query (its wall is a
+      // real fraction of the query wall). AQE cannot see join fan-out
+      // (it sizes by shuffle INPUT bytes), so this is the detector for
+      // the q134/q75 class of serialized-expansion stages.
+      // optional 4th arg: regex filter over query names (chunked sweeps)
+      val filter = if (args.length > 3) args(3).r else ".*".r
+      val names = graft.SparkEntry.queries.keys.toSeq.sorted
+        .filter(n => filter.findFirstIn(n).isDefined)
+      println("query,wall_s,worst_stage,stage_wall_s,max_task_s," +
+        "stage_task_s,tasks,skew_share")
+      for (name <- names) {
+        stages.clear()
+        graft.ext.Caches.releaseAll()
+        spark.catalog.clearCache()
+        val fn = graft.SparkEntry.queries(name)
+        val t0 = System.nanoTime()
+        try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          val wall = (System.nanoTime() - t0) / 1e9
+          Thread.sleep(500)
+          // consider stages that cost ≥ 10% of the query wall; report the
+          // one whose max task dominates its own stage wall the most
+          val mat = stages.toSeq.filter(_._2.wallMs >= wall * 100)
+          val worst = mat.sortBy { case (_, a) =>
+            -(a.maxTaskMs.toDouble / math.max(a.wallMs, 1)) }.headOption
+          worst match {
+            case Some((id, a)) =>
+              val share = a.maxTaskMs.toDouble / math.max(a.wallMs, 1)
+              println(f"$name,$wall%.1f,$id,${a.wallMs / 1e3}%.1f," +
+                f"${a.maxTaskMs / 1e3}%.1f,${a.taskMs / 1e3}%.1f," +
+                f"${a.tasks},$share%.2f")
+            case None =>
+              println(f"$name,$wall%.1f,-,0,0,0,0,0")
+          }
+        } catch {
+          case e: Exception =>
+            println(s"$name,ERROR,${e.getClass.getSimpleName},,,,,")
+        }
+      }
+      spark.stop()
+      return
+    }
+
     val fn = graft.SparkEntry.queries(qname)
     val t0 = System.nanoTime()
     fn(spark, sfDir).write.format("noop").mode("overwrite").save()

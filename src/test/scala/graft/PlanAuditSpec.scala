@@ -50,7 +50,8 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
       "q140_kmv_rollup", // 1-row global-exact scalar beside the sketch
       "q144_user_mart_city_tz", // q46's broadcast nearest-city shape
       "q146_ann_recall", // q25/q26's sample-broadcast products (graded)
-      "q147_pq_recall") // q25's product + the ADC lut broadcast
+      "q147_pq_recall", // q25's product + the ADC lut broadcast
+      "q152_ivfpq_recall") // q25's exact baseline + centroid/lut broadcasts
 
   test("no catalog query plans a CartesianProduct") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
@@ -103,7 +104,24 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
       "q133_bpe_token_counts" -> Instrument.Counts(17, 17),
       "q134_cosine_near_dups" -> Instrument.Counts(20, 20),
       "q135_overlap_join" -> Instrument.Counts(5, 5),
-      "q142_bpe_wordpiece_roundtrip" -> Instrument.Counts(17, 17))
+      "q142_bpe_wordpiece_roundtrip" -> Instrument.Counts(17, 17),
+      // round-9/10 tier: q143 stream-static enrichment's batch twin,
+      // q144 the per-city-tz user-mart DAG, q145/q151 the coverage
+      // report (q151 = ONE 128-merge batched fit + 3 coverage passes),
+      // q146/q147/q152 the ANN recall harness compositions (kmeans +
+      // PQ Lloyd collects ARE the job counts), q148 the grid-zone
+      // recommendation variant (ring expansion + midpoint distinct),
+      // q149/q150 the ExactSubstr gram/scrub chains
+      "q143_stream_enrichment" -> Instrument.Counts(6, 6),
+      "q144_user_mart_city_tz" -> Instrument.Counts(17, 17),
+      "q145_vocab_coverage" -> Instrument.Counts(16, 16),
+      "q146_ann_recall" -> Instrument.Counts(13, 13),
+      "q147_pq_recall" -> Instrument.Counts(15, 15),
+      "q148_recommendations_grid" -> Instrument.Counts(91, 88),
+      "q149_exact_substr_spans" -> Instrument.Counts(5, 5),
+      "q150_exact_substr_scrub" -> Instrument.Counts(10, 10),
+      "q151_vocab_size_sweep" -> Instrument.Counts(169, 169),
+      "q152_ivfpq_recall" -> Instrument.Counts(43, 43))
     val got = bounds.toSeq.sortBy(_._1).map { case (name, bound) =>
       val fn = SparkEntry.queries(name)
       // cold-cache slate before each measurement (the Bench discipline):
