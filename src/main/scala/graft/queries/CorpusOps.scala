@@ -42,7 +42,7 @@ object CorpusOps extends Catalog {
     // integers only — no float idf, so the ordering is bit-identical across
     // engines (a float score would make rank boundaries engine-dependent).
     "q60_distinctive_terms" -> ((s, d) => {
-      val toks = Tables.documents(s, d).select(col("doc_id"),
+      val toks = Tables.documentsWide(s, d).select(col("doc_id"),
         explode(filter(split(Dedup.normalizeText(col("text")), " "),
           w => w =!= "")).as("term"))
       val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
@@ -148,7 +148,7 @@ object CorpusOps extends Catalog {
     "q68_pii_scrub" -> ((s, d) => {
       val pii = concat(col("text"), lit(" contact: user"), col("doc_id"),
         lit("@example.com or +1"), (lit(1000000) + col("doc_id") * 7))
-      Tables.documents(s, d)
+      Tables.documentsWide(s, d)
         .select(col("doc_id"), pii.as("__pii"))
         .select(col("doc_id"),
           size(regexp_extract_all(col("__pii"),
@@ -170,7 +170,7 @@ object CorpusOps extends Catalog {
     // only ever incoming×corpus through the shingle index; the corpus is
     // never self-joined, so a daily batch pays |batch|-proportional work.
     "q69_incremental_dedup" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
+      val docs = Tables.documentsWide(s, d)
       val incoming = docs.filter(col("doc_id") % 10 === 7)
       val corpus = docs.filter(col("doc_id") % 10 =!= 7)
       val exact = incoming

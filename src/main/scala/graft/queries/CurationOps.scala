@@ -72,7 +72,7 @@ object CurationOps extends Catalog {
     // zero counts and a NULL ratio (not 0 — "no signal" and "no
     // boilerplate" must stay distinguishable downstream).
     "q87_boilerplate_ngrams" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
+      val docs = Tables.documentsWide(s, d)
       val sh = Dedup.wordShingles(docs, "doc_id", "text", n = 3)
       val dfs = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
       val corpusN = docs.select(count(lit(1)).as("__n"))
@@ -100,7 +100,7 @@ object CurationOps extends Catalog {
     // shingle is partial-aggregatable, so the shingle exchange carries one
     // row per distinct shingle per partition.
     "q89_ngram_novelty" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
+      val docs = Tables.documentsWide(s, d)
       val sh = Dedup.wordShingles(docs, "doc_id", "text", n = 3)
       val first = sh.groupBy("shingle").agg(min("doc_id").as("first_doc"))
       val perDoc = sh.join(first, Seq("shingle"))
@@ -124,7 +124,7 @@ object CurationOps extends Catalog {
     // coarse pass recall-only; SimilaritySpec pins rerank == knnExact when
     // m·k covers the corpus.
     "q88_quantized_rerank" -> ((s, d) => {
-      val vecs = Tables.embeddings(s, d)
+      val vecs = Tables.embeddingsWide(s, d)
       Similarity.knnRerank(vecs, vecs.filter(col("vec_id") % 50 === 0),
           "vec_id", "embedding", "vec_id", "embedding", k = 5, m = 4)
         .select(col("query_id"), col("rank").as("rnk"), col("neighbor_id"),
@@ -141,7 +141,7 @@ object CurationOps extends Catalog {
     // and the rest pack into 512-token shards per language by their
     // CLEANED token count. One oracle pins the whole chain end-to-end.
     "q95_curation_pack" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
+      val docs = Tables.documentsWide(s, d)
       val cleaned = Dedup.segmentDedup(docs, "doc_id", "text",
           segTokens = 10)
         .select(col("doc_id"), col("n_kept"), col("clean_text"))
@@ -246,7 +246,7 @@ object CurationOps extends Catalog {
     // twice anywhere in the corpus — found by the duplicated-L-gram cover
     // (exact, see Dedup.exactSubstrSpans' lemma), never a suffix sort
     "q149_exact_substr_spans" -> ((s, d) => {
-      Dedup.exactSubstrSpans(Tables.documents(s, d), "doc_id", "text",
+      Dedup.exactSubstrSpans(Tables.documentsWide(s, d), "doc_id", "text",
         minTokens = 8)
     }),
 
@@ -254,7 +254,7 @@ object CurationOps extends Catalog {
     // the public ExactSubstr default), text rebuilt in order, empty and
     // untouched docs included
     "q150_exact_substr_scrub" -> ((s, d) => {
-      Dedup.exactSubstrScrub(Tables.documents(s, d), "doc_id", "text",
+      Dedup.exactSubstrScrub(Tables.documentsWide(s, d), "doc_id", "text",
         minTokens = 8)
     }),
 
@@ -553,7 +553,7 @@ object CurationOps extends Catalog {
     // centroid state; projection back onto the corpus is then a literal
     // zero-exchange map, the q84 assignment shape).
     "q105_gram_matrix" -> ((s, d) => {
-      Similarity.gramMatrix(Tables.embeddings(s, d), "label", "embedding")
+      Similarity.gramMatrix(Tables.embeddingsWide(s, d), "label", "embedding")
         .select(col("grp").as("label"), col("i").cast("long").as("i"),
           col("j").cast("long").as("j"), col("n"), col("s"))
     }),
@@ -566,7 +566,7 @@ object CurationOps extends Catalog {
     "q86_quality_verdict" -> ((s, d) => {
       val t = col("text")
       // the verdict expression is planned ONCE; keep derives from it
-      Tables.documents(s, d)
+      Tables.documentsWide(s, d)
         .select(col("doc_id"),
           TextAnalysis.tokenCount(t).as("n_tokens"),
           TextAnalysis.qualityFirstFail(t).as("first_fail"))

@@ -55,7 +55,7 @@ object DataPipelineQueries extends Catalog {
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- exact dedup: one shuffle on the normalized-text fingerprint -------
     "q21_exact_dup_groups" -> ((s, d) => {
-      Dedup.exactDupGroups(Tables.documents(s, d), "doc_id", "text")
+      Dedup.exactDupGroups(Tables.documentsWide(s, d), "doc_id", "text")
     }),
 
     // ---- n-gram Jaccard near-dup via shingle inverted index ----------------
@@ -65,7 +65,7 @@ object DataPipelineQueries extends Catalog {
     // without hot shingles, true-Jaccard recount adding the hot contribution
     // back — is exercised and oracle-pinned at every scale the driver runs.
     "q22_jaccard_near_dups" -> ((s, d) => {
-      Dedup.jaccardPairs(Tables.documents(s, d), "doc_id", "text",
+      Dedup.jaccardPairs(Tables.documentsWide(s, d), "doc_id", "text",
           n = 3, minJaccard = 0.1, maxShingleDf = 5L)
         .select(col("id_a"), col("id_b"), col("inter").as("shared"),
           (floor(col("jaccard") * 1e6 + 0.5) / 1e6).as("jaccard"))
@@ -118,7 +118,7 @@ object DataPipelineQueries extends Catalog {
     // bound on string comparison)
     "q100_prefix_jaccard" -> ((s, d) => {
       Dedup.prefixJaccardPairsFromShingles(
-          Dedup.wordShingleHashes(Tables.documents(s, d), "doc_id", "text",
+          Dedup.wordShingleHashes(Tables.documentsWide(s, d), "doc_id", "text",
             n = 3),
           "doc_id", minJaccard = 0.4)
         .select(col("id_a"), col("id_b"), col("inter").as("shared"),
@@ -137,7 +137,7 @@ object DataPipelineQueries extends Catalog {
     // re-derives signatures from the portable FNV hash and takes ALL
     // pairs at hamming <= 3 — bucketing must be invisible.
     "q141_cosine_simhash_near_dups" -> ((s, d) => {
-      Dedup.cosineNearDupsSimhash(Tables.documents(s, d), "doc_id", "text",
+      Dedup.cosineNearDupsSimhash(Tables.documentsWide(s, d), "doc_id", "text",
         minCos2Num = 9L, minCos2Den = 10L, maxHamming = 3, portable = true)
     }),
 
@@ -152,7 +152,7 @@ object DataPipelineQueries extends Catalog {
     // rank self-join, no global sort.
     "q138_sorted_neighborhood" -> ((s, d) => {
       Dedup.sortedNeighborhoodPairs(
-        Tables.documents(s, d).select(col("doc_id"),
+        Tables.documentsWide(s, d).select(col("doc_id"),
           substring(Dedup.normalizeText(col("text")), 1, 32).as("title")),
         "doc_id", "title", blockLen = 4, windowSize = 5, maxDist = 8)
     }),
@@ -162,7 +162,7 @@ object DataPipelineQueries extends Catalog {
     // HUGEINT arithmetic, so the banded-LSH candidate set and the verified
     // Jaccard are hash-checked cross-engine, not rows-only.
     "q23_minhash_near_dups" -> ((s, d) => {
-      Dedup.minHashNearDups(Tables.documents(s, d), "doc_id", "text",
+      Dedup.minHashNearDups(Tables.documentsWide(s, d), "doc_id", "text",
           n = 3, numHashes = 64, bands = 16, minJaccard = 0.5, portable = true)
         .select(col("id_a"), col("id_b"),
           (floor(col("jaccard") * 1e6 + 0.5) / 1e6).as("jaccard"))
@@ -177,7 +177,7 @@ object DataPipelineQueries extends Catalog {
     // groups. Same portable FNV family as q23 so the banded candidate set
     // is hash-checked cross-engine.
     "q74_cross_lsh_dedup" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
+      val docs = Tables.documentsWide(s, d)
       val incoming = docs.filter(col("doc_id") % 10 === 7)
       val corpus = docs.filter(col("doc_id") % 10 =!= 7)
       Dedup.crossMinHashNearDups(
@@ -196,7 +196,7 @@ object DataPipelineQueries extends Catalog {
     // no shuffle — with exact-int quotients quantized at 1e-6 on both sides
     "q80_repetition_signals" -> ((s, d) => {
       val q6 = (c: org.apache.spark.sql.Column) => floor(c * 1e6 + 0.5) / 1e6
-      Tables.documents(s, d)
+      Tables.documentsWide(s, d)
         .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("__ts"))
         .select(col("doc_id"),
           size(col("__ts")).cast("long").as("n_tokens"),
@@ -213,7 +213,7 @@ object DataPipelineQueries extends Catalog {
     // distinct 5-grams with any benchmark doc. The overlap join is the
     // cross-frame shingle inverted index — never corpus x benchmark.
     "q81_decontamination" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
+      val docs = Tables.documentsWide(s, d)
       val sh = Dedup.wordShingles(docs, "doc_id", "text", n = 5)
       val hits = Dedup.contaminationOverlap(
           sh.filter(col("doc_id") % 25 =!= 11),
@@ -242,7 +242,7 @@ object DataPipelineQueries extends Catalog {
     // closes over all three pair sets at once — an independent whole-graph
     // recursive-CTE path that must agree with the two-step merge exactly.
     "q76_incremental_clusters" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
+      val docs = Tables.documentsWide(s, d)
       val incoming = docs.filter(col("doc_id") % 10 === 7)
       val corpus = docs.filter(col("doc_id") % 10 =!= 7)
       // the shingle frames feed ~10 subtrees (sizes/df/gen/inter across
@@ -273,7 +273,7 @@ object DataPipelineQueries extends Catalog {
 
     // ---- exact cosine top-k over embeddings (brute-force baseline) ---------
     "q25_knn_exact" -> ((s, d) => {
-      val vecs = Tables.embeddings(s, d)
+      val vecs = Tables.embeddingsWide(s, d)
       Similarity.knnExact(vecs, vecs.filter(col("vec_id") % 50 === 0),
           "vec_id", "embedding", "vec_id", "embedding", k = 10)
         .select(col("query_id"), col("rank").as("rnk"), col("neighbor_id"),
@@ -282,7 +282,7 @@ object DataPipelineQueries extends Catalog {
 
     // ---- IVF-bucketed approximate top-k (the 100 TB path) ------------------
     "q26_knn_ivf" -> ((s, d) => {
-      val vecs = Tables.embeddings(s, d)
+      val vecs = Tables.embeddingsWide(s, d)
       Similarity.knnIvf(vecs, vecs.filter(col("vec_id") % 50 === 0),
           "vec_id", "embedding", "vec_id", "embedding",
           centroids = vecs.filter(col("vec_id") % 50 === 7),
@@ -301,7 +301,7 @@ object DataPipelineQueries extends Catalog {
     // membership only, so the join is (query, neighbor)-keyed with the
     // sample-sized approx frame broadcast.
     "q146_ann_recall" -> ((s, d) => {
-      val vecs = Tables.embeddings(s, d)
+      val vecs = Tables.embeddingsWide(s, d)
       val qs = vecs.filter(col("vec_id") % 50 === 0)
       val exact = Similarity.knnExact(vecs, qs,
         "vec_id", "embedding", "vec_id", "embedding", k = 10)
@@ -329,7 +329,7 @@ object DataPipelineQueries extends Catalog {
     // reporting that honestly is the point of composing it with q146's
     // recall metric instead of assuming compression quality.
     "q147_pq_recall" -> ((s, d) => {
-      val vecs = Tables.embeddings(s, d)
+      val vecs = Tables.embeddingsWide(s, d)
       val qs = vecs.filter(col("vec_id") % 50 === 0)
       val cb = Similarity.collectCodebooks(Similarity.pqFit(
         vecs, "vec_id", "embedding", m = 4, kc = 8, iters = 2))
@@ -356,7 +356,7 @@ object DataPipelineQueries extends Catalog {
     // random unit vectors are near-orthogonal to everything and the
     // residual x − c is then LARGER than x (‖r‖² = 2 − 2cos > 1).
     "q152_ivfpq_recall" -> ((s, d) => {
-      val vecs = Tables.embeddings(s, d)
+      val vecs = Tables.embeddingsWide(s, d)
       val qs = vecs.filter(col("vec_id") % 50 === 0)
       val kCells = Similarity.autoSemanticK(vecs.count(),
         targetPerCell = 50)
@@ -377,14 +377,14 @@ object DataPipelineQueries extends Catalog {
     // only up to hamming 3 — a larger bound would silently drop pairs that
     // collide on no chunk. portable = true → FNV token hash, oracle-checked.
     "q27_simhash_near_dups" -> ((s, d) => {
-      Dedup.simHashNearDups(Tables.documents(s, d), "doc_id", "text",
+      Dedup.simHashNearDups(Tables.documentsWide(s, d), "doc_id", "text",
         maxHamming = 3, portable = true)
     }),
 
     // ---- text quality analysis --------------------------------------------
     "q28_text_stats" -> ((s, d) => {
       val t = col("text")
-      Tables.documents(s, d).select(
+      Tables.documentsWide(s, d).select(
         col("doc_id"),
         TextAnalysis.tokenCount(t).as("n_tokens"),
         TextAnalysis.subtokenCount(t).as("n_subtokens"),
@@ -397,7 +397,7 @@ object DataPipelineQueries extends Catalog {
 
     // ---- multimodal payload plumbing --------------------------------------
     "q29_multimodal_bytes" -> ((s, d) => {
-      val packed = Multimodal.packPayload(Tables.documents(s, d), "text")
+      val packed = Multimodal.packPayload(Tables.documentsWide(s, d), "text")
       val bytes = col("payload.bytes")
       val hist = Multimodal.nibbleHistogram(bytes)
       packed.select(
@@ -429,7 +429,7 @@ object DataPipelineQueries extends Catalog {
         i => pmod(id * 131L + i * 7919L, lit(65536L)) - 32768L)
       val w = lit(2L) + pmod(id, lit(6L))
       val h = lit(2L) + pmod(id, lit(4L))
-      val media = Tables.documents(s, d).select(id)
+      val media = Tables.documentsWide(s, d).select(id)
         .withColumn("wav", Multimodal.fabricateWav(rate, samples))
         .withColumn("bmp", Multimodal.fabricateBmp(w, h,
           (r, k) => pmod(id + r * 31L + k * 5L, lit(256L))))
@@ -488,7 +488,7 @@ object DataPipelineQueries extends Catalog {
       // two modality pair-joins (each reading the frame twice for its
       // self-join) scan the cached (id, 2×long) rows — narrow at any
       // corpus size — instead of re-fabricating the media 4×
-      val fps = graft.ext.Caches.pin(Tables.documents(s, d).select(id)
+      val fps = graft.ext.Caches.pin(Tables.documentsWide(s, d).select(id)
         .withColumn("bmp", bmp)
         .withColumn("wav", Multimodal.fabricateWav(lit(8000L), samples))
         .select(id, Multimodal.bmpAHash64(col("bmp")).as("ahash"),
@@ -547,7 +547,7 @@ object DataPipelineQueries extends Catalog {
       // that re-evaluation was most of the query (91 s → measured with the
       // pin below; stored rows are (doc_id, hash) pairs, 16 bytes each)
       Dedup.jaccardPairsFromShingles(
-          Dedup.charShingleHashes(Tables.documents(s, d), "doc_id", "text",
+          Dedup.charShingleHashes(Tables.documentsWide(s, d), "doc_id", "text",
             n = 24).localCheckpoint(false),
           "doc_id", minJaccard = 0.3)
         .select(col("id_a"), col("id_b"), col("inter").as("shared"),
@@ -556,7 +556,7 @@ object DataPipelineQueries extends Catalog {
 
     // ---- embedding-cosine near-dup, bucketed by IVF cell -------------------
     "q35_cosine_near_dups" -> ((s, d) => {
-      val vecs = Tables.embeddings(s, d)
+      val vecs = Tables.embeddingsWide(s, d)
       Similarity.cosineNearDups(vecs, "vec_id", "embedding",
           centroids = vecs.filter(col("vec_id") % 50 === 7),
           "vec_id", "embedding", minCosine = 0.4)
@@ -712,7 +712,7 @@ object DataPipelineQueries extends Catalog {
     // TRANSITIVELY (a doc adopts the min id of a doc it shares no edge
     // with) — the oracle's recursive CTE pins exactly that closure.
     "q54_dup_clusters" -> ((s, d) => {
-      val pairs = Dedup.jaccardPairs(Tables.documents(s, d), "doc_id", "text",
+      val pairs = Dedup.jaccardPairs(Tables.documentsWide(s, d), "doc_id", "text",
           n = 3, minJaccard = 0.1, maxShingleDf = 5L)
         .select(col("id_a"), col("id_b"))
       graft.operators.ConnectedComponents.run(pairs, "id_a", "id_b")
@@ -728,7 +728,7 @@ object DataPipelineQueries extends Catalog {
     // writes back. Singletons never enter the pair graph, so the component
     // frame stays |dup-docs|-sized and the corpus only pays one left join.
     "q59_corpus_dedup" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
+      val docs = Tables.documentsWide(s, d)
       val pairs = Dedup.jaccardPairs(docs, "doc_id", "text",
           n = 3, minJaccard = 0.1, maxShingleDf = 5L)
         .select(col("id_a"), col("id_b"))
@@ -752,7 +752,7 @@ object DataPipelineQueries extends Catalog {
     // reference jobs).
     "q73_curation_pipeline" -> ((s, d) => {
       import graft.plans.Fnv1a64Expression.fnv1a64
-      val docs = Tables.documents(s, d)
+      val docs = Tables.documentsWide(s, d)
       val pairs = Dedup.jaccardPairs(docs, "doc_id", "text",
           n = 3, minJaccard = 0.1, maxShingleDf = 5L)
         .select(col("id_a"), col("id_b"))

@@ -22,9 +22,14 @@ import XDet._
   */
 object GeoQueries extends Catalog {
 
-  /** customers → points on a 0.1° grid (exact in double: int/10.0) */
+  /** customers → points on a 0.1° grid (exact in double: int/10.0).
+    * Widened ([[Tables.wide]]): customer.parquet is one row group, so the
+    * scan is one task and the grid joins' neighbor-cell explode (q24) and
+    * the zone cross joins (q20) serialized on it — measured 6.0 s / 4.7 s
+    * single-task stages at sf1.
+    */
   private def customerPoints(s: SparkSession, d: String): DataFrame =
-    Tables.customer(s, d).select(
+    Tables.wide(Tables.customer(s, d)).select(
       col("c_custkey"), col("c_nationkey"),
       (lit(-60) + (col("c_custkey") * 67 % 1200) / lit(10.0)).as("lat"),
       (lit(-170) + (col("c_custkey") * 131 % 3400) / lit(10.0)).as("lon"))

@@ -34,7 +34,7 @@ object LmOps extends Catalog {
     // the per-token quotients are integers, the score itself (not just
     // the verdict) is oracle-pinned.
     "q130_lm_quality_filter" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
+      val docs = Tables.documentsWide(s, d)
       val model = LanguageModel.fitBigram(
         docs.filter(col("source") === "src1"), "doc_id", "text")
       LanguageModel.scoreBigram(model, docs, "doc_id", "text")
@@ -48,7 +48,7 @@ object LmOps extends Catalog {
     // top-k aggregate. "Which raw docs look most like my curated slice" —
     // the data-selection question DSIR answers at pretraining scale.
     "q131_dsir_selection" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
+      val docs = Tables.documentsWide(s, d)
       LanguageModel.dsirSelect(
         target = docs.filter(col("source") === "src1"),
         source = docs, id = "doc_id", text = "text",
@@ -108,7 +108,7 @@ object LmOps extends Catalog {
     // id-token and a "src#lang" tag-token — exactly the id/URL/punct
     // shapes that dominate real UNK tails.
     "q145_vocab_coverage" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
+      val docs = Tables.documentsWide(s, d)
       val freq = Caches.pin(Bpe.wordFreq(docs, "text"))
       val merges = Bpe.learnMerges(freq, 8).map(m => (m._1, m._2))
       val aug = concat(col("text"), lit(" doc-"),
@@ -129,7 +129,7 @@ object LmOps extends Catalog {
     // state); the 100 TB shape stays q145's map-only projection + small
     // rollup, ×|ks|.
     "q151_vocab_size_sweep" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
+      val docs = Tables.documentsWide(s, d)
       val freq = Caches.pin(Bpe.wordFreq(docs, "text"))
       val all = Bpe.learnMerges(freq, 128).map(m => (m._1, m._2))
       val aug = concat(col("text"), lit(" doc-"),

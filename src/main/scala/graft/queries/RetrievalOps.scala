@@ -46,7 +46,7 @@ object RetrievalOps extends Catalog {
     // and ranking is (score DESC, doc_id ASC) via the bounded-state
     // top-k aggregate.
     "q101_bm25_topk" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
+      val docs = Tables.documentsWide(s, d)
       val toks = docs.select(col("doc_id"),
         explode(TextAnalysis.tokens(col("text"))).as("term"))
       val index = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))

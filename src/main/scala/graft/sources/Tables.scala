@@ -39,6 +39,38 @@ object Tables {
   def documents(spark: SparkSession, d: String): DataFrame = read(spark, d, "documents")
   def embeddings(spark: SparkSession, d: String): DataFrame = read(spark, d, "embeddings")
 
+  /** A parquet scan cannot split below a ROW GROUP, and this fixture's
+    * documents/embeddings ship as ONE row group per file — so every scan
+    * is one task, and a per-row fan-out downstream (shingle/gram explode,
+    * subword tokenization, quantize+argmin projections) serializes on 1-2
+    * cores of 32. Measured at sf1 (StageProbe catalog sweep, round 10):
+    * the whole text/ANN tier ran its dominant stage at 2 tasks — q44's
+    * 47 s char-shingle stage, q59's 18 s, q29's 12 s, q105's 18 s gram
+    * stage all max-task == stage-wall at parallelism 2.
+    *
+    * [[wide]] is the gated widen: one round-robin exchange to the
+    * session's full parallelism, applied ONLY when the optimizer's size
+    * estimate says the frame is small (< 1 GiB) — the regime where the
+    * exchange costs milliseconds and the scan is split-starved. At 100 TB
+    * the gate never fires: the estimate is over the threshold, the scan
+    * has millions of natural splits, and the frame passes through
+    * untouched (an unconditional full-table exchange there would be the
+    * bug). Fan-out-heavy catalog queries read through [[documentsWide]]/
+    * [[embeddingsWide]]; contractually map-only queries (q80/q84/q86,
+    * the zero-exchange plan specs) keep the plain scans.
+    */
+  def wide(df: DataFrame): DataFrame = {
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (bytes < (BigInt(1) << 30))
+      df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    else df
+  }
+
+  def documentsWide(spark: SparkSession, d: String): DataFrame =
+    wide(documents(spark, d))
+  def embeddingsWide(spark: SparkSession, d: String): DataFrame =
+    wide(embeddings(spark, d))
+
   /** events with `ts` as a session-TZ timestamp at µs precision, whatever the
     * file's physical encoding. The driver has shipped two encodings across
     * rounds — INT64 TIMESTAMP(NANOS) (read as long via the legacy flag, then

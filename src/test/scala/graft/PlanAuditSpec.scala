@@ -89,9 +89,9 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
     // and deserves a look, not a silent slack bump).
     val bounds = Map(
       "q54_dup_clusters" -> Instrument.Counts(42, 42),
-      "q59_corpus_dedup" -> Instrument.Counts(41, 41),
+      "q59_corpus_dedup" -> Instrument.Counts(43, 43),
       "q75_pipeline_sink" -> Instrument.Counts(93, 93),
-      "q76_incremental_clusters" -> Instrument.Counts(78, 78),
+      "q76_incremental_clusters" -> Instrument.Counts(79, 79),
       "q77_srp_near_dups" -> Instrument.Counts(7, 7),
       // round-8/9 tier (measured at this sf + jitter): q128 media hashes,
       // q131 DSIR's fit+spine+selection chain, q132/q133/q142 the BPE fit
@@ -99,13 +99,15 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
       // per-job loop would double it), q134's pin+count+model collect,
       // q135 the interval-overlap bucket join
       "q128_media_near_dups" -> Instrument.Counts(12, 12),
-      "q131_dsir_selection" -> Instrument.Counts(33, 33),
+      "q131_dsir_selection" -> Instrument.Counts(34, 34),
       "q132_bpe_merges" -> Instrument.Counts(16, 16),
       "q133_bpe_token_counts" -> Instrument.Counts(17, 17),
       "q134_cosine_near_dups" -> Instrument.Counts(20, 20),
       "q135_overlap_join" -> Instrument.Counts(5, 5),
       "q142_bpe_wordpiece_roundtrip" -> Instrument.Counts(17, 17),
-      // round-9/10 tier: q143 stream-static enrichment's batch twin,
+      // round-9/10 tier (re-measured after the Tables.wide gated widen —
+      // the round-robin exchange adds 1-2 AQE stage-jobs per widened
+      // scan): q143 stream-static enrichment's batch twin,
       // q144 the per-city-tz user-mart DAG, q145/q151 the coverage
       // report (q151 = ONE 128-merge batched fit + 3 coverage passes),
       // q146/q147/q152 the ANN recall harness compositions (kmeans +
@@ -114,14 +116,14 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
       // q149/q150 the ExactSubstr gram/scrub chains
       "q143_stream_enrichment" -> Instrument.Counts(6, 6),
       "q144_user_mart_city_tz" -> Instrument.Counts(17, 17),
-      "q145_vocab_coverage" -> Instrument.Counts(16, 16),
-      "q146_ann_recall" -> Instrument.Counts(13, 13),
-      "q147_pq_recall" -> Instrument.Counts(15, 15),
-      "q148_recommendations_grid" -> Instrument.Counts(91, 88),
-      "q149_exact_substr_spans" -> Instrument.Counts(5, 5),
-      "q150_exact_substr_scrub" -> Instrument.Counts(10, 10),
-      "q151_vocab_size_sweep" -> Instrument.Counts(169, 169),
-      "q152_ivfpq_recall" -> Instrument.Counts(43, 43))
+      "q145_vocab_coverage" -> Instrument.Counts(18, 18),
+      "q146_ann_recall" -> Instrument.Counts(17, 17),
+      "q147_pq_recall" -> Instrument.Counts(21, 21),
+      "q148_recommendations_grid" -> Instrument.Counts(95, 92),
+      "q149_exact_substr_spans" -> Instrument.Counts(7, 7),
+      "q150_exact_substr_scrub" -> Instrument.Counts(14, 14),
+      "q151_vocab_size_sweep" -> Instrument.Counts(171, 171),
+      "q152_ivfpq_recall" -> Instrument.Counts(53, 53))
     val got = bounds.toSeq.sortBy(_._1).map { case (name, bound) =>
       val fn = SparkEntry.queries(name)
       // cold-cache slate before each measurement (the Bench discipline):
