@@ -91,7 +91,11 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
       "q54_dup_clusters" -> Instrument.Counts(42, 42),
       "q59_corpus_dedup" -> Instrument.Counts(43, 43),
       "q75_pipeline_sink" -> Instrument.Counts(93, 93),
-      "q76_incremental_clusters" -> Instrument.Counts(79, 79),
+      // q76 carries +1 on top of the measured 79: the incremental-pass
+      // broadcast attach occasionally lands as its own AQE stage-job
+      // (observed 79 and 80 across runs on identical data; 2 star rounds
+      // both times — an extra ROUND would cost +8..10, still caught)
+      "q76_incremental_clusters" -> Instrument.Counts(80, 80),
       "q77_srp_near_dups" -> Instrument.Counts(7, 7),
       // round-8/9 tier (measured at this sf + jitter): q128 media hashes,
       // q131 DSIR's fit+spine+selection chain, q132/q133/q142 the BPE fit
