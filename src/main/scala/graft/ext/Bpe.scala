@@ -363,4 +363,85 @@ object Bpe {
       .agg(sum(coalesce(col("__ntok"), lit(1L))).as("bpe_tokens"),
         count(lit(1)).as("ws_tokens"))
   }
+
+  /** Usage-weighted piece counts of the greedy tokenizer over the TRAINING
+    * word-frequency table: per merged-or-base SYMBOL (the `##` prefix
+    * stripped — BPE's export is boundary-symmetric, so start and
+    * continuation occurrences of one symbol are one budget line), the
+    * total corpus occurrences of that piece in the greedy longest-match
+    * segmentation. The greedy matcher runs once per DISTINCT in-bounds
+    * word (vocabulary-sized expression cost, the q133 shape); the word
+    * count `wc` weights each piece by its corpus multiplicity.
+    *
+    * This is the measurement [[vocabPrune]] prunes on: greedy
+    * longest-match routinely strands early merges (a rank-3 merge
+    * swallowed by every longer merge containing it scores ZERO here), and
+    * a usage table is how a production tokenizer build finds them.
+    */
+  def pieceUsage(freq: DataFrame,
+                 merges: Seq[(String, String)]): DataFrame = {
+    import graft.plans.WordpieceExpression.wordpiecePieces
+    freq
+      .withColumn("__p", wordpiecePieces(col("word"), bpeVocab(merges)))
+      .select(explode(split(col("__p"), " ")).as("piece"), col("wc"))
+      .select(regexp_replace(col("piece"), "^##", "").as("sym"), col("wc"))
+      .groupBy("sym").agg(sum("wc").as("usage"))
+  }
+
+  /** Usage-based vocabulary pruning + before/after coverage — the
+    * maintenance pass a tokenizer build runs after [[learnMerges]]: learn
+    * k merges, MEASURE which exported pieces the greedy tokenizer actually
+    * uses on the training corpus ([[pieceUsage]]), drop merged symbols
+    * whose usage falls below `minUsagePermille` of the total in-bounds
+    * word mass (a RELATIVE threshold — an absolute count would mean a
+    * different policy at every corpus scale), and report
+    * [[vocabCoverage]] side by side for the full and pruned vocabularies.
+    * Base charset pieces are never pruned (they are the tokenizer's
+    * totality guarantee: any in-charset word segments, whatever the merge
+    * list).
+    *
+    * The pruning decision itself is model-sized: `usage` is joined to the
+    * ≤ k merged symbols and collected (k rows — the q132 merge-collect
+    * posture, never a data-path collect). Everything corpus-sized stays
+    * distributed: the usage measurement is one explode + mergeable
+    * groupBy, each coverage pass is q145's map-only projection + small
+    * rollup.
+    *
+    * Output per (variant ∈ full|pruned, group): q145's coverage columns
+    * plus `n_pieces` (distinct un-prefixed symbols in that vocabulary) and
+    * `n_merges_kept`.
+    */
+  def vocabPrune(docs: DataFrame, group: String, text: Column,
+                 trainText: String, k: Int,
+                 minUsagePermille: Int): DataFrame = {
+    require(minUsagePermille >= 0,
+      s"minUsagePermille must be >= 0, got $minUsagePermille")
+    val freq = Caches.pin(wordFreq(docs, trainText))
+    val merges = learnMerges(freq, k).map(m => (m._1, m._2))
+    val totalWc = freq.agg(sum(col("wc"))).head.getLong(0)
+    val usage = pieceUsage(freq, merges)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val mergedSyms = merges.map { case (l, r) => l + r }.distinct
+    // k-row model collect: usage of the merged symbols only
+    val usedEnough: Set[String] = usage
+      .join(broadcast(mergedSyms.toDF("sym")), Seq("sym"), "left_semi")
+      .filter(col("usage") * lit(1000L) >=
+        lit(totalWc) * lit(minUsagePermille.toLong))
+      .collect().map(_.getString(0)).toSet
+    val kept = merges.filter { case (l, r) => usedEnough(l + r) }
+    def sized(v: Seq[(String, String)]): Long =
+      ("abcdefghijklmnopqrstuvwxyz0123456789".map(_.toString) ++
+        v.map { case (l, r) => l + r }).distinct.size.toLong
+    Seq(("full", merges), ("pruned", kept)).map { case (variant, ms) =>
+      vocabCoverage(docs, group, text, ms)
+        .withColumn("variant", lit(variant))
+        .withColumn("n_pieces", lit(sized(ms)))
+        .withColumn("n_merges_kept", lit(ms.map(m => m._1 + m._2)
+          .distinct.size.toLong))
+    }.reduce(_ unionByName _)
+      .select(col("variant"), col(group), col("n_words"), col("unk_words"),
+        col("wp_tokens"), col("unk_vocab"), col("unk_permille"),
+        col("n_pieces"), col("n_merges_kept"))
+  }
 }

@@ -647,23 +647,106 @@ object Dedup {
         coalesce(col("clean_text"), lit("")).as("clean_text"))
   }
 
-  /** (id, pos) starts of L-grams occurring ≥ 2 times in the corpus. */
-  private def duplicatedGramStarts(docs: DataFrame, id: String,
-                                   text: String, l: Int): DataFrame = {
+  /** (id, pos, __g) — every L-gram start of every doc, the gram FNV-hashed
+    * to a long INSIDE the per-doc `transform` (the shuffle moves 8-byte
+    * keys; the L-token gram string never leaves the projection). Shared by
+    * the span cover ([[exactSubstrSpans]]) and the pair provenance
+    * ([[exactSubstrProvenance]]).
+    */
+  private def gramKeys(docs: DataFrame, id: String,
+                       text: String, l: Int): DataFrame = {
     import graft.plans.Fnv1a64Expression.fnv1a64
     val ts = col("__ts")
     val gramArr = when(size(ts) >= l,
       transform(sequence(lit(0), size(ts) - l),
         i => fnv1a64(concat_ws(" ", slice(ts, i + 1, lit(l))))))
       .otherwise(array().cast("array<bigint>"))
-    val grams = docs
+    docs
       .select(col(id),
         filter(split(normalizeText(col(text)), " "), w => w =!= "").as("__ts"))
       .select(col(id), posexplode(gramArr).as(Seq("pos", "__g")))
       .withColumn("pos", col("pos").cast("long"))
+  }
+
+  /** Public face of [[gramKeys]] for the streaming tier: (id, pos,
+    * gram_key) — stateless projections only (normalize, split, per-doc
+    * transform, posexplode), so it runs unchanged on a STREAMING
+    * documents frame ([[graft.streaming.EventStream.exactSubstrStarts]]
+    * keys its cross-batch state on `gram_key`).
+    */
+  def gramKeyStarts(docs: DataFrame, id: String, text: String,
+                    minTokens: Int): DataFrame = {
+    require(minTokens >= 1, s"minTokens must be >= 1, got $minTokens")
+    gramKeys(docs, id, text, minTokens)
+      .select(col(id), col("pos"), col("__g").as("gram_key"))
+  }
+
+  /** Public face of [[mergeStarts]]: interval-union duplicated-gram starts
+    * (id, pos) into maximal spans — the batch tail both the batch and the
+    * streaming ExactSubstr faces share. */
+  def mergeSpanStarts(starts: DataFrame, id: String,
+                      minTokens: Int): DataFrame =
+    mergeStarts(id, minTokens)(starts)
+
+  /** (id, pos) starts of L-grams occurring ≥ 2 times in the corpus. */
+  private def duplicatedGramStarts(docs: DataFrame, id: String,
+                                   text: String, l: Int): DataFrame = {
+    val grams = gramKeys(docs, id, text, l)
     val dup = grams.groupBy("__g").agg(count(lit(1)).as("__c"))
       .filter(col("__c") >= 2).select("__g")
     grams.join(dup, Seq("__g"), "left_semi").select(col(id), col("pos"))
+  }
+
+  /** Cross-doc ExactSubstr PROVENANCE — the question [[exactSubstrSpans]]
+    * deliberately never answers: not just "which spans of this doc are
+    * duplicated somewhere", but WHICH PAIRS of docs share duplicated
+    * material, and how much. Per unordered doc pair (id_a < id_b) sharing
+    * at least one pairable L-gram: the count of DISTINCT shared L-grams
+    * and a containment score against the smaller doc's gram set — the
+    * cross-document provenance report a dedup audit reads ("doc 17 is 80%
+    * contained in doc 3") where the span operator only says "doc 17 is 80%
+    * covered by *something*".
+    *
+    * The df cap is the scale contract: a gram present in D docs induces
+    * C(D,2) pairs, so corpus-wide boilerplate (license headers, navigation
+    * chrome) would alone produce a quadratic pair mass. Grams with df >
+    * `maxGramDf` are EXCLUDED FROM PAIRING (the q22 `maxShingleDf`
+    * posture): `shared_grams` counts only grams shared by ≤ `maxGramDf`
+    * docs, so a pair whose entire overlap is viral boilerplate reports no
+    * row — by design, that overlap is not provenance. `n_grams_a/b` stay
+    * UNCAPPED distinct-gram totals, so the containment denominator is the
+    * honest doc size. Join cost is bounded by Σ_{2≤df≤cap} df² ≤ cap · Σ
+    * df — linear in the corpus at fixed cap, never |docs|².
+    *
+    * Output: (id_a, id_b, shared_grams, n_grams_a, n_grams_b,
+    * containment_micro) with containment_micro = ⌊shared · 10⁶ /
+    * min(n_a, n_b)⌋ — integer micro-units, cross-engine exact.
+    */
+  def exactSubstrProvenance(docs: DataFrame, id: String, text: String,
+                            minTokens: Int, maxGramDf: Int): DataFrame = {
+    require(minTokens >= 1, s"minTokens must be >= 1, got $minTokens")
+    require(maxGramDf >= 2, s"maxGramDf must be >= 2, got $maxGramDf")
+    val grams = gramKeys(docs, id, text, minTokens)
+      .select(col(id), col("__g")).distinct()
+    val dfs = grams.groupBy("__g").agg(count(lit(1)).as("__df"))
+    val pairable = dfs.filter(col("__df").between(2, maxGramDf))
+      .select("__g")
+    val idx = grams.join(pairable, Seq("__g"), "left_semi")
+    val perDoc = grams.groupBy(col(id)).agg(count(lit(1)).as("n_grams"))
+    val pairs = idx.select(col(id).as("id_a"), col("__g"))
+      .join(idx.select(col(id).as("id_b"), col("__g")), Seq("__g"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("shared_grams"))
+    pairs
+      .join(perDoc.select(col(id).as("id_a"),
+        col("n_grams").as("n_grams_a")), Seq("id_a"))
+      .join(perDoc.select(col(id).as("id_b"),
+        col("n_grams").as("n_grams_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"), col("shared_grams"),
+        col("n_grams_a"), col("n_grams_b"),
+        expr("(shared_grams * 1000000) div " +
+          "least(n_grams_a, n_grams_b)").as("containment_micro"))
   }
 
   /** Interval-union of [pos, pos+L) starts into maximal spans — classic
@@ -1091,16 +1174,29 @@ object Dedup {
         expr(s"(count(1) over (partition by __t) + ${selfJoinChunk - 1}) " +
           s"div $selfJoinChunk"))
       .withColumn("__c", expr(s"__pos div $selfJoinChunk"))
+    // EXPLICIT-WIDTH cell exchanges: the cell join's input is postings
+    // (MBs) but its output is the pair mass (GBs) — AQE sizes the joined
+    // stage by shuffle INPUT bytes and coalesces it (measured at sf1:
+    // 17 of 32 slots, max task 60.2 s == stage wall; the same
+    // input-size-blindness as the pre-fan-out sites, at the join's own
+    // exchange). `repartition(n, keys)` pins both exchanges at full
+    // width — the join reuses them (same clustering), AQE never
+    // coalesces a user-specified partitioning, and the cell keys already
+    // balance the probe work the exchange spreads.
+    val shufP = docs.sparkSession.sessionState.conf.numShufflePartitions
+    val cellKeys = Seq(col("__t"), col("__ca"), col("__cb"))
     val pairs = chunked
       .withColumn("__cb", explode(sequence(col("__c"), col("__nc") - 1)))
       .withColumnRenamed("__c", "__ca")
       .select(col(id).as("id_a"), col("__t"), col("__ca"), col("__cb"),
         col("__s2").as("__s2a"), col("__n2").as("__n2a"))
+      .repartition(shufP, cellKeys: _*)
       .join(chunked
         .withColumn("__ca", explode(sequence(lit(0L), col("__c"))))
         .withColumnRenamed("__c", "__cb")
         .select(col(id).as("id_b"), col("__t"), col("__ca"), col("__cb"),
-          col("__s2").as("__s2b"), col("__n2").as("__n2b")),
+          col("__s2").as("__s2b"), col("__n2").as("__n2b"))
+        .repartition(shufP, cellKeys: _*),
         Seq("__t", "__ca", "__cb"))
       .filter(col("id_a") < col("id_b"))
       .filter(lit(minCos2Den) * col("__s2a") * col("__s2b") >=

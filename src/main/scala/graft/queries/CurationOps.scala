@@ -258,6 +258,28 @@ object CurationOps extends Catalog {
         minTokens = 8)
     }),
 
+    // cross-doc PROVENANCE on top of the same gram cover: which doc PAIRS
+    // share duplicated >=8-token material and how much — distinct shared
+    // grams + containment vs the smaller doc, hot boilerplate grams
+    // (df > 32) excluded from pairing by contract (the quadratic guard)
+    "q153_exact_substr_provenance" -> ((s, d) => {
+      Dedup.exactSubstrProvenance(Tables.documentsWide(s, d), "doc_id",
+        "text", minTokens = 8, maxGramDf = 32)
+    }),
+
+    // STREAMING ExactSubstr: the duplicated-gram discovery as cross-batch
+    // flatMapGroupsWithState gram state (EventStream.exactSubstrStarts) +
+    // the shared interval-union tail. THIS batch face runs the identical
+    // stateful code one-shot and is pinned hash-identical to q149 (same
+    // oracle SQL — equality IS the correctness claim, the q148 posture);
+    // the incremental multi-batch path is spec-proven on a MemoryStream.
+    "q155_exact_substr_stream" -> ((s, d) => {
+      val starts = graft.streaming.EventStream.exactSubstrStarts(
+        Dedup.gramKeyStarts(Tables.documentsWide(s, d), "doc_id", "text",
+          minTokens = 8), "doc_id")
+      Dedup.mergeSpanStarts(starts, "doc_id", minTokens = 8)
+    }),
+
     // ---- portable KMV approximate distinct (q66's oracle-able cousin) ------
     // q66's approx_count_distinct is the catalog's ONE rows-only row by
     // construction: HLL registers are engine-specific. The KMV sketch is
@@ -633,6 +655,34 @@ object CurationOps extends Catalog {
        |sh AS (SELECT DISTINCT doc_id,
        |         array_to_string(ws[i+1:i+3], ' ') AS shingle FROM idx)""".stripMargin
 
+  /** ExactSubstr spans over gram STRINGS — shared verbatim by q149 (the
+    * batch semi-join form) and q155 (the stateful streaming form): both
+    * engines' faces are pinned to ONE spans result. */
+  private val exactSubstrSpansSql: String =
+    s"""WITH w AS (SELECT doc_id, ${TextSql.words} AS ws FROM documents),
+       |idx AS (SELECT doc_id, ws,
+       |    unnest(range(len(ws) - 7)) AS i
+       |  FROM w WHERE len(ws) >= 8),
+       |g AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
+       |    array_to_string(ws[i+1:i+8], ' ') AS gram FROM idx),
+       |dup AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+       |dp AS (SELECT doc_id, pos FROM g
+       |       WHERE gram IN (SELECT gram FROM dup)),
+       |marked AS (SELECT doc_id, pos,
+       |    CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+       |           IS NULL
+       |         OR pos > lag(pos) OVER (PARTITION BY doc_id
+       |           ORDER BY pos) + 8
+       |         THEN 1 ELSE 0 END AS nw
+       |  FROM dp),
+       |isl AS (SELECT doc_id, pos,
+       |    sum(nw) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+       |  FROM marked)
+       |SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+       |  CAST(max(pos) + 8 AS BIGINT) AS span_end,
+       |  CAST(max(pos) + 8 - min(pos) AS BIGINT) AS span_tokens
+       |FROM isl GROUP BY doc_id, island""".stripMargin
+
   override def oracles: Map[String, String] = Map(
     "q87_boilerplate_ngrams" ->
       s"""WITH $shingleCtes,
@@ -746,30 +796,12 @@ object CurationOps extends Catalog {
     // longs at the explode site — a collision-free corpus makes the two
     // identical), islands via window lag instead of the query's exact
     // same shape re-derived over string grams
-    "q149_exact_substr_spans" ->
-      s"""WITH w AS (SELECT doc_id, ${TextSql.words} AS ws FROM documents),
-         |idx AS (SELECT doc_id, ws,
-         |    unnest(range(len(ws) - 7)) AS i
-         |  FROM w WHERE len(ws) >= 8),
-         |g AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
-         |    array_to_string(ws[i+1:i+8], ' ') AS gram FROM idx),
-         |dup AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
-         |dp AS (SELECT doc_id, pos FROM g
-         |       WHERE gram IN (SELECT gram FROM dup)),
-         |marked AS (SELECT doc_id, pos,
-         |    CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
-         |           IS NULL
-         |         OR pos > lag(pos) OVER (PARTITION BY doc_id
-         |           ORDER BY pos) + 8
-         |         THEN 1 ELSE 0 END AS nw
-         |  FROM dp),
-         |isl AS (SELECT doc_id, pos,
-         |    sum(nw) OVER (PARTITION BY doc_id ORDER BY pos) AS island
-         |  FROM marked)
-         |SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
-         |  CAST(max(pos) + 8 AS BIGINT) AS span_end,
-         |  CAST(max(pos) + 8 - min(pos) AS BIGINT) AS span_tokens
-         |FROM isl GROUP BY doc_id, island""".stripMargin,
+    "q149_exact_substr_spans" -> exactSubstrSpansSql,
+
+    // the streaming face is pinned to the SAME spans — one oracle text,
+    // two engines' worth of equality (batch semi-join == stateful gram
+    // state == DuckDB)
+    "q155_exact_substr_stream" -> exactSubstrSpansSql,
 
     // scrub twin: covered positions re-exploded from the merged spans,
     // kept tokens re-joined in order
@@ -801,6 +833,34 @@ object CurationOps extends Catalog {
          |  coalesce(kept.clean_text, '') AS clean_text
          |FROM documents d
          |LEFT JOIN tot USING (doc_id) LEFT JOIN kept USING (doc_id)""".stripMargin,
+
+    // provenance twin over gram STRINGS: distinct (doc, gram), df window
+    // 2..32, pair self-join, uncapped per-doc totals, integer containment
+    "q153_exact_substr_provenance" ->
+      s"""WITH w AS (SELECT doc_id, ${TextSql.words} AS ws FROM documents),
+         |idx AS (SELECT doc_id, ws,
+         |    unnest(range(len(ws) - 7)) AS i
+         |  FROM w WHERE len(ws) >= 8),
+         |g AS (SELECT DISTINCT doc_id,
+         |    array_to_string(ws[i+1:i+8], ' ') AS gram FROM idx),
+         |dfs AS (SELECT gram, count(*) AS c FROM g GROUP BY 1),
+         |keep AS (SELECT gram FROM dfs WHERE c BETWEEN 2 AND 32),
+         |nd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM g
+         |       GROUP BY 1),
+         |pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |    CAST(count(*) AS BIGINT) AS shared_grams
+         |  FROM (SELECT doc_id, gram FROM g
+         |        WHERE gram IN (SELECT gram FROM keep)) a
+         |  JOIN (SELECT doc_id, gram FROM g
+         |        WHERE gram IN (SELECT gram FROM keep)) b
+         |    ON a.gram = b.gram AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT pr.id_a, pr.id_b, pr.shared_grams,
+         |  na.n AS n_grams_a, nb.n AS n_grams_b,
+         |  CAST((pr.shared_grams * 1000000) // least(na.n, nb.n) AS BIGINT)
+         |    AS containment_micro
+         |FROM pr JOIN nd na ON pr.id_a = na.doc_id
+         |        JOIN nd nb ON pr.id_b = nb.doc_id""".stripMargin,
 
     // the KMV sketch re-derived: k smallest distinct FNV hashes per group
     // in unsigned order, kth element + the identical estimator arithmetic

@@ -142,6 +142,23 @@ object LmOps extends Catalog {
         .select(col("n_merges"), col("source"), col("n_words"),
           col("unk_words"), col("wp_tokens"), col("unk_vocab"),
           col("unk_permille"))
+    }),
+
+    // ---- usage-based vocabulary pruning -----------------------------------
+    // the maintenance pass after the sweep: learn 32 merges, MEASURE which
+    // exported pieces the greedy tokenizer actually uses on the training
+    // corpus (greedy longest-match strands early merges — a merge
+    // swallowed by every longer merge containing it scores zero), drop
+    // merged symbols below 2‰ of the word mass, report coverage before
+    // and after. The pruning decision is a k-row model collect; both
+    // coverage passes stay q145's map-only shape.
+    "q154_vocab_prune" -> ((s, d) => {
+      val docs = Tables.documentsWide(s, d)
+      val aug = concat(col("text"), lit(" doc-"),
+        col("doc_id").cast("string"), lit(" "), col("source"), lit("#"),
+        col("lang"))
+      Bpe.vocabPrune(docs, "source", aug, "text", k = 32,
+        minUsagePermille = 2)
     })
   )
 
@@ -218,6 +235,38 @@ object LmOps extends Catalog {
          |  WHERE g.pos < g.len
          |  GROUP BY g.word, g.len, g.pos, g.n)""".stripMargin
     }.mkString(",\n")
+
+  /** Piece-EMITTING greedy chain `gA1..gAN / g1..gN` over `g0$sfx` and
+    * `pieces$sfx`: like [[greedyCtes]], but each layer's advancing arm is
+    * its own CTE exposing the consumed piece (`substr(word, pos+1,
+    * max(plen))` — an expression of grouping columns and the aggregate, so
+    * it rides the same argmax GROUP BY). [[usedCte]] unions the arms into
+    * the per-word piece-instance stream the usage measurement sums over.
+    */
+  private def greedyUsageCtes(layers: Int, sfx: String): String =
+    (1 to layers).map { i =>
+      s"""gA$i$sfx AS MATERIALIZED (
+         |  SELECT g.word, g.len, g.pos + max(p.plen) AS pos,
+         |    g.n + 1 AS n,
+         |    substr(g.word, g.pos + 1, max(p.plen)) AS piece
+         |  FROM g${i - 1}$sfx g JOIN pieces$sfx p
+         |    ON substr(g.word, g.pos + 1, p.plen) = p.piece
+         |  WHERE g.pos < g.len
+         |  GROUP BY g.word, g.len, g.pos, g.n),
+         |g$i$sfx AS MATERIALIZED (
+         |  SELECT word, len, pos, n FROM g${i - 1}$sfx WHERE pos >= len
+         |  UNION ALL
+         |  SELECT word, len, pos, n FROM gA$i$sfx)""".stripMargin
+    }.mkString(",\n")
+
+  /** `used$sfx (word, piece)` — every consumed piece instance of every
+    * word in the [[greedyUsageCtes]] chain. */
+  private def usedCte(layers: Int, sfx: String): String = {
+    val arms = (1 to layers)
+      .map(i => s"SELECT word, piece FROM gA$i$sfx")
+      .mkString("\n  UNION ALL ")
+    s"used$sfx AS (\n  $arms)"
+  }
 
   /** The exported inference piece set as a CTE: merged symbols from each
     * fit layer (UNION dedupes collisions) plus the 36 charset chars. */
@@ -348,6 +397,76 @@ object LmOps extends Catalog {
          |dwords AS (SELECT DISTINCT word FROM cw),
          |$perK
          |$arms""".stripMargin
+    },
+
+    "q154_vocab_prune" -> {
+      val k = 32
+      val maxLen = graft.ext.Bpe.MaxCoverageWordLen
+      val trainLen = graft.ext.Bpe.MaxWordLen
+      val aug = "text || ' doc-' || CAST(doc_id AS VARCHAR) || ' ' || " +
+        "source || '#' || lang"
+      val norm =
+        s"lower(trim(regexp_replace($aug, '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')))"
+      val msymArms = (1 to k).map(i => s"SELECT l || r AS piece FROM b$i")
+        .mkString("\n  UNION ")
+      // pruned piece set: charset chars unconditionally + merged symbols
+      // clearing the 2-permille usage threshold (integer arithmetic on
+      // both sides — the Spark operator compares usage*1000 >= total*2)
+      val piecesP =
+        s"""piecesp AS (SELECT piece, length(piece) AS plen FROM (
+           |  SELECT piece FROM keepm
+           |  UNION SELECT unnest(regexp_extract_all(
+           |    'abcdefghijklmnopqrstuvwxyz0123456789', '.')) AS piece))"""
+          .stripMargin
+      def arm(variant: String, sfx: String, pieces: String) =
+        s"""SELECT '$variant' AS variant, cw.source AS source,
+           |  CAST(count(*) AS BIGINT) AS n_words,
+           |  CAST(sum(wr.unk) AS BIGINT) AS unk_words,
+           |  CAST(sum(wr.wp_n) AS BIGINT) AS wp_tokens,
+           |  CAST(count(DISTINCT CASE WHEN wr.unk = 1 THEN cw.word END)
+           |    AS BIGINT) AS unk_vocab,
+           |  CAST((sum(wr.unk) * 1000) // count(*) AS BIGINT)
+           |    AS unk_permille,
+           |  (SELECT CAST(count(*) AS BIGINT) FROM $pieces) AS n_pieces,
+           |  (SELECT CAST(count(*) AS BIGINT) FROM $pieces
+           |   WHERE plen > 1) AS n_merges_kept
+           |FROM cw JOIN wr$sfx wr ON cw.word = wr.word
+           |GROUP BY 1, 2""".stripMargin
+      def coverage(sfx: String) =
+        s"""g0$sfx AS (SELECT word, length(word) AS len, 0 AS pos, 0 AS n
+           |  FROM dwords),
+           |${greedyCtes(maxLen, sfx)},
+           |fin$sfx AS (SELECT word, n FROM g$maxLen$sfx WHERE pos >= len),
+           |wr$sfx AS (SELECT d.word, coalesce(f.n, 1) AS wp_n,
+           |    CASE WHEN f.word IS NULL THEN 1 ELSE 0 END AS unk
+           |  FROM dwords d LEFT JOIN fin$sfx f ON d.word = f.word)"""
+          .stripMargin
+      s"""WITH ${bpeCtes(k)},
+         |${piecesCte(k, "u")},
+         |g0u AS (SELECT word, length(word) AS len, 0 AS pos, 0 AS n
+         |  FROM f0),
+         |${greedyUsageCtes(trainLen, "u")},
+         |${usedCte(trainLen, "u")},
+         |tot AS (SELECT sum(wc) AS t FROM f0),
+         |msym AS (SELECT DISTINCT piece FROM (
+         |  $msymArms)),
+         |usg AS (SELECT u.piece, sum(f.wc) AS uc FROM usedu u
+         |  JOIN f0 f ON u.word = f.word GROUP BY 1),
+         |keepm AS (SELECT m.piece FROM msym m
+         |  JOIN usg ON m.piece = usg.piece CROSS JOIN tot
+         |  WHERE usg.uc * 1000 >= tot.t * 2),
+         |${piecesCte(k, "f")},
+         |$piecesP,
+         |cw AS (SELECT source, word FROM (
+         |  SELECT source, unnest(list_filter(string_split($norm, ' '),
+         |    x -> x != '')) AS word FROM documents)
+         |  WHERE length(word) <= $maxLen),
+         |dwords AS (SELECT DISTINCT word FROM cw),
+         |${coverage("f")},
+         |${coverage("p")}
+         |${arm("full", "f", "piecesf")}
+         |UNION ALL
+         |${arm("pruned", "p", "piecesp")}""".stripMargin
     },
 
     "q133_bpe_token_counts" ->

@@ -378,6 +378,60 @@ object EventStream {
         write(enrichEvents(batch.toDF(), readDim(), dimKey), batchId)
     }
 
+  /** Cross-batch state of one L-gram key: the buffered first occurrence
+    * awaiting a duplicate, and whether the key has already proven
+    * duplicated (later occurrences then emit immediately). */
+  case class GramFirst(id: Long, pos: Long, dup: Boolean)
+
+  /** Streaming ExactSubstr duplicated-gram starts — the cross-batch gram
+    * state the batch operator ([[graft.ext.Dedup.exactSubstrSpans]])
+    * derives with a corpus-wide count + semi-join: keyed by `gram_key`,
+    * the state buffers the FIRST occurrence of each gram; when a second
+    * arrives (this batch or any later one), both emit, and every
+    * subsequent occurrence emits immediately. The emitted set after any
+    * prefix of batches is EXACTLY the duplicated-gram starts of the union
+    * of those batches — occurrence-count semantics (a gram repeated twice
+    * INSIDE one doc duplicates), identical to the batch semi-join, and
+    * independent of how docs split across micro-batches.
+    *
+    * Run on a BATCH frame the same code is the one-shot grouping (state
+    * starts empty, one invocation per key) — that face is the oracle-able
+    * catalog query, pinned hash-identical to q149; the incremental
+    * multi-batch path is spec-proven equal on a MemoryStream.
+    *
+    * State is one (id, pos, dup) row per DISTINCT gram key —
+    * vocabulary-of-grams-sized, the inverted index the batch job shuffles,
+    * held incrementally instead. NoTimeout: the corpus replay is finite
+    * (availableNow); an unbounded production feed would add a watermark
+    * eviction policy as a recall/latency trade.
+    *
+    * Input: (id: long, pos: long, gram_key: long) from
+    * [[graft.ext.Dedup.gramKeyStarts]]. Output: (id, pos) duplicated
+    * starts, mergeable by [[graft.ext.Dedup.mergeSpanStarts]].
+    */
+  def exactSubstrStarts(grams: DataFrame, id: String): DataFrame = {
+    import grams.sparkSession.implicits._
+    grams.select(col("gram_key"), col(id), col("pos"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[GramFirst, (Long, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (_, rows, state: GroupState[GramFirst]) =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+          var s = state.getOption.orNull
+          rows.foreach { case (_, docId, pos) =>
+            if (s == null) s = GramFirst(docId, pos, dup = false)
+            else if (!s.dup) {
+              out += ((s.id, s.pos)); out += ((docId, pos))
+              s = s.copy(dup = true)
+            } else out += ((docId, pos))
+          }
+          state.update(s)
+          out.iterator
+      }
+      .toDF(id, "pos")
+  }
+
   /** Wire a streaming frame to an in-memory table (tests) or console. */
   def startToMemory(df: DataFrame, queryName: String,
                     outputMode: OutputMode = OutputMode.Update()) =

@@ -175,4 +175,43 @@ class BpeSpec extends AnyFunSuite with SparkTestBase {
       // s2: abc = [ab,##c] 2, a*32 = 32, cd = [c,##d] 2
       ("s2", 3L, 0L, 36L, 0L, 0L)))
   }
+
+  test("pieceUsage scores greedy piece consumption; a merge swallowed by " +
+      "a longer merge strands at zero") {
+    // 20×"abc" + 1×"abd": learns (a,b) then (ab,c). Greedy tokenizes
+    // "abc" as the single piece "abc" — the intermediate "ab" is consumed
+    // ONLY by the rare "abd" ("ab" + "##d").
+    val docs = (Seq.fill(20)("abc") :+ "abd").zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val freq = Bpe.wordFreq(docs, "text")
+    val merges = Bpe.learnMerges(freq, 2).map(m => (m._1, m._2))
+    assert(merges === Seq(("a", "b"), ("ab", "c")))
+    val usage = Bpe.pieceUsage(freq, merges)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(usage === Map("abc" -> 20L, "ab" -> 1L, "d" -> 1L))
+    // "ab" never appears: greedy on "abc" skips straight to the longer
+    // piece, so the symbol's only usage is the rare word's
+  }
+
+  test("vocabPrune drops under-used merges, keeps coverage honest on " +
+      "both variants, hand-computed") {
+    val docs = ((1 to 20).map(i => (i.toLong, "a", "abc")) :+
+      ((21L, "b", "abd"))).toDF("doc_id", "source", "text")
+    // threshold 100‰ of 21 occurrences = 2.1: usage(ab) = 1 < 2.1 pruned,
+    // usage(abc) = 20 kept
+    val out = Bpe.vocabPrune(docs, "source", col("text"), "text",
+      k = 2, minUsagePermille = 100)
+      .orderBy("variant", "source").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
+        r.getLong(7), r.getLong(8)))
+    assert(out.toSeq === Seq(
+      // full vocab: chars + {ab, abc} (38 pieces, 2 merges)
+      ("full", "a", 20L, 0L, 20L, 0L, 0L, 38L, 2L),
+      ("full", "b", 1L, 0L, 2L, 0L, 0L, 38L, 2L),   // abd = [ab,##d]
+      // pruned: "ab" gone (37 pieces, 1 merge); "abc" still 1 token,
+      // "abd" degrades to [a,##b,##d] = 3 — the pruning cost, measured
+      ("pruned", "a", 20L, 0L, 20L, 0L, 0L, 37L, 1L),
+      ("pruned", "b", 1L, 0L, 3L, 0L, 0L, 37L, 1L)))
+  }
 }

@@ -374,6 +374,29 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
       (7L, 9L, 0L, s"f1 $s7 f2")))
   }
 
+  test("exactSubstrProvenance: pair shared-gram counts are exact; " +
+      "within-doc repeats pair with nobody; hot grams above the df cap " +
+      "are excluded from pairing") {
+    val p = (1 to 12).map(i => s"p$i").mkString(" ")
+    val q = (1 to 9).map(i => s"q$i").mkString(" ")
+    val h = (1 to 8).map(i => s"h$i").mkString(" ")
+    val g = (1 to 8).map(i => s"g$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"a1 a2 a3 $p b1 b2"),  // p-grams at starts 3..7
+      (2L, s"c1 c2 $p d1"),        // the same 5 p-grams
+      (3L, s"$q x $q"),            // duplicated grams, but df(docs) = 1
+      (10L, h), (11L, h), (12L, h), (13L, h), // df = 4 > cap: unpaired
+      (20L, g), (21L, g)           // df = 2: one shared gram
+    ).toDF("doc_id", "text")
+    val got = Dedup.exactSubstrProvenance(docs, "doc_id", "text",
+      minTokens = 8, maxGramDf = 3)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().sorted.toSeq
+    // doc1 has 10 distinct grams, doc2 has 8; 5 shared; 5e6/8 = 625000
+    assert(got === Seq(
+      (1L, 2L, 5L, 10L, 8L, 625000L),
+      (20L, 21L, 1L, 1L, 1L, 1000000L)))
+  }
+
   test("exactSubstrSpans: an L-token repeat at doc edges is exactly one " +
       "gram and still surfaces") {
     val p8 = (1 to 8).map(i => s"w$i").mkString(" ")

@@ -267,6 +267,57 @@ class EventStreamSpec extends AnyFunSuite with SparkTestBase {
     assert(acc.toSet === oneShot)
   }
 
+  test("streaming ExactSubstr gram state: emitted starts after every " +
+      "batch prefix equal the union corpus's duplicated-gram starts; the " +
+      "batch face equals the semi-join spans") {
+    implicit val ctx = spark.sqlContext
+    import graft.ext.Dedup
+    val p = (1 to 12).map(i => s"p$i").mkString(" ")
+    val q9 = (1 to 9).map(i => s"q$i").mkString(" ")
+    val b1 = Seq((1L, s"a1 a2 a3 $p b1 b2"), (3L, s"$q9 x $q9"))
+    val b2 = Seq((2L, s"c1 c2 $p d1"))      // cross-batch dup of b1's run
+    val b3 = Seq((4L, p),                   // third copy: emits immediately
+      (5L, "u1 u2 u3 u4 u5 u6 u7 u8 u9"))   // unique: never emits
+    // independent expected-set derivation in plain Scala (occurrence-count
+    // semantics: a gram repeated twice inside ONE doc duplicates)
+    def dupStarts(docs: Seq[(Long, String)]): Set[(Long, Long)] = {
+      val occ = for {
+        (id, t) <- docs
+        ws = t.split(" ").filter(_.nonEmpty).toSeq
+        i <- 0 to ws.length - 8
+      } yield (ws.slice(i, i + 8).mkString(" "), id, i.toLong)
+      val dup = occ.groupBy(_._1).filter(_._2.size >= 2).keySet
+      occ.filter(o => dup(o._1)).map(o => (o._2, o._3)).toSet
+    }
+    val in = MemoryStream[(Long, String)]
+    val starts = EventStream.exactSubstrStarts(
+      Dedup.gramKeyStarts(in.toDF().toDF("doc_id", "text"),
+        "doc_id", "text", minTokens = 8), "doc_id")
+    val q = EventStream.startToMemory(starts, "xsubstr_starts",
+      OutputMode.Append())
+    try {
+      var seen = Seq.empty[(Long, String)]
+      for (b <- Seq(b1, b2, b3)) {
+        seen ++= b
+        in.addData(b)
+        q.processAllAvailable()
+        val got = spark.table("xsubstr_starts")
+          .as[(Long, Long)].collect().toSet
+        assert(got === dupStarts(seen),
+          s"after docs ${seen.map(_._1).mkString(",")}")
+      }
+    } finally q.stop()
+    val union = (b1 ++ b2 ++ b3).toDF("doc_id", "text")
+    val face = Dedup.mergeSpanStarts(
+      EventStream.exactSubstrStarts(
+        Dedup.gramKeyStarts(union, "doc_id", "text", 8), "doc_id"),
+      "doc_id", 8).as[(Long, Long, Long, Long)].collect().toSet
+    val batch = Dedup.exactSubstrSpans(union, "doc_id", "text", 8)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(face === batch)
+    assert(face.nonEmpty)
+  }
+
   test("micro-batched k-means assignment equals the one-shot batch assign") {
     // the streaming shape of X58: centroids are FITTED once (offline) and
     // each arriving micro-batch assigns with the literal-projection pass —

@@ -91,11 +91,12 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
       "q54_dup_clusters" -> Instrument.Counts(42, 42),
       "q59_corpus_dedup" -> Instrument.Counts(43, 43),
       "q75_pipeline_sink" -> Instrument.Counts(93, 93),
-      // q76 carries +1 on top of the measured 79: the incremental-pass
-      // broadcast attach occasionally lands as its own AQE stage-job
-      // (observed 79 and 80 across runs on identical data; 2 star rounds
-      // both times — an extra ROUND would cost +8..10, still caught)
-      "q76_incremental_clusters" -> Instrument.Counts(80, 80),
+      // q76 carries +2 on top of the measured 79: each of the two
+      // incremental-pass broadcast attaches occasionally lands as its own
+      // AQE stage-job (observed 79, 80 AND 81 across runs on identical
+      // data, same star rounds — an extra ROUND would cost +8..10, still
+      // caught)
+      "q76_incremental_clusters" -> Instrument.Counts(81, 81),
       "q77_srp_near_dups" -> Instrument.Counts(7, 7),
       // round-8/9 tier (measured at this sf + jitter): q128 media hashes,
       // q131 DSIR's fit+spine+selection chain, q132/q133/q142 the BPE fit
@@ -106,7 +107,9 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
       "q131_dsir_selection" -> Instrument.Counts(34, 34),
       "q132_bpe_merges" -> Instrument.Counts(16, 16),
       "q133_bpe_token_counts" -> Instrument.Counts(17, 17),
-      "q134_cosine_near_dups" -> Instrument.Counts(20, 20),
+      // q134: 19 + 2 explicit-width cell exchanges (the round-10 AQE
+      // fan-out fix — each user repartition is its own AQE stage-job)
+      "q134_cosine_near_dups" -> Instrument.Counts(23, 23),
       "q135_overlap_join" -> Instrument.Counts(5, 5),
       "q142_bpe_wordpiece_roundtrip" -> Instrument.Counts(17, 17),
       // round-9/10 tier (re-measured after the Tables.wide gated widen —
@@ -127,7 +130,15 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
       "q149_exact_substr_spans" -> Instrument.Counts(7, 7),
       "q150_exact_substr_scrub" -> Instrument.Counts(14, 14),
       "q151_vocab_size_sweep" -> Instrument.Counts(171, 171),
-      "q152_ivfpq_recall" -> Instrument.Counts(53, 53))
+      "q152_ivfpq_recall" -> Instrument.Counts(53, 53),
+      // round-10 second tier: q153 pair provenance (gram distinct + df
+      // window + self-join), q154 the 32-merge fit + usage + two coverage
+      // passes (batched fit rounds ARE the bulk), q155 the stateful
+      // streaming face (one gram projection + flatMapGroupsWithState +
+      // island window)
+      "q153_exact_substr_provenance" -> Instrument.Counts(15, 15),
+      "q154_vocab_prune" -> Instrument.Counts(67, 67),
+      "q155_exact_substr_stream" -> Instrument.Counts(7, 7))
     val got = bounds.toSeq.sortBy(_._1).map { case (name, bound) =>
       val fn = SparkEntry.queries(name)
       // cold-cache slate before each measurement (the Bench discipline):
