@@ -1174,29 +1174,30 @@ object Dedup {
         expr(s"(count(1) over (partition by __t) + ${selfJoinChunk - 1}) " +
           s"div $selfJoinChunk"))
       .withColumn("__c", expr(s"__pos div $selfJoinChunk"))
-    // EXPLICIT-WIDTH cell exchanges: the cell join's input is postings
-    // (MBs) but its output is the pair mass (GBs) — AQE sizes the joined
-    // stage by shuffle INPUT bytes and coalesces it (measured at sf1:
-    // 17 of 32 slots, max task 60.2 s == stage wall; the same
-    // input-size-blindness as the pre-fan-out sites, at the join's own
-    // exchange). `repartition(n, keys)` pins both exchanges at full
-    // width — the join reuses them (same clustering), AQE never
-    // coalesces a user-specified partitioning, and the cell keys already
-    // balance the probe work the exchange spreads.
-    val shufP = docs.sparkSession.sessionState.conf.numShufflePartitions
-    val cellKeys = Seq(col("__t"), col("__ca"), col("__cb"))
+    // The cell join's exchanges are left to AQE DELIBERATELY, despite the
+    // input-size-blindness pattern (postings in are MBs, pairs out are
+    // GBs; at sf1 AQE coalesces the joined stage to 17 of 32 slots).
+    // Both alternatives were MEASURED at sf1 (local[32], task-s of the
+    // join stage / total wall): baseline 639 / 70.8 s; explicit
+    // `repartition(n, __t, __ca, __cb)` on both sides 1625 / 77.4 s —
+    // the user exchanges push the join off its AQE-picked hash path onto
+    // a buffering merge path and the 2.5× stage CPU erases the width
+    // gain; coalescing disabled via conf 902 / 61.2 s — width alone is
+    // worth ~13%, but only a session-global conf buys it. Kept as-is
+    // because the starvation is a small-scale artifact: the exchange
+    // input here is ~20-30 MB compressed, so AQE's ~1 MB target merges
+    // it to 17 partitions; at sf10+ the same input is 10× larger and AQE
+    // keeps full width on its own.
     val pairs = chunked
       .withColumn("__cb", explode(sequence(col("__c"), col("__nc") - 1)))
       .withColumnRenamed("__c", "__ca")
       .select(col(id).as("id_a"), col("__t"), col("__ca"), col("__cb"),
         col("__s2").as("__s2a"), col("__n2").as("__n2a"))
-      .repartition(shufP, cellKeys: _*)
       .join(chunked
         .withColumn("__ca", explode(sequence(lit(0L), col("__c"))))
         .withColumnRenamed("__c", "__cb")
         .select(col(id).as("id_b"), col("__t"), col("__ca"), col("__cb"),
-          col("__s2").as("__s2b"), col("__n2").as("__n2b"))
-        .repartition(shufP, cellKeys: _*),
+          col("__s2").as("__s2b"), col("__n2").as("__n2b")),
         Seq("__t", "__ca", "__cb"))
       .filter(col("id_a") < col("id_b"))
       .filter(lit(minCos2Den) * col("__s2a") * col("__s2b") >=

@@ -107,9 +107,7 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
       "q131_dsir_selection" -> Instrument.Counts(34, 34),
       "q132_bpe_merges" -> Instrument.Counts(16, 16),
       "q133_bpe_token_counts" -> Instrument.Counts(17, 17),
-      // q134: 19 + 2 explicit-width cell exchanges (the round-10 AQE
-      // fan-out fix — each user repartition is its own AQE stage-job)
-      "q134_cosine_near_dups" -> Instrument.Counts(23, 23),
+      "q134_cosine_near_dups" -> Instrument.Counts(20, 20),
       "q135_overlap_join" -> Instrument.Counts(5, 5),
       "q142_bpe_wordpiece_roundtrip" -> Instrument.Counts(17, 17),
       // round-9/10 tier (re-measured after the Tables.wide gated widen —
