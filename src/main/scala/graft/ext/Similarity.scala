@@ -589,6 +589,91 @@ object Similarity {
       .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Long](2).toArray))
       .sortBy(c => (c._1, c._2)).toSeq
 
+  /** Energy-balanced dimension permutation — the OPQ device (Ge et al.
+    * 2014, "Optimized Product Quantization") reduced to its
+    * oracle-replayable core. Full OPQ learns a dense rotation R by
+    * alternating PQ fits with an SVD; its cheapest structured member is a
+    * PERMUTATION that deals dimensions to subspaces so each receives an
+    * equal share of the corpus energy — the paper's own motivation (PQ's
+    * distortion is lopsided when one contiguous slice holds most of the
+    * variance, because every subspace spends the same log₂kc bits).
+    *
+    * Per-dim second moment Σx² over the QUANTIZED vectors (exact long
+    * math, bit-identical cross-engine; |x| ≤ scale so the sum holds ~9e6
+    * rows per dim before long overflow — past that, fit on a sample like
+    * every model in this family), dims ranked energy-desc with ties to
+    * the lower dim, and rank r (0-based) dealt round-robin: permuted
+    * position (r mod m)·(d/m) + (r div m). Subspace j then holds the
+    * dims ranked j, j+m, j+2m, … so consecutive "cards" of the sorted
+    * energy order split across subspaces and the subspace totals differ
+    * by at most one inter-rank gap per round.
+    *
+    * Returns `perm` with permuted(p) = original(perm(p)) — d ints,
+    * model-sized by construction (same collect class as codebooks).
+    */
+  def energyPermutation(corpus: DataFrame, id: String, vec: String, m: Int,
+                        scale: Double = DefaultScale): Seq[Int] = {
+    val ranked = prep(corpus, id, vec, "__id", scale)
+      .select(posexplode(col("__qv")).as(Seq("__dim", "__x")))
+      .groupBy("__dim")
+      .agg(sum(col("__x") * col("__x")).as("__e"))
+      .orderBy(col("__e").desc, col("__dim"))
+      .select("__dim").collect().map(_.getInt(0))
+    val d = ranked.length
+    require(d > 0 && d % m == 0, s"dims $d not divisible by m=$m")
+    val sub = d / m
+    val perm = new Array[Int](d)
+    ranked.zipWithIndex.foreach { case (dim, r) =>
+      perm((r % m) * sub + r / m) = dim
+    }
+    perm.toSeq
+  }
+
+  /** Apply a [[energyPermutation]] as a literal projection — d getItems,
+    * zero shuffle, whole-stage codegen. Quantization is elementwise, so
+    * permuting the raw floats commutes with [[quantize]]; and a dot
+    * product is permutation-invariant, so exact cosine baselines computed
+    * on the UNpermuted frame remain valid against permuted-space ANN. */
+  def permuteVec(df: DataFrame, vec: String, perm: Seq[Int]): DataFrame =
+    df.withColumn(vec, array(perm.map(p => col(vec).getItem(p)): _*))
+
+  /** Feature-hashed dense term-frequency vectors (the hashing trick,
+    * Weinberger et al. 2009): each word token lands in bucket
+    * fnv1a64(word) mod `buckets` and a doc becomes the dense
+    * long[buckets] count vector — the embedding-free way to get
+    * cosine-comparable vectors from raw text (no vocabulary, no fit, no
+    * model to ship; the anisotropic vector source of the OPQ tier:
+    * stopword-heavy buckets carry orders of magnitude more energy than
+    * tail buckets, unlike the isotropic embedding fixture). Counts are
+    * exact longs, so the whole PQ/ANN family composes with scale = 1 and
+    * every dot stays integer-exact. Docs with zero tokens have no vector
+    * (no direction to compare — they drop out).
+    *
+    * `buckets` must be a power of two: bucket = pmod(signed fnv, buckets)
+    * equals the unsigned-2⁶⁴ residue only when buckets divides 2⁶⁴, which
+    * is what the oracle's HUGEINT `%` computes. Cost: one explode + two
+    * mergeable aggregations ((id, bucket) counts, then per-id map); the
+    * dense assembly is a map lookup over a literal index sequence — no
+    * extra shuffle, no skew (bucket keys ride the doc id).
+    */
+  def hashedTfVectors(docs: DataFrame, id: String, text: String,
+                      buckets: Int): DataFrame = {
+    require(buckets > 0 && (buckets & (buckets - 1)) == 0,
+      s"buckets must be a power of two, got $buckets")
+    docs
+      .select(col(id), explode(TextAnalysis.tokens(col(text))).as("__w"))
+      .select(col(id),
+        pmod(graft.plans.Fnv1a64Expression.fnv1a64(col("__w")),
+          lit(buckets.toLong)).as("__b"))
+      .groupBy(col(id), col("__b")).agg(count(lit(1)).as("__c"))
+      .groupBy(col(id))
+      .agg(map_from_entries(collect_list(
+        struct(col("__b"), col("__c")))).as("__m"))
+      .select(col(id),
+        transform(sequence(lit(0L), lit(buckets - 1L)),
+          b => coalesce(element_at(col("__m"), b), lit(0L))).as("tf"))
+  }
+
   /** Recall@k of an approximate top-k frame against the exact baseline —
     * the number every ANN deployment tunes on (nprobe / band count / probe
     * budget move recall; this measures it instead of guessing): per query,

@@ -372,6 +372,85 @@ object DataPipelineQueries extends Catalog {
       Similarity.recallAtK(exact, approx, "query_id", "neighbor_id", k = 10)
     }),
 
+    // ---- OPQ-permuted PQ: energy-balanced subspaces, recall-graded ---------
+    // the permutation special case of OPQ (Ge et al. 2014): rank dims by
+    // corpus energy Σx² (exact long math on the quantized vectors), deal
+    // them round-robin over the m subspaces so each gets an equal energy
+    // share, then run the IDENTICAL q147 PQ chain (same m=4, kc=8, 12
+    // bits/vector) in the permuted space. The exact baseline stays in the
+    // ORIGINAL space — dots are permutation-invariant, so recall@10
+    // against it is directly comparable with q147's. MEASURED: on this
+    // fixture's i.i.d. unit vectors per-dim energies are near-equal, so
+    // the deal has no systematic structure to exploit — and the numbers
+    // show FIT LOTTERY, not signal: 80‰ vs q147's 57.5‰ at sf0.1 but
+    // 120‰ vs 180‰ at sf0.01 (the sign flips between SFs; at kc=8/2
+    // Lloyd rounds the codebook landscape is seed-dominated and any dim
+    // reshuffle lands in a different local optimum). The isotropic
+    // no-op OPQ theory predicts, observed honestly. The anisotropic
+    // corpus where the permutation has real structure to balance is
+    // q157's hashed-tf frame — there OPQ ≥ PQ at every measured SF.
+    "q156_opq_recall" -> ((s, d) => {
+      val vecs = Tables.embeddingsWide(s, d)
+      val perm = Similarity.energyPermutation(vecs, "vec_id", "embedding",
+        m = 4)
+      val pvecs = Similarity.permuteVec(vecs, "embedding", perm)
+      val qs = pvecs.filter(col("vec_id") % 50 === 0)
+      val cb = Similarity.collectCodebooks(Similarity.pqFit(
+        pvecs, "vec_id", "embedding", m = 4, kc = 8, iters = 2))
+      val approx = Similarity.pqTopK(pvecs, qs,
+        "vec_id", "embedding", "vec_id", "embedding", cb, k = 10)
+      val exact = Similarity.knnExact(vecs,
+        vecs.filter(col("vec_id") % 50 === 0),
+        "vec_id", "embedding", "vec_id", "embedding", k = 10)
+      Similarity.recallAtK(exact, approx, "query_id", "neighbor_id", k = 10)
+    }),
+
+    // ---- OPQ vs PQ on ANISOTROPIC vectors: hashed-tf, one report -----------
+    // the corpus where q156's permutation has something to balance:
+    // feature-hashed term-frequency vectors (64 power-of-two buckets,
+    // exact long counts, scale=1 — every dot integer-exact) put orders of
+    // magnitude more energy in stopword-heavy buckets than tail buckets,
+    // so contiguous PQ slices get lopsided energy shares while the
+    // round-robin deal equalizes them. Both 12-bit chains (plain PQ and
+    // energy-permuted PQ) run against the SAME exact cosine baseline —
+    // dots are permutation-invariant — and the per-query recalls come
+    // back side by side under a `method` column: the OPQ question
+    // answered by measurement on one corpus in one result.
+    // MEASURED: OPQ ≥ PQ at BOTH SFs here — 130‰ vs 70‰ at sf0.01
+    // (10 queries), 11‰ vs 8‰ at sf0.1 (100 queries). The absolute
+    // collapse at sf0.1 is the bits-vs-corpus-size effect, not a defect:
+    // 12-bit codes give 4096 distinct codewords, so over 5000 docs the
+    // ADC ranking saturates (~1.2 docs per exact code) and recall@10 at
+    // FIXED bits falls as the corpus grows — the reason production PQ
+    // scales m with corpus size. The permutation's relative win (+86%,
+    // +37%) is the anisotropy story q156's isotropic fixture can't show.
+    "q157_opq_tf_recall" -> ((s, d) => {
+      // pinned: six consumers (exact baseline, two fits, two encodes, the
+      // energy ranking) would each replay the tokenize+count chain
+      val tf = graft.ext.Caches.pin(Similarity.hashedTfVectors(
+        Tables.documentsWide(s, d), "doc_id", "text", buckets = 64))
+      val qs = tf.filter(col("doc_id") % 50 === 0)
+      val exact = Similarity.knnExact(tf, qs,
+        "doc_id", "tf", "doc_id", "tf", k = 10, scale = 1.0)
+      val cbP = Similarity.collectCodebooks(Similarity.pqFit(
+        tf, "doc_id", "tf", m = 4, kc = 8, iters = 2, scale = 1.0))
+      val apP = Similarity.pqTopK(tf, qs,
+        "doc_id", "tf", "doc_id", "tf", cbP, k = 10, scale = 1.0)
+      val perm = Similarity.energyPermutation(tf, "doc_id", "tf",
+        m = 4, scale = 1.0)
+      val ptf = Similarity.permuteVec(tf, "tf", perm)
+      val pqs = ptf.filter(col("doc_id") % 50 === 0)
+      val cbO = Similarity.collectCodebooks(Similarity.pqFit(
+        ptf, "doc_id", "tf", m = 4, kc = 8, iters = 2, scale = 1.0))
+      val apO = Similarity.pqTopK(ptf, pqs,
+        "doc_id", "tf", "doc_id", "tf", cbO, k = 10, scale = 1.0)
+      Similarity.recallAtK(exact, apP, "query_id", "neighbor_id", k = 10)
+        .withColumn("method", lit("pq"))
+        .unionByName(
+          Similarity.recallAtK(exact, apO, "query_id", "neighbor_id", k = 10)
+            .withColumn("method", lit("opq")))
+    }),
+
     // ---- SimHash near-dup (chunk-bucketed hamming) -------------------------
     // maxHamming = 3: the 4x16-bit chunk pigeonhole guarantees full recall
     // only up to hamming 3 — a larger bound would silently drop pairs that
@@ -1371,6 +1450,214 @@ object DataPipelineQueries extends Catalog {
          |FROM exact e LEFT JOIN approx a
          |  ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
          |GROUP BY 1""".stripMargin
+    },
+
+    "q156_opq_recall" -> {
+      // q147's full PQ replay in a PERMUTED space: per-dim energy Σv[i]²
+      // over the quantized vectors → rank (energy DESC, dim ASC) →
+      // round-robin deal over the m subspaces (rank r−1 lands at permuted
+      // position ((r−1) % m)·sub + (r−1)//m) → pv = permuted vectors →
+      // the identical seeds/Lloyd/codes/lut/ADC chain on pv. The exact
+      // baseline stays in the ORIGINAL space: dots are permutation-
+      // invariant, so the cosine ranking is unchanged.
+      val (m, kc, iters, sub, dims) = (4, 8, 2, 16, 64)
+      import graft.plans.Fnv1a64Expression.{longSqlText, toSignedSqlText}
+      val fnv = toSignedSqlText(
+        longSqlText("14695981039346656037::HUGEINT", "vec_id::HUGEINT"))
+      def dot(a: String, b: String) = Similarity.dotLongSqlText(a, b)
+      val cosEx = Similarity.cosineSqlText("qe", "embedding")
+      val lloyd = (1 to iters).map { it =>
+        s"""a$it AS MATERIALIZED (SELECT vec_id, j, sv, cell FROM (
+           |    SELECT s.vec_id, s.j, s.sv, c.cell,
+           |      row_number() OVER (PARTITION BY s.vec_id, s.j
+           |        ORDER BY 2*${dot("s.sv", "c.v")} - ${dot("c.v", "c.v")}
+           |          DESC, c.cell) AS rn
+           |    FROM sv s JOIN cb${it - 1} c ON s.j = c.j) WHERE rn = 1),
+           |s$it AS (SELECT j, cell, i,
+           |      CAST(CASE WHEN sum(x) < 0 THEN -1 ELSE 1 END
+           |        * (abs(sum(x)) // count(*)) AS BIGINT) AS cx
+           |    FROM (SELECT j, cell, i, sv[i] AS x
+           |          FROM a$it CROSS JOIN (SELECT unnest(range(1, ${sub + 1})) AS i))
+           |    GROUP BY j, cell, i),
+           |n$it AS (SELECT j, cell, list(cx ORDER BY i) AS v
+           |         FROM s$it GROUP BY j, cell),
+           |cb$it AS MATERIALIZED (SELECT p.j, p.cell, coalesce(n$it.v, p.v) AS v
+           |         FROM cb${it - 1} p LEFT JOIN n$it USING (j, cell))"""
+          .stripMargin
+      }.mkString(",\n")
+      s"""WITH qv AS (SELECT vec_id,
+         |  [CAST(floor(CAST(embedding[i] AS DOUBLE)*1000000.0 + 0.5) AS BIGINT)
+         |   FOR i IN range(1, len(embedding)+1)] AS v FROM embeddings),
+         |en AS (SELECT i, sum(v[i]*v[i]) AS e
+         |  FROM qv CROSS JOIN (SELECT unnest(range(1, ${dims + 1})) AS i)
+         |  GROUP BY i),
+         |rk AS (SELECT i, row_number() OVER (ORDER BY e DESC, i) AS r
+         |       FROM en),
+         |pm AS (SELECT list(i ORDER BY ((r-1) % $m) * $sub + ((r-1) // $m))
+         |         AS perm FROM rk),
+         |pv AS MATERIALIZED (SELECT vec_id,
+         |    [v[perm[p]] FOR p IN range(1, ${dims + 1})] AS v
+         |  FROM qv CROSS JOIN pm),
+         |seeds AS (SELECT v, rn FROM (
+         |    SELECT v, row_number() OVER (ORDER BY $fnv, vec_id) AS rn
+         |    FROM pv) WHERE rn <= $kc),
+         |jj AS (SELECT unnest(range($m)) AS j),
+         |cb0 AS (SELECT j, CAST(rn AS INTEGER) AS cell,
+         |    list_slice(v, j*$sub + 1, (j+1)*$sub) AS v
+         |  FROM seeds CROSS JOIN jj),
+         |sv AS MATERIALIZED (SELECT vec_id, j,
+         |    list_slice(v, j*$sub + 1, (j+1)*$sub) AS sv
+         |  FROM pv CROSS JOIN jj),
+         |$lloyd,
+         |codes AS MATERIALIZED (SELECT vec_id, j, cell FROM (
+         |    SELECT s.vec_id, s.j, c.cell,
+         |      row_number() OVER (PARTITION BY s.vec_id, s.j
+         |        ORDER BY 2*${dot("s.sv", "c.v")} - ${dot("c.v", "c.v")}
+         |          DESC, c.cell) AS rn
+         |    FROM sv s JOIN cb$iters c ON s.j = c.j) WHERE rn = 1),
+         |lut AS MATERIALIZED (SELECT s.vec_id AS query_id, c.j, c.cell,
+         |    ${dot("s.sv", "c.v")} AS pd
+         |  FROM sv s JOIN cb$iters c ON s.j = c.j
+         |  WHERE s.vec_id % 50 = 0),
+         |adc AS (SELECT l.query_id, co.vec_id AS neighbor_id,
+         |    CAST(sum(l.pd) AS BIGINT) AS adc
+         |  FROM codes co JOIN lut l ON co.j = l.j AND co.cell = l.cell
+         |  WHERE co.vec_id != l.query_id
+         |  GROUP BY 1, 2),
+         |approx AS (SELECT query_id, neighbor_id FROM adc
+         |  QUALIFY row_number() OVER (PARTITION BY query_id
+         |    ORDER BY adc DESC, neighbor_id) <= 10),
+         |q AS (SELECT vec_id AS query_id, embedding AS qe
+         |      FROM embeddings WHERE vec_id % 50 = 0),
+         |exact AS (
+         |  SELECT query_id, vec_id AS neighbor_id
+         |  FROM embeddings CROSS JOIN q
+         |  WHERE vec_id != query_id
+         |  QUALIFY row_number() OVER (PARTITION BY query_id
+         |    ORDER BY $cosEx DESC, vec_id) <= 10)
+         |SELECT e.query_id,
+         |  CAST(count(*) AS BIGINT) AS evaluated,
+         |  CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS hits,
+         |  CAST((sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+         |    * 1000) // 10 AS BIGINT) AS recall_permille
+         |FROM exact e LEFT JOIN approx a
+         |  ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+         |GROUP BY 1""".stripMargin
+    },
+
+    "q157_opq_tf_recall" -> {
+      // hashed-tf qv (FNV bucket % 64 over the shared word split, exact
+      // long counts — scale=1, no quantize CTE) → TWO full PQ replays:
+      // plain (unprefixed chain) and energy-permuted (oen/ork/opm/opv +
+      // the o-prefixed chain), both the q147 Lloyd text via one
+      // parameterized builder → ONE exact cosine baseline (dots are
+      // permutation-invariant) → the two recall rollups UNION ALL'd
+      // under a method column.
+      val (m, kc, iters, sub, dims) = (4, 8, 2, 16, 64)
+      import graft.plans.Fnv1a64Expression.{longSqlText, stringSqlText,
+        toSignedSqlText}
+      val fnv = toSignedSqlText(
+        longSqlText("14695981039346656037::HUGEINT", "vec_id::HUGEINT"))
+      def dot(a: String, b: String) = Similarity.dotLongSqlText(a, b)
+      val cosEx = Similarity.cosineLongSqlText("q.v", "c.v")
+      def chain(p: String, src: String): String = {
+        val lloyd = (1 to iters).map { it =>
+          s"""${p}pa$it AS MATERIALIZED (SELECT vec_id, j, sv, cell FROM (
+             |    SELECT s.vec_id, s.j, s.sv, c.cell,
+             |      row_number() OVER (PARTITION BY s.vec_id, s.j
+             |        ORDER BY 2*${dot("s.sv", "c.v")} - ${dot("c.v", "c.v")}
+             |          DESC, c.cell) AS rn
+             |    FROM ${p}sv s JOIN ${p}cb${it - 1} c ON s.j = c.j)
+             |  WHERE rn = 1),
+             |${p}ps$it AS (SELECT j, cell, i,
+             |      CAST(CASE WHEN sum(x) < 0 THEN -1 ELSE 1 END
+             |        * (abs(sum(x)) // count(*)) AS BIGINT) AS cx
+             |    FROM (SELECT j, cell, i, sv[i] AS x
+             |          FROM ${p}pa$it
+             |          CROSS JOIN (SELECT unnest(range(1, ${sub + 1})) AS i))
+             |    GROUP BY j, cell, i),
+             |${p}pn$it AS (SELECT j, cell, list(cx ORDER BY i) AS v
+             |         FROM ${p}ps$it GROUP BY j, cell),
+             |${p}cb$it AS MATERIALIZED (SELECT pr.j, pr.cell,
+             |      coalesce(${p}pn$it.v, pr.v) AS v
+             |    FROM ${p}cb${it - 1} pr
+             |    LEFT JOIN ${p}pn$it USING (j, cell))""".stripMargin
+        }.mkString(",\n")
+        s"""${p}seeds AS (SELECT v, rn FROM (
+           |    SELECT v, row_number() OVER (ORDER BY $fnv, vec_id) AS rn
+           |    FROM $src) WHERE rn <= $kc),
+           |${p}cb0 AS (SELECT j, CAST(rn AS INTEGER) AS cell,
+           |    list_slice(v, j*$sub + 1, (j+1)*$sub) AS v
+           |  FROM ${p}seeds CROSS JOIN jj),
+           |${p}sv AS MATERIALIZED (SELECT vec_id, j,
+           |    list_slice(v, j*$sub + 1, (j+1)*$sub) AS sv
+           |  FROM $src CROSS JOIN jj),
+           |$lloyd,
+           |${p}codes AS MATERIALIZED (SELECT vec_id, j, cell FROM (
+           |    SELECT s.vec_id, s.j, c.cell,
+           |      row_number() OVER (PARTITION BY s.vec_id, s.j
+           |        ORDER BY 2*${dot("s.sv", "c.v")} - ${dot("c.v", "c.v")}
+           |          DESC, c.cell) AS rn
+           |    FROM ${p}sv s JOIN ${p}cb$iters c ON s.j = c.j)
+           |  WHERE rn = 1),
+           |${p}lut AS MATERIALIZED (SELECT s.vec_id AS query_id, c.j,
+           |    c.cell, ${dot("s.sv", "c.v")} AS pd
+           |  FROM ${p}sv s JOIN ${p}cb$iters c ON s.j = c.j
+           |  WHERE s.vec_id % 50 = 0),
+           |${p}adc AS (SELECT l.query_id, co.vec_id AS neighbor_id,
+           |    CAST(sum(l.pd) AS BIGINT) AS adc
+           |  FROM ${p}codes co
+           |  JOIN ${p}lut l ON co.j = l.j AND co.cell = l.cell
+           |  WHERE co.vec_id != l.query_id
+           |  GROUP BY 1, 2),
+           |${p}approx AS (SELECT query_id, neighbor_id FROM ${p}adc
+           |  QUALIFY row_number() OVER (PARTITION BY query_id
+           |    ORDER BY adc DESC, neighbor_id) <= 10)""".stripMargin
+      }
+      def recallSel(method: String, approx: String) =
+        s"""SELECT e.query_id, '$method' AS method,
+           |  CAST(count(*) AS BIGINT) AS evaluated,
+           |  CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0
+           |    END) AS BIGINT) AS hits,
+           |  CAST((sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0
+           |    END) * 1000) // 10 AS BIGINT) AS recall_permille
+           |FROM exact e LEFT JOIN $approx a
+           |  ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+           |GROUP BY 1""".stripMargin
+      s"""WITH tk AS (SELECT doc_id, unnest($wordsSql) AS w FROM documents),
+         |tb AS (SELECT doc_id,
+         |    CAST((${stringSqlText("w")}) % $dims AS BIGINT) AS b FROM tk),
+         |tc AS (SELECT doc_id, b, count(*) AS c FROM tb GROUP BY 1, 2),
+         |grid AS (SELECT doc_id, unnest(range(0, $dims)) AS b
+         |         FROM (SELECT DISTINCT doc_id FROM tk)),
+         |qv AS MATERIALIZED (SELECT g.doc_id AS vec_id,
+         |    list(CAST(coalesce(tc.c, 0) AS BIGINT) ORDER BY g.b) AS v
+         |  FROM grid g LEFT JOIN tc ON g.doc_id = tc.doc_id AND g.b = tc.b
+         |  GROUP BY 1),
+         |jj AS (SELECT unnest(range($m)) AS j),
+         |oen AS (SELECT i, sum(v[i]*v[i]) AS e
+         |  FROM qv CROSS JOIN (SELECT unnest(range(1, ${dims + 1})) AS i)
+         |  GROUP BY i),
+         |ork AS (SELECT i, row_number() OVER (ORDER BY e DESC, i) AS r
+         |        FROM oen),
+         |opm AS (SELECT list(i ORDER BY ((r-1) % $m) * $sub + ((r-1) // $m))
+         |          AS perm FROM ork),
+         |opv AS MATERIALIZED (SELECT vec_id,
+         |    [v[perm[p]] FOR p IN range(1, ${dims + 1})] AS v
+         |  FROM qv CROSS JOIN opm),
+         |${chain("", "qv")},
+         |${chain("o", "opv")},
+         |q AS (SELECT vec_id, v FROM qv WHERE vec_id % 50 = 0),
+         |exact AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id
+         |  FROM qv c CROSS JOIN q
+         |  WHERE c.vec_id != q.vec_id
+         |  QUALIFY row_number() OVER (PARTITION BY q.vec_id
+         |    ORDER BY $cosEx DESC, c.vec_id) <= 10)
+         |${recallSel("pq", "approx")}
+         |UNION ALL
+         |${recallSel("opq", "oapprox")}""".stripMargin
     },
 
     "q152_ivfpq_recall" -> {

@@ -51,7 +51,9 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
       "q144_user_mart_city_tz", // q46's broadcast nearest-city shape
       "q146_ann_recall", // q25/q26's sample-broadcast products (graded)
       "q147_pq_recall", // q25's product + the ADC lut broadcast
-      "q152_ivfpq_recall") // q25's exact baseline + centroid/lut broadcasts
+      "q152_ivfpq_recall", // q25's exact baseline + centroid/lut broadcasts
+      "q156_opq_recall", // q147's shapes in the permuted space
+      "q157_opq_tf_recall") // q147's shapes ×2 (pq + opq) on hashed-tf
 
   test("no catalog query plans a CartesianProduct") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
@@ -136,7 +138,12 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
       // island window)
       "q153_exact_substr_provenance" -> Instrument.Counts(15, 15),
       "q154_vocab_prune" -> Instrument.Counts(67, 67),
-      "q155_exact_substr_stream" -> Instrument.Counts(7, 7))
+      "q155_exact_substr_stream" -> Instrument.Counts(7, 7),
+      // round-10 OPQ tier: q156 the permuted q147 chain (+ the energy
+      // ranking collect), q157 TWO chains (pq + opq) + the tf vectorize
+      // and energy collects over the pinned tf frame
+      "q156_opq_recall" -> Instrument.Counts(26, 26),
+      "q157_opq_tf_recall" -> Instrument.Counts(36, 36))
     val got = bounds.toSeq.sortBy(_._1).map { case (name, bound) =>
       val fn = SparkEntry.queries(name)
       // cold-cache slate before each measurement (the Bench discipline):

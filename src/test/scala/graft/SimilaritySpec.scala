@@ -442,4 +442,87 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(got === Seq((1L, 3L, 2L, 666L), (2L, 3L, 0L, 0L),
       (3L, 3L, 3L, 1000L)))
   }
+
+  test("energyPermutation deals dims round-robin by energy rank") {
+    // one row, energies d2 > d0 > d3 > d1 (quantized squares 4e12, 1e12,
+    // 2.5e11, 1e10): ranks (d2, d0, d3, d1); with m=2, sub=2 rank r lands
+    // at (r%2)*2 + r/2, so perm = [d2, d3, d0, d1] — subspace 0 holds the
+    // 1st+3rd energy, subspace 1 the 2nd+4th: the balanced deal, where
+    // contiguous slices would pair {2nd,4th} against {1st,3rd}.
+    val corpus = Seq((1L, Seq(1.0f, 0.1f, 2.0f, 0.5f)))
+      .toDF("vec_id", "embedding")
+    val perm = Similarity.energyPermutation(corpus, "vec_id", "embedding",
+      m = 2)
+    assert(perm === Seq(2, 3, 0, 1))
+    val permuted = Similarity.permuteVec(corpus, "embedding", perm)
+      .select("embedding").as[Seq[Float]].collect().head
+    assert(permuted === Seq(2.0f, 0.5f, 1.0f, 0.1f))
+  }
+
+  test("energyPermutation matches a first-principles driver twin; " +
+    "permuteVec preserves dot products") {
+    val rnd = new scala.util.Random(7)
+    // anisotropic: dim i scaled by (i % 5 + 1), so energies are unequal
+    val rows = (1L to 40L).map { i =>
+      (i, Seq.tabulate(8)(j => (rnd.nextFloat() * 2 - 1) * (j % 5 + 1)))
+    }
+    val corpus = rows.toDF("vec_id", "embedding")
+    val m = 4
+    val perm = Similarity.energyPermutation(corpus, "vec_id", "embedding",
+      m = m)
+    // twin: quantize exactly like the operator, rank by (energy desc, dim)
+    val qrows = rows.map(_._2.map(x =>
+      math.floor(x.toDouble * 1e6 + 0.5).toLong))
+    val energies = (0 until 8).map(d =>
+      (d, qrows.map(v => v(d) * v(d)).sum))
+    val ranked = energies.sortBy { case (d, e) => (-e, d) }.map(_._1)
+    val expected = new Array[Int](8)
+    ranked.zipWithIndex.foreach { case (dim, r) =>
+      expected((r % m) * 2 + r / m) = dim
+    }
+    assert(perm === expected.toSeq)
+    assert(perm.sorted === (0 until 8))
+    // dots are permutation-invariant: quantized dot of the first two rows
+    // is identical in permuted and original space
+    val q = Similarity.quantize(col("embedding"))
+    def firstDot(df: org.apache.spark.sql.DataFrame): Long = {
+      val two = df.filter(col("vec_id") <= 2).select(q.as("qv"))
+        .as[Seq[Long]].collect()
+      two(0).zip(two(1)).map { case (a, b) => a * b }.sum
+    }
+    assert(firstDot(Similarity.permuteVec(corpus, "embedding", perm))
+      === firstDot(corpus))
+  }
+
+  test("hashedTfVectors: dense FNV-bucket counts match a driver twin; " +
+    "zero-token docs drop; non-power-of-two rejected") {
+    val docs = Seq(
+      (1L, "The cat  sat on\tthe MAT"),
+      (2L, "cat cat cat"),
+      (3L, "   "), // zero tokens -> no vector
+      (4L, "tail token zoo"))
+      .toDF("doc_id", "text")
+    val got = Similarity.hashedTfVectors(docs, "doc_id", "text",
+        buckets = 64)
+      .orderBy("doc_id").as[(Long, Seq[Long])].collect().toSeq
+    def twin(s: String): Seq[Long] = {
+      val v = new Array[Long](64)
+      s.trim.toLowerCase.split("[ \t\n\f\r]+").filter(_.nonEmpty)
+        .foreach { w =>
+          val h = graft.plans.Fnv1a64Ops.hashString(
+            graft.plans.Fnv1a64Ops.Offset,
+            org.apache.spark.unsafe.types.UTF8String.fromString(w))
+          v(java.lang.Math.floorMod(h, 64L).toInt) += 1
+        }
+      v.toSeq
+    }
+    assert(got.map(_._1) === Seq(1L, 2L, 4L))
+    assert(got === Seq((1L, twin("The cat  sat on\tthe MAT")),
+      (2L, twin("cat cat cat")), (4L, twin("tail token zoo"))))
+    // the repeated token really counts 3, in exactly one bucket
+    assert(got(1)._2.sum === 3L && got(1)._2.count(_ > 0) === 1)
+    intercept[IllegalArgumentException] {
+      Similarity.hashedTfVectors(docs, "doc_id", "text", buckets = 48)
+    }
+  }
 }
