@@ -242,7 +242,13 @@ object DataPipelineQueries extends Catalog {
     // closes over all three pair sets at once — an independent whole-graph
     // recursive-CTE path that must agree with the two-step merge exactly.
     "q76_incremental_clusters" -> ((s, d) => {
-      val docs = Tables.documentsWide(s, d)
+      // deliberately NOT documentsWide: the shingle frames feed ~10
+      // unpinned subtrees (see below), so a widen exchange replays ~10×
+      // — measured at sf0.1 isolated (median-of-5, one JVM per variant):
+      // widened 11.7 s / plain 9.4 s, and +6 CPU-s for the extra
+      // round-robin string shuffles. The starved first scan stage is
+      // amortized across subtrees the same way the recompute is.
+      val docs = Tables.documents(s, d)
       val incoming = docs.filter(col("doc_id") % 10 === 7)
       val corpus = docs.filter(col("doc_id") % 10 =!= 7)
       // the shingle frames feed ~10 subtrees (sizes/df/gen/inter across
