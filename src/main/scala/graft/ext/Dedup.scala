@@ -827,13 +827,32 @@ object Dedup {
     val prefix = ranked
       .filter(col("__r") <=
         col("__n") - ceil(lit(minJaccard) * col("__n")) + lit(1))
-      .select(col(id), col("shingle"), col("__n"))
-    prefix.select(col(id).as("id_a"), col("shingle"), col("__n").as("n_a"))
+      .select(col(id), col("shingle"), col("__n"), col("__r"))
+    prefix.select(col(id).as("id_a"), col("shingle"), col("__n").as("n_a"),
+        col("__r").as("__ra"))
       .join(prefix.select(col(id).as("id_b"), col("shingle"),
-        col("__n").as("n_b")), Seq("shingle"))
+        col("__n").as("n_b"), col("__r").as("__rb")), Seq("shingle"))
       .filter(col("id_a") < col("id_b"))
       .filter(least(col("n_a"), col("n_b")) >=
         ceil(lit(minJaccard) * greatest(col("n_a"), col("n_b"))))
+      // ppjoin POSITIONAL filter (Xiao et al. 2008): a pair needs overlap
+      // I ≥ α = τ/(1+τ)·(n_a+n_b) (the Jaccard⇔overlap identity). For
+      // the FIRST common element of the two sets in the global (df,
+      // shingle) order — which the prefix lemma puts inside both
+      // prefixes — nothing common precedes it, so
+      // I ≤ 1 + min(n_a−r_a, n_b−r_b). A row failing that bound cannot
+      // be the first match of a qualifying pair; keeping a pair iff ANY
+      // of its matched rows passes therefore loses NO true pair (later
+      // matches' bounds are loose-low, dropping them is free precision —
+      // the spec pins equality with the unguarded formulation, and the
+      // q100 oracle runs plain all-shared-shingles). The −1e−9 absorbs
+      // float slop CONSERVATIVELY (a hair too-low threshold only lets a
+      // false candidate through to the exact verify). Candidate mass is
+      // the verify stage's row count, so this cut is wall time at scale:
+      // sf10's verify was 5055 task-s of pure candidate-intersect CPU.
+      .filter((lit(1) + least(col("n_a") - col("__ra"),
+          col("n_b") - col("__rb"))) * lit(1.0 + minJaccard) >=
+        lit(minJaccard) * (col("n_a") + col("n_b")) - lit(1e-9))
       .select("id_a", "id_b", "n_a", "n_b").distinct()
   }
 

@@ -108,7 +108,13 @@ object DataPipelineQueries extends Catalog {
     // 15,985 of 26,136 postings in the prefix index and generates 1,842
     // candidate pairs where the full index generates 11,533 (6.3×); the
     // gap widens with τ (prefix fraction ≈ 1−τ) and with corpus-level
-    // shingle skew (hot shingles leave every prefix).
+    // shingle skew (hot shingles leave every prefix). Round 10 added
+    // ppjoin's POSITIONAL filter on top (recall-exact — the
+    // first-common-element bound, proof at the filter): 1,842 → 114
+    // candidates at sf0.01, and at sf10 — where the replication fixture
+    // grows per-term posting density and the verify mass had gone 12×
+    // superlinear — wall drops 247.9 → 152.8 s with every stage still
+    // balanced (the remaining cost is true candidate intersect CPU).
     // shingles ride FNV-hashed to longs (wordShingleHashes — the X21 trick
     // at the word grain): the prefix ORDER becomes (df, hash) instead of
     // (df, shingle), which changes only WHICH prefix set generates each

@@ -323,6 +323,29 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(shared > 0)
   }
 
+  test("ppjoin positional filter prunes deep-prefix matches the length " +
+      "filter keeps; a qualifying pair survives") {
+    // docs 1/2: 5 unique df=1 shingles each (ranks 1-5) + 5 shared df=2
+    // shingles (ranks 6-10). At τ=0.5 the prefix bound is rank ≤ 6, so
+    // the first shared shingle "a" IS in both prefixes (rank 6, 6) and
+    // the length filter passes (10 vs 10) — the pre-round-10 index
+    // admits the pair. Positionally: I ≤ 1 + min(10−6, 10−6) = 5 < α =
+    // τ/(1+τ)·20 ≈ 6.67, so no qualifying overlap can start that deep —
+    // pruned before the verify (true J = 5/15, correctly sub-threshold).
+    val sh = (
+      (1 to 5).map(i => (1L, s"u1$i")) ++
+        Seq("a", "b", "c", "d", "e").map(s => (1L, s)) ++
+        (1 to 5).map(i => (2L, s"v2$i")) ++
+        Seq("a", "b", "c", "d", "e").map(s => (2L, s))
+      ).toDF("doc_id", "shingle")
+    assert(Dedup.prefixCandidates(sh, "doc_id", 0.5).count() === 0L)
+    // an actually-qualifying pair (identical 6-shingle docs, J = 1):
+    // first shared element at rank 1, ubound = 6 ≥ α = 4 — survives
+    val dup = (Seq.tabulate(6)(i => (5L, s"s$i")) ++
+      Seq.tabulate(6)(i => (6L, s"s$i"))).toDF("doc_id", "shingle")
+    assert(Dedup.prefixCandidates(dup, "doc_id", 0.5).count() === 1L)
+  }
+
   test("cosinePairs: hand-computed dots, norms, and the integer threshold") {
     val docs = Seq(
       (1L, "a a b"),   // tf a:2 b:1, n2 = 5
