@@ -136,6 +136,85 @@ object WordpieceSql {
   }
 }
 
+/** DuckDB CTE chain re-deriving the full PQ pipeline —
+  * [[graft.ext.Similarity.pqFit]] (fnv-ranked seeds sliced per subspace,
+  * `iters` L2-Lloyd rounds: argmax of 2·dot − ‖c‖² with ties to the lower
+  * cell, sign·(|Σ| div n) integer means, empty-cell carry) → encode →
+  * per-query lookup tables (queries = vec_id % 50 = 0, the catalog's
+  * sample) → ADC = Σ_j table lookups → top-10 per query. Shared by the
+  * q147/q156/q157 oracles; q152's RESIDUAL variant keeps its own copy
+  * (codes keyed `code`, composed with the kmeans a/s/n namespace).
+  *
+  * `p` prefixes every CTE name so two chains coexist in one query
+  * (q157 runs "" and "o"). `src` must expose (vec_id, v: BIGINT list);
+  * a `jj` CTE (SELECT unnest(range(m)) AS j) must be in scope. Defines
+  * ${p}seeds, ${p}cb0..cb$iters, ${p}pa/ps/pn$it, ${p}sv, ${p}codes,
+  * ${p}lut, ${p}adc, and ${p}approx (query_id, neighbor_id).
+  */
+object PqSql {
+  import graft.ext.Similarity
+  import graft.plans.Fnv1a64Expression.{longSqlText, toSignedSqlText}
+
+  def chain(p: String, src: String, m: Int, kc: Int, iters: Int,
+            sub: Int): String = {
+    val fnv = toSignedSqlText(
+      longSqlText("14695981039346656037::HUGEINT", "vec_id::HUGEINT"))
+    def dot(a: String, b: String) = Similarity.dotLongSqlText(a, b)
+    val lloyd = (1 to iters).map { it =>
+      s"""${p}pa$it AS MATERIALIZED (SELECT vec_id, j, sv, cell FROM (
+         |    SELECT s.vec_id, s.j, s.sv, c.cell,
+         |      row_number() OVER (PARTITION BY s.vec_id, s.j
+         |        ORDER BY 2*${dot("s.sv", "c.v")} - ${dot("c.v", "c.v")}
+         |          DESC, c.cell) AS rn
+         |    FROM ${p}sv s JOIN ${p}cb${it - 1} c ON s.j = c.j)
+         |  WHERE rn = 1),
+         |${p}ps$it AS (SELECT j, cell, i,
+         |      CAST(CASE WHEN sum(x) < 0 THEN -1 ELSE 1 END
+         |        * (abs(sum(x)) // count(*)) AS BIGINT) AS cx
+         |    FROM (SELECT j, cell, i, sv[i] AS x
+         |          FROM ${p}pa$it
+         |          CROSS JOIN (SELECT unnest(range(1, ${sub + 1})) AS i))
+         |    GROUP BY j, cell, i),
+         |${p}pn$it AS (SELECT j, cell, list(cx ORDER BY i) AS v
+         |         FROM ${p}ps$it GROUP BY j, cell),
+         |${p}cb$it AS MATERIALIZED (SELECT pr.j, pr.cell,
+         |      coalesce(${p}pn$it.v, pr.v) AS v
+         |    FROM ${p}cb${it - 1} pr
+         |    LEFT JOIN ${p}pn$it USING (j, cell))""".stripMargin
+    }.mkString(",\n")
+    s"""${p}seeds AS (SELECT v, rn FROM (
+       |    SELECT v, row_number() OVER (ORDER BY $fnv, vec_id) AS rn
+       |    FROM $src) WHERE rn <= $kc),
+       |${p}cb0 AS (SELECT j, CAST(rn AS INTEGER) AS cell,
+       |    list_slice(v, j*$sub + 1, (j+1)*$sub) AS v
+       |  FROM ${p}seeds CROSS JOIN jj),
+       |${p}sv AS MATERIALIZED (SELECT vec_id, j,
+       |    list_slice(v, j*$sub + 1, (j+1)*$sub) AS sv
+       |  FROM $src CROSS JOIN jj),
+       |$lloyd,
+       |${p}codes AS MATERIALIZED (SELECT vec_id, j, cell FROM (
+       |    SELECT s.vec_id, s.j, c.cell,
+       |      row_number() OVER (PARTITION BY s.vec_id, s.j
+       |        ORDER BY 2*${dot("s.sv", "c.v")} - ${dot("c.v", "c.v")}
+       |          DESC, c.cell) AS rn
+       |    FROM ${p}sv s JOIN ${p}cb$iters c ON s.j = c.j)
+       |  WHERE rn = 1),
+       |${p}lut AS MATERIALIZED (SELECT s.vec_id AS query_id, c.j,
+       |    c.cell, ${dot("s.sv", "c.v")} AS pd
+       |  FROM ${p}sv s JOIN ${p}cb$iters c ON s.j = c.j
+       |  WHERE s.vec_id % 50 = 0),
+       |${p}adc AS (SELECT l.query_id, co.vec_id AS neighbor_id,
+       |    CAST(sum(l.pd) AS BIGINT) AS adc
+       |  FROM ${p}codes co
+       |  JOIN ${p}lut l ON co.j = l.j AND co.cell = l.cell
+       |  WHERE co.vec_id != l.query_id
+       |  GROUP BY 1, 2),
+       |${p}approx AS (SELECT query_id, neighbor_id FROM ${p}adc
+       |  QUALIFY row_number() OVER (PARTITION BY query_id
+       |    ORDER BY adc DESC, neighbor_id) <= 10)""".stripMargin
+  }
+}
+
 object XDet {
   /** order-independent SUM(x) at `scale` decimal digits, as double */
   def moneySum(c: Column, scale: Int): Column = {

@@ -1383,68 +1383,16 @@ object DataPipelineQueries extends Catalog {
     },
 
     "q147_pq_recall" -> {
-      // full PQ replay: quantize → fnv-ordered seeds sliced per subspace →
-      // 2 L2-Lloyd rounds (argmax of 2·dot − ‖c‖², ties to lower cell;
-      // sign·(|Σ| div n) means; empty cells carry) → encode → per-query
-      // lookup tables → ADC = Σ_j table lookups → top-10 → recall vs the
-      // exact cosine ranking. MATERIALIZED where a CTE feeds two layers.
+      // full PQ replay — the shared PqSql chain (seeds → Lloyd → codes →
+      // lut → ADC → top-10) over the quantized embeddings, recall-joined
+      // against the exact cosine ranking.
       val (m, kc, iters, sub) = (4, 8, 2, 16)
-      import graft.plans.Fnv1a64Expression.{longSqlText, toSignedSqlText}
-      val fnv = toSignedSqlText(
-        longSqlText("14695981039346656037::HUGEINT", "vec_id::HUGEINT"))
-      def dot(a: String, b: String) = Similarity.dotLongSqlText(a, b)
       val cosEx = Similarity.cosineSqlText("qe", "embedding")
-      val lloyd = (1 to iters).map { it =>
-        s"""a$it AS MATERIALIZED (SELECT vec_id, j, sv, cell FROM (
-           |    SELECT s.vec_id, s.j, s.sv, c.cell,
-           |      row_number() OVER (PARTITION BY s.vec_id, s.j
-           |        ORDER BY 2*${dot("s.sv", "c.v")} - ${dot("c.v", "c.v")}
-           |          DESC, c.cell) AS rn
-           |    FROM sv s JOIN cb${it - 1} c ON s.j = c.j) WHERE rn = 1),
-           |s$it AS (SELECT j, cell, i,
-           |      CAST(CASE WHEN sum(x) < 0 THEN -1 ELSE 1 END
-           |        * (abs(sum(x)) // count(*)) AS BIGINT) AS cx
-           |    FROM (SELECT j, cell, i, sv[i] AS x
-           |          FROM a$it CROSS JOIN (SELECT unnest(range(1, ${sub + 1})) AS i))
-           |    GROUP BY j, cell, i),
-           |n$it AS (SELECT j, cell, list(cx ORDER BY i) AS v
-           |         FROM s$it GROUP BY j, cell),
-           |cb$it AS MATERIALIZED (SELECT p.j, p.cell, coalesce(n$it.v, p.v) AS v
-           |         FROM cb${it - 1} p LEFT JOIN n$it USING (j, cell))"""
-          .stripMargin
-      }.mkString(",\n")
       s"""WITH qv AS (SELECT vec_id,
          |  [CAST(floor(CAST(embedding[i] AS DOUBLE)*1000000.0 + 0.5) AS BIGINT)
          |   FOR i IN range(1, len(embedding)+1)] AS v FROM embeddings),
-         |seeds AS (SELECT v, rn FROM (
-         |    SELECT v, row_number() OVER (ORDER BY $fnv, vec_id) AS rn
-         |    FROM qv) WHERE rn <= $kc),
          |jj AS (SELECT unnest(range($m)) AS j),
-         |cb0 AS (SELECT j, CAST(rn AS INTEGER) AS cell,
-         |    list_slice(v, j*$sub + 1, (j+1)*$sub) AS v
-         |  FROM seeds CROSS JOIN jj),
-         |sv AS MATERIALIZED (SELECT vec_id, j,
-         |    list_slice(v, j*$sub + 1, (j+1)*$sub) AS sv
-         |  FROM qv CROSS JOIN jj),
-         |$lloyd,
-         |codes AS MATERIALIZED (SELECT vec_id, j, cell FROM (
-         |    SELECT s.vec_id, s.j, c.cell,
-         |      row_number() OVER (PARTITION BY s.vec_id, s.j
-         |        ORDER BY 2*${dot("s.sv", "c.v")} - ${dot("c.v", "c.v")}
-         |          DESC, c.cell) AS rn
-         |    FROM sv s JOIN cb$iters c ON s.j = c.j) WHERE rn = 1),
-         |lut AS MATERIALIZED (SELECT s.vec_id AS query_id, c.j, c.cell,
-         |    ${dot("s.sv", "c.v")} AS pd
-         |  FROM sv s JOIN cb$iters c ON s.j = c.j
-         |  WHERE s.vec_id % 50 = 0),
-         |adc AS (SELECT l.query_id, co.vec_id AS neighbor_id,
-         |    CAST(sum(l.pd) AS BIGINT) AS adc
-         |  FROM codes co JOIN lut l ON co.j = l.j AND co.cell = l.cell
-         |  WHERE co.vec_id != l.query_id
-         |  GROUP BY 1, 2),
-         |approx AS (SELECT query_id, neighbor_id FROM adc
-         |  QUALIFY row_number() OVER (PARTITION BY query_id
-         |    ORDER BY adc DESC, neighbor_id) <= 10),
+         |${PqSql.chain("", "qv", m, kc, iters, sub)},
          |q AS (SELECT vec_id AS query_id, embedding AS qe
          |      FROM embeddings WHERE vec_id % 50 = 0),
          |exact AS (
@@ -1465,41 +1413,19 @@ object DataPipelineQueries extends Catalog {
     },
 
     "q156_opq_recall" -> {
-      // q147's full PQ replay in a PERMUTED space: per-dim energy Σv[i]²
+      // q147's PqSql chain in a PERMUTED space: per-dim energy Σv[i]²
       // over the quantized vectors → rank (energy DESC, dim ASC) →
       // round-robin deal over the m subspaces (rank r−1 lands at permuted
       // position ((r−1) % m)·sub + (r−1)//m) → pv = permuted vectors →
-      // the identical seeds/Lloyd/codes/lut/ADC chain on pv. The exact
-      // baseline stays in the ORIGINAL space: dots are permutation-
-      // invariant, so the cosine ranking is unchanged.
+      // the identical chain on pv. The exact baseline stays in the
+      // ORIGINAL space: dots are permutation-invariant, so the cosine
+      // ranking is unchanged.
       val (m, kc, iters, sub, dims) = (4, 8, 2, 16, 64)
-      import graft.plans.Fnv1a64Expression.{longSqlText, toSignedSqlText}
-      val fnv = toSignedSqlText(
-        longSqlText("14695981039346656037::HUGEINT", "vec_id::HUGEINT"))
-      def dot(a: String, b: String) = Similarity.dotLongSqlText(a, b)
       val cosEx = Similarity.cosineSqlText("qe", "embedding")
-      val lloyd = (1 to iters).map { it =>
-        s"""a$it AS MATERIALIZED (SELECT vec_id, j, sv, cell FROM (
-           |    SELECT s.vec_id, s.j, s.sv, c.cell,
-           |      row_number() OVER (PARTITION BY s.vec_id, s.j
-           |        ORDER BY 2*${dot("s.sv", "c.v")} - ${dot("c.v", "c.v")}
-           |          DESC, c.cell) AS rn
-           |    FROM sv s JOIN cb${it - 1} c ON s.j = c.j) WHERE rn = 1),
-           |s$it AS (SELECT j, cell, i,
-           |      CAST(CASE WHEN sum(x) < 0 THEN -1 ELSE 1 END
-           |        * (abs(sum(x)) // count(*)) AS BIGINT) AS cx
-           |    FROM (SELECT j, cell, i, sv[i] AS x
-           |          FROM a$it CROSS JOIN (SELECT unnest(range(1, ${sub + 1})) AS i))
-           |    GROUP BY j, cell, i),
-           |n$it AS (SELECT j, cell, list(cx ORDER BY i) AS v
-           |         FROM s$it GROUP BY j, cell),
-           |cb$it AS MATERIALIZED (SELECT p.j, p.cell, coalesce(n$it.v, p.v) AS v
-           |         FROM cb${it - 1} p LEFT JOIN n$it USING (j, cell))"""
-          .stripMargin
-      }.mkString(",\n")
       s"""WITH qv AS (SELECT vec_id,
          |  [CAST(floor(CAST(embedding[i] AS DOUBLE)*1000000.0 + 0.5) AS BIGINT)
          |   FOR i IN range(1, len(embedding)+1)] AS v FROM embeddings),
+         |jj AS (SELECT unnest(range($m)) AS j),
          |en AS (SELECT i, sum(v[i]*v[i]) AS e
          |  FROM qv CROSS JOIN (SELECT unnest(range(1, ${dims + 1})) AS i)
          |  GROUP BY i),
@@ -1510,35 +1436,7 @@ object DataPipelineQueries extends Catalog {
          |pv AS MATERIALIZED (SELECT vec_id,
          |    [v[perm[p]] FOR p IN range(1, ${dims + 1})] AS v
          |  FROM qv CROSS JOIN pm),
-         |seeds AS (SELECT v, rn FROM (
-         |    SELECT v, row_number() OVER (ORDER BY $fnv, vec_id) AS rn
-         |    FROM pv) WHERE rn <= $kc),
-         |jj AS (SELECT unnest(range($m)) AS j),
-         |cb0 AS (SELECT j, CAST(rn AS INTEGER) AS cell,
-         |    list_slice(v, j*$sub + 1, (j+1)*$sub) AS v
-         |  FROM seeds CROSS JOIN jj),
-         |sv AS MATERIALIZED (SELECT vec_id, j,
-         |    list_slice(v, j*$sub + 1, (j+1)*$sub) AS sv
-         |  FROM pv CROSS JOIN jj),
-         |$lloyd,
-         |codes AS MATERIALIZED (SELECT vec_id, j, cell FROM (
-         |    SELECT s.vec_id, s.j, c.cell,
-         |      row_number() OVER (PARTITION BY s.vec_id, s.j
-         |        ORDER BY 2*${dot("s.sv", "c.v")} - ${dot("c.v", "c.v")}
-         |          DESC, c.cell) AS rn
-         |    FROM sv s JOIN cb$iters c ON s.j = c.j) WHERE rn = 1),
-         |lut AS MATERIALIZED (SELECT s.vec_id AS query_id, c.j, c.cell,
-         |    ${dot("s.sv", "c.v")} AS pd
-         |  FROM sv s JOIN cb$iters c ON s.j = c.j
-         |  WHERE s.vec_id % 50 = 0),
-         |adc AS (SELECT l.query_id, co.vec_id AS neighbor_id,
-         |    CAST(sum(l.pd) AS BIGINT) AS adc
-         |  FROM codes co JOIN lut l ON co.j = l.j AND co.cell = l.cell
-         |  WHERE co.vec_id != l.query_id
-         |  GROUP BY 1, 2),
-         |approx AS (SELECT query_id, neighbor_id FROM adc
-         |  QUALIFY row_number() OVER (PARTITION BY query_id
-         |    ORDER BY adc DESC, neighbor_id) <= 10),
+         |${PqSql.chain("", "pv", m, kc, iters, sub)},
          |q AS (SELECT vec_id AS query_id, embedding AS qe
          |      FROM embeddings WHERE vec_id % 50 = 0),
          |exact AS (
@@ -1560,73 +1458,14 @@ object DataPipelineQueries extends Catalog {
 
     "q157_opq_tf_recall" -> {
       // hashed-tf qv (FNV bucket % 64 over the shared word split, exact
-      // long counts — scale=1, no quantize CTE) → TWO full PQ replays:
-      // plain (unprefixed chain) and energy-permuted (oen/ork/opm/opv +
-      // the o-prefixed chain), both the q147 Lloyd text via one
-      // parameterized builder → ONE exact cosine baseline (dots are
+      // long counts — scale=1, no quantize CTE) → TWO PqSql chains:
+      // plain (unprefixed) and energy-permuted (oen/ork/opm/opv + the
+      // o-prefixed chain) → ONE exact cosine baseline (dots are
       // permutation-invariant) → the two recall rollups UNION ALL'd
       // under a method column.
       val (m, kc, iters, sub, dims) = (4, 8, 2, 16, 64)
-      import graft.plans.Fnv1a64Expression.{longSqlText, stringSqlText,
-        toSignedSqlText}
-      val fnv = toSignedSqlText(
-        longSqlText("14695981039346656037::HUGEINT", "vec_id::HUGEINT"))
-      def dot(a: String, b: String) = Similarity.dotLongSqlText(a, b)
+      import graft.plans.Fnv1a64Expression.stringSqlText
       val cosEx = Similarity.cosineLongSqlText("q.v", "c.v")
-      def chain(p: String, src: String): String = {
-        val lloyd = (1 to iters).map { it =>
-          s"""${p}pa$it AS MATERIALIZED (SELECT vec_id, j, sv, cell FROM (
-             |    SELECT s.vec_id, s.j, s.sv, c.cell,
-             |      row_number() OVER (PARTITION BY s.vec_id, s.j
-             |        ORDER BY 2*${dot("s.sv", "c.v")} - ${dot("c.v", "c.v")}
-             |          DESC, c.cell) AS rn
-             |    FROM ${p}sv s JOIN ${p}cb${it - 1} c ON s.j = c.j)
-             |  WHERE rn = 1),
-             |${p}ps$it AS (SELECT j, cell, i,
-             |      CAST(CASE WHEN sum(x) < 0 THEN -1 ELSE 1 END
-             |        * (abs(sum(x)) // count(*)) AS BIGINT) AS cx
-             |    FROM (SELECT j, cell, i, sv[i] AS x
-             |          FROM ${p}pa$it
-             |          CROSS JOIN (SELECT unnest(range(1, ${sub + 1})) AS i))
-             |    GROUP BY j, cell, i),
-             |${p}pn$it AS (SELECT j, cell, list(cx ORDER BY i) AS v
-             |         FROM ${p}ps$it GROUP BY j, cell),
-             |${p}cb$it AS MATERIALIZED (SELECT pr.j, pr.cell,
-             |      coalesce(${p}pn$it.v, pr.v) AS v
-             |    FROM ${p}cb${it - 1} pr
-             |    LEFT JOIN ${p}pn$it USING (j, cell))""".stripMargin
-        }.mkString(",\n")
-        s"""${p}seeds AS (SELECT v, rn FROM (
-           |    SELECT v, row_number() OVER (ORDER BY $fnv, vec_id) AS rn
-           |    FROM $src) WHERE rn <= $kc),
-           |${p}cb0 AS (SELECT j, CAST(rn AS INTEGER) AS cell,
-           |    list_slice(v, j*$sub + 1, (j+1)*$sub) AS v
-           |  FROM ${p}seeds CROSS JOIN jj),
-           |${p}sv AS MATERIALIZED (SELECT vec_id, j,
-           |    list_slice(v, j*$sub + 1, (j+1)*$sub) AS sv
-           |  FROM $src CROSS JOIN jj),
-           |$lloyd,
-           |${p}codes AS MATERIALIZED (SELECT vec_id, j, cell FROM (
-           |    SELECT s.vec_id, s.j, c.cell,
-           |      row_number() OVER (PARTITION BY s.vec_id, s.j
-           |        ORDER BY 2*${dot("s.sv", "c.v")} - ${dot("c.v", "c.v")}
-           |          DESC, c.cell) AS rn
-           |    FROM ${p}sv s JOIN ${p}cb$iters c ON s.j = c.j)
-           |  WHERE rn = 1),
-           |${p}lut AS MATERIALIZED (SELECT s.vec_id AS query_id, c.j,
-           |    c.cell, ${dot("s.sv", "c.v")} AS pd
-           |  FROM ${p}sv s JOIN ${p}cb$iters c ON s.j = c.j
-           |  WHERE s.vec_id % 50 = 0),
-           |${p}adc AS (SELECT l.query_id, co.vec_id AS neighbor_id,
-           |    CAST(sum(l.pd) AS BIGINT) AS adc
-           |  FROM ${p}codes co
-           |  JOIN ${p}lut l ON co.j = l.j AND co.cell = l.cell
-           |  WHERE co.vec_id != l.query_id
-           |  GROUP BY 1, 2),
-           |${p}approx AS (SELECT query_id, neighbor_id FROM ${p}adc
-           |  QUALIFY row_number() OVER (PARTITION BY query_id
-           |    ORDER BY adc DESC, neighbor_id) <= 10)""".stripMargin
-      }
       def recallSel(method: String, approx: String) =
         s"""SELECT e.query_id, '$method' AS method,
            |  CAST(count(*) AS BIGINT) AS evaluated,
@@ -1658,8 +1497,8 @@ object DataPipelineQueries extends Catalog {
          |opv AS MATERIALIZED (SELECT vec_id,
          |    [v[perm[p]] FOR p IN range(1, ${dims + 1})] AS v
          |  FROM qv CROSS JOIN opm),
-         |${chain("", "qv")},
-         |${chain("o", "opv")},
+         |${PqSql.chain("", "qv", m, kc, iters, sub)},
+         |${PqSql.chain("o", "opv", m, kc, iters, sub)},
          |q AS (SELECT vec_id, v FROM qv WHERE vec_id % 50 = 0),
          |exact AS (
          |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id

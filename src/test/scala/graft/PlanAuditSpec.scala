@@ -93,12 +93,10 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
       "q54_dup_clusters" -> Instrument.Counts(42, 42),
       "q59_corpus_dedup" -> Instrument.Counts(43, 43),
       "q75_pipeline_sink" -> Instrument.Counts(93, 93),
-      // q76 carries +2 on top of the measured 79: each of the two
-      // incremental-pass broadcast attaches occasionally lands as its own
-      // AQE stage-job (observed 79, 80 AND 81 across runs on identical
-      // data, same star rounds — an extra ROUND would cost +8..10, still
-      // caught)
-      "q76_incremental_clusters" -> Instrument.Counts(81, 81),
+      // q76 re-measured at 74 after the round-10 widen revert (the widen
+      // exchange had added stage-jobs); the broadcast-attach flutter that
+      // used to be padded per-entry is now the assert's uniform +2
+      "q76_incremental_clusters" -> Instrument.Counts(74, 74),
       "q77_srp_near_dups" -> Instrument.Counts(7, 7),
       // round-8/9 tier (measured at this sf + jitter): q128 media hashes,
       // q131 DSIR's fit+spine+selection chain, q132/q133/q142 the BPE fit
