@@ -36,4 +36,57 @@ object Graphs {
     tri.select(explode(array(col("x"), col("y"), col("z"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("triangles"))
   }
+
+  /** [[triangleCounts]] with DEGREE orientation (Latapy's compact-forward
+    * / the MapReduce form in Suri & Vassilvitskii 2011): every edge is
+    * directed toward its higher-(degree, id) endpoint, wedges are formed
+    * only from a common SOURCE's two out-edges (ordered by the same key),
+    * and the closing edge is probed in its oriented form — each triangle
+    * is found exactly once at its lowest-(degree, id) corner. Output is
+    * IDENTICAL to [[triangleCounts]] (spec-pinned on random graphs; the
+    * catalog pins hash-equality through the shared oracle).
+    *
+    * Why this is the 100 TB form: wedge work is Σ out-deg², and degree
+    * orientation bounds every out-degree by O(√m) (a node of degree d
+    * keeps only edges to HIGHER-degree nodes, and at most √(2m) nodes
+    * have degree ≥ √(2m)), giving the O(m^{3/2}) bound. Under the id
+    * orientation a hub's out-degree is whatever its id draws — one
+    * celebrity node with degree 10⁶ and a low id yields a 10¹²-wedge hot
+    * key that NO partitioning can split (the same single-key pathology
+    * as the q49 window finding). The degree pass costs one extra
+    * aggregation + two broadcast-or-shuffle attaches — the insurance
+    * premium against the quadratic hub.
+    *
+    * Ties on (degree, id) are impossible across distinct nodes (id
+    * breaks them), so the orientation is a strict total order and
+    * acyclic. Returns (node, triangles) for nodes in ≥ 1 triangle.
+    */
+  def triangleCountsDegreeOriented(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("p1").as("a"), col("p2").as("b"))
+    val deg = e.select(explode(array(col("a"), col("b"))).as("n"))
+      .groupBy("n").agg(count(lit(1)).as("d"))
+    val withDeg = e
+      .join(deg.select(col("n").as("a"), col("d").as("da")), Seq("a"))
+      .join(deg.select(col("n").as("b"), col("d").as("db")), Seq("b"))
+    // orient u -> v iff (d_u, u) < (d_v, v); carry the target's key so
+    // wedge legs order without a second degree lookup
+    val oriented = withDeg.select(
+      when(struct(col("da"), col("a")) < struct(col("db"), col("b")),
+        struct(col("a").as("u"), col("b").as("v"),
+          col("db").as("dv")))
+        .otherwise(struct(col("b").as("u"), col("a").as("v"),
+          col("da").as("dv"))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"), col("e.dv").as("dv"))
+    val tri = oriented.as("w1")
+      .join(oriented.as("w2"),
+        col("w1.u") === col("w2.u") &&
+          struct(col("w1.dv"), col("w1.v")) <
+            struct(col("w2.dv"), col("w2.v")))
+      .select(col("w1.u").as("x"), col("w1.v").as("y"),
+        col("w2.v").as("z"))
+      .join(oriented.select(col("u").as("y"), col("v").as("z")),
+        Seq("y", "z"))
+    tri.select(explode(array(col("x"), col("y"), col("z"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("triangles"))
+  }
 }

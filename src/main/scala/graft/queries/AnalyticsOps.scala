@@ -54,6 +54,21 @@ object AnalyticsOps extends Catalog {
   /** 7 days in µs */
   private val WeekUs = 604800000000L
 
+  /** Canonical co-purchase edges (p1 < p2, co ≥ 2) over lineitem — the
+    * graph under both triangle tiers (q116 id-oriented, q158
+    * degree-oriented). */
+  private def coPurchaseEdges(s: SparkSession, d: String): DataFrame = {
+    val bk = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("o"),
+        col("l_partkey").cast("long").as("p"))
+      .distinct()
+    bk.as("a").join(bk.as("b"),
+        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .select(col("a.p").as("p1"), col("b.p").as("p2"))
+      .groupBy("p1", "p2").agg(count(lit(1)).as("co"))
+      .filter(col("co") >= 2).select("p1", "p2")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- windowed funnel: signup -> click -> purchase ----------------------
     // First-touch semantics (the ClickHouse-windowFunnel-style greedy
@@ -231,18 +246,20 @@ object AnalyticsOps extends Catalog {
     // exactly once via the oriented wedge join e(a,b) ⋈ e(b,c) ⋈ e(a,c).
     // The cohesion signal beside q54's components (connected ≠ cohesive)
     // and q109's centrality.
-    "q116_triangle_counts" -> ((s, d) => {
-      val bk = Tables.lineitem(s, d)
-        .select(col("l_orderkey").as("o"),
-          col("l_partkey").cast("long").as("p"))
-        .distinct()
-      val edges = bk.as("a").join(bk.as("b"),
-          col("a.o") === col("b.o") && col("a.p") < col("b.p"))
-        .select(col("a.p").as("p1"), col("b.p").as("p2"))
-        .groupBy("p1", "p2").agg(count(lit(1)).as("co"))
-        .filter(col("co") >= 2).select("p1", "p2")
-      Graphs.triangleCounts(edges)
-    }),
+    "q116_triangle_counts" -> ((s, d) =>
+      Graphs.triangleCounts(coPurchaseEdges(s, d))),
+
+    // ---- degree-oriented triangle counting (q116's 100 TB tier) ------------
+    // the SAME per-part triangle counts via Latapy/compact-forward degree
+    // orientation: edges point at the higher-(degree, id) endpoint, so
+    // every out-degree is O(√m) and wedge work is bounded O(m^1.5)
+    // REGARDLESS of hub placement — under q116's id orientation one
+    // celebrity part with a low id is a Σout-deg² hot key no partitioning
+    // can split (the q49 single-window-key pathology, in a join). Output
+    // is identical by construction; the oracle is q116's SQL VERBATIM —
+    // the hash match IS the exactness proof (the q148/q155 posture).
+    "q158_triangles_degree" -> ((s, d) =>
+      Graphs.triangleCountsDegreeOriented(coPurchaseEdges(s, d))),
 
     // ---- daily gap-fill + forward-fill -------------------------------------
     // Densify each user's purchase series to every day in its span and
@@ -877,6 +894,22 @@ object AnalyticsOps extends Catalog {
         .stripMargin,
 
     "q116_triangle_counts" ->
+      """WITH bk AS (SELECT DISTINCT l_orderkey AS o,
+        |              CAST(l_partkey AS BIGINT) AS p FROM lineitem),
+        |e AS (SELECT a.p AS p1, b.p AS p2
+        |  FROM bk a JOIN bk b ON a.o = b.o AND a.p < b.p
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |tri AS (SELECT e1.p1 AS a, e1.p2 AS b, e2.p2 AS c
+        |  FROM e e1 JOIN e e2 ON e1.p2 = e2.p1
+        |  JOIN e e3 ON e3.p1 = e1.p1 AND e3.p2 = e2.p2),
+        |n AS (SELECT a AS node FROM tri
+        |  UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri)
+        |SELECT node, CAST(count(*) AS BIGINT) AS triangles
+        |FROM n GROUP BY 1""".stripMargin,
+
+    // q158 = q116's oracle verbatim: the degree-oriented tier must be
+    // hash-IDENTICAL to the id-oriented form — equality is the claim
+    "q158_triangles_degree" ->
       """WITH bk AS (SELECT DISTINCT l_orderkey AS o,
         |              CAST(l_partkey AS BIGINT) AS p FROM lineitem),
         |e AS (SELECT a.p AS p1, b.p AS p2

@@ -322,6 +322,43 @@ class AnalyticsSpec extends AnyFunSuite with SparkTestBase {
     // path 1-2-3 (open wedge) + lone edge 8-9
     val g = Seq((1L, 2L), (2L, 3L), (8L, 9L)).toDF("p1", "p2")
     assert(Graphs.triangleCounts(g).count() === 0L)
+    assert(Graphs.triangleCountsDegreeOriented(g).count() === 0L)
+  }
+
+  test("degree-oriented triangles equal the id-oriented form: K4, a hub " +
+      "star + clique, and seeded random graphs") {
+    // K4: the complete case
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L)).toDF("p1", "p2")
+    assert(Graphs.triangleCountsDegreeOriented(k4)
+      .as[(Long, Long)].collect().toMap ===
+      Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    // hub pathology: node 1 (LOW id, HIGH degree) is a star center over
+    // 2..30 plus one closing edge 2-3 — exactly one triangle (1,2,3).
+    // Under id orientation node 1 owns 29 out-edges (the Σout-deg² hot
+    // key this variant exists to kill); degree orientation points every
+    // star edge AT the hub. Both must count the single triangle.
+    val hub = ((2L to 30L).map(i => (1L, i)) ++ Seq((2L, 3L)))
+      .toDF("p1", "p2")
+    val hubWant = Map(1L -> 1L, 2L -> 1L, 3L -> 1L)
+    assert(Graphs.triangleCounts(hub)
+      .as[(Long, Long)].collect().toMap === hubWant)
+    assert(Graphs.triangleCountsDegreeOriented(hub)
+      .as[(Long, Long)].collect().toMap === hubWant)
+    // seeded Erdős–Rényi-ish graphs: equality across densities
+    val rnd = new scala.util.Random(1234)
+    for (p <- Seq(0.08, 0.2)) {
+      val edges = (for {
+        a <- 1L to 40L; b <- (a + 1) to 40L
+        if rnd.nextDouble() < p
+      } yield (a, b)).toDF("p1", "p2")
+      val byId = Graphs.triangleCounts(edges)
+        .as[(Long, Long)].collect().toMap
+      val byDeg = Graphs.triangleCountsDegreeOriented(edges)
+        .as[(Long, Long)].collect().toMap
+      assert(byDeg === byId, s"p=$p")
+      assert(byId.nonEmpty, s"fixture at p=$p must contain triangles")
+    }
   }
 
   // ---- gap fill ------------------------------------------------------------
