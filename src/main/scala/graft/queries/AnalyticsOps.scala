@@ -261,6 +261,30 @@ object AnalyticsOps extends Catalog {
     "q158_triangles_degree" -> ((s, d) =>
       Graphs.triangleCountsDegreeOriented(coPurchaseEdges(s, d))),
 
+    // ---- local clustering coefficient --------------------------------------
+    // the metric triangles exist to feed: per node, the fraction of its
+    // neighbor pairs that are themselves connected — coeff = 2·tri /
+    // (deg·(deg−1)), in integer permille ((tri·2000) div (deg·(deg−1)),
+    // both engines truncate toward zero on nonnegatives) so the ratio
+    // hash-checks with zero float tolerance. Degree-1 nodes report 0 (no
+    // neighbor pair to close). Composition of the q158 scale tier with
+    // one degree aggregate; ALL nodes of the graph appear, triangle-less
+    // ones with 0 — the left join the q116/q158 outputs can't express.
+    "q159_clustering_coeff" -> ((s, d) => {
+      val edges = graft.ext.Caches.pin(coPurchaseEdges(s, d))
+      val deg = edges
+        .select(explode(array(col("p1"), col("p2"))).as("node"))
+        .groupBy("node").agg(count(lit(1)).as("degree"))
+      val tri = Graphs.triangleCountsDegreeOriented(edges)
+      deg.join(tri, Seq("node"), "left")
+        .select(col("node"), col("degree"),
+          coalesce(col("triangles"), lit(0L)).as("triangles"))
+        .withColumn("coeff_permille",
+          when(col("degree") >= 2,
+            expr("(triangles * 2000) div (degree * (degree - 1))"))
+            .otherwise(lit(0L)))
+    }),
+
     // ---- daily gap-fill + forward-fill -------------------------------------
     // Densify each user's purchase series to every day in its span and
     // carry the last daily total forward — the regular-grid step between
@@ -922,6 +946,30 @@ object AnalyticsOps extends Catalog {
         |  UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri)
         |SELECT node, CAST(count(*) AS BIGINT) AS triangles
         |FROM n GROUP BY 1""".stripMargin,
+
+    "q159_clustering_coeff" ->
+      """WITH bk AS (SELECT DISTINCT l_orderkey AS o,
+        |              CAST(l_partkey AS BIGINT) AS p FROM lineitem),
+        |e AS (SELECT a.p AS p1, b.p AS p2
+        |  FROM bk a JOIN bk b ON a.o = b.o AND a.p < b.p
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |deg AS (SELECT node, CAST(count(*) AS BIGINT) AS degree FROM (
+        |    SELECT p1 AS node FROM e UNION ALL SELECT p2 FROM e)
+        |  GROUP BY 1),
+        |tri AS (SELECT e1.p1 AS a, e1.p2 AS b, e2.p2 AS c
+        |  FROM e e1 JOIN e e2 ON e1.p2 = e2.p1
+        |  JOIN e e3 ON e3.p1 = e1.p1 AND e3.p2 = e2.p2),
+        |n AS (SELECT a AS node FROM tri
+        |  UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri),
+        |tc AS (SELECT node, CAST(count(*) AS BIGINT) AS triangles
+        |  FROM n GROUP BY 1)
+        |SELECT d.node, d.degree,
+        |  CAST(coalesce(tc.triangles, 0) AS BIGINT) AS triangles,
+        |  CAST(CASE WHEN d.degree >= 2
+        |    THEN (coalesce(tc.triangles, 0) * 2000)
+        |      // (d.degree * (d.degree - 1))
+        |    ELSE 0 END AS BIGINT) AS coeff_permille
+        |FROM deg d LEFT JOIN tc ON d.node = tc.node""".stripMargin,
 
     "q117_gap_fill" ->
       """WITH ev AS (SELECT user_id,
