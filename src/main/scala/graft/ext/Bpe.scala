@@ -55,6 +55,16 @@ object Bpe {
   /** Regex (full-match) for words admitted to BPE training. */
   val WordCharset = "[a-z0-9]+"
 
+  /** The base-alphabet chars of [[WordCharset]], one string each — the
+    * single source for every site that enumerates the base vocabulary
+    * (the merge learner's seed symbols, [[bpeVocab]]'s export,
+    * [[vocabPrune]]'s piece accounting; the SQL oracles inline the same
+    * 36 chars and cite this constant). If the charset ever changes, this
+    * and [[WordCharset]] must move together.
+    */
+  val BaseChars: Seq[String] =
+    "abcdefghijklmnopqrstuvwxyz0123456789".map(_.toString)
+
   /** (word, wc) frequency table over the normalized corpus, charset- and
     * length-bounded. The ONE corpus-sized pass of the whole fit — pin the
     * result.
@@ -215,8 +225,7 @@ object Bpe {
     * vocabulary deterministic for the oracle replay.
     */
   def bpeVocab(merges: Seq[(String, String)]): Seq[String] = {
-    val chars = "abcdefghijklmnopqrstuvwxyz0123456789".map(_.toString)
-    val symbols = chars ++ merges.map { case (l, r) => l + r }
+    val symbols = BaseChars ++ merges.map { case (l, r) => l + r }
     symbols ++ symbols.map("##" + _)
   }
 
@@ -418,7 +427,15 @@ object Bpe {
       s"minUsagePermille must be >= 0, got $minUsagePermille")
     val freq = Caches.pin(wordFreq(docs, trainText))
     val merges = learnMerges(freq, k).map(m => (m._1, m._2))
-    val totalWc = freq.agg(sum(col("wc"))).head.getLong(0)
+    // sum() over zero rows is NULL — fail with a diagnosis instead of the
+    // opaque NPE getLong would throw on an empty training corpus
+    val totalWc = freq.agg(sum(col("wc"))).head match {
+      case r if r.isNullAt(0) =>
+        throw new IllegalArgumentException(
+          "vocabPrune: empty training corpus — no words passed the " +
+            s"charset/length gate (${WordCharset}, 2..$MaxWordLen chars)")
+      case r => r.getLong(0)
+    }
     val usage = pieceUsage(freq, merges)
     val spark = docs.sparkSession
     import spark.implicits._
@@ -431,8 +448,7 @@ object Bpe {
       .collect().map(_.getString(0)).toSet
     val kept = merges.filter { case (l, r) => usedEnough(l + r) }
     def sized(v: Seq[(String, String)]): Long =
-      ("abcdefghijklmnopqrstuvwxyz0123456789".map(_.toString) ++
-        v.map { case (l, r) => l + r }).distinct.size.toLong
+      (BaseChars ++ v.map { case (l, r) => l + r }).distinct.size.toLong
     Seq(("full", merges), ("pruned", kept)).map { case (variant, ms) =>
       vocabCoverage(docs, group, text, ms)
         .withColumn("variant", lit(variant))

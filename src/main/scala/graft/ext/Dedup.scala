@@ -845,14 +845,22 @@ object Dedup {
       // of its matched rows passes therefore loses NO true pair (later
       // matches' bounds are loose-low, dropping them is free precision —
       // the spec pins equality with the unguarded formulation, and the
-      // q100 oracle runs plain all-shared-shingles). The −1e−9 absorbs
-      // float slop CONSERVATIVELY (a hair too-low threshold only lets a
-      // false candidate through to the exact verify). Candidate mass is
-      // the verify stage's row count, so this cut is wall time at scale:
-      // sf10's verify was 5055 task-s of pure candidate-intersect CPU.
-      .filter((lit(1) + least(col("n_a") - col("__ra"),
-          col("n_b") - col("__rb"))) * lit(1.0 + minJaccard) >=
-        lit(minJaccard) * (col("n_a") + col("n_b")) - lit(1e-9))
+      // q100 oracle runs plain all-shared-shingles). The comparison is
+      // EXACT LONG arithmetic (the minCos2Num/Den idiom): τ is floored to
+      // the rational t/10⁶ — floor, not round, so the effective threshold
+      // can only be ≤ τ and the filter only WEAKER (a double epsilon
+      // would stop covering rounding error once set sizes reach ~10⁷,
+      // silently dropping borderline pairs at exactly the scale the
+      // filter exists for). (1+min)(10⁶+t) ≥ t(n_a+n_b) ⇔
+      // 1+min ≥ τ'/(1+τ')·(n_a+n_b); products stay ≤ ~2e15 ≪ Long.Max.
+      // Candidate mass is the verify stage's row count, so this cut is
+      // wall time at scale: sf10's verify was 5055 task-s of pure
+      // candidate-intersect CPU.
+      .filter((lit(1L) + least(col("n_a") - col("__ra"),
+          col("n_b") - col("__rb"))) *
+            lit(1000000L + math.floor(minJaccard * 1e6).toLong) >=
+        lit(math.floor(minJaccard * 1e6).toLong) *
+          (col("n_a") + col("n_b")))
       .select("id_a", "id_b", "n_a", "n_b").distinct()
   }
 

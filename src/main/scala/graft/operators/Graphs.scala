@@ -61,13 +61,31 @@ object Graphs {
     * breaks them), so the orientation is a strict total order and
     * acyclic. Returns (node, triangles) for nodes in ≥ 1 triangle.
     */
-  def triangleCountsDegreeOriented(edges: DataFrame): DataFrame = {
+  def triangleCountsDegreeOriented(edges: DataFrame): DataFrame =
+    triangleCountsDegreeOriented(edges, degrees(edges))
+
+  /** Node degrees of a canonical-edge (`p1 < p2`) graph: `(node, degree)`,
+    * one row per node. Exposed so callers that ALSO need degrees (local
+    * clustering coefficient divides by deg·(deg−1)) compute the explode +
+    * groupBy once and thread it into
+    * [[triangleCountsDegreeOriented(edges:*]] instead of aggregating twice.
+    */
+  def degrees(edges: DataFrame): DataFrame =
+    edges.select(explode(array(col("p1"), col("p2"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("degree"))
+
+  /** [[triangleCountsDegreeOriented]] with the degree frame supplied by the
+    * caller (columns `node`, `degree` — [[degrees]]' shape). The frame is
+    * attached twice (source and target endpoint); callers sharing it with
+    * their own consumers should pin it ([[graft.ext.Caches.pin]]) so the
+    * aggregation runs once.
+    */
+  def triangleCountsDegreeOriented(edges: DataFrame, deg: DataFrame): DataFrame = {
     val e = edges.select(col("p1").as("a"), col("p2").as("b"))
-    val deg = e.select(explode(array(col("a"), col("b"))).as("n"))
-      .groupBy("n").agg(count(lit(1)).as("d"))
+    val dg = deg.select(col("node").as("n"), col("degree").as("d"))
     val withDeg = e
-      .join(deg.select(col("n").as("a"), col("d").as("da")), Seq("a"))
-      .join(deg.select(col("n").as("b"), col("d").as("db")), Seq("b"))
+      .join(dg.select(col("n").as("a"), col("d").as("da")), Seq("a"))
+      .join(dg.select(col("n").as("b"), col("d").as("db")), Seq("b"))
     // orient u -> v iff (d_u, u) < (d_v, v); carry the target's key so
     // wedge legs order without a second degree lookup
     val oriented = withDeg.select(

@@ -272,10 +272,11 @@ object AnalyticsOps extends Catalog {
     // ones with 0 — the left join the q116/q158 outputs can't express.
     "q159_clustering_coeff" -> ((s, d) => {
       val edges = graft.ext.Caches.pin(coPurchaseEdges(s, d))
-      val deg = edges
-        .select(explode(array(col("p1"), col("p2"))).as("node"))
-        .groupBy("node").agg(count(lit(1)).as("degree"))
-      val tri = Graphs.triangleCountsDegreeOriented(edges)
+      // pinned: the degree frame feeds THREE subtrees (both endpoint
+      // attaches inside the tier + the coefficient's own denominator) —
+      // round-10 verdict item: one aggregation, not two
+      val deg = graft.ext.Caches.pin(Graphs.degrees(edges))
+      val tri = Graphs.triangleCountsDegreeOriented(edges, deg)
       deg.join(tri, Seq("node"), "left")
         .select(col("node"), col("degree"),
           coalesce(col("triangles"), lit(0L)).as("triangles"))

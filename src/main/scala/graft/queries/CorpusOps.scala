@@ -42,7 +42,11 @@ object CorpusOps extends Catalog {
     // integers only — no float idf, so the ordering is bit-identical across
     // engines (a float score would make rank boundaries engine-dependent).
     "q60_distinctive_terms" -> ((s, d) => {
-      val toks = Tables.documentsWide(s, d).select(col("doc_id"),
+      // pinned widen: tf is consumed by the df rollup AND the join, so the
+      // token explode re-runs twice over the scan — the cached widened
+      // frame keeps the replays in memory (round-11 A/B: 1.02 -> 0.52 s)
+      val toks = graft.ext.Caches.pin(Tables.documentsWide(s, d))
+        .select(col("doc_id"),
         explode(filter(split(Dedup.normalizeText(col("text")), " "),
           w => w =!= "")).as("term"))
       val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
@@ -169,8 +173,12 @@ object CorpusOps extends Catalog {
     // guarded Jaccard, Dedup.crossJaccardPairs), else unique. Candidates are
     // only ever incoming×corpus through the shingle index; the corpus is
     // never self-joined, so a daily batch pays |batch|-proportional work.
+    // plain scan, NOT documentsWide: the incoming/corpus split fans the
+    // frame into 4+ subtrees (exact fp join both sides, shingles both
+    // sides) — round-11 A/B: plain 2.11 s, rr 2.26, hashpin 4.57 (the
+    // pinned cache build serializes ahead of every arm)
     "q69_incremental_dedup" -> ((s, d) => {
-      val docs = Tables.documentsWide(s, d)
+      val docs = Tables.documents(s, d)
       val incoming = docs.filter(col("doc_id") % 10 === 7)
       val corpus = docs.filter(col("doc_id") % 10 =!= 7)
       val exact = incoming

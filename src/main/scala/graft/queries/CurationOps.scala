@@ -141,7 +141,9 @@ object CurationOps extends Catalog {
     // and the rest pack into 512-token shards per language by their
     // CLEANED token count. One oracle pins the whole chain end-to-end.
     "q95_curation_pack" -> ((s, d) => {
-      val docs = Tables.documentsWide(s, d)
+      // pinned widen: docs feed segmentDedup AND the quality-gate arm that
+      // joins back onto it (round-11 A/B: 3.09 -> 0.95 s pinned)
+      val docs = graft.ext.Caches.pin(Tables.documentsWide(s, d))
       val cleaned = Dedup.segmentDedup(docs, "doc_id", "text",
           segTokens = 10)
         .select(col("doc_id"), col("n_kept"), col("clean_text"))
@@ -587,8 +589,9 @@ object CurationOps extends Catalog {
     // no shuffle; the verdict column chain stays in whole-stage codegen.
     "q86_quality_verdict" -> ((s, d) => {
       val t = col("text")
-      // the verdict expression is planned ONCE; keep derives from it
-      Tables.documentsWide(s, d)
+      // the verdict expression is planned ONCE; keep derives from it.
+      // Plain scan: zero-exchange contract (PlanAuditSpec), as q80.
+      Tables.documents(s, d)
         .select(col("doc_id"),
           TextAnalysis.tokenCount(t).as("n_tokens"),
           TextAnalysis.qualityFirstFail(t).as("first_fail"))

@@ -183,7 +183,9 @@ object DataPipelineQueries extends Catalog {
     // groups. Same portable FNV family as q23 so the banded candidate set
     // is hash-checked cross-engine.
     "q74_cross_lsh_dedup" -> ((s, d) => {
-      val docs = Tables.documentsWide(s, d)
+      // pinned widen: incoming + corpus arms each shingle the same scan
+      // (round-11 A/B: 1.39 -> 1.00 s pinned vs 1.85 plain)
+      val docs = graft.ext.Caches.pin(Tables.documentsWide(s, d))
       val incoming = docs.filter(col("doc_id") % 10 === 7)
       val corpus = docs.filter(col("doc_id") % 10 =!= 7)
       Dedup.crossMinHashNearDups(
@@ -202,7 +204,11 @@ object DataPipelineQueries extends Catalog {
     // no shuffle — with exact-int quotients quantized at 1e-6 on both sides
     "q80_repetition_signals" -> ((s, d) => {
       val q6 = (c: org.apache.spark.sql.Column) => floor(c * 1e6 + 0.5) / 1e6
-      Tables.documentsWide(s, d)
+      // plain scan: this query's zero-exchange contract (PlanAuditSpec) IS
+      // its 100 TB posture — map-only work must never shuffle. The rr
+      // widen slipped past the contract because the spec counts hash/range
+      // exchanges only; the round-11 hash widen surfaced it.
+      Tables.documents(s, d)
         .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("__ts"))
         .select(col("doc_id"),
           size(col("__ts")).cast("long").as("n_tokens"),
@@ -312,8 +318,11 @@ object DataPipelineQueries extends Catalog {
     // sample), the IVF side the production path; recall ranks are set
     // membership only, so the join is (query, neighbor)-keyed with the
     // sample-sized approx frame broadcast.
+    // plain scan, NOT embeddingsWide: vecs feed the exact arm, the IVF
+    // arm, AND the centroid slice (round-10 widen regression; round-11
+    // A/B: plain 0.59 s vs 0.92-1.37 s for every widened variant)
     "q146_ann_recall" -> ((s, d) => {
-      val vecs = Tables.embeddingsWide(s, d)
+      val vecs = Tables.embeddings(s, d)
       val qs = vecs.filter(col("vec_id") % 50 === 0)
       val exact = Similarity.knnExact(vecs, qs,
         "vec_id", "embedding", "vec_id", "embedding", k = 10)
@@ -748,7 +757,7 @@ object DataPipelineQueries extends Catalog {
         Tables.events(s, d), gapMicros = 30L * 60 * 1000 * 1000)
     }),
 
-    // ---- stream-stream attribution join, batch twin (X74b) -----------------
+    // ---- stream-stream attribution join, batch twin (X77b) -----------------
     // EventStream.attributionJoin on the batch table: every purchase pairs
     // with each same-user click in the preceding 30 minutes (inclusive
     // bounds). The streaming side — watermarks on both inputs, time-range

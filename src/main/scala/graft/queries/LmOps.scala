@@ -33,8 +33,12 @@ object LmOps extends Catalog {
     // "drop the disfluent tail" — and because both the model counts and
     // the per-token quotients are integers, the score itself (not just
     // the verdict) is oracle-pinned.
+    // plain scan, NOT documentsWide: docs feed the model fit AND the
+    // scoring side, and the widen exchange replays per subtree (round-10
+    // regression, CPU 0.73 -> 19.2 s; A/B'd off/hash/hashpin in round 11 —
+    // plain won at 0.96 s vs 1.66-1.76 s for every widened variant)
     "q130_lm_quality_filter" -> ((s, d) => {
-      val docs = Tables.documentsWide(s, d)
+      val docs = Tables.documents(s, d)
       val model = LanguageModel.fitBigram(
         docs.filter(col("source") === "src1"), "doc_id", "text")
       LanguageModel.scoreBigram(model, docs, "doc_id", "text")
@@ -47,8 +51,10 @@ object LmOps extends Catalog {
     // doc, and the top-100 docs by (score desc, id asc) via the bounded
     // top-k aggregate. "Which raw docs look most like my curated slice" —
     // the data-selection question DSIR answers at pretraining scale.
+    // plain scan, NOT documentsWide — same A/B as q130 (target + source
+    // subtrees replay the widen; plain 1.48 s vs 3.73-4.18 s widened)
     "q131_dsir_selection" -> ((s, d) => {
-      val docs = Tables.documentsWide(s, d)
+      val docs = Tables.documents(s, d)
       LanguageModel.dsirSelect(
         target = docs.filter(col("source") === "src1"),
         source = docs, id = "doc_id", text = "text",

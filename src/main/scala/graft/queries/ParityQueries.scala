@@ -533,6 +533,39 @@ object ParityQueries extends Catalog {
             .as("local_time"))
     }),
 
+    // ---- the WHOLE pipeline through real storage, grid nearest-zone tier ---
+    // q75's exact storage round-trip with the 7th CLI arg "grid": the
+    // recommendation mart's midpoint→city argmin runs as q148's distinct-
+    // midpoints → GridNearestJoin → hash-join-back plan INSIDE the
+    // Pipeline/Sink path (round-10 verdict item 2 — the scale tier existed
+    // but the pipeline only wrote the reference shape). Same oracle text as
+    // q49/q75/q148: the tier, the sinks, and the re-read must all be
+    // invisible. Separate scratch base so q75's reference-shape run and
+    // this one never share dynamic-overwrite state within a session.
+    "q160_pipeline_grid" -> ((s, d) => {
+      val base = s"/tmp/graft_pipeline_grid_${new java.io.File(d).getName}"
+      val fs = org.apache.hadoop.fs.FileSystem
+        .get(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      refEventsFull(s, d)
+        .withColumn("date", to_date(col("event.datetime")))
+        .write.partitionBy("date").mode("overwrite")
+        .parquet(s"$base/events")
+      refGeo(s, d).write.mode("overwrite").parquet(s"$base/geo")
+      val session = graft.jobs.JobSession.create("graft pipeline grid e2e")
+      graft.jobs.Pipeline.runArgs(session, Array(
+        s"$base/events", s"$base/geo", s"$base/marts",
+        "2024-01-20", "2000.0", "2024-02-01 00:00:00", "grid"))
+      val recSchema = org.apache.spark.sql.types.StructType.fromDDL(
+        "user_left BIGINT, user_right BIGINT, processed_dttm STRING, " +
+          "local_time TIMESTAMP, zone_id INT")
+      s.read.schema(recSchema).parquet(s"$base/marts/recommendations")
+        .select(col("user_left"), col("user_right"), col("zone_id"),
+          col("processed_dttm"),
+          date_format(col("local_time"), "yyyy-MM-dd HH:mm:ss")
+            .as("local_time"))
+    }),
+
     // ---- bucketed co-located join (zero-Exchange fact-dim join) ------------
     // both sides pre-bucketed on custkey: the join itself plans with NO
     // shuffle of either side (BucketedJoinSpec pins the Exchange-free plan);
@@ -736,6 +769,10 @@ object ParityQueries extends Catalog {
     // the grid nearest-zone scale tier must be output-identical to the
     // reference form — same oracle text proves it hash-exactly
     "q148_recommendations_grid" -> recommendationDagSql,
+
+    // grid tier + sinks + re-read, one oracle: the pipeline path with the
+    // scale-tier zone attach must land the SAME mart bytes
+    "q160_pipeline_grid" -> recommendationDagSql,
 
     "q52_bucketed_join" ->
       s"""SELECT c_mktsegment, count(*) AS orders,

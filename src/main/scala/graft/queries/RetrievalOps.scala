@@ -46,7 +46,9 @@ object RetrievalOps extends Catalog {
     // and ranking is (score DESC, doc_id ASC) via the bounded-state
     // top-k aggregate.
     "q101_bm25_topk" -> ((s, d) => {
-      val docs = Tables.documentsWide(s, d)
+      // pinned widen: the token stream feeds index/lens/dfs/qterms — four
+      // subtrees over one cheap scan (round-11 A/B: 1.83 -> 1.18 s pinned)
+      val docs = graft.ext.Caches.pin(Tables.documentsWide(s, d))
       val toks = docs.select(col("doc_id"),
         explode(TextAnalysis.tokens(col("text"))).as("term"))
       val index = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))

@@ -48,22 +48,62 @@ object Tables {
     * 47 s char-shingle stage, q59's 18 s, q29's 12 s, q105's 18 s gram
     * stage all max-task == stage-wall at parallelism 2.
     *
-    * [[wide]] is the gated widen: one round-robin exchange to the
-    * session's full parallelism, applied ONLY when the optimizer's size
-    * estimate says the frame is small (< 1 GiB) — the regime where the
-    * exchange costs milliseconds and the scan is split-starved. At 100 TB
-    * the gate never fires: the estimate is over the threshold, the scan
-    * has millions of natural splits, and the frame passes through
-    * untouched (an unconditional full-table exchange there would be the
-    * bug). Fan-out-heavy catalog queries read through [[documentsWide]]/
+    * [[wide]] is the gated widen: one exchange to the session's full
+    * parallelism, applied ONLY when the optimizer's size estimate says
+    * the frame is small (< 1 GiB) — the regime where the exchange costs
+    * milliseconds and the scan is split-starved. At 100 TB the gate never
+    * fires: the estimate is over the threshold, the scan has millions of
+    * natural splits, and the frame passes through untouched (an
+    * unconditional full-table exchange there would be the bug).
+    *
+    * Round-11 mechanics (after the round-10 regression cohort): the
+    * exchange HASHES on the frame's first column (unique ids in every
+    * widened table — balance equal to round-robin without round-robin's
+    * local full-row pre-sort, and the id partitioning often doubles as a
+    * downstream window/join distribution: q18 0.67→0.33 s). Sites whose
+    * widened frame feeds several subtrees add [[graft.ext.Caches.pin]]
+    * AT THE SITE (q60/q74/q95/q101 — e.g. q95 3.09→0.95 s) so the
+    * exchange materializes once instead of replaying per consumer
+    * (q130/q131's 6-26× CPU in round 10); the pin deliberately does NOT
+    * live here, because pinning under the iterative CC queries inflates
+    * their job counts ~1.6× (q54/q59 36→62 jobs — a cached relation
+    * defeats AQE's cross-round job pipelining). Sites where even the
+    * pinned widen lost to the plain scan (q130/q131/q146/q69 — model-fit
+    * fan-outs over a cheap scan) were reverted to plain reads.
+    * Fan-out-heavy catalog queries read through [[documentsWide]]/
     * [[embeddingsWide]]; contractually map-only queries (q80/q84/q86,
     * the zero-exchange plan specs) keep the plain scans.
     */
   def wide(df: DataFrame): DataFrame = {
+    // SPARK_GRAFT_WIDEN is a bench-tooling knob for A/B-ing the widen
+    // mechanics (round-10 verdict: the widen exchange REPLAYS once per
+    // consuming subtree, and round-robin repartition locally sorts every
+    // row — text columns included — before dealing, so a frame feeding
+    // ~10 subtrees pays ~10 sorts+shuffles of the corpus). Modes:
+    //   off     — plain scan (no widen)
+    //   rr      — round-robin exchange (rounds 9-10 shipped behavior)
+    //   hash    — hash exchange on the first column (no pre-sort; ids are
+    //             unique in every widened table, so balance is equivalent)
+    //   pin     — rr + Caches.pin (exchange runs once, subtrees share it)
+    //   hashpin — hash + Caches.pin
+    // Round-11 default: HASH. Pinning globally looked attractive (one
+    // materialization for multi-subtree consumers) but inflates the
+    // ITERATIVE queries' job counts ~1.6× (q54/q59: 36→62 jobs — the
+    // cached relation defeats AQE's job pipelining across CC rounds), so
+    // the pin is applied per-site instead (Caches.pin around the widened
+    // read at q60/q74/q95/q101, where the A/B showed it winning).
+    val mode = sys.env.getOrElse("SPARK_GRAFT_WIDEN", "hash")
+    if (mode == "off") return df
     val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
-    if (bytes < (BigInt(1) << 30))
-      df.repartition(df.sparkSession.sparkContext.defaultParallelism)
-    else df
+    if (bytes < (BigInt(1) << 30)) {
+      val n = df.sparkSession.sparkContext.defaultParallelism
+      val widened =
+        if (mode == "hash" || mode == "hashpin")
+          df.repartition(n, col(df.columns.head))
+        else df.repartition(n)
+      if (mode == "pin" || mode == "hashpin") graft.ext.Caches.pin(widened)
+      else widened
+    } else df
   }
 
   def documentsWide(spark: SparkSession, d: String): DataFrame =

@@ -432,6 +432,81 @@ object EventStream {
       .toDF(id, "pos")
   }
 
+  /** [[exactSubstrStarts]] with WATERMARK EVICTION — the unbounded-feed
+    * tier the NoTimeout form's scaladoc names: gram state older than
+    * `horizonMs` of event time is dropped, so state is bounded by the
+    * horizon's gram arrival volume instead of the whole history's gram
+    * vocabulary.
+    *
+    * The recall/latency trade, stated exactly (and spec-pinned):
+    *  - GUARANTEED: an occurrence within `horizonMs` of the previous
+    *    occurrence of the same gram always connects. Proof: with delay =
+    *    horizon the watermark is maxEventTime − horizon, and the state's
+    *    timeout is lastOcc + horizon; eviction before a new occurrence at
+    *    t₂ requires watermark > lastOcc + horizon ≥ t₂ — but a row below
+    *    the watermark is late and filtered anyway, so a non-late within-
+    *    horizon occurrence can never find its state missing. Every
+    *    arrival refreshes the clock, so occurrence chains extend epochs
+    *    indefinitely.
+    *  - FORGOTTEN: once the watermark passes lastOcc + horizon the state
+    *    (buffered first occurrence AND the proven-dup flag) is evicted; a
+    *    later occurrence starts a fresh epoch whose first row emits only
+    *    if a second arrives in time. In between — gap > horizon but the
+    *    watermark not yet past — detection depends on batch cadence
+    *    (micro-batch semantics: eviction is a state BOUND, not an exact
+    *    gap predicate).
+    * Within-horizon duplicates — the near-in-time template spam an online
+    * scrubber exists for — are exact; duplicates of content last seen
+    * beyond the horizon are the accepted recall loss (a deployment sizes
+    * the horizon to the re-post half-life it cares about). State rows are
+    * bounded by the distinct grams of a trailing O(2·horizon) event-time
+    * window (watermark lag + timeout), independent of stream length.
+    *
+    * Input adds an event-time column `ts` (the doc's ingest time, carried
+    * onto every gram row). The watermark is set here from the same
+    * horizon: state for a gram is safe to drop exactly when no in-
+    * watermark arrival can still connect to it.
+    */
+  def exactSubstrStartsEvicting(grams: DataFrame, id: String, ts: String,
+                                horizonMs: Long): DataFrame = {
+    import grams.sparkSession.implicits._
+    grams.select(col("gram_key"), col(id), col("pos"),
+        col(ts).cast("timestamp"))
+      .withWatermark(ts, s"$horizonMs milliseconds")
+      .as[(Long, Long, Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[GramFirst, (Long, Long)](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (_, _, state: GroupState[GramFirst]) if state.hasTimedOut =>
+          // horizon passed with no new arrival: forget the gram entirely
+          // (buffered first occurrence AND the dup flag — the documented
+          // fresh-epoch semantics)
+          state.remove()
+          Iterator.empty
+        case (_, rows, state: GroupState[GramFirst]) =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+          var s = state.getOption.orNull
+          var maxTsMs = Long.MinValue
+          rows.foreach { case (_, docId, pos, t) =>
+            if (t.getTime > maxTsMs) maxTsMs = t.getTime
+            if (s == null) s = GramFirst(docId, pos, dup = false)
+            else if (!s.dup) {
+              out += ((s.id, s.pos)); out += ((docId, pos))
+              s = s.copy(dup = true)
+            } else out += ((docId, pos))
+          }
+          state.update(s)
+          // every arrival refreshes the clock; the max() guards the API
+          // contract that a timeout must be set beyond the current
+          // watermark (a late-but-admitted row could otherwise compute a
+          // timestamp the watermark already passed)
+          state.setTimeoutTimestamp(
+            math.max(maxTsMs + horizonMs, state.getCurrentWatermarkMs + 1))
+          out.iterator
+      }
+      .toDF(id, "pos")
+  }
+
   /** Wire a streaming frame to an in-memory table (tests) or console. */
   def startToMemory(df: DataFrame, queryName: String,
                     outputMode: OutputMode = OutputMode.Update()) =

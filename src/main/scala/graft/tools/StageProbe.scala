@@ -36,9 +36,14 @@ object StageProbe {
       .config("spark.ui.enabled", "false")
     // per-probe conf overrides, e.g.
     // SPARK_GRAFT_EXTRA_CONF="spark.sql.adaptive.advisoryPartitionSizeInBytes=8m"
+    // (comma-separated k=v entries; conf VALUES must not contain commas —
+    // none of the probe-relevant Spark confs do)
     sys.env.get("SPARK_GRAFT_EXTRA_CONF").foreach(_.split(',').foreach { kv =>
-      val Array(k, v) = kv.split("=", 2)
-      builder.config(k.trim, v.trim)
+      kv.split("=", 2) match {
+        case Array(k, v) => builder.config(k.trim, v.trim)
+        case _ => throw new IllegalArgumentException(
+          s"SPARK_GRAFT_EXTRA_CONF entry '$kv' is not key=value")
+      }
     })
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -318,6 +318,78 @@ class EventStreamSpec extends AnyFunSuite with SparkTestBase {
     assert(face.nonEmpty)
   }
 
+  test("evicting ExactSubstr: within-horizon duplicates exact, state " +
+      "evicted past the horizon so a re-post starts a fresh epoch, state " +
+      "rows bounded") {
+    implicit val ctx = spark.sqlContext
+    import graft.ext.Dedup
+    val p = (1 to 12).map(i => s"p$i").mkString(" ") // shared 12-token run
+    val in = MemoryStream[(Long, Timestamp, String)]
+    val docs = in.toDF().toDF("doc_id", "ts", "text")
+    // gramKeyStarts drops ts; re-attach it map-only from the doc id the
+    // gram rows carry (each doc has ONE ingest time in this fixture)
+    val docTs: Map[Long, Timestamp] = Map(
+      1L -> ts("2022-06-15 10:00:00"),
+      2L -> ts("2022-06-15 10:05:00"),  // within 10 min of doc 1
+      3L -> ts("2022-06-15 12:00:00"),  // far past the horizon
+      4L -> ts("2022-06-15 15:00:00"),  // fresh epoch for the same gram
+      5L -> ts("2022-06-15 15:04:00"))  // within horizon of doc 4
+    val tsExpr = docTs.foldLeft(lit(null).cast("timestamp")) {
+      case (acc, (id, t)) =>
+        when(col("doc_id") === id, lit(t)).otherwise(acc)
+    }
+    val grams = Dedup.gramKeyStarts(docs, "doc_id", "text", minTokens = 8)
+      .withColumn("ts", tsExpr)
+    val starts = EventStream.exactSubstrStartsEvicting(
+      grams, "doc_id", "ts", horizonMs = 10L * 60 * 1000)
+    val q = EventStream.startToMemory(starts, "xsubstr_evict",
+      OutputMode.Append())
+    def got(): Set[(Long, Long)] =
+      spark.table("xsubstr_evict").as[(Long, Long)].collect().toSet
+    def stateRows(): Long = {
+      val ops = q.lastProgress.stateOperators
+      if (ops.isEmpty) -1L else ops.map(_.numRowsTotal).sum
+    }
+    try {
+      // batch 1: doc 1 alone — nothing duplicated yet
+      in.addData(Seq((1L, docTs(1L), s"a1 a2 $p")))
+      q.processAllAvailable()
+      assert(got().isEmpty)
+      val state1 = stateRows()
+      assert(state1 > 0) // doc 1's grams buffered
+      // batch 2: doc 2 re-posts the run within the horizon — exact
+      in.addData(Seq((2L, docTs(2L), s"$p b1")))
+      q.processAllAvailable()
+      val afterB2 = got()
+      assert(afterB2.nonEmpty)
+      assert(afterB2.exists(_._1 == 1L) && afterB2.exists(_._1 == 2L))
+      // batch 3: unrelated far-future doc advances the watermark past
+      // every buffered gram's (lastOcc + horizon) — evicts docs 1-2 state
+      in.addData(Seq((3L, docTs(3L), "u1 u2 u3 u4 u5 u6 u7 u8 u9")))
+      q.processAllAvailable()
+      // one more watermark advance so batch 3's own grams are the only
+      // live state (timeouts fire against the PREVIOUS batch's watermark)
+      in.addData(Seq((6L, ts("2022-06-15 13:00:00"), "v1 v2")))
+      q.processAllAvailable()
+      val state3 = stateRows()
+      assert(state3 >= 0 && state3 <= 2,
+        s"docs 1-2 gram state must be evicted, saw $state3 rows")
+      // batch 4: the SAME run re-posted beyond the horizon — fresh epoch:
+      // doc 4's first occurrence must NOT pair with the evicted history
+      in.addData(Seq((4L, docTs(4L), s"$p c1")))
+      q.processAllAvailable()
+      assert(got() === afterB2, "beyond-horizon re-post must not emit")
+      // batch 5: doc 5 within the horizon of doc 4 — the fresh epoch's
+      // duplicate detects exactly (docs 4+5 emit; evicted docs 1-2 don't
+      // re-emit)
+      in.addData(Seq((5L, docTs(5L), s"$p d1")))
+      q.processAllAvailable()
+      val afterB5 = got()
+      assert(afterB5.exists(_._1 == 4L) && afterB5.exists(_._1 == 5L))
+      assert(!afterB5.exists(_._1 == 3L))
+    } finally q.stop()
+  }
+
   test("micro-batched k-means assignment equals the one-shot batch assign") {
     // the streaming shape of X58: centroids are FITTED once (offline) and
     // each arriving micro-batch assigns with the literal-projection pass —

@@ -81,7 +81,8 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
     // Wall time carries a ±20% machine-variance band; submitted-stage
     // counts are plan-determined up to a ±2 jitter (file-listing jobs and
     // AQE stage-job accounting vary slightly run-to-run). Bounds are the
-    // round-7 shapes (sf0.001, 4 shuffle partitions) plus that jitter: a
+    // round-11 re-measured shapes (sf0.001, 4 shuffle partitions, the
+    // hash-mode Tables.wide + per-site pins) plus that jitter: a
     // change that re-materializes the upstream pair pipeline costs +8..10
     // jobs on the CC queries and fails here loudly instead of hiding
     // inside bench noise. q77 is the single-DAG control (5 AQE
@@ -90,25 +91,25 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
     // corpus — a diameter change in the synthetic data moves the counts
     // and deserves a look, not a silent slack bump).
     val bounds = Map(
-      "q54_dup_clusters" -> Instrument.Counts(42, 42),
-      "q59_corpus_dedup" -> Instrument.Counts(43, 43),
+      "q54_dup_clusters" -> Instrument.Counts(38, 38),
+      "q59_corpus_dedup" -> Instrument.Counts(38, 38),
       "q75_pipeline_sink" -> Instrument.Counts(93, 93),
       // q76 re-measured at 74 after the round-10 widen revert (the widen
       // exchange had added stage-jobs); the broadcast-attach flutter that
       // used to be padded per-entry is now the assert's uniform +2
-      "q76_incremental_clusters" -> Instrument.Counts(74, 74),
-      "q77_srp_near_dups" -> Instrument.Counts(7, 7),
+      "q76_incremental_clusters" -> Instrument.Counts(75, 75),
+      "q77_srp_near_dups" -> Instrument.Counts(5, 5),
       // round-8/9 tier (measured at this sf + jitter): q128 media hashes,
       // q131 DSIR's fit+spine+selection chain, q132/q133/q142 the BPE fit
       // (batched rounds ARE the job count — a return of the one-merge-
       // per-job loop would double it), q134's pin+count+model collect,
       // q135 the interval-overlap bucket join
-      "q128_media_near_dups" -> Instrument.Counts(12, 12),
-      "q131_dsir_selection" -> Instrument.Counts(34, 34),
-      "q132_bpe_merges" -> Instrument.Counts(16, 16),
+      "q128_media_near_dups" -> Instrument.Counts(9, 9),
+      "q131_dsir_selection" -> Instrument.Counts(31, 31),
+      "q132_bpe_merges" -> Instrument.Counts(14, 14),
       "q133_bpe_token_counts" -> Instrument.Counts(17, 17),
-      "q134_cosine_near_dups" -> Instrument.Counts(20, 20),
-      "q135_overlap_join" -> Instrument.Counts(5, 5),
+      "q134_cosine_near_dups" -> Instrument.Counts(19, 19),
+      "q135_overlap_join" -> Instrument.Counts(3, 3),
       "q142_bpe_wordpiece_roundtrip" -> Instrument.Counts(17, 17),
       // round-9/10 tier (re-measured after the Tables.wide gated widen —
       // the round-robin exchange adds 1-2 AQE stage-jobs per widened
@@ -122,26 +123,33 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
       "q143_stream_enrichment" -> Instrument.Counts(6, 6),
       "q144_user_mart_city_tz" -> Instrument.Counts(17, 17),
       "q145_vocab_coverage" -> Instrument.Counts(18, 18),
-      "q146_ann_recall" -> Instrument.Counts(17, 17),
+      "q146_ann_recall" -> Instrument.Counts(13, 13),
       "q147_pq_recall" -> Instrument.Counts(21, 21),
       "q148_recommendations_grid" -> Instrument.Counts(95, 92),
-      "q149_exact_substr_spans" -> Instrument.Counts(7, 7),
-      "q150_exact_substr_scrub" -> Instrument.Counts(14, 14),
+      "q149_exact_substr_spans" -> Instrument.Counts(5, 5),
+      "q150_exact_substr_scrub" -> Instrument.Counts(11, 11),
       "q151_vocab_size_sweep" -> Instrument.Counts(171, 171),
-      "q152_ivfpq_recall" -> Instrument.Counts(53, 53),
+      "q152_ivfpq_recall" -> Instrument.Counts(48, 48),
       // round-10 second tier: q153 pair provenance (gram distinct + df
       // window + self-join), q154 the 32-merge fit + usage + two coverage
       // passes (batched fit rounds ARE the bulk), q155 the stateful
       // streaming face (one gram projection + flatMapGroupsWithState +
       // island window)
-      "q153_exact_substr_provenance" -> Instrument.Counts(15, 15),
-      "q154_vocab_prune" -> Instrument.Counts(67, 67),
-      "q155_exact_substr_stream" -> Instrument.Counts(7, 7),
+      "q153_exact_substr_provenance" -> Instrument.Counts(8, 8),
+      "q154_vocab_prune" -> Instrument.Counts(65, 65),
+      "q155_exact_substr_stream" -> Instrument.Counts(5, 5),
       // round-10 OPQ tier: q156 the permuted q147 chain (+ the energy
       // ranking collect), q157 TWO chains (pq + opq) + the tf vectorize
       // and energy collects over the pinned tf frame
       "q156_opq_recall" -> Instrument.Counts(26, 26),
-      "q157_opq_tf_recall" -> Instrument.Counts(36, 36))
+      "q157_opq_tf_recall" -> Instrument.Counts(34, 34),
+      // round-11 tier: q158/q159 the degree-oriented triangle machinery
+      // (q159 = q158 + shared pinned degree frame — the round-10 verdict
+      // dedupe, 34 -> 28 stage-jobs), q160 the WHOLE pipeline with the
+      // grid zone tier through real sinks (q75's shape + the grid attach)
+      "q158_triangles_degree" -> Instrument.Counts(11, 11),
+      "q159_clustering_coeff" -> Instrument.Counts(28, 28),
+      "q160_pipeline_grid" -> Instrument.Counts(138, 135))
     val got = bounds.toSeq.sortBy(_._1).map { case (name, bound) =>
       val fn = SparkEntry.queries(name)
       // cold-cache slate before each measurement (the Bench discipline):
