@@ -577,7 +577,11 @@ object CurationOps extends Catalog {
     // centroid state; projection back onto the corpus is then a literal
     // zero-exchange map, the q84 assignment shape).
     "q105_gram_matrix" -> ((s, d) => {
-      Similarity.gramMatrix(Tables.embeddingsWide(s, d), "label", "embedding")
+      // ungated widen (minBytes = 0, unlike embeddingsWide): the 64×-per-row
+      // posexplode fan-out is parallelism-bound even at bench scale —
+      // round-11 A/B at sf0.1: 2.38 s plain vs 0.84 s widened
+      Similarity.gramMatrix(Tables.wide(Tables.embeddings(s, d)),
+        "label", "embedding")
         .select(col("grp").as("label"), col("i").cast("long").as("i"),
           col("j").cast("long").as("j"), col("n"), col("s"))
     }),

@@ -74,7 +74,7 @@ object Tables {
     * [[embeddingsWide]]; contractually map-only queries (q80/q84/q86,
     * the zero-exchange plan specs) keep the plain scans.
     */
-  def wide(df: DataFrame): DataFrame = {
+  def wide(df: DataFrame, minBytes: Long = 0L): DataFrame = {
     // SPARK_GRAFT_WIDEN is a bench-tooling knob for A/B-ing the widen
     // mechanics (round-10 verdict: the widen exchange REPLAYS once per
     // consuming subtree, and round-robin repartition locally sorts every
@@ -95,7 +95,7 @@ object Tables {
     val mode = sys.env.getOrElse("SPARK_GRAFT_WIDEN", "hash")
     if (mode == "off") return df
     val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
-    if (bytes < (BigInt(1) << 30)) {
+    if (bytes >= minBytes && bytes < (BigInt(1) << 30)) {
       val n = df.sparkSession.sparkContext.defaultParallelism
       val widened =
         if (mode == "hash" || mode == "hashpin")
@@ -108,8 +108,19 @@ object Tables {
 
   def documentsWide(spark: SparkSession, d: String): DataFrame =
     wide(documents(spark, d))
+
+  /** [[wide]] with a LOWER size bound as well: below `minBytes` the frame
+    * passes through unwidened. The embeddings reader uses it (2 MiB)
+    * because the ANN family's per-row work at bench scale (sf0.1, ~0.5 MB
+    * scan) is too small to amortize the exchange's fixed per-task cost —
+    * measured round 11: widening cost q26/q88/q152/q156 10-90% wall and
+    * ~10× task CPU at sf0.1 while the stage walls stayed sub-second — yet
+    * at sf1+ (≥4.6 MB) the same queries' encode/argmin projections are
+    * exactly the split-starved single-task stages the widen exists for.
+    * The high bound stays: above 1 GiB the scan has natural splits.
+    */
   def embeddingsWide(spark: SparkSession, d: String): DataFrame =
-    wide(embeddings(spark, d))
+    wide(embeddings(spark, d), minBytes = 2L << 20)
 
   /** events with `ts` as a session-TZ timestamp at µs precision, whatever the
     * file's physical encoding. The driver has shipped two encodings across
