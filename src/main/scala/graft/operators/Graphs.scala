@@ -50,12 +50,21 @@ object Graphs {
     * orientation bounds every out-degree by O(√m) (a node of degree d
     * keeps only edges to HIGHER-degree nodes, and at most √(2m) nodes
     * have degree ≥ √(2m)), giving the O(m^{3/2}) bound. Under the id
-    * orientation a hub's out-degree is whatever its id draws — one
-    * celebrity node with degree 10⁶ and a low id yields a 10¹²-wedge hot
-    * key that NO partitioning can split (the same single-key pathology
-    * as the q49 window finding). The degree pass costs one extra
-    * aggregation + two broadcast-or-shuffle attaches — the insurance
-    * premium against the quadratic hub.
+    * orientation the a→b→c path join's work at a middle node v is
+    * in(v)·out(v), both of which are whatever v's id draws: a celebrity
+    * node whose id sits at the MEDIAN of its neighborhood puts
+    * (deg/2)² path rows through ONE join key that no partitioning can
+    * split (the same single-key pathology as the q49 window finding;
+    * measured round 11 — TriangleHubBench, planted median-id hubs at
+    * sf1: deg-20k hub (10⁸ single-key path rows) 10.3 s vs 3.2 s,
+    * deg-60k hub (9·10⁸ rows) 89.4 s vs 4.3 s = 20.8×, identical
+    * counts, and the id-oriented wall grows quadratically in hub degree
+    * exactly as the in·out product predicts; a LOW-id hub, by contrast,
+    * has in = 0 and is harmless — the pathology is id-PLACEMENT-
+    * dependent, which is exactly why it cannot be engineered around
+    * without the degree pass). The degree pass costs one extra aggregation + two
+    * broadcast-or-shuffle attaches — the insurance premium against the
+    * quadratic hub.
     *
     * Ties on (degree, id) are impossible across distinct nodes (id
     * breaks them), so the orientation is a strict total order and

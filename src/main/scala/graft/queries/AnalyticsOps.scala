@@ -254,8 +254,10 @@ object AnalyticsOps extends Catalog {
     // orientation: edges point at the higher-(degree, id) endpoint, so
     // every out-degree is O(√m) and wedge work is bounded O(m^1.5)
     // REGARDLESS of hub placement — under q116's id orientation one
-    // celebrity part with a low id is a Σout-deg² hot key no partitioning
-    // can split (the q49 single-window-key pathology, in a join). Output
+    // celebrity part whose id splits its neighborhood puts in·out ≈
+    // (deg/2)² path rows through one join key no partitioning can split
+    // (the q49 single-window-key pathology, in a join; measured win case
+    // in Graphs.scaladoc — 20.8× at a planted deg-60k hub). Output
     // is identical by construction; the oracle is q116's SQL VERBATIM —
     // the hash match IS the exactness proof (the q148/q155 posture).
     "q158_triangles_degree" -> ((s, d) =>

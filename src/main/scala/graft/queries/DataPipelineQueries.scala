@@ -393,6 +393,39 @@ object DataPipelineQueries extends Catalog {
       Similarity.recallAtK(exact, approx, "query_id", "neighbor_id", k = 10)
     }),
 
+    // ---- Matryoshka prefix-dimension recall (MRL, Kusupati et al. 2022) ----
+    // the DIMENSION-budget member of the ANN family's budget sweeps (q151
+    // sweeps vocabulary size, the RecallSweep tf mode sweeps PQ bits;
+    // this sweeps the dimension prefix): exact top-10 by cosine over the
+    // FIRST p dims (p ∈ {8, 16, 32}) recall-graded against the full
+    // 64-dim baseline — the measurement behind every "truncate the
+    // embedding to save index cost" decision. Truncation is `slice`, a
+    // per-row projection (zero shuffle, no refit, no model); each tier's
+    // search is the same knnExact shape, so the whole sweep is 3× the
+    // baseline's cost, and recall is hash-exact integer permille. On
+    // MRL-TRAINED embeddings the prefix carries most of the signal;
+    // this fixture's i.i.d. random vectors are the WORST case (every dim
+    // carries equal signal, E[recall] ≈ chance at small p) — reporting
+    // that honestly is the point of grading against the exact baseline.
+    "q161_matryoshka_recall" -> ((s, d) => {
+      val vecs = Tables.embeddings(s, d)
+      val qs = vecs.filter(col("vec_id") % 50 === 0)
+      // pinned: the exact baseline feeds all three recall joins
+      val exact = graft.ext.Caches.pin(Similarity.knnExact(vecs, qs,
+        "vec_id", "embedding", "vec_id", "embedding", k = 10))
+      Seq(8, 16, 32).map { p =>
+        val tv = vecs.withColumn("embedding",
+          slice(col("embedding"), 1, p))
+        val tq = qs.withColumn("embedding",
+          slice(col("embedding"), 1, p))
+        val approx = Similarity.knnExact(tv, tq,
+          "vec_id", "embedding", "vec_id", "embedding", k = 10)
+        Similarity.recallAtK(exact, approx, "query_id", "neighbor_id",
+            k = 10)
+          .withColumn("p_dims", lit(p.toLong))
+      }.reduce(_ unionByName _)
+    }),
+
     // ---- OPQ-permuted PQ: energy-balanced subspaces, recall-graded ---------
     // the permutation special case of OPQ (Ge et al. 2014): rank dims by
     // corpus energy Σx² (exact long math on the quantized vectors), deal
@@ -1389,6 +1422,41 @@ object DataPipelineQueries extends Catalog {
          |FROM exact e LEFT JOIN approx a
          |  ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
          |GROUP BY 1""".stripMargin
+    },
+
+    "q161_matryoshka_recall" -> {
+      // per prefix width p: the q25 exact ranking over sliced lists
+      // (embedding[1:p] — DuckDB list slicing), recall-joined against the
+      // full-dim exact top-10, UNION ALL over the three widths
+      val cosEx = Similarity.cosineSqlText("qe", "embedding")
+      def arm(p: Int): String = {
+        val cosP = Similarity.cosineSqlText("qp", "ep")
+        s"""SELECT e.query_id,
+           |  CAST(count(*) AS BIGINT) AS evaluated,
+           |  CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+           |    AS BIGINT) AS hits,
+           |  CAST((sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+           |    * 1000) // 10 AS BIGINT) AS recall_permille,
+           |  CAST($p AS BIGINT) AS p_dims
+           |FROM exact e LEFT JOIN (
+           |  SELECT query_id, vec_id AS neighbor_id
+           |  FROM (SELECT vec_id, embedding[1:$p] AS ep FROM embeddings)
+           |  CROSS JOIN (SELECT query_id, qe[1:$p] AS qp FROM q)
+           |  WHERE vec_id != query_id
+           |  QUALIFY row_number() OVER (PARTITION BY query_id
+           |    ORDER BY $cosP DESC, vec_id) <= 10) a
+           |  ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+           |GROUP BY 1""".stripMargin
+      }
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+         |           FROM embeddings WHERE vec_id % 50 = 0),
+         |exact AS (
+         |  SELECT query_id, vec_id AS neighbor_id
+         |  FROM embeddings CROSS JOIN q
+         |  WHERE vec_id != query_id
+         |  QUALIFY row_number() OVER (PARTITION BY query_id
+         |    ORDER BY $cosEx DESC, vec_id) <= 10)
+         |${Seq(8, 16, 32).map(arm).mkString("\nUNION ALL\n")}""".stripMargin
     },
 
     "q147_pq_recall" -> {

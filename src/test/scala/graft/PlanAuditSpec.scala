@@ -53,7 +53,8 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
       "q147_pq_recall", // q25's product + the ADC lut broadcast
       "q152_ivfpq_recall", // q25's exact baseline + centroid/lut broadcasts
       "q156_opq_recall", // q147's shapes in the permuted space
-      "q157_opq_tf_recall") // q147's shapes ×2 (pq + opq) on hashed-tf
+      "q157_opq_tf_recall", // q147's shapes ×2 (pq + opq) on hashed-tf
+      "q161_matryoshka_recall") // q25's product ×4 (baseline + 3 widths)
 
   test("no catalog query plans a CartesianProduct") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
@@ -149,7 +150,9 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
       // grid zone tier through real sinks (q75's shape + the grid attach)
       "q158_triangles_degree" -> Instrument.Counts(11, 11),
       "q159_clustering_coeff" -> Instrument.Counts(28, 28),
-      "q160_pipeline_grid" -> Instrument.Counts(138, 135))
+      "q160_pipeline_grid" -> Instrument.Counts(138, 135),
+      // q161: one pinned exact baseline + three sliced search/recall arms
+      "q161_matryoshka_recall" -> Instrument.Counts(16, 16))
     val got = bounds.toSeq.sortBy(_._1).map { case (name, bound) =>
       val fn = SparkEntry.queries(name)
       // cold-cache slate before each measurement (the Bench discipline):
