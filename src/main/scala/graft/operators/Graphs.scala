@@ -83,6 +83,51 @@ object Graphs {
     edges.select(explode(array(col("p1"), col("p2"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("degree"))
 
+  /** k-core of a canonical-edge (`p1 < p2`) graph: the maximal subgraph in
+    * which every node has degree ≥ k, computed by the standard peeling
+    * fixpoint — repeatedly drop nodes whose CURRENT degree is < k (removing
+    * a node lowers its neighbors' degrees, so the peel cascades) until no
+    * node is dropped. The density gate community detection and dup-graph
+    * audits read above [[triangleCounts]]' local signal: a node can sit in
+    * many triangles yet fall out of the 3-core once its shell neighbors
+    * peel away.
+    *
+    * Scale shape: each round is ONE mergeable degree aggregation + two
+    * semi-joins of the edge frame against the survivor set — all equi-keyed
+    * exchanges, no windows, no collects; `localCheckpoint` truncates
+    * lineage per round (the [[ConnectedComponents]] posture) so the plan
+    * never compounds across rounds. Rounds are data-dependent (≤ the
+    * longest peel cascade); the loop exits as soon as the edge count is
+    * stable and REFUSES (loudly) past `maxRounds` — a silent partial peel
+    * would not be a k-core.
+    *
+    * Returns (node, core_degree): the surviving nodes with their degree
+    * WITHIN the core (≥ k by the fixpoint).
+    */
+  def kCore(edges: DataFrame, k: Int, maxRounds: Int = 12): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    var e = edges.select(col("p1"), col("p2")).localCheckpoint(false)
+    var m = e.count()
+    var rounds = 0
+    var done = false
+    while (!done && rounds < maxRounds) {
+      val surv = degrees(e).filter(col("degree") >= k).select("node")
+      val e2 = e
+        .join(surv.select(col("node").as("p1")), Seq("p1"), "left_semi")
+        .join(surv.select(col("node").as("p2")), Seq("p2"), "left_semi")
+        .localCheckpoint(false)
+      val m2 = e2.count()
+      done = m2 == m
+      m = m2
+      e = e2
+      rounds += 1
+    }
+    require(done, s"k-core peel did not converge within $maxRounds rounds " +
+      s"($m edges after round $rounds) — raise maxRounds")
+    degrees(e).filter(col("degree") >= k)
+      .select(col("node"), col("degree").as("core_degree"))
+  }
+
   /** [[triangleCountsDegreeOriented]] with the degree frame supplied by the
     * caller (columns `node`, `degree` — [[degrees]]' shape). The frame is
     * attached twice (source and target endpoint); callers sharing it with

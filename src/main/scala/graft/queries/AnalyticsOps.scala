@@ -288,6 +288,25 @@ object AnalyticsOps extends Catalog {
             .otherwise(lit(0L)))
     }),
 
+    // ---- k-core decomposition (the density gate above triangles) -----------
+    // the 2-core of the co-purchase graph: peel nodes of degree < 2 until
+    // the fixpoint (removing a node lowers its neighbors' degrees — the
+    // cascade is the point; a part can sit in triangles yet fall out of
+    // the core once its shell peels). Emits surviving nodes with their
+    // WITHIN-core degree. The engine peels to convergence with per-round
+    // checkpoints (rounds = cascade depth, each round one aggregation +
+    // two semi-joins); the oracle unrolls 12 fixed layers — the peel step
+    // is idempotent at the fixpoint, so extra layers are no-ops and the
+    // two meet iff the engine truly reached the fixpoint.
+    // k = 2 (every surviving node lies on a cycle): this fixture's co >= 2
+    // co-purchase graph is nearly a forest at sf0.1 — its 2-core is the
+    // single triangle, and the 3-core is empty at that SF (measured), so
+    // 2 is the largest k with a non-degenerate core at every driver scale.
+    // Peel cascades measured 1/4/6 rounds at sf0.001/0.01/0.1 — the
+    // 12-layer oracle unroll has headroom and the idempotent tail is free.
+    "q163_kcore" -> ((s, d) =>
+      Graphs.kCore(coPurchaseEdges(s, d), k = 2)),
+
     // ---- daily gap-fill + forward-fill -------------------------------------
     // Densify each user's purchase series to every day in its span and
     // carry the last daily total forward — the regular-grid step between
@@ -933,6 +952,32 @@ object AnalyticsOps extends Catalog {
         |  UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri)
         |SELECT node, CAST(count(*) AS BIGINT) AS triangles
         |FROM n GROUP BY 1""".stripMargin,
+
+    // 12 unrolled peel layers (degree -> survivors -> restricted edges);
+    // the peel step is idempotent at the fixpoint, so unrolling past
+    // convergence is a no-op and the fixed depth meets the engine's
+    // converged loop exactly
+    "q163_kcore" -> {
+      val k = 2
+      val layers = (0 until 12).map { i =>
+        s"""n$i AS MATERIALIZED (SELECT node, count(*) AS deg
+           |  FROM (SELECT p1 AS node FROM e$i
+           |        UNION ALL SELECT p2 FROM e$i) GROUP BY 1),
+           |s$i AS MATERIALIZED (SELECT node FROM n$i WHERE deg >= $k),
+           |e${i + 1} AS MATERIALIZED (SELECT p1, p2 FROM e$i
+           |  WHERE p1 IN (SELECT node FROM s$i)
+           |    AND p2 IN (SELECT node FROM s$i))""".stripMargin
+      }.mkString(",\n")
+      s"""WITH bk AS (SELECT DISTINCT l_orderkey AS o,
+         |              CAST(l_partkey AS BIGINT) AS p FROM lineitem),
+         |e0 AS MATERIALIZED (SELECT a.p AS p1, b.p AS p2
+         |  FROM bk a JOIN bk b ON a.o = b.o AND a.p < b.p
+         |  GROUP BY 1, 2 HAVING count(*) >= 2),
+         |$layers
+         |SELECT node, CAST(count(*) AS BIGINT) AS core_degree
+         |FROM (SELECT p1 AS node FROM e12 UNION ALL SELECT p2 FROM e12)
+         |GROUP BY 1 HAVING count(*) >= $k""".stripMargin
+    },
 
     // q158 = q116's oracle verbatim: the degree-oriented tier must be
     // hash-IDENTICAL to the id-oriented form — equality is the claim

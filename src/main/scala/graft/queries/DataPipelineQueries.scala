@@ -877,6 +877,42 @@ object DataPipelineQueries extends Catalog {
         .drop("component")
     }),
 
+    // ---- dedup SURVIVORSHIP: quality-aware representative per cluster ------
+    // q59 keeps the min-id doc per near-dup cluster — the arbitrary policy.
+    // Production dedup keeps the BEST copy (the longest / highest-quality
+    // variant of a templated family), so this emits, per doc: its cluster,
+    // the cluster's survivor under (score DESC, doc_id ASC) with score =
+    // whitespace token count, and the keep verdict. The argmax is a
+    // map-side-mergeable max(struct(score, -id)) AGGREGATE, not a window —
+    // a giant template family is one group, and the aggregate's partial
+    // merge splits it across partitions where a window would put the whole
+    // family under one key (the q49 pathology). The scored frame is pinned:
+    // it feeds the argmax AND the verdict join, and unpinned each consumer
+    // would replay the shingle/CC chain.
+    "q162_dedup_survivorship" -> ((s, d) => {
+      val docs = Tables.documentsWide(s, d)
+      val pairs = Dedup.jaccardPairs(docs, "doc_id", "text",
+          n = 3, minJaccard = 0.1, maxShingleDf = 5L)
+        .select(col("id_a"), col("id_b"))
+      val comp = graft.operators.ConnectedComponents.run(pairs, "id_a", "id_b")
+        .withColumnRenamed("id", "doc_id")
+      val scored = graft.ext.Caches.pin(docs
+        .select(col("doc_id"),
+          greatest(TextAnalysis.tokenCount(col("text")), lit(0L)).as("score"))
+        .join(comp, Seq("doc_id"), "left")
+        .withColumn("canonical_id", coalesce(col("component"), col("doc_id")))
+        .drop("component"))
+      val best = scored.groupBy("canonical_id").agg(
+          count(lit(1)).as("cluster_size"),
+          max(struct(col("score"), (-col("doc_id")).as("__nid"))).as("__b"))
+        .select(col("canonical_id"), col("cluster_size"),
+          (-col("__b.__nid")).as("survivor_id"))
+      scored.join(best, Seq("canonical_id"))
+        .select(col("doc_id"), col("canonical_id"), col("cluster_size"),
+          col("score"), col("survivor_id"),
+          (col("doc_id") === col("survivor_id")).cast("long").as("kept"))
+    }),
+
     // ---- capstone: the composed curation pipeline --------------------------
     // dedup keep-verdict (X33) -> deterministic hash split (X29) -> per-split
     // corpus stats: the end product a training-data pipeline actually emits.
@@ -1052,6 +1088,41 @@ object DataPipelineQueries extends Catalog {
          |  CASE WHEN d.doc_id = coalesce(comp.component, d.doc_id)
          |       THEN 1 ELSE 0 END AS kept
          |FROM documents d LEFT JOIN comp ON comp.id = d.doc_id""".stripMargin,
+
+    // q59's transitive closure + a deterministic (score DESC, doc_id)
+    // argmax per component — the survivor join replayed independently
+    "q162_dedup_survivorship" ->
+      s"""WITH RECURSIVE $jaccardCtes,
+         |pairs AS (SELECT id_a, id_b FROM inter
+         |          JOIN sizes na ON id_a = na.doc_id
+         |          JOIN sizes nb ON id_b = nb.doc_id
+         |          WHERE CAST(inter AS DOUBLE)/(na.n_sh + nb.n_sh - inter)
+         |            >= 0.1),
+         |edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+         |          UNION SELECT id_b, id_a FROM pairs),
+         |verts AS (SELECT DISTINCT u AS id FROM edges),
+         |reach(id, r) AS (
+         |  SELECT id, id FROM verts
+         |  UNION
+         |  SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.id),
+         |comp AS (SELECT id, min(r) AS component FROM reach GROUP BY 1),
+         |scored AS (SELECT d.doc_id,
+         |    greatest(CAST(len(${TextSql.words}) AS BIGINT), 0) AS score,
+         |    coalesce(comp.component, d.doc_id) AS canonical_id
+         |  FROM documents d LEFT JOIN comp ON comp.id = d.doc_id),
+         |ranked AS (SELECT *,
+         |    row_number() OVER (PARTITION BY canonical_id
+         |      ORDER BY score DESC, doc_id) AS rn,
+         |    CAST(count(*) OVER (PARTITION BY canonical_id) AS BIGINT)
+         |      AS cluster_size
+         |  FROM scored),
+         |best AS (SELECT canonical_id, doc_id AS survivor_id
+         |         FROM ranked WHERE rn = 1)
+         |SELECT r.doc_id, r.canonical_id, r.cluster_size, r.score,
+         |  b.survivor_id,
+         |  CAST(CASE WHEN r.doc_id = b.survivor_id THEN 1 ELSE 0 END
+         |    AS BIGINT) AS kept
+         |FROM ranked r JOIN best b USING (canonical_id)""".stripMargin,
 
     // the composition oracle: q59's transitive-closure keep set, q55's FNV
     // bucket arithmetic, one final rollup

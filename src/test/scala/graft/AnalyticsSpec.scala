@@ -325,6 +325,47 @@ class AnalyticsSpec extends AnyFunSuite with SparkTestBase {
     assert(Graphs.triangleCountsDegreeOriented(g).count() === 0L)
   }
 
+  // ---- k-core ---------------------------------------------------------------
+
+  test("k-core peel cascades: a pendant chain peels round by round, the " +
+      "planted clique survives with within-core degrees") {
+    // K4 on {10,11,12,13} + a pendant chain 13-20-21-22: at k = 2 the
+    // chain's tail 22 has degree 1 and peels, which drops 21 to degree 1,
+    // then 20 — three cascade rounds — while K4 (all degrees 3) survives
+    // intact. The within-core degree must be the K4 degree, not the
+    // original graph's (13 had degree 4 with the chain attached).
+    val g = Seq((10L, 11L), (10L, 12L), (10L, 13L), (11L, 12L),
+      (11L, 13L), (12L, 13L), (13L, 20L), (20L, 21L), (21L, 22L))
+      .toDF("p1", "p2")
+    val out = Graphs.kCore(g, k = 2).as[(Long, Long)].collect().toMap
+    assert(out === Map(10L -> 3L, 11L -> 3L, 12L -> 3L, 13L -> 3L))
+  }
+
+  test("k-core: a cycle is its own 2-core; a tree's 2-core is empty; " +
+      "k = 3 dissolves the cycle") {
+    val cycle = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("p1", "p2")
+    assert(Graphs.kCore(cycle, 2).as[(Long, Long)].collect().toMap ===
+      Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+    assert(Graphs.kCore(cycle, 3).count() === 0L)
+    val tree = Seq((1L, 2L), (1L, 3L), (3L, 4L), (3L, 5L)).toDF("p1", "p2")
+    assert(Graphs.kCore(tree, 2).count() === 0L)
+  }
+
+  test("k-core refuses loudly when maxRounds is below the cascade depth") {
+    // chain of 4 pendant hops off a triangle needs 4 peel rounds + the
+    // stable round; maxRounds = 2 must throw, not return a partial peel
+    val g = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L),
+      (5L, 6L), (6L, 7L)).toDF("p1", "p2")
+    val e = intercept[IllegalArgumentException] {
+      Graphs.kCore(g, k = 2, maxRounds = 2).collect()
+    }
+    assert(e.getMessage.contains("did not converge"))
+    // and with room it converges to the triangle
+    assert(Graphs.kCore(g, k = 2, maxRounds = 12)
+      .as[(Long, Long)].collect().toMap ===
+      Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+  }
+
   test("degree-oriented triangles equal the id-oriented form: K4, a hub " +
       "star + clique, and seeded random graphs") {
     // K4: the complete case

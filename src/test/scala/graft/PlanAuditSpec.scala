@@ -16,7 +16,7 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
 
   private val sfDir = "/root/testdata/sf0.001"
 
-  /** The exactly-15 queries whose plan legitimately contains
+  /** The queries whose plan legitimately contains
     * BroadcastNestedLoopJoin: cross join against the 25-row nation-derived
     * city dim (q18, q20, q33, and the composed jobs q46/q48/q49 whose
     * reference shape is the broadcast nearest-city join), the
@@ -152,7 +152,12 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
       "q159_clustering_coeff" -> Instrument.Counts(28, 28),
       "q160_pipeline_grid" -> Instrument.Counts(138, 135),
       // q161: one pinned exact baseline + three sliced search/recall arms
-      "q161_matryoshka_recall" -> Instrument.Counts(16, 16))
+      "q161_matryoshka_recall" -> Instrument.Counts(16, 16),
+      // q162: q59's shingle/CC chain + pinned scored frame + argmax attach
+      "q162_dedup_survivorship" -> Instrument.Counts(40, 40),
+      // q163: one peel round at sf0.001 (the graph IS a 2-core) + the
+      // convergence check + final degree pass
+      "q163_kcore" -> Instrument.Counts(13, 13))
     val got = bounds.toSeq.sortBy(_._1).map { case (name, bound) =>
       val fn = SparkEntry.queries(name)
       // cold-cache slate before each measurement (the Bench discipline):
