@@ -318,11 +318,12 @@ object DataPipelineQueries extends Catalog {
     // sample), the IVF side the production path; recall ranks are set
     // membership only, so the join is (query, neighbor)-keyed with the
     // sample-sized approx frame broadcast.
-    // plain scan, NOT embeddingsWide: vecs feed the exact arm, the IVF
-    // arm, AND the centroid slice (round-10 widen regression; round-11
-    // A/B: plain 0.59 s vs 0.92-1.37 s for every widened variant)
+    // embeddingsWide: the round-11 min-bytes gate makes this the plain
+    // scan at bench scale (the A/B winner) AND the widened scan at sf1+
+    // (the split-starvation regime) — the per-scale behavior the earlier
+    // always-widen/always-plain A/B had to choose between
     "q146_ann_recall" -> ((s, d) => {
-      val vecs = Tables.embeddings(s, d)
+      val vecs = Tables.embeddingsWide(s, d)
       val qs = vecs.filter(col("vec_id") % 50 === 0)
       val exact = Similarity.knnExact(vecs, qs,
         "vec_id", "embedding", "vec_id", "embedding", k = 10)
@@ -408,7 +409,10 @@ object DataPipelineQueries extends Catalog {
     // carries equal signal, E[recall] ≈ chance at small p) — reporting
     // that honestly is the point of grading against the exact baseline.
     "q161_matryoshka_recall" -> ((s, d) => {
-      val vecs = Tables.embeddings(s, d)
+      // embeddingsWide: plain at bench scale (the min-bytes gate), widened
+      // at sf1+ where the probe showed the exact search serializing on the
+      // 2-task one-row-group scan (5.4 s single stage)
+      val vecs = Tables.embeddingsWide(s, d)
       val qs = vecs.filter(col("vec_id") % 50 === 0)
       // pinned: the exact baseline feeds all three recall joins
       val exact = graft.ext.Caches.pin(Similarity.knnExact(vecs, qs,
