@@ -366,6 +366,24 @@ class AnalyticsSpec extends AnyFunSuite with SparkTestBase {
       Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
   }
 
+  test("capped coreness: tiers grade correctly and saturate at the cap") {
+    // K6 on {1..6} (true coreness 5) with a pendant path 6-10-11: the
+    // q164 composition at cap 4 must report 4 for the clique (saturated),
+    // 1 for the path nodes (edge, no cycle)
+    val k6 = (for {
+      a <- 1L to 6L; b <- (a + 1) to 6L
+    } yield (a, b)).toSeq
+    val g = (k6 ++ Seq((6L, 10L), (10L, 11L))).toDF("p1", "p2")
+    val coreness = (1 to 4).map { k =>
+      Graphs.kCore(g, k, maxRounds = 16)
+        .select(col("node"), lit(k.toLong).as("k"))
+    }.reduce(_ unionByName _)
+      .groupBy("node").agg(max("k").as("coreness"))
+      .as[(Long, Long)].collect().toMap
+    assert((1L to 6L).forall(coreness(_) == 4L))
+    assert(coreness(10L) === 1L && coreness(11L) === 1L)
+  }
+
   test("degree-oriented triangles equal the id-oriented form: K4, a hub " +
       "star + clique, and seeded random graphs") {
     // K4: the complete case

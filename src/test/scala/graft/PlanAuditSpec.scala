@@ -157,7 +157,9 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
       "q162_dedup_survivorship" -> Instrument.Counts(40, 40),
       // q163: one peel round at sf0.001 (the graph IS a 2-core) + the
       // convergence check + final degree pass
-      "q163_kcore" -> Instrument.Counts(13, 13))
+      "q163_kcore" -> Instrument.Counts(13, 13),
+      // q164: four one-round fixpoints at sf0.001 + union/max
+      "q164_coreness" -> Instrument.Counts(34, 34))
     val got = bounds.toSeq.sortBy(_._1).map { case (name, bound) =>
       val fn = SparkEntry.queries(name)
       // cold-cache slate before each measurement (the Bench discipline):
