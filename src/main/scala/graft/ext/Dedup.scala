@@ -818,6 +818,9 @@ object Dedup {
     */
   def prefixCandidates(sh: DataFrame, id: String,
                        minJaccard: Double): DataFrame = {
+    // τ floored to a rational t/10⁶ once; both sides of the positional
+    // bound below reference it
+    val tau6 = math.floor(minJaccard * 1e6).toLong
     val dfs = sh.groupBy("shingle").agg(count(lit(1)).as("__df"))
     val byDoc = Window.partitionBy(col(id))
     val ranked = sh.join(dfs, Seq("shingle"))
@@ -857,10 +860,8 @@ object Dedup {
       // wall time at scale: sf10's verify was 5055 task-s of pure
       // candidate-intersect CPU.
       .filter((lit(1L) + least(col("n_a") - col("__ra"),
-          col("n_b") - col("__rb"))) *
-            lit(1000000L + math.floor(minJaccard * 1e6).toLong) >=
-        lit(math.floor(minJaccard * 1e6).toLong) *
-          (col("n_a") + col("n_b")))
+          col("n_b") - col("__rb"))) * lit(1000000L + tau6) >=
+        lit(tau6) * (col("n_a") + col("n_b")))
       .select("id_a", "id_b", "n_a", "n_b").distinct()
   }
 
