@@ -140,6 +140,14 @@ object Dedup {
   def jaccardPairsFromShingles(sh: DataFrame, id: String,
                                minJaccard: Double,
                                maxShingleDf: Long = Long.MaxValue): DataFrame = {
+    // the shingle frame fans into ≥3 subtrees (sizes, dfs, the df-mark
+    // join); round 12 A/B'd CACHING it here (Caches.pin) against letting
+    // the subtrees re-derive it — the pin lost decisively in every widen
+    // combination (cohort q22/q54/q59/q73/q162 at sf0.1: wall 16.9→24.8 s,
+    // CPU 115→335 s under the hash widen; BENCH_SF1.json widen_ab_r12) —
+    // cache materialization CPU plus the cached relation defeating AQE's
+    // cross-stage job pipelining (jobs q22 12→38). The shared distinct's
+    // exchange is what ReuseExchange dedups instead.
     val sizes = sh.groupBy(col(id)).agg(count(lit(1)).as("n_sh"))
     val withInter =
       if (maxShingleDf == Long.MaxValue) {

@@ -265,7 +265,11 @@ object CurationOps extends Catalog {
     // grams + containment vs the smaller doc, hot boilerplate grams
     // (df > 32) excluded from pairing by contract (the quadratic guard)
     "q153_exact_substr_provenance" -> ((s, d) => {
-      Dedup.exactSubstrProvenance(Tables.documentsWide(s, d), "doc_id",
+      // plain scan (round 12): the gram frame fans into df/index/sizes
+      // subtrees like the q22 chain — same widen-replay revert; this also
+      // answers the r11 verdict's q153 plan-change question (wall
+      // 1.75→3.26 s r10→r11 was the hash widen arriving at this site)
+      Dedup.exactSubstrProvenance(Tables.documents(s, d), "doc_id",
         "text", minTokens = 8, maxGramDf = 32)
     }),
 
@@ -580,7 +584,7 @@ object CurationOps extends Catalog {
       // ungated widen (minBytes = 0, unlike embeddingsWide): the 64×-per-row
       // posexplode fan-out is parallelism-bound even at bench scale —
       // round-11 A/B at sf0.1: 2.38 s plain vs 0.84 s widened
-      Similarity.gramMatrix(Tables.wide(Tables.embeddings(s, d)),
+      Similarity.gramMatrix(Tables.wide(Tables.embeddings(s, d), hashKey = "vec_id"),
         "label", "embedding")
         .select(col("grp").as("label"), col("i").cast("long").as("i"),
           col("j").cast("long").as("j"), col("n"), col("s"))

@@ -64,8 +64,14 @@ object DataPipelineQueries extends Catalog {
     // 7 at sf0.01, 25 at sf0.1), so the guarded branch — candidate generation
     // without hot shingles, true-Jaccard recount adding the hot contribution
     // back — is exercised and oracle-pinned at every scale the driver runs.
+    // PLAIN scan (round 12): the multi-subtree jaccardPairs chain replays
+    // the widen exchange per subtree — sidecar r9 (plain) vs r11 (hash
+    // widen): q22 wall 2.0→5.1 s, CPU 5.1→77.5 s in full-catalog context;
+    // the round-12 four-config A/B (hash/off/global-pin/shingle-pin,
+    // BENCH_SF1.json widen_ab_r12) found no widen-keeping config that
+    // recovers the CPU, so this family reverts like q130/q131 did
     "q22_jaccard_near_dups" -> ((s, d) => {
-      Dedup.jaccardPairs(Tables.documentsWide(s, d), "doc_id", "text",
+      Dedup.jaccardPairs(Tables.documents(s, d), "doc_id", "text",
           n = 3, minJaccard = 0.1, maxShingleDf = 5L)
         .select(col("id_a"), col("id_b"), col("inter").as("shared"),
           (floor(col("jaccard") * 1e6 + 0.5) / 1e6).as("jaccard"))
@@ -123,8 +129,9 @@ object DataPipelineQueries extends Catalog {
     // string-keyed verify join was ~40 s / ~1300 s CPU, memory-bandwidth
     // bound on string comparison)
     "q100_prefix_jaccard" -> ((s, d) => {
+      // plain scan: the q22 widen-replay revert (widen_ab_r12)
       Dedup.prefixJaccardPairsFromShingles(
-          Dedup.wordShingleHashes(Tables.documentsWide(s, d), "doc_id", "text",
+          Dedup.wordShingleHashes(Tables.documents(s, d), "doc_id", "text",
             n = 3),
           "doc_id", minJaccard = 0.4)
         .select(col("id_a"), col("id_b"), col("inter").as("shared"),
@@ -849,7 +856,8 @@ object DataPipelineQueries extends Catalog {
     // TRANSITIVELY (a doc adopts the min id of a doc it shares no edge
     // with) — the oracle's recursive CTE pins exactly that closure.
     "q54_dup_clusters" -> ((s, d) => {
-      val pairs = Dedup.jaccardPairs(Tables.documentsWide(s, d), "doc_id", "text",
+      // plain scan: the q22 widen-replay revert (widen_ab_r12)
+      val pairs = Dedup.jaccardPairs(Tables.documents(s, d), "doc_id", "text",
           n = 3, minJaccard = 0.1, maxShingleDf = 5L)
         .select(col("id_a"), col("id_b"))
       graft.operators.ConnectedComponents.run(pairs, "id_a", "id_b")
@@ -865,7 +873,8 @@ object DataPipelineQueries extends Catalog {
     // writes back. Singletons never enter the pair graph, so the component
     // frame stays |dup-docs|-sized and the corpus only pays one left join.
     "q59_corpus_dedup" -> ((s, d) => {
-      val docs = Tables.documentsWide(s, d)
+      // plain scan: the q22 widen-replay revert (widen_ab_r12)
+      val docs = Tables.documents(s, d)
       val pairs = Dedup.jaccardPairs(docs, "doc_id", "text",
           n = 3, minJaccard = 0.1, maxShingleDf = 5L)
         .select(col("id_a"), col("id_b"))
@@ -894,7 +903,8 @@ object DataPipelineQueries extends Catalog {
     // it feeds the argmax AND the verdict join, and unpinned each consumer
     // would replay the shingle/CC chain.
     "q162_dedup_survivorship" -> ((s, d) => {
-      val docs = Tables.documentsWide(s, d)
+      // plain scan: the q22 widen-replay revert (widen_ab_r12)
+      val docs = Tables.documents(s, d)
       val pairs = Dedup.jaccardPairs(docs, "doc_id", "text",
           n = 3, minJaccard = 0.1, maxShingleDf = 5L)
         .select(col("id_a"), col("id_b"))
@@ -925,7 +935,8 @@ object DataPipelineQueries extends Catalog {
     // reference jobs).
     "q73_curation_pipeline" -> ((s, d) => {
       import graft.plans.Fnv1a64Expression.fnv1a64
-      val docs = Tables.documentsWide(s, d)
+      // plain scan: the q22 widen-replay revert (widen_ab_r12)
+      val docs = Tables.documents(s, d)
       val pairs = Dedup.jaccardPairs(docs, "doc_id", "text",
           n = 3, minJaccard = 0.1, maxShingleDf = 5L)
         .select(col("id_a"), col("id_b"))

@@ -29,7 +29,7 @@ object GeoQueries extends Catalog {
     * single-task stages at sf1.
     */
   private def customerPoints(s: SparkSession, d: String): DataFrame =
-    Tables.wide(Tables.customer(s, d)).select(
+    Tables.wide(Tables.customer(s, d), hashKey = "c_custkey").select(
       col("c_custkey"), col("c_nationkey"),
       (lit(-60) + (col("c_custkey") * 67 % 1200) / lit(10.0)).as("lat"),
       (lit(-170) + (col("c_custkey") * 131 % 3400) / lit(10.0)).as("lon"))

@@ -74,7 +74,17 @@ object Tables {
     * [[embeddingsWide]]; contractually map-only queries (q80/q84/q86,
     * the zero-exchange plan specs) keep the plain scans.
     */
-  def wide(df: DataFrame, minBytes: Long = 0L): DataFrame = {
+  /** CONTRACT (`hashKey`): the hash mode's balance claim assumes the key
+    * column is unique (or near-unique) — a skewed key would produce a
+    * silently hot exchange, the opposite of what the widen exists for.
+    * Callers wiring a NEW table through the widen must pass its id column
+    * explicitly ([[documentsWide]]/[[embeddingsWide]] do); the
+    * first-column default exists only for ad-hoc frames whose leading
+    * column is an id by construction (ADVICE r11: don't let a future call
+    * site inherit the default blindly).
+    */
+  def wide(df: DataFrame, minBytes: Long = 0L,
+           hashKey: String = null): DataFrame = {
     // SPARK_GRAFT_WIDEN is a bench-tooling knob for A/B-ing the widen
     // mechanics (round-10 verdict: the widen exchange REPLAYS once per
     // consuming subtree, and round-robin repartition locally sorts every
@@ -92,14 +102,18 @@ object Tables {
     // cached relation defeats AQE's job pipelining across CC rounds), so
     // the pin is applied per-site instead (Caches.pin around the widened
     // read at q60/q74/q95/q101, where the A/B showed it winning).
-    val mode = sys.env.getOrElse("SPARK_GRAFT_WIDEN", "hash")
+    // sys.props first so WidenModeSpec can flip modes inside one JVM
+    // (sys.env is a process-start snapshot); the env var remains the
+    // bench-tooling interface
+    val mode = sys.props.get("graft.widen")
+      .orElse(sys.env.get("SPARK_GRAFT_WIDEN")).getOrElse("hash")
     if (mode == "off") return df
     val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
     if (bytes >= minBytes && bytes < (BigInt(1) << 30)) {
       val n = df.sparkSession.sparkContext.defaultParallelism
       val widened =
         if (mode == "hash" || mode == "hashpin")
-          df.repartition(n, col(df.columns.head))
+          df.repartition(n, col(Option(hashKey).getOrElse(df.columns.head)))
         else df.repartition(n)
       if (mode == "pin" || mode == "hashpin") graft.ext.Caches.pin(widened)
       else widened
@@ -107,7 +121,7 @@ object Tables {
   }
 
   def documentsWide(spark: SparkSession, d: String): DataFrame =
-    wide(documents(spark, d))
+    wide(documents(spark, d), hashKey = "doc_id")
 
   /** [[wide]] with a LOWER size bound as well: below `minBytes` the frame
     * passes through unwidened. The embeddings reader uses it (2 MiB)
@@ -120,7 +134,7 @@ object Tables {
     * The high bound stays: above 1 GiB the scan has natural splits.
     */
   def embeddingsWide(spark: SparkSession, d: String): DataFrame =
-    wide(embeddings(spark, d), minBytes = 2L << 20)
+    wide(embeddings(spark, d), minBytes = 2L << 20, hashKey = "vec_id")
 
   /** events with `ts` as a session-TZ timestamp at µs precision, whatever the
     * file's physical encoding. The driver has shipped two encodings across
