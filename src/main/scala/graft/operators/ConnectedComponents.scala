@@ -161,6 +161,13 @@ object ConnectedComponents {
       // scheduling round-trip per iteration.
       val next = smallStar(largeStar(e)).localCheckpoint(false)
       val (cnt, sm) = fingerprint(next)
+      // next is materialized (the fingerprint aggregate ran); the
+      // superseded round snapshot's blocks are dead — release eagerly
+      // (ADVICE r11) instead of holding rounds-many edge copies until the
+      // ContextCleaner sweeps. Round 0's `e` is a lazy Filter over the
+      // canon checkpoint, which the release helper no-ops on — canon
+      // itself stays live for the `vertices` scan below.
+      graft.ext.Caches.releaseLocalCheckpoint(e)
       converged = cnt == prevCnt && sm.compareTo(prevSum) == 0
       e = next
       prevCnt = cnt

@@ -105,6 +105,21 @@ object Graphs {
     * WITHIN the core (≥ k by the fixpoint).
     */
   def kCore(edges: DataFrame, k: Int, maxRounds: Int = 12): DataFrame = {
+    val e = kCoreEdges(edges, k, maxRounds)
+    degrees(e).filter(col("degree") >= k)
+      .select(col("node"), col("degree").as("core_degree"))
+  }
+
+  /** The peel fixpoint's EDGE frame (the k-core as a subgraph, not a node
+    * report) — the composition point [[coreness]] peels incrementally
+    * from: by monotonicity core(k) ⊆ core(k−1), so peeling k out of the
+    * (k−1)-core's edges reaches the same fixpoint as peeling the whole
+    * graph, over a strictly smaller frame. The returned frame is
+    * localCheckpoint-ed (lineage already truncated); superseded per-round
+    * checkpoints are reclaimed by the ContextCleaner once unreferenced.
+    */
+  private[graft] def kCoreEdges(edges: DataFrame, k: Int,
+                                maxRounds: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     var e = edges.select(col("p1"), col("p2")).localCheckpoint(false)
     var m = e.count()
@@ -117,6 +132,11 @@ object Graphs {
         .join(surv.select(col("node").as("p2")), Seq("p2"), "left_semi")
         .localCheckpoint(false)
       val m2 = e2.count()
+      // e2 is materialized; the PREVIOUS round's snapshot (created in this
+      // call, consumed only by the join above) is now dead — release its
+      // blocks instead of waiting for the ContextCleaner (ADVICE r11).
+      // The final frame is never released here: callers read it lazily.
+      graft.ext.Caches.releaseLocalCheckpoint(e)
       done = m2 == m
       m = m2
       e = e2
@@ -124,8 +144,34 @@ object Graphs {
     }
     require(done, s"k-core peel did not converge within $maxRounds rounds " +
       s"($m edges after round $rounds) — raise maxRounds")
-    degrees(e).filter(col("degree") >= k)
-      .select(col("node"), col("degree").as("core_degree"))
+    e
+  }
+
+  /** Capped coreness decomposition: per node, the largest k ≤ `maxK` whose
+    * k-core still contains it — `(node, coreness)` for every node of the
+    * edge frame (an edge endpoint is by definition in the 1-core, so every
+    * node appears with coreness ≥ 1).
+    *
+    * Incremental by k-core monotonicity (core(k) ⊆ core(k−1), the
+    * Batagelj–Zaveršnik nesting): the k-th fixpoint peels the (k−1)-core's
+    * edge frame, not the original graph — each sweep step does strictly
+    * less work than a from-scratch peel, and the deep-k fixpoints (the
+    * ones with the long cascades) run over the smallest frames. Output is
+    * IDENTICAL to unioning independent [[kCore]] runs (spec-pinned): each
+    * step reaches the same fixpoint by monotonicity, and the final max is
+    * over the same membership sets.
+    */
+  def coreness(edges: DataFrame, maxK: Int, maxRounds: Int = 16): DataFrame = {
+    require(maxK >= 1, s"maxK must be >= 1, got $maxK")
+    var e = edges.select(col("p1"), col("p2"))
+    var tiers: Option[DataFrame] = None
+    for (k <- 1 to maxK) {
+      e = kCoreEdges(e, k, maxRounds)
+      val members = degrees(e).filter(col("degree") >= k)
+        .select(col("node"), lit(k.toLong).as("k"))
+      tiers = Some(tiers.map(_.unionByName(members)).getOrElse(members))
+    }
+    tiers.get.groupBy("node").agg(max("k").as("coreness"))
   }
 
   /** [[triangleCountsDegreeOriented]] with the degree frame supplied by the

@@ -54,6 +54,18 @@ object AnalyticsOps extends Catalog {
   /** 7 days in µs */
   private val WeekUs = 604800000000L
 
+  /** One constant per graph query feeding BOTH the engine's `maxRounds`
+    * and the oracle's fixed peel unroll (ADVICE r11): cascade depth is
+    * data-dependent, and a depth bump that touched only one side would
+    * either make the engine refuse while the oracle silently returned a
+    * non-fixpoint, or vice versa. Measured depths at benched SFs —
+    * q163 (k=2): 1/4/6 rounds at sf0.001/0.01/0.1; q164's deepest chain
+    * (k=3): 11 rounds at sf0.01. Re-check headroom when new scales land.
+    */
+  private val KCoreUnroll = 12
+  private val CorenessUnroll = 16
+  private val CorenessMaxK = 4
+
   /** Canonical co-purchase edges (p1 < p2, co ≥ 2) over lineitem — the
     * graph under both triangle tiers (q116 id-oriented, q158
     * degree-oriented). */
@@ -242,26 +254,28 @@ object AnalyticsOps extends Catalog {
 
     // ---- triangle counting on the co-purchase graph ------------------------
     // Per-part triangle membership over the co ≥ 2 co-purchase edges
-    // (q110's pair stage as a graph): a triangle a < b < c is found
-    // exactly once via the oriented wedge join e(a,b) ⋈ e(b,c) ⋈ e(a,c).
-    // The cohesion signal beside q54's components (connected ≠ cohesive)
-    // and q109's centrality.
+    // (q110's pair stage as a graph). Round 12 flipped the CATALOG
+    // DEFAULT to the degree-oriented tier (round-11 verdict item 6): the
+    // id orientation's median-id-hub pathology is measured at 20.8×
+    // (TriangleHubBench, deg-60k hub: 89.4 s vs 4.3 s, quadratic in hub
+    // degree), so the face a user reaches first must be the O(m^1.5)
+    // plan; the id-oriented form stays in the catalog as q158 (same
+    // oracle — the cross-orientation hash match is the exactness proof)
+    // and in AnalyticsSpec's randomized equality control.
     "q116_triangle_counts" -> ((s, d) =>
-      Graphs.triangleCounts(coPurchaseEdges(s, d))),
-
-    // ---- degree-oriented triangle counting (q116's 100 TB tier) ------------
-    // the SAME per-part triangle counts via Latapy/compact-forward degree
-    // orientation: edges point at the higher-(degree, id) endpoint, so
-    // every out-degree is O(√m) and wedge work is bounded O(m^1.5)
-    // REGARDLESS of hub placement — under q116's id orientation one
-    // celebrity part whose id splits its neighborhood puts in·out ≈
-    // (deg/2)² path rows through one join key no partitioning can split
-    // (the q49 single-window-key pathology, in a join; measured win case
-    // in Graphs.scaladoc — 20.8× at a planted deg-60k hub). Output
-    // is identical by construction; the oracle is q116's SQL VERBATIM —
-    // the hash match IS the exactness proof (the q148/q155 posture).
-    "q158_triangles_degree" -> ((s, d) =>
       Graphs.triangleCountsDegreeOriented(coPurchaseEdges(s, d))),
+
+    // ---- id-oriented triangle counting (the measured-pathology control) ----
+    // the SAME per-part triangle counts via the id orientation: a
+    // triangle a < b < c found exactly once as e(a,b) ⋈ e(b,c) ⋈ e(a,c),
+    // deterministic with no degree pass — fine when ids are uncorrelated
+    // with degree, quadratic at a median-id hub (Graphs scaladoc; the
+    // q49 single-key pathology in a join). Kept in the catalog as the
+    // oracle-pinned control against q116's degree-oriented default: both
+    // run q116's SQL VERBATIM, so the hash match proves the two
+    // orientations equal on every driver corpus (the q148/q155 posture).
+    "q158_triangles_degree" -> ((s, d) =>
+      Graphs.triangleCounts(coPurchaseEdges(s, d))),
 
     // ---- local clustering coefficient --------------------------------------
     // the metric triangles exist to feed: per node, the fraction of its
@@ -305,7 +319,7 @@ object AnalyticsOps extends Catalog {
     // Peel cascades measured 1/4/6 rounds at sf0.001/0.01/0.1 — the
     // 12-layer oracle unroll has headroom and the idempotent tail is free.
     "q163_kcore" -> ((s, d) =>
-      Graphs.kCore(coPurchaseEdges(s, d), k = 2)),
+      Graphs.kCore(coPurchaseEdges(s, d), k = 2, maxRounds = KCoreUnroll)),
 
     // ---- capped coreness decomposition --------------------------------------
     // per node, the LARGEST k <= 4 whose k-core still contains it — the
@@ -316,16 +330,14 @@ object AnalyticsOps extends Catalog {
     // peels to k = 15 with 22-round cascades, and a regenerated corpus
     // could move both numbers under the oracle's fixed unroll), while
     // "which tier of {1..4} are you in" is stable at any scale and is how
-    // production audits bucket coreness anyway. Four peel fixpoints (the
-    // engine exits each as soon as it stabilizes), one union, one max.
-    "q164_coreness" -> ((s, d) => {
-      val edges = graft.ext.Caches.pin(coPurchaseEdges(s, d))
-      (1 to 4).map { k =>
-        Graphs.kCore(edges, k, maxRounds = 16)
-          .select(col("node"), lit(k.toLong).as("k"))
-      }.reduce(_ unionByName _)
-        .groupBy("node").agg(max("k").as("coreness"))
-    }),
+    // production audits bucket coreness anyway. Graphs.coreness peels
+    // INCREMENTALLY (round-11 verdict item 5): the k-th fixpoint starts
+    // from the (k−1)-core's edges — monotonicity makes the result
+    // hash-identical to four independent from-scratch peels, which is
+    // exactly what the oracle's four unrolled chains compute.
+    "q164_coreness" -> ((s, d) =>
+      Graphs.coreness(coPurchaseEdges(s, d), maxK = CorenessMaxK,
+        maxRounds = CorenessUnroll)),
 
     // ---- daily gap-fill + forward-fill -------------------------------------
     // Densify each user's purchase series to every day in its span and
@@ -979,7 +991,7 @@ object AnalyticsOps extends Catalog {
     // converged loop exactly
     "q163_kcore" -> {
       val k = 2
-      val layers = (0 until 12).map { i =>
+      val layers = (0 until KCoreUnroll).map { i =>
         s"""n$i AS MATERIALIZED (SELECT node, count(*) AS deg
            |  FROM (SELECT p1 AS node FROM e$i
            |        UNION ALL SELECT p2 FROM e$i) GROUP BY 1),
@@ -995,7 +1007,8 @@ object AnalyticsOps extends Catalog {
          |  GROUP BY 1, 2 HAVING count(*) >= 2),
          |$layers
          |SELECT node, CAST(count(*) AS BIGINT) AS core_degree
-         |FROM (SELECT p1 AS node FROM e12 UNION ALL SELECT p2 FROM e12)
+         |FROM (SELECT p1 AS node FROM e$KCoreUnroll
+         |      UNION ALL SELECT p2 FROM e$KCoreUnroll)
          |GROUP BY 1 HAVING count(*) >= $k""".stripMargin
     },
 
@@ -1003,7 +1016,7 @@ object AnalyticsOps extends Catalog {
     // deepest measured cascade, 11 rounds at k=3/sf0.01) off one shared
     // materialized e0, unioned, max per node
     "q164_coreness" -> {
-      def chain(k: Int): String = (0 until 16).map { i =>
+      def chain(k: Int): String = (0 until CorenessUnroll).map { i =>
         val src = if (i == 0) "e0" else s"k${k}e$i"
         s"""k${k}n$i AS MATERIALIZED (SELECT node, count(*) AS deg
            |  FROM (SELECT p1 AS node FROM $src
@@ -1014,10 +1027,10 @@ object AnalyticsOps extends Catalog {
            |  WHERE p1 IN (SELECT node FROM k${k}s$i)
            |    AND p2 IN (SELECT node FROM k${k}s$i))""".stripMargin
       }.mkString(",\n")
-      val arms = (1 to 4).map { k =>
+      val arms = (1 to CorenessMaxK).map { k =>
         s"""SELECT node, $k AS k
-           |FROM (SELECT p1 AS node FROM k${k}e16
-           |      UNION ALL SELECT p2 FROM k${k}e16)
+           |FROM (SELECT p1 AS node FROM k${k}e$CorenessUnroll
+           |      UNION ALL SELECT p2 FROM k${k}e$CorenessUnroll)
            |GROUP BY 1 HAVING count(*) >= $k""".stripMargin
       }.mkString("\nUNION ALL\n")
       s"""WITH bk AS (SELECT DISTINCT l_orderkey AS o,
@@ -1025,7 +1038,7 @@ object AnalyticsOps extends Catalog {
          |e0 AS MATERIALIZED (SELECT a.p AS p1, b.p AS p2
          |  FROM bk a JOIN bk b ON a.o = b.o AND a.p < b.p
          |  GROUP BY 1, 2 HAVING count(*) >= 2),
-         |${(1 to 4).map(chain).mkString(",\n")}
+         |${(1 to CorenessMaxK).map(chain).mkString(",\n")}
          |SELECT node, CAST(max(k) AS BIGINT) AS coreness
          |FROM ($arms) GROUP BY 1""".stripMargin
     },

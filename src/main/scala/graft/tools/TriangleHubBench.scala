@@ -8,8 +8,9 @@ import graft.sources.Tables
 
 /** One-off diagnostic (round-10 verdict item 3): the triangle tiers' WIN
   * case, not just their parity case. The co-purchase graph of the fixture
-  * is uniform — q116 (id orientation) and q158 (degree orientation) bench
-  * equal there — so this plants the exact pathology the degree tier
+  * is uniform — the id and degree orientations bench equal there
+  * (since round 12 the CATALOG default q116 runs the degree tier and
+  * q158 is the id-oriented control) — so this plants the exact pathology the degree tier
   * exists for: one celebrity node whose id sits at the MEDIAN of its
   * neighbors' ids, half below and half above.
   *
@@ -80,8 +81,8 @@ object TriangleHubBench {
     }
     // degree-oriented first so the id-oriented hot key cannot poison its
     // timing via leftover GC/shuffle pressure
-    val b = time("degreeOriented(q158)", Graphs.triangleCountsDegreeOriented(edges))
-    val a = time("idOriented(q116)", Graphs.triangleCounts(edges))
+    val b = time("degreeOriented(catalog q116 face)", Graphs.triangleCountsDegreeOriented(edges))
+    val a = time("idOriented(q158 control)", Graphs.triangleCounts(edges))
     require(a == b, s"triangle sums diverge: id=$a degree=$b")
     spark.stop()
   }

@@ -368,20 +368,50 @@ class AnalyticsSpec extends AnyFunSuite with SparkTestBase {
 
   test("capped coreness: tiers grade correctly and saturate at the cap") {
     // K6 on {1..6} (true coreness 5) with a pendant path 6-10-11: the
-    // q164 composition at cap 4 must report 4 for the clique (saturated),
+    // q164 operator at cap 4 must report 4 for the clique (saturated),
     // 1 for the path nodes (edge, no cycle)
     val k6 = (for {
       a <- 1L to 6L; b <- (a + 1) to 6L
     } yield (a, b)).toSeq
     val g = (k6 ++ Seq((6L, 10L), (10L, 11L))).toDF("p1", "p2")
-    val coreness = (1 to 4).map { k =>
-      Graphs.kCore(g, k, maxRounds = 16)
-        .select(col("node"), lit(k.toLong).as("k"))
-    }.reduce(_ unionByName _)
-      .groupBy("node").agg(max("k").as("coreness"))
+    val coreness = Graphs.coreness(g, maxK = 4, maxRounds = 16)
       .as[(Long, Long)].collect().toMap
     assert((1L to 6L).forall(coreness(_) == 4L))
     assert(coreness(10L) === 1L && coreness(11L) === 1L)
+  }
+
+  test("incremental coreness equals the from-scratch k-core union " +
+      "(monotonicity; seeded random graphs + a cascade fixture)") {
+    // Graphs.coreness peels k from the (k−1)-core's edges; by k-core
+    // nesting this must equal unioning independent from-scratch peels —
+    // the round-11 verdict's incremental rewrite, pinned here so a future
+    // edit can't quietly break the nesting argument (e.g. by restarting
+    // each step from a node REPORT instead of the fixpoint edge frame).
+    def fromScratch(g: org.apache.spark.sql.DataFrame,
+                    maxK: Int): Map[Long, Long] =
+      (1 to maxK).map { k =>
+        Graphs.kCore(g, k, maxRounds = 16)
+          .select(col("node"), lit(k.toLong).as("k"))
+      }.reduce(_ unionByName _)
+        .groupBy("node").agg(max("k").as("coreness"))
+        .as[(Long, Long)].collect().toMap
+    // cascade fixture: K4 + pendant chain (deep peel at k=2)
+    val g0 = Seq((10L, 11L), (10L, 12L), (10L, 13L), (11L, 12L),
+      (11L, 13L), (12L, 13L), (13L, 20L), (20L, 21L), (21L, 22L))
+      .toDF("p1", "p2")
+    assert(Graphs.coreness(g0, maxK = 3, maxRounds = 16)
+      .as[(Long, Long)].collect().toMap === fromScratch(g0, 3))
+    val rnd = new scala.util.Random(77)
+    for (p <- Seq(0.08, 0.25)) {
+      val edges = (for {
+        a <- 1L to 35L; b <- (a + 1) to 35L
+        if rnd.nextDouble() < p
+      } yield (a, b)).toDF("p1", "p2")
+      val inc = Graphs.coreness(edges, maxK = 4, maxRounds = 16)
+        .as[(Long, Long)].collect().toMap
+      assert(inc === fromScratch(edges, 4), s"p=$p")
+      assert(inc.nonEmpty, s"fixture at p=$p must have nodes")
+    }
   }
 
   test("degree-oriented triangles equal the id-oriented form: K4, a hub " +
