@@ -383,6 +383,16 @@ object EventStream {
     * duplicated (later occurrences then emit immediately). */
   case class GramFirst(id: Long, pos: Long, dup: Boolean)
 
+  /** [[GramFirst]] plus the max event-time (ms) over every occurrence seen —
+    * the evicting variant's state. Carrying the clock in the state makes the
+    * timeout MONOTONE in the latest occurrence: a batch whose rows are all
+    * out-of-order (below a previously seen ts, yet non-late) must not pull
+    * the timeout back below lastOcc + horizon, or the watermark could pass
+    * it, evict, and a within-horizon follow-up would miss — violating the
+    * GUARANTEED clause (whose proof assumes timeout = lastOcc + horizon
+    * with lastOcc the max over ALL occurrences). */
+  case class GramFirstTs(id: Long, pos: Long, dup: Boolean, lastOccMs: Long)
+
   /** Streaming ExactSubstr duplicated-gram starts — the cross-batch gram
     * state the batch operator ([[graft.ext.Dedup.exactSubstrSpans]])
     * derives with a corpus-wide count + semi-join: keyed by `gram_key`,
@@ -475,33 +485,40 @@ object EventStream {
       .withWatermark(ts, s"$horizonMs milliseconds")
       .as[(Long, Long, Long, java.sql.Timestamp)]
       .groupByKey(_._1)
-      .flatMapGroupsWithState[GramFirst, (Long, Long)](
+      .flatMapGroupsWithState[GramFirstTs, (Long, Long)](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
-        case (_, _, state: GroupState[GramFirst]) if state.hasTimedOut =>
+        case (_, _, state: GroupState[GramFirstTs]) if state.hasTimedOut =>
           // horizon passed with no new arrival: forget the gram entirely
           // (buffered first occurrence AND the dup flag — the documented
           // fresh-epoch semantics)
           state.remove()
           Iterator.empty
-        case (_, rows, state: GroupState[GramFirst]) =>
+        case (_, rows, state: GroupState[GramFirstTs]) =>
           val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
           var s = state.getOption.orNull
-          var maxTsMs = Long.MinValue
           rows.foreach { case (_, docId, pos, t) =>
-            if (t.getTime > maxTsMs) maxTsMs = t.getTime
-            if (s == null) s = GramFirst(docId, pos, dup = false)
-            else if (!s.dup) {
-              out += ((s.id, s.pos)); out += ((docId, pos))
-              s = s.copy(dup = true)
-            } else out += ((docId, pos))
+            if (s == null) s = GramFirstTs(docId, pos, dup = false, t.getTime)
+            else {
+              // lastOccMs is the max over EVERY occurrence ever seen — an
+              // out-of-order same-gram arrival in a later micro-batch
+              // (below the stored clock, yet above the watermark) must not
+              // regress it (ADVICE r11: the batch-max-only form let the
+              // timeout move backwards, breaking the monotonicity the
+              // GUARANTEED proof relies on)
+              if (t.getTime > s.lastOccMs) s = s.copy(lastOccMs = t.getTime)
+              if (!s.dup) {
+                out += ((s.id, s.pos)); out += ((docId, pos))
+                s = s.copy(dup = true)
+              } else out += ((docId, pos))
+            }
           }
           state.update(s)
-          // every arrival refreshes the clock; the max() guards the API
-          // contract that a timeout must be set beyond the current
-          // watermark (a late-but-admitted row could otherwise compute a
-          // timestamp the watermark already passed)
+          // timeout = lastOcc + horizon, monotone across batches; the
+          // max() guards the API contract that a timeout must be set
+          // beyond the current watermark (a late-but-admitted row could
+          // otherwise compute a timestamp the watermark already passed)
           state.setTimeoutTimestamp(
-            math.max(maxTsMs + horizonMs, state.getCurrentWatermarkMs + 1))
+            math.max(s.lastOccMs + horizonMs, state.getCurrentWatermarkMs + 1))
           out.iterator
       }
       .toDF(id, "pos")

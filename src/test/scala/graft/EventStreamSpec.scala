@@ -390,6 +390,67 @@ class EventStreamSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("evicting ExactSubstr: an out-of-order same-gram arrival cannot " +
+      "regress the timeout below lastOcc + horizon (ADVICE r11)") {
+    // the batch-max-only timeout bug: state's last occurrence is 10:08,
+    // then a later micro-batch delivers the same gram at 09:59 (out of
+    // order but above the watermark, so admitted). Setting the timeout
+    // from THAT batch's max (09:59 + 10 min = 10:09) regresses it below
+    // lastOcc + horizon (10:18); a watermark at 10:12 then evicts, and a
+    // 10:15 occurrence — 7 min after the true last occurrence, squarely
+    // inside the GUARANTEED clause — finds its state missing. With
+    // lastOccMs carried in the state the timeout is monotone and the
+    // 10:15 arrival must emit immediately (dup flag already proven).
+    implicit val ctx = spark.sqlContext
+    import graft.ext.Dedup
+    val p = (1 to 12).map(i => s"p$i").mkString(" ")
+    val in = MemoryStream[(Long, Timestamp, String)]
+    val docs = in.toDF().toDF("doc_id", "ts", "text")
+    val docTs: Map[Long, Timestamp] = Map(
+      1L -> ts("2022-06-15 10:00:00"),
+      2L -> ts("2022-06-15 10:08:00"),  // true last occurrence
+      7L -> ts("2022-06-15 09:59:00"),  // out-of-order, non-late
+      8L -> ts("2022-06-15 10:15:00"),  // within horizon of doc 2
+      21L -> ts("2022-06-15 10:22:00"), // watermark pushers (unique grams,
+      22L -> ts("2022-06-15 10:23:00")) //   >= 8 tokens so rows exist)
+    val tsExpr = docTs.foldLeft(lit(null).cast("timestamp")) {
+      case (acc, (id, t)) =>
+        when(col("doc_id") === id, lit(t)).otherwise(acc)
+    }
+    val grams = Dedup.gramKeyStarts(docs, "doc_id", "text", minTokens = 8)
+      .withColumn("ts", tsExpr)
+    val starts = EventStream.exactSubstrStartsEvicting(
+      grams, "doc_id", "ts", horizonMs = 10L * 60 * 1000)
+    val q = EventStream.startToMemory(starts, "xsubstr_ooo",
+      OutputMode.Append())
+    def got(): Set[(Long, Long)] =
+      spark.table("xsubstr_ooo").as[(Long, Long)].collect().toSet
+    try {
+      in.addData(Seq((1L, docTs(1L), s"a1 a2 $p")))
+      q.processAllAvailable()                       // wm -> 09:50
+      in.addData(Seq((2L, docTs(2L), s"$p b1")))
+      q.processAllAvailable()                       // dup proven; wm -> 09:58
+      assert(got().exists(_._1 == 2L))
+      // out-of-order arrival BELOW the stored clock, above the watermark
+      in.addData(Seq((7L, docTs(7L), s"$p c1")))
+      q.processAllAvailable()                       // wm stays 09:58
+      assert(got().exists(_._1 == 7L), "admitted dup occurrence must emit")
+      // two unrelated far-future docs: first advances the watermark to
+      // 10:12 (past the REGRESSED 10:09 timeout, short of the true
+      // 10:18), second gives the timeout a batch to fire against it
+      in.addData(Seq((21L, docTs(21L), "u1 u2 u3 u4 u5 u6 u7 u8 u9")))
+      q.processAllAvailable()
+      in.addData(Seq((22L, docTs(22L), "v1 v2 v3 v4 v5 v6 v7 v8 v9")))
+      q.processAllAvailable()
+      // within-horizon follow-up: 10:15 − 10:08 = 7 min < 10 min horizon
+      in.addData(Seq((8L, docTs(8L), s"$p d1")))
+      q.processAllAvailable()
+      assert(got().exists(_._1 == 8L),
+        "within-horizon occurrence lost — timeout regressed and state " +
+          "was evicted early")
+    } finally q.stop()
+  }
+
   test("micro-batched k-means assignment equals the one-shot batch assign") {
     // the streaming shape of X58: centroids are FITTED once (offline) and
     // each arriving micro-batch assigns with the literal-projection pass —
