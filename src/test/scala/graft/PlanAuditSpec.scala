@@ -1,6 +1,8 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions.col
+import graft.sources.Tables
 
 /** Global anti-pattern sweep over every catalog query's physical plan.
   *
@@ -93,7 +95,7 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
     // and deserves a look, not a silent slack bump).
     val bounds = Map(
       "q54_dup_clusters" -> Instrument.Counts(38, 38),
-      "q59_corpus_dedup" -> Instrument.Counts(38, 38),
+      "q59_corpus_dedup" -> Instrument.Counts(40, 40),
       "q75_pipeline_sink" -> Instrument.Counts(93, 93),
       // q76 re-measured at 74 after the round-10 widen revert (the widen
       // exchange had added stage-jobs); the broadcast-attach flutter that
@@ -125,41 +127,51 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
       "q144_user_mart_city_tz" -> Instrument.Counts(17, 17),
       "q145_vocab_coverage" -> Instrument.Counts(18, 18),
       "q146_ann_recall" -> Instrument.Counts(13, 13),
-      "q147_pq_recall" -> Instrument.Counts(21, 21),
+      "q147_pq_recall" -> Instrument.Counts(15, 15),
       "q148_recommendations_grid" -> Instrument.Counts(95, 92),
       "q149_exact_substr_spans" -> Instrument.Counts(5, 5),
       "q150_exact_substr_scrub" -> Instrument.Counts(11, 11),
       "q151_vocab_size_sweep" -> Instrument.Counts(171, 171),
-      "q152_ivfpq_recall" -> Instrument.Counts(48, 48),
+      "q152_ivfpq_recall" -> Instrument.Counts(43, 43),
       // round-10 second tier: q153 pair provenance (gram distinct + df
       // window + self-join), q154 the 32-merge fit + usage + two coverage
       // passes (batched fit rounds ARE the bulk), q155 the stateful
       // streaming face (one gram projection + flatMapGroupsWithState +
       // island window)
-      "q153_exact_substr_provenance" -> Instrument.Counts(8, 8),
+      "q153_exact_substr_provenance" -> Instrument.Counts(11, 11),
       "q154_vocab_prune" -> Instrument.Counts(65, 65),
       "q155_exact_substr_stream" -> Instrument.Counts(5, 5),
       // round-10 OPQ tier: q156 the permuted q147 chain (+ the energy
       // ranking collect), q157 TWO chains (pq + opq) + the tf vectorize
       // and energy collects over the pinned tf frame
-      "q156_opq_recall" -> Instrument.Counts(26, 26),
+      "q156_opq_recall" -> Instrument.Counts(19, 19),
       "q157_opq_tf_recall" -> Instrument.Counts(34, 34),
-      // round-11 tier: q158/q159 the degree-oriented triangle machinery
-      // (q159 = q158 + shared pinned degree frame — the round-10 verdict
-      // dedupe, 34 -> 28 stage-jobs), q160 the WHOLE pipeline with the
-      // grid zone tier through real sinks (q75's shape + the grid attach)
-      "q158_triangles_degree" -> Instrument.Counts(11, 11),
+      // round-11 tier: the triangle machinery (since round 12 q116 is the
+      // degree-oriented face and q158 the id-oriented control — the
+      // 11-job bound was measured on the degree plan and the id plan is
+      // strictly smaller, no degree pass), q159 = degree tier + shared
+      // pinned degree frame (round-10 verdict dedupe, 34 -> 28
+      // stage-jobs), q160 the WHOLE pipeline with the grid zone tier
+      // through real sinks (q75's shape + the grid attach)
+      "q158_triangles_degree" -> Instrument.Counts(8, 8),
+      "q116_triangle_counts" -> Instrument.Counts(11, 11),
       "q159_clustering_coeff" -> Instrument.Counts(28, 28),
       "q160_pipeline_grid" -> Instrument.Counts(138, 135),
       // q161: one pinned exact baseline + three sliced search/recall arms
       "q161_matryoshka_recall" -> Instrument.Counts(16, 16),
       // q162: q59's shingle/CC chain + pinned scored frame + argmax attach
-      "q162_dedup_survivorship" -> Instrument.Counts(40, 40),
+      "q162_dedup_survivorship" -> Instrument.Counts(42, 42),
       // q163: one peel round at sf0.001 (the graph IS a 2-core) + the
-      // convergence check + final degree pass
+      // convergence check + final degree pass. Bounds re-pinned round 12
+      // after the cohort widen revert (q59/q153/q162 plain scans plan a
+      // few MORE jobs than the widened form — the r9 posture — and the
+      // ANN recall chains measured lower, 21->15/48->43/26->19)
       "q163_kcore" -> Instrument.Counts(13, 13),
-      // q164: four one-round fixpoints at sf0.001 + union/max
-      "q164_coreness" -> Instrument.Counts(34, 34))
+      // q164: four one-round fixpoints + union/max; round 12's
+      // INCREMENTAL sweep costs +3 jobs at this tiny scale (one extra
+      // initial checkpoint per chain off the prior core) and strictly
+      // less WORK per round at real scale (shrinking frames)
+      "q164_coreness" -> Instrument.Counts(37, 37))
     val got = bounds.toSeq.sortBy(_._1).map { case (name, bound) =>
       val fn = SparkEntry.queries(name)
       // cold-cache slate before each measurement (the Bench discipline):
@@ -214,6 +226,18 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  /** Every SHUFFLE exchange in a plan string, whatever the partitioning:
+    * hash, range, single-partition, round-robin, or repartition-by-
+    * expression. Round 11's rr widen slipped past the previous census
+    * because it enumerated hash/range/single only — count the node, not an
+    * allowlist of partitionings. Broadcast exchanges are excluded by name
+    * (`BroadcastExchange` contains the substring): they move model-sized
+    * state, not the data, and the map-only contract is about data motion.
+    */
+  private def shuffleExchanges(plan: String): Int =
+    plan.linesIterator.count(l =>
+      l.contains("Exchange ") && !l.contains("BroadcastExchange"))
+
   test("per-row queries and the k-means assignment plan zero exchanges") {
     // these queries are contractually map-only: per-row expression chains
     // (q80/q86) and the literal-centroid argmax projection (q84 — the
@@ -225,11 +249,26 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
         "q125_subword_tokens")) {
       val plan = SparkEntry.queries(name)(spark, sfDir)
         .queryExecution.executedPlan.toString
-      val exchanges = plan.linesIterator.count(l =>
-        l.contains("Exchange hashpartitioning") ||
-          l.contains("Exchange rangepartitioning") ||
-          l.contains("Exchange SinglePartition"))
+      val exchanges = shuffleExchanges(plan)
       assert(exchanges === 0, s"$name plans $exchanges exchanges:\n$plan")
     }
+  }
+
+  test("the exchange census counts a round-robin repartition (spec self-check)") {
+    // the hole round 11 shipped through: `df.repartition(n)` plans
+    // `Exchange roundrobinpartitioning`, which the old hash/range/single
+    // allowlist missed — q80/q86's zero-exchange contract was silently
+    // bypassed by the rr widen. This injects exactly that exchange and
+    // asserts the census sees it, so the census can never regress to an
+    // allowlist again.
+    val injected = Tables.documents(spark, sfDir).repartition(8)
+      .queryExecution.executedPlan.toString
+    assert(shuffleExchanges(injected) >= 1,
+      s"census missed the injected round-robin exchange:\n$injected")
+    val byExpr = Tables.documents(spark, sfDir)
+      .repartition(8, col("doc_id"))
+      .queryExecution.executedPlan.toString
+    assert(shuffleExchanges(byExpr) >= 1,
+      s"census missed the injected repartition-by-expression:\n$byExpr")
   }
 }
