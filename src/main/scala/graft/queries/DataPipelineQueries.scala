@@ -55,7 +55,10 @@ object DataPipelineQueries extends Catalog {
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- exact dedup: one shuffle on the normalized-text fingerprint -------
     "q21_exact_dup_groups" -> ((s, d) => {
-      Dedup.exactDupGroups(Tables.documentsWide(s, d), "doc_id", "text")
+      // plain scan (round 12): one consumer, and the fp windows bring
+      // their own exchange — the widen was pure cost here (sidecar r9 vs
+      // r11: wall 0.18->0.39 s AND CPU 0.1->5.0 s, no axis won)
+      Dedup.exactDupGroups(Tables.documents(s, d), "doc_id", "text")
     }),
 
     // ---- n-gram Jaccard near-dup via shingle inverted index ----------------
@@ -164,8 +167,11 @@ object DataPipelineQueries extends Catalog {
     // One window exchange per pass, lead()-materialized neighbors, no
     // rank self-join, no global sort.
     "q138_sorted_neighborhood" -> ((s, d) => {
+      // plain scan (round 12): the block-key windows re-sort anyway and
+      // the widen lost BOTH axes (sidecar wall 0.62->0.88 s, CPU
+      // 0.6->6.5 s r9 vs r11)
       Dedup.sortedNeighborhoodPairs(
-        Tables.documentsWide(s, d).select(col("doc_id"),
+        Tables.documents(s, d).select(col("doc_id"),
           substring(Dedup.normalizeText(col("text")), 1, 32).as("title")),
         "doc_id", "title", blockLen = 4, windowSize = 5, maxDist = 8)
     }),
