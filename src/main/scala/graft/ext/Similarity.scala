@@ -127,6 +127,45 @@ object Similarity {
         pinnedScore(col("__cos")), col("neighbor_id"), k).as("__tk")))
   }
 
+  /** Hard-negative mining for contrastive/embedding training — per anchor,
+    * the `k` MOST similar corpus vectors whose cosine still falls BELOW a
+    * positive threshold: the classic upgrade over random in-batch
+    * negatives (the negatives that actually move a contrastive loss are
+    * the near-misses, not random pairs), with the threshold excluding
+    * self-matches and near-duplicate "false negatives" that would poison
+    * the loss (they are the POSITIVE class by another name).
+    *
+    * Shape = [[knnExact]] with the exclusion applied BEFORE the bounded
+    * top-k heap ([[graft.plans.TopKByAggregate]]): near-positives never
+    * occupy heap slots, the map-side state stays O(k) per anchor, and the
+    * one exchange still carries k·|anchors| rows. The threshold compares
+    * the 1e6-QUANTIZED cosine (`floor(cos·10⁶ + 0.5) < maxCosMicro`, plain
+    * IEEE ops on an integer-dot-derived double) so the boundary decision
+    * is hash-exact cross-engine — ranking below the cut uses the raw
+    * double, which both engines derive bit-identically from the same
+    * integer dot. Same bounded-broadcast-anchor-set contract as
+    * [[knnExact]] (q25): anchors are the small side by construction.
+    */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame,
+                    corpusId: String, corpusVec: String,
+                    queryId: String, queryVec: String,
+                    k: Int, maxCosMicro: Long,
+                    scale: Double = DefaultScale): DataFrame = {
+    val c = prep(corpus, corpusId, corpusVec, "neighbor_id", scale)
+      .withColumnRenamed("__qv", "__cv").withColumnRenamed("__qn", "__cn")
+    val q = prep(queries, queryId, queryVec, "query_id", scale)
+    explodeTopK(c.crossJoin(broadcast(q))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"),
+        cosineFromQuantized(col("__qv"), col("__cv"), col("__qn"), col("__cn"))
+          .as("__cos"),
+        col("neighbor_id").cast("long").as("neighbor_id"))
+      .filter(floor(col("__cos") * 1e6 + lit(0.5)) < lit(maxCosMicro.toDouble))
+      .groupBy("query_id")
+      .agg(graft.plans.TopKByAggregate.topkBy(
+        pinnedScore(col("__cos")), col("neighbor_id"), k).as("__tk")))
+  }
+
   /** Assign every corpus row to its nearest centroid (max cosine, centroid id
     * tiebreak). Output: corpus columns + `cell`. Centroids are broadcast —
     * they are the coarse quantizer and stay small by construction.

@@ -311,6 +311,22 @@ object DataPipelineQueries extends Catalog {
           (floor(col("cosine") * 1e6 + 0.5) / 1e6).as("cosine"))
     }),
 
+    // ---- hard-negative mining (contrastive-training pairs) -----------------
+    // per anchor, the k most-similar vectors whose cosine is still BELOW
+    // the positive cut (quantized boundary: floor(cos·10⁶+0.5) < 400000)
+    // — the near-misses a contrastive loss learns from, with near-dup
+    // "false negatives" excluded BEFORE the bounded top-k heap so they
+    // never occupy slots. 0.4 bites on this corpus: several anchor pairs
+    // sit at 0.40-0.45 at sf0.01 and fall to the exclusion.
+    "q165_hard_negatives" -> ((s, d) => {
+      val vecs = Tables.embeddingsWide(s, d)
+      Similarity.hardNegatives(vecs, vecs.filter(col("vec_id") % 50 === 0),
+          "vec_id", "embedding", "vec_id", "embedding",
+          k = 3, maxCosMicro = 400000L)
+        .select(col("query_id"), col("rank").as("rnk"), col("neighbor_id"),
+          (floor(col("cosine") * 1e6 + 0.5) / 1e6).as("cosine"))
+    }),
+
     // ---- IVF-bucketed approximate top-k (the 100 TB path) ------------------
     "q26_knn_ivf" -> ((s, d) => {
       val vecs = Tables.embeddingsWide(s, d)
@@ -1443,6 +1459,22 @@ object DataPipelineQueries extends Catalog {
          |WHERE vec_id != query_id
          |WINDOW w AS (PARTITION BY query_id ORDER BY $cos DESC, vec_id)
          |QUALIFY row_number() OVER w <= 10""".stripMargin
+    },
+
+    // q25's oracle with the quantized-boundary exclusion; ranking by the
+    // raw cosine like q25 (bit-identical doubles from the integer dot)
+    "q165_hard_negatives" -> {
+      val cos = Similarity.cosineSqlText("qe", "embedding")
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+         |           FROM embeddings WHERE vec_id % 50 = 0)
+         |SELECT query_id, CAST(row_number() OVER w AS BIGINT) AS rnk,
+         |  vec_id AS neighbor_id,
+         |  floor(($cos)*1000000.0 + 0.5)/1000000.0 AS cosine
+         |FROM embeddings CROSS JOIN q
+         |WHERE vec_id != query_id
+         |  AND floor(($cos)*1000000.0 + 0.5) < 400000
+         |WINDOW w AS (PARTITION BY query_id ORDER BY $cos DESC, vec_id)
+         |QUALIFY row_number() OVER w <= 3""".stripMargin
     },
 
     "q26_knn_ivf" -> {

@@ -206,8 +206,10 @@ object Tables {
           // (round-12 sf1 catalog pass: q52 re-paid the whole bucket
           // write in every fresh session — 17 of its 20 task-seconds.)
           val schema = df.schema.toDDL
-          spark.sql(s"CREATE TABLE $table ($schema) USING parquet " +
-            s"CLUSTERED BY ($keyCol) SORTED BY ($keyCol) " +
+          // IF NOT EXISTS: Bench and Verify can race this register inside
+          // one warehouse; whichever registers second must no-op, not throw
+          spark.sql(s"CREATE TABLE IF NOT EXISTS $table ($schema) " +
+            s"USING parquet CLUSTERED BY ($keyCol) SORTED BY ($keyCol) " +
             s"INTO $buckets BUCKETS LOCATION '$dir'")
         } else {
           df.write.mode("overwrite")

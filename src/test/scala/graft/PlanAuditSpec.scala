@@ -56,7 +56,8 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
       "q152_ivfpq_recall", // q25's exact baseline + centroid/lut broadcasts
       "q156_opq_recall", // q147's shapes in the permuted space
       "q157_opq_tf_recall", // q147's shapes ×2 (pq + opq) on hashed-tf
-      "q161_matryoshka_recall") // q25's product ×4 (baseline + 3 widths)
+      "q161_matryoshka_recall", // q25's product ×4 (baseline + 3 widths)
+      "q165_hard_negatives") // q25's bounded-anchor broadcast product
 
   test("no catalog query plans a CartesianProduct") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {

@@ -70,6 +70,33 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(bad.count() === 0)
   }
 
+  test("hardNegatives: near-positives excluded before the heap, ranks " +
+      "contiguous, equals knnExact minus the excluded tier") {
+    // planted geometry against anchor (1,0,0,0): id 1 is a near-dup
+    // (cos ≈ 0.99995 — the false negative that must NOT be mined), ids
+    // 2..5 descend through hard (0.9, 0.8) to easy (0.5, 0.0) negatives
+    val rows = Seq(
+      (100L, Seq(1f, 0f, 0f, 0f)),
+      (1L, Seq(0.999f, 0.01f, 0f, 0f)),
+      (2L, Seq(0.9f, 0.43589f, 0f, 0f)),
+      (3L, Seq(0.8f, 0.6f, 0f, 0f)),
+      (4L, Seq(0.5f, 0.866f, 0f, 0f)),
+      (5L, Seq(0f, 0f, 1f, 0f))).toDF("vec_id", "embedding")
+    val anchors = rows.filter($"vec_id" === 100L)
+    val got = Similarity.hardNegatives(rows, anchors,
+        "vec_id", "embedding", "vec_id", "embedding",
+        k = 2, maxCosMicro = 950000L)
+      .select($"rank", $"neighbor_id").as[(Long, Long)].collect().sorted
+    assert(got.toSeq === Seq((1L, 2L), (2L, 3L)),
+      s"expected hard negatives 2,3 in rank order, got ${got.toSeq}")
+    // the same top-2 WITHOUT the exclusion puts the near-dup first —
+    // proving the threshold (not luck) removed it
+    val plain = Similarity.knnExact(rows, anchors,
+        "vec_id", "embedding", "vec_id", "embedding", k = 2)
+      .select($"rank", $"neighbor_id").as[(Long, Long)].collect().sorted
+    assert(plain.toSeq === Seq((1L, 1L), (2L, 2L)))
+  }
+
   test("IVF recall beats the scanned-fraction baseline; full probe = exact") {
     val k = 5
     val centroids = vecs.filter($"vec_id" % 20 === 7)
