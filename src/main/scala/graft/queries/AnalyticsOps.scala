@@ -516,6 +516,42 @@ object AnalyticsOps extends Catalog {
     // construction. Output keeps the group rep so the invariant is
     // mechanically checkable (and spec-pinned): doc_ids differ, reps
     // and splits agree.
+    // ---- max-min fair budget mixture (water-filling with caps) -------------
+    // q123's proportional allocation UNDER-FILLS when a domain has less
+    // material than its share (target docs simply don't exist — the
+    // shortfall is lost). This is the allocation a budgeted training-mix
+    // planner actually wants: equal shares with caps, the residue of
+    // saturated domains redistributed (max-min fairness / progressive
+    // filling), Σ alloc == budget exactly whenever Σ cap ≥ budget. Budget
+    // = 80% of the corpus, which makes the four small langs saturate and
+    // the residue flow to `en` at every driver SF (capacity skew ~3.4×).
+    // The per-lang sample then proves the allocation is MET, not just
+    // stated: sampled == alloc per lang (rank ≤ alloc under the portable
+    // FNV order, the q123 device).
+    "q166_fair_budget_mix" -> ((s, d) => {
+      import graft.plans.Fnv1a64Expression.fnv1a64
+      val docs = Tables.documents(s, d)
+      val byLang = docs.groupBy("lang").agg(count(lit(1)).as("n"))
+      // one count() action for the driver-scalar budget (the model-collect
+      // posture: a single long, never data)
+      val budget = docs.count() * 8 / 10
+      val shares = graft.ext.Mixtures.maxMinFairShares(
+        byLang, "lang", "n", budget)
+      val byRank = org.apache.spark.sql.expressions.Window
+        .partitionBy("lang")
+        .orderBy(fnv1a64(col("doc_id")), col("doc_id"))
+      val sampled = docs
+        .withColumn("__r", row_number().over(byRank).cast("long"))
+        .join(shares.select(col("lang"), col("alloc")), Seq("lang"))
+        .filter(col("__r") <= col("alloc"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("sampled"), sum("doc_id").as("sample_id_sum"))
+      shares.join(sampled, Seq("lang"), "left")
+        .select(col("lang"), col("n"),
+          col("saturated").cast("long").as("saturated"),
+          col("alloc"), col("sampled"), col("sample_id_sum"))
+    }),
+
     "q124_leakage_safe_split" -> ((s, d) => {
       import graft.plans.Fnv1a64Expression.fnv1a64
       val g = graft.ext.Dedup.exactDupGroups(
@@ -814,6 +850,56 @@ object AnalyticsOps extends Catalog {
          |SELECT t.lang, t.n, t.w_micro, t.target, smp.sampled,
          |  smp.sample_id_sum
          |FROM t LEFT JOIN smp ON smp.lang = t.lang""".stripMargin
+    },
+
+    // independent water-filling formulation: the saturation predicate
+    // and the largest-remainder split spelled in DuckDB windows; the
+    // sample re-derives the portable FNV rank like q123's oracle
+    "q166_fair_budget_mix" -> {
+      import graft.plans.Fnv1a64Expression.{longSqlText, toSignedSqlText}
+      val fnv = toSignedSqlText(
+        longSqlText("14695981039346656037::HUGEINT", "doc_id::HUGEINT"))
+      s"""WITH byl AS (SELECT lang, CAST(count(*) AS BIGINT) AS n
+         |  FROM documents GROUP BY 1),
+         |b AS (SELECT (CAST(count(*) AS BIGINT) * 8) // 10 AS budget
+         |  FROM documents),
+         |rk AS (SELECT lang, n,
+         |    CAST(row_number() OVER (ORDER BY n, lang) AS BIGINT) AS i,
+         |    CAST(coalesce(sum(n) OVER (ORDER BY n, lang
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS BIGINT) AS cum,
+         |    CAST(count(*) OVER () AS BIGINT) AS k
+         |  FROM byl),
+         |st AS (SELECT rk.*, b.budget,
+         |    (n * (k - i + 1) <= budget - cum) AS saturated
+         |  FROM rk CROSS JOIN b),
+         |t2 AS (SELECT
+         |    CAST(coalesce(sum(CASE WHEN saturated THEN n END), 0)
+         |      AS BIGINT) AS satcap,
+         |    CAST(sum(CASE WHEN saturated THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS nsat
+         |  FROM st),
+         |al AS (SELECT st.lang, st.n, st.saturated,
+         |    CAST(CASE WHEN st.saturated THEN st.n
+         |      ELSE (st.budget - t2.satcap) // (st.k - t2.nsat)
+         |        + (CASE WHEN st.i - t2.nsat <=
+         |            (st.budget - t2.satcap) % (st.k - t2.nsat)
+         |          THEN 1 ELSE 0 END)
+         |    END AS BIGINT) AS alloc
+         |  FROM st CROSS JOIN t2),
+         |r AS (SELECT lang, doc_id,
+         |    row_number() OVER (PARTITION BY lang
+         |      ORDER BY ($fnv), doc_id) AS rr
+         |  FROM documents),
+         |smp AS (SELECT r.lang, CAST(count(*) AS BIGINT) AS sampled,
+         |    CAST(sum(r.doc_id) AS BIGINT) AS sample_id_sum
+         |  FROM r JOIN al ON r.lang = al.lang WHERE r.rr <= al.alloc
+         |  GROUP BY 1)
+         |SELECT al.lang, al.n,
+         |  CAST(CASE WHEN al.saturated THEN 1 ELSE 0 END AS BIGINT)
+         |    AS saturated,
+         |  al.alloc, smp.sampled, smp.sample_id_sum
+         |FROM al LEFT JOIN smp ON smp.lang = al.lang""".stripMargin
     },
 
     "q124_leakage_safe_split" -> {

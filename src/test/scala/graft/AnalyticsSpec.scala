@@ -450,6 +450,45 @@ class AnalyticsSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  // ---- max-min fair shares ---------------------------------------------------
+
+  test("max-min fair shares: cascade saturation, exact budget, caps " +
+      "respected, remainder deterministic") {
+    import graft.ext.Mixtures
+    def run(caps: Seq[(String, Long)], budget: Long): Map[String, Long] =
+      Mixtures.maxMinFairShares(caps.toDF("k", "c"), "k", "c", budget)
+        .select($"k", $"alloc").as[(String, Long)].collect().toMap
+    // cascade: a(10) and b(20) saturate, c takes the residue — Σ = budget
+    assert(run(Seq(("a", 10L), ("b", 20L), ("c", 100L)), 60L) ===
+      Map("a" -> 10L, "b" -> 20L, "c" -> 30L))
+    // budget over total capacity: everyone saturates at cap
+    assert(run(Seq(("a", 10L), ("b", 20L), ("c", 100L)), 200L) ===
+      Map("a" -> 10L, "b" -> 20L, "c" -> 100L))
+    // nothing saturates: equal split, remainder to the first domains in
+    // (cap, key) order, and the +1 can never push past a cap (lemma in
+    // the scaladoc: an unsaturated cap strictly exceeds its fair floor)
+    assert(run(Seq(("a", 5L), ("b", 50L), ("c", 50L)), 14L) ===
+      Map("a" -> 5L, "b" -> 5L, "c" -> 4L))
+    // property: random caps/budgets — alloc ≤ cap, Σ = min(budget, Σcap),
+    // and max-min fairness (an unsaturated domain's alloc is ≥ every
+    // other domain's alloc − 1, the equal-level property)
+    val rnd = new scala.util.Random(42)
+    for (_ <- 1 to 5) {
+      val caps = (1 to 8).map(i => (s"d$i", rnd.nextInt(100).toLong))
+      val budget = rnd.nextInt(400).toLong
+      val got = run(caps, budget)
+      val capMap = caps.toMap
+      assert(got.forall { case (k, a) => a >= 0 && a <= capMap(k) })
+      assert(got.values.sum === math.min(budget, caps.map(_._2).sum))
+      val unsat = got.filter { case (k, a) => a < capMap(k) }
+      if (unsat.nonEmpty) {
+        val floorLevel = unsat.values.min
+        assert(got.values.forall(_ <= floorLevel + 1),
+          s"equal-level violated: $got budget=$budget caps=$caps")
+      }
+    }
+  }
+
   // ---- gap fill ------------------------------------------------------------
 
   test("gap fill densifies the span and carries the last value forward") {
