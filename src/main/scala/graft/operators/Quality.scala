@@ -100,4 +100,41 @@ object Quality {
     }
     fkViol.foldLeft(pkViol.unionByName(predViol))(_ unionByName _)
   }
+
+  /** Strictly-below empirical CDF of an integer column, in parts-per-
+    * million: `out = (#rows with value < x) · 10⁶ div N` — the percentile
+    * rank device WITHOUT the single-partition global window. A
+    * `percent_rank() OVER (ORDER BY x)` (no PARTITION BY) drags the whole
+    * corpus through one task (the q49 window pathology); here the rank is
+    * derived on the VALUE-AGGREGATE frame instead: one groupBy(value)
+    * count, one running sum over the distinct values, one value-keyed
+    * join back. The windows order the distinct-value frame — bounded by
+    * the signal's quantization (≤ 10⁶+1 rows for a micro-ratio, max doc
+    * length for a token count), never by the corpus — so the single
+    * ordered partition holds the value HISTOGRAM, which is the state a
+    * 100 TB percentile pass has to centralize anyway.
+    *
+    * Strictly-below (not ≤) makes ties rank together at the LOW side —
+    * deterministic and engine-portable: it equals
+    * `(rank() OVER (ORDER BY x) − 1)·10⁶ div N`, the formulation an
+    * independent oracle can run directly. Integer throughout; rows with
+    * NULL `value` are the caller's problem (quantized signals here are
+    * coalesced upstream) — they would hash-diverge on engines' NULL
+    * ordering, so the join simply drops them, loudly shrinking the row
+    * count rather than silently mis-ranking.
+    */
+  def empiricalCdfMicro(df: DataFrame, value: String,
+                        out: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col(value))
+    val all = org.apache.spark.sql.expressions.Window.partitionBy()
+    val ranks = df.groupBy(col(value)).agg(count(lit(1)).as("__vn"))
+      .withColumn("__below",
+        coalesce(sum("__vn").over(w.rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .withColumn("__N", sum("__vn").over(all))
+      .withColumn(out, expr(s"(__below * 1000000) div __N"))
+      .select(col(value), col(out))
+    df.join(ranks, Seq(value))
+  }
 }

@@ -561,6 +561,43 @@ object DataPipelineQueries extends Catalog {
         TextAnalysis.fingerprint(t).as("fp"))
     }),
 
+    // ---- quality-signal fusion via scalable percentile ranks ---------------
+    // three heterogeneous quality signals (length, stopword density,
+    // punctuation cleanliness) fused on a COMMON scale: each signal maps
+    // to its strictly-below empirical CDF rank (ppm), the blend is the
+    // integer mean, keep = upper half. Rank-blending is how production
+    // curation combines incommensurable signals (a raw z-score mix breaks
+    // on heavy tails); the point of the operator is the SHAPE —
+    // Quality.empiricalCdfMicro ranks on the value-aggregate frame (one
+    // groupBy + a distinct-values running sum + a value-keyed join), so
+    // NO corpus-sized single-partition window exists anywhere (the q49
+    // pathology a bare percent_rank() would reintroduce). Signals are
+    // integers (count / micro-quantized ratios, null-coalesced) so every
+    // rank, the blend, and the verdict are hash-exact.
+    "q167_quality_rank_blend" -> ((s, d) => {
+      val t = col("text")
+      val sig = Tables.documents(s, d).filter(t.isNotNull)
+        .select(col("doc_id"),
+          TextAnalysis.tokenCount(t).as("n_tokens"),
+          coalesce(floor(TextAnalysis.stopwordRatio(t) * 1e6 + 0.5)
+            .cast("long"), lit(0L)).as("stop_micro"),
+          (lit(1000000L) - coalesce(
+            floor(TextAnalysis.punctRatio(t) * 1e6 + 0.5).cast("long"),
+            lit(0L))).as("negpunct_micro"))
+      val ranked = Seq(("n_tokens", "r_tokens"), ("stop_micro", "r_stop"),
+          ("negpunct_micro", "r_punct"))
+        .foldLeft(sig) { case (df, (v, r)) =>
+          graft.operators.Quality.empiricalCdfMicro(df, v, r)
+        }
+      ranked
+        .withColumn("blended_micro",
+          expr("(r_tokens + r_stop + r_punct) div 3"))
+        .withColumn("kept",
+          (col("blended_micro") >= 500000L).cast("long"))
+        .select("doc_id", "n_tokens", "stop_micro", "negpunct_micro",
+          "r_tokens", "r_stop", "r_punct", "blended_micro", "kept")
+    }),
+
     // ---- multimodal payload plumbing --------------------------------------
     "q29_multimodal_bytes" -> ((s, d) => {
       val packed = Multimodal.packPayload(Tables.documentsWide(s, d), "text")
@@ -1819,6 +1856,43 @@ object DataPipelineQueries extends Catalog {
          |  ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
          |GROUP BY 1""".stripMargin
     },
+
+    // INDEPENDENT formulation: rank() over the whole corpus per signal
+    // ((rank − 1)·10⁶ // N == the strictly-below CDF) — the oracle runs
+    // the global-window shape the engine deliberately avoids, so the
+    // hash match proves the value-aggregate device is invisible
+    "q167_quality_rank_blend" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, $normSql AS norm, $wordsSql AS ws
+         |  FROM documents WHERE text IS NOT NULL),
+         |sig AS (
+         |  SELECT doc_id,
+         |    CAST(len(ws) AS BIGINT) AS n_tokens,
+         |    CAST(coalesce(floor(
+         |      CAST(len(list_filter(ws, x -> list_contains($stopListSql, x)))
+         |        AS DOUBLE) / len(ws) * 1000000.0 + 0.5), 0) AS BIGINT)
+         |      AS stop_micro,
+         |    CAST(1000000 - coalesce(floor(
+         |      CAST(len(norm) - len(regexp_replace(norm, '[[:punct:]]', '', 'g'))
+         |        AS DOUBLE) / len(norm) * 1000000.0 + 0.5), 0) AS BIGINT)
+         |      AS negpunct_micro
+         |  FROM base),
+         |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM sig),
+         |rk AS (
+         |  SELECT sig.*,
+         |    CAST(((rank() OVER (ORDER BY n_tokens) - 1) * 1000000) // nn.n
+         |      AS BIGINT) AS r_tokens,
+         |    CAST(((rank() OVER (ORDER BY stop_micro) - 1) * 1000000) // nn.n
+         |      AS BIGINT) AS r_stop,
+         |    CAST(((rank() OVER (ORDER BY negpunct_micro) - 1) * 1000000) // nn.n
+         |      AS BIGINT) AS r_punct
+         |  FROM sig CROSS JOIN nn)
+         |SELECT doc_id, n_tokens, stop_micro, negpunct_micro,
+         |  r_tokens, r_stop, r_punct,
+         |  CAST((r_tokens + r_stop + r_punct) // 3 AS BIGINT) AS blended_micro,
+         |  CAST(CASE WHEN (r_tokens + r_stop + r_punct) // 3 >= 500000
+         |    THEN 1 ELSE 0 END AS BIGINT) AS kept
+         |FROM rk""".stripMargin,
 
     "q28_text_stats" ->
       s"""WITH base AS (

@@ -450,6 +450,30 @@ class AnalyticsSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  // ---- empirical CDF rank ----------------------------------------------------
+
+  test("empiricalCdfMicro: strictly-below ppm ranks, ties rank low, " +
+      "equals the rank()-window formulation") {
+    import graft.operators.Quality
+    // [5,5,7,9]: below(5)=0 -> 0; below(7)=2 -> 500000; below(9)=3 -> 750000
+    val small = Seq((1L, 5L), (2L, 5L), (3L, 7L), (4L, 9L)).toDF("id", "v")
+    val got = Quality.empiricalCdfMicro(small, "v", "r")
+      .select($"id", $"r").as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 0L, 2L -> 0L, 3L -> 500000L, 4L -> 750000L))
+    // seeded random frame with heavy ties: the value-aggregate device
+    // must equal the global rank() window it exists to avoid
+    val rnd = new scala.util.Random(7)
+    val data = (1L to 200L).map(i => (i, rnd.nextInt(12).toLong))
+      .toDF("id", "v")
+    val dev = Quality.empiricalCdfMicro(data, "v", "r")
+      .select($"id", $"r").as[(Long, Long)].collect().toMap
+    val w = org.apache.spark.sql.expressions.Window.orderBy($"v")
+    val win = data.withColumn("r",
+        expr("((rank() over (order by v) - 1) * 1000000) div 200"))
+      .select($"id", $"r").as[(Long, Long)].collect().toMap
+    assert(dev === win)
+  }
+
   // ---- max-min fair shares ---------------------------------------------------
 
   test("max-min fair shares: cascade saturation, exact budget, caps " +
