@@ -40,15 +40,47 @@ object Caches {
     * from an input are safe to pass.
     */
   // Spark WARNs on every unpersist of a localCheckpointed RDD ("lineage
-  // has been truncated and cannot be recomputed") — here that is the
-  // POINT: the frame is provably dead, and ~1 warning per peel/star round
-  // would drown real warnings in every bench log. Demote that one logger
-  // once; best-effort (a log4j-less classpath just keeps the noise).
+  // ... truncated and cannot be recomputed after unpersisting") — here
+  // that is the POINT: the frame is provably dead, and ~1 warning per
+  // peel/star round would drown real warnings in every bench log. A
+  // message-scoped DENY filter on exactly that logger drops only this
+  // message (ADVICE r12: a blanket level demotion would also hide
+  // unrelated MapPartitionsRDD warnings — cache eviction, persistence).
+  // Best-effort (a non-log4j2-core classpath just keeps the noise).
   private lazy val silenceCheckpointWarn: Unit =
-    try org.apache.logging.log4j.core.config.Configurator.setLevel(
-      "org.apache.spark.rdd.MapPartitionsRDD",
-      org.apache.logging.log4j.Level.ERROR)
-    catch { case _: Throwable => () }
+    try {
+      import org.apache.logging.log4j.core.Filter.Result
+      val ctx = org.apache.logging.log4j.LogManager.getContext(false)
+        .asInstanceOf[org.apache.logging.log4j.core.LoggerContext]
+      val cfg = ctx.getConfiguration
+      val name = "org.apache.spark.rdd.MapPartitionsRDD"
+      // LoggerConfig filters see the filter(LogEvent) overload only; the
+      // constructor defaults (NEUTRAL, NEUTRAL) keep every other overload
+      // a no-op, so nothing else on this logger is affected.
+      val deny = new org.apache.logging.log4j.core.filter.AbstractFilter(
+          Result.NEUTRAL, Result.NEUTRAL) {
+        override def filter(e: org.apache.logging.log4j.core.LogEvent)
+            : Result = {
+          val m = if (e.getMessage == null) null
+                  else e.getMessage.getFormattedMessage
+          if (m != null && m.contains(
+              "truncated and cannot be recomputed after unpersisting"))
+            Result.DENY
+          else Result.NEUTRAL
+        }
+      }
+      val ancestor = cfg.getLoggerConfig(name)
+      val target =
+        if (ancestor.getName == name) ancestor
+        else { // give exactly this logger its own (additive) config
+          val lc = new org.apache.logging.log4j.core.config.LoggerConfig(
+            name, ancestor.getLevel, true)
+          cfg.addLogger(name, lc)
+          lc
+        }
+      target.addFilter(deny)
+      ctx.updateLoggers()
+    } catch { case _: Throwable => () }
 
   def releaseLocalCheckpoint(df: DataFrame): Unit =
     df.queryExecution.logical match {

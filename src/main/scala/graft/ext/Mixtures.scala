@@ -45,7 +45,9 @@ object Mixtures {
     * global windows here order domains, never data; the corpus-sized work
     * is whatever aggregation produced `caps`, upstream.
     *
-    * Input: (key, cap) — one row per domain, cap ≥ 0.
+    * Input: (key, cap) — one row per domain, cap ≥ 0 (load-bearing: the
+    * multiplication-free saturation test below is only equivalent to
+    * c·(k−i+1) ≤ B−cum for non-negative caps).
     * Output: (key, cap, saturated, alloc), alloc ≤ cap.
     */
   def maxMinFairShares(caps: DataFrame, key: String, cap: String,
@@ -60,8 +62,14 @@ object Mixtures {
         coalesce(sum("__c").over(byCap.rowsBetween(
           Window.unboundedPreceding, -1)), lit(0L)))
       .withColumn("__k", count(lit(1)).over(all).cast("long"))
+      // saturation test c·(k−i+1) ≤ B−cum, written multiplication-free
+      // (ADVICE r12: c·(k−i+1) can overflow Long for huge caps × many
+      // domains and silently flip the decision). For c ≥ 0 and n = k−i+1
+      // ≥ 1:  c·n ≤ R  ⟺  R ≥ 0 ∧ c ≤ R div n  — exact under truncating
+      // division because both sides are false whenever R < 0.
       .withColumn("saturated",
-        col("__c") * (col("__k") - col("__i") + 1) <= lit(budget) - col("__cum"))
+        expr(s"($budget - __cum) >= 0 AND " +
+          s"__c <= ($budget - __cum) div (__k - __i + 1)"))
     val sat = ranked
       .withColumn("__nSat",
         sum(when(col("saturated"), 1L).otherwise(0L)).over(all))

@@ -79,25 +79,31 @@ object TextAnalysis {
     graft.plans.WordpieceExpression.wordpiecePieces(
       Dedup.normalizeText(text), vocab)
 
-  /** characters of punctuation / total characters of the normalized text */
+  /** characters of punctuation / total characters of the normalized text.
+    * Empty normalized text → NULL (nullif'd denominator), never NaN:
+    * `0.0 / 0` is NaN in Spark, which a downstream `coalesce` can't catch
+    * and which `floor(_).cast("long")` silently turns into 0 while ANSI
+    * engines error — NULL propagates predictably through both.
+    */
   def punctRatio(text: Column): Column = {
     val norm = Dedup.normalizeText(text)
     (length(norm) - length(regexp_replace(norm, "[\\p{Punct}]", ""))).cast("double") /
-      length(norm)
+      nullif(length(norm), lit(0))
   }
 
-  /** fraction of whitespace tokens that are stopwords */
+  /** fraction of whitespace tokens that are stopwords; zero-token doc →
+    * NULL (see [[punctRatio]] for the NaN rationale) */
   def stopwordRatio(text: Column, stopwords: Seq[String] = EnglishStopwords): Column = {
     val ts = tokens(text)
     size(filter(ts, t => array_contains(typedLit(stopwords), t))).cast("double") /
-      size(ts)
+      nullif(size(ts), lit(0))
   }
 
-  /** mean token length (exact-int quotient) */
+  /** mean token length (exact-int quotient); zero-token doc → NULL */
   def avgTokenLen(text: Column): Column = {
     val ts = tokens(text)
     aggregate(transform(ts, t => length(t).cast("long")), lit(0L), (s, x) => s + x)
-      .cast("double") / size(ts)
+      .cast("double") / nullif(size(ts), lit(0))
   }
 
   /** n-gram language-ID heuristic: enough stopword mass → the candidate

@@ -871,7 +871,8 @@ object AnalyticsOps extends Catalog {
          |    CAST(count(*) OVER () AS BIGINT) AS k
          |  FROM byl),
          |st AS (SELECT rk.*, b.budget,
-         |    (n * (k - i + 1) <= budget - cum) AS saturated
+         |    (budget - cum >= 0 AND n <= (budget - cum) // (k - i + 1))
+         |      AS saturated
          |  FROM rk CROSS JOIN b),
          |t2 AS (SELECT
          |    CAST(coalesce(sum(CASE WHEN saturated THEN n END), 0)

@@ -573,7 +573,11 @@ object DataPipelineQueries extends Catalog {
     // NO corpus-sized single-partition window exists anywhere (the q49
     // pathology a bare percent_rank() would reintroduce). Signals are
     // integers (count / micro-quantized ratios, null-coalesced) so every
-    // rank, the blend, and the verdict are hash-exact.
+    // rank, the blend, and the verdict are hash-exact. Zero-denominator
+    // docs (empty / whitespace-only / punct-only) are a real edge: the
+    // ratio functions nullif their denominators (NULL, never 0.0/0 = NaN,
+    // which coalesce can't catch), so the coalesce here is a genuine
+    // guard — and the oracle carries the matching CASE WHEN len = 0.
     "q167_quality_rank_blend" -> ((s, d) => {
       val t = col("text")
       val sig = Tables.documents(s, d).filter(t.isNotNull)
@@ -1868,13 +1872,13 @@ object DataPipelineQueries extends Catalog {
          |sig AS (
          |  SELECT doc_id,
          |    CAST(len(ws) AS BIGINT) AS n_tokens,
-         |    CAST(coalesce(floor(
+         |    CAST(CASE WHEN len(ws) = 0 THEN 0 ELSE floor(
          |      CAST(len(list_filter(ws, x -> list_contains($stopListSql, x)))
-         |        AS DOUBLE) / len(ws) * 1000000.0 + 0.5), 0) AS BIGINT)
+         |        AS DOUBLE) / len(ws) * 1000000.0 + 0.5) END AS BIGINT)
          |      AS stop_micro,
-         |    CAST(1000000 - coalesce(floor(
+         |    CAST(1000000 - CASE WHEN len(norm) = 0 THEN 0 ELSE floor(
          |      CAST(len(norm) - len(regexp_replace(norm, '[[:punct:]]', '', 'g'))
-         |        AS DOUBLE) / len(norm) * 1000000.0 + 0.5), 0) AS BIGINT)
+         |        AS DOUBLE) / len(norm) * 1000000.0 + 0.5) END AS BIGINT)
          |      AS negpunct_micro
          |  FROM base),
          |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM sig),
@@ -1894,23 +1898,28 @@ object DataPipelineQueries extends Catalog {
          |    THEN 1 ELSE 0 END AS BIGINT) AS kept
          |FROM rk""".stripMargin,
 
+    // nullif'd denominators mirror the engine's NULL-on-empty-doc ratio
+    // semantics (0.0/0 is NaN in both engines otherwise, and NaN compares
+    // differently: DuckDB orders NaN above all values, Spark's when() sees
+    // a false predicate — NULL behaves identically in both)
     "q28_text_stats" ->
       s"""WITH base AS (
          |  SELECT doc_id, $normSql AS norm, $wordsSql AS ws FROM documents),
          |stats AS (
          |  SELECT doc_id, norm, ws,
          |    CAST(len(list_filter(ws, x -> list_contains($stopListSql, x)))
-         |      AS DOUBLE) / len(ws) AS stop_raw
+         |      AS DOUBLE) / nullif(len(ws), 0) AS stop_raw
          |  FROM base)
          |SELECT doc_id,
          |  CAST(len(ws) AS BIGINT) AS n_tokens,
          |  CAST(len(regexp_extract_all(norm, '[a-z]+|[0-9]+|[^a-z0-9 ]'))
          |    AS BIGINT) AS n_subtokens,
          |  floor(CAST(len(norm) - len(regexp_replace(norm, '[[:punct:]]', '', 'g'))
-         |    AS DOUBLE) / len(norm) * 1000000.0 + 0.5)/1000000.0 AS punct_ratio,
+         |    AS DOUBLE) / nullif(len(norm), 0) * 1000000.0 + 0.5)/1000000.0
+         |    AS punct_ratio,
          |  floor(stop_raw * 1000000.0 + 0.5)/1000000.0 AS stop_ratio,
          |  floor(CAST(list_sum(list_transform(ws, x -> len(x))) AS DOUBLE)
-         |    / len(ws) * 1000000.0 + 0.5)/1000000.0 AS avg_token_len,
+         |    / nullif(len(ws), 0) * 1000000.0 + 0.5)/1000000.0 AS avg_token_len,
          |  CASE WHEN stop_raw >= 0.02 THEN 'en' ELSE 'unknown' END AS lang_guess,
          |  md5(norm) AS fp
          |FROM stats""".stripMargin,

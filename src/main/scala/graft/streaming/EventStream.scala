@@ -390,7 +390,16 @@ object EventStream {
     * the timeout back below lastOcc + horizon, or the watermark could pass
     * it, evict, and a within-horizon follow-up would miss — violating the
     * GUARANTEED clause (whose proof assumes timeout = lastOcc + horizon
-    * with lastOcc the max over ALL occurrences). */
+    * with lastOcc the max over ALL occurrences).
+    *
+    * STATE-FORMAT BREAK (r12): this type replaced `GramFirst` as the
+    * evicting query's state encoder, so a checkpoint written by the
+    * pre-r12 build cannot be restarted against this one — Spark's state
+    * schema compatibility check rejects the extra `lastOccMs` field.
+    * Deliberate: the old schema cannot express a monotone clock (the bug
+    * being fixed), so a versioned wrapper would carry a field that must
+    * never be absent. Restarting the evicting stream across this change
+    * requires a fresh checkpoint directory (reprocess from the source). */
   case class GramFirstTs(id: Long, pos: Long, dup: Boolean, lastOccMs: Long)
 
   /** Streaming ExactSubstr duplicated-gram starts — the cross-batch gram

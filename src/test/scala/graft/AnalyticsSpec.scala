@@ -513,6 +513,22 @@ class AnalyticsSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("max-min fair shares: huge caps don't overflow the saturation test") {
+    import graft.ext.Mixtures
+    // cap·(k−i+1) here is ~4.6e18·3 ≫ Long.MaxValue — the multiplication
+    // form would wrap negative and spuriously saturate every domain
+    // (ADVICE r12); the division form must still allocate the full budget
+    // to the unsaturated giants
+    val huge = Long.MaxValue / 2
+    val got = Mixtures.maxMinFairShares(
+        Seq(("a", 10L), ("b", huge), ("c", huge)).toDF("k", "c"),
+        "k", "c", 100L)
+      .select($"k", $"saturated", $"alloc").as[(String, Boolean, Long)]
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got === Map(
+      "a" -> ((true, 10L)), "b" -> ((false, 45L)), "c" -> ((false, 45L))))
+  }
+
   // ---- gap fill ------------------------------------------------------------
 
   test("gap fill densifies the span and carries the last value forward") {

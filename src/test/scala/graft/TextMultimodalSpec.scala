@@ -79,6 +79,38 @@ class TextMultimodalSpec extends AnyFunSuite with SparkTestBase {
     assert(fps(0) === fps(1))
   }
 
+  test("zero-denominator docs: ratios are NULL (never NaN), and the q167 " +
+      "micro-signal coalesce genuinely fires") {
+    // empty, whitespace-only (norm → ""), punct-only (tokens=1, norm>0):
+    // 0.0/0 in Spark is NaN, which coalesce can't catch and floor().cast
+    // silently zeroes — the nullif'd denominators must surface NULL instead
+    val edge = Seq(("", 1L), ("   \t  ", 2L), ("!!!", 3L), ("the cat", 4L))
+      .toDF("text", "doc_id")
+    val r = edge.select($"doc_id",
+        TextAnalysis.stopwordRatio($"text").as("sr"),
+        TextAnalysis.punctRatio($"text").as("pr"),
+        TextAnalysis.avgTokenLen($"text").as("al"))
+      .as[(Long, Option[Double], Option[Double], Option[Double])]
+      .collect().map(x => x._1 -> ((x._2, x._3, x._4))).toMap
+    assert(r(1L) === ((None, None, None)))
+    assert(r(2L) === ((None, None, None)))
+    assert(r(3L) === ((Some(0.0), Some(1.0), Some(3.0)))) // "!!!": 1 token
+    assert(r(4L)._1 === Some(0.5))
+    assert(!r.values.exists(v =>
+      Seq(v._1, v._2, v._3).flatten.exists(_.isNaN)))
+    // the exact q167 signal shape over the edge docs: guarded to 0 / 1e6
+    val sig = edge.filter($"text".isNotNull).select($"doc_id",
+        coalesce(floor(TextAnalysis.stopwordRatio($"text") * 1e6 + 0.5)
+          .cast("long"), lit(0L)).as("stop_micro"),
+        (lit(1000000L) - coalesce(
+          floor(TextAnalysis.punctRatio($"text") * 1e6 + 0.5).cast("long"),
+          lit(0L))).as("negpunct_micro"))
+      .as[(Long, Long, Long)].collect().map(x => x._1 -> ((x._2, x._3))).toMap
+    assert(sig(1L) === ((0L, 1000000L)))
+    assert(sig(2L) === ((0L, 1000000L)))
+    assert(sig(3L) === ((0L, 0L))) // all-punct: ratio 1 → negpunct 0
+  }
+
   test("repetition signals: hand-computed ratios, empty doc yields null") {
     import graft.ext.TextAnalysis._
     val df = Seq(

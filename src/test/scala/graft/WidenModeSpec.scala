@@ -39,10 +39,17 @@ class WidenModeSpec extends AnyFunSuite with SparkTestBase {
       "q80_repetition_signals")
     val modes = Seq("off", "rr", "hash", "pin", "hashpin")
     for (name <- targets) {
+      // save/restore rather than remove: don't clobber a pre-set mode
+      // (ADVICE r12); suites run sequentially (no forked parallel specs),
+      // so the flip is not racing another suite's Tables.wide plan build.
+      val prior = sys.props.get("graft.widen")
       val sums = modes.map { m =>
         sys.props("graft.widen") = m
         try (m, checksum(name))
-        finally sys.props.remove("graft.widen")
+        finally prior match {
+          case Some(v) => sys.props("graft.widen") = v
+          case None    => sys.props.remove("graft.widen")
+        }
       }
       assert(sums.map(_._2).distinct.size === 1,
         s"$name result differs across widen modes: $sums")
