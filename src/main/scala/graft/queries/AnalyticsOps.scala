@@ -67,19 +67,32 @@ object AnalyticsOps extends Catalog {
   private val CorenessMaxK = 4
 
   /** Canonical co-purchase edges (p1 < p2, co ≥ 2) over lineitem — the
-    * graph under both triangle tiers (q116 id-oriented, q158
-    * degree-oriented). */
-  private def coPurchaseEdges(s: SparkSession, d: String): DataFrame = {
-    val bk = Tables.lineitem(s, d)
-      .select(col("l_orderkey").as("o"),
-        col("l_partkey").cast("long").as("p"))
-      .distinct()
-    bk.as("a").join(bk.as("b"),
-        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
-      .select(col("a.p").as("p1"), col("b.p").as("p2"))
-      .groupBy("p1", "p2").agg(count(lit(1)).as("co"))
-      .filter(col("co") >= 2).select("p1", "p2")
-  }
+    * graph under the whole graph family (q116/q158 triangles, q159
+    * clustering coefficient, q163 k-core, q164 coreness).
+    *
+    * MATERIALIZED content-keyed (round-12 verdict item 2): the basket
+    * self-join that derives these edges dominated every graph query's sf10
+    * probe (4812 task-s, 120M pairs — shared by five consumers, recomputed
+    * by each), so the edge list is built once per lineitem vintage and
+    * re-SCANNED from parquet thereafter — disk-backed like the q52 bucket
+    * register, not a memory pin (the r12 A/B showed pins losing in
+    * full-catalog context). The frame is a pure function of lineitem
+    * (deterministic rows), so the scan is hash-identical to the
+    * derivation.
+    */
+  private def coPurchaseEdges(s: SparkSession, d: String): DataFrame =
+    Tables.ensureMaterialized(s, "copurchase_edges",
+      Tables.contentKey(s"$d/lineitem.parquet")) {
+      val bk = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("o"),
+          col("l_partkey").cast("long").as("p"))
+        .distinct()
+      bk.as("a").join(bk.as("b"),
+          col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+        .select(col("a.p").as("p1"), col("b.p").as("p2"))
+        .groupBy("p1", "p2").agg(count(lit(1)).as("co"))
+        .filter(col("co") >= 2).select("p1", "p2")
+    }
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- windowed funnel: signup -> click -> purchase ----------------------
@@ -287,7 +300,10 @@ object AnalyticsOps extends Catalog {
     // one degree aggregate; ALL nodes of the graph appear, triangle-less
     // ones with 0 — the left join the q116/q158 outputs can't express.
     "q159_clustering_coeff" -> ((s, d) => {
-      val edges = graft.ext.Caches.pin(coPurchaseEdges(s, d))
+      // edges arrive as a materialized-parquet scan (see coPurchaseEdges)
+      // — cheap to re-read, so the former edge pin is gone with the
+      // recompute it existed to avoid
+      val edges = coPurchaseEdges(s, d)
       // pinned: the degree frame feeds THREE subtrees (both endpoint
       // attaches inside the tier + the coefficient's own denominator) —
       // round-10 verdict item: one aggregation, not two

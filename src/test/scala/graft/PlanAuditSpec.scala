@@ -154,9 +154,12 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
       // pinned degree frame (round-10 verdict dedupe, 34 -> 28
       // stage-jobs), q160 the WHOLE pipeline with the grid zone tier
       // through real sinks (q75's shape + the grid attach)
-      "q158_triangles_degree" -> Instrument.Counts(8, 8),
-      "q116_triangle_counts" -> Instrument.Counts(11, 11),
-      "q159_clustering_coeff" -> Instrument.Counts(28, 28),
+      // re-pinned round 13 after coPurchaseEdges was content-key
+      // materialized: the basket self-join's jobs left every graph query
+      // (warm counts — the warm-up below makes that the measured state)
+      "q158_triangles_degree" -> Instrument.Counts(5, 5),
+      "q116_triangle_counts" -> Instrument.Counts(8, 8),
+      "q159_clustering_coeff" -> Instrument.Counts(22, 22),
       "q160_pipeline_grid" -> Instrument.Counts(138, 135),
       // q161: one pinned exact baseline + three sliced search/recall arms
       "q161_matryoshka_recall" -> Instrument.Counts(16, 16),
@@ -167,12 +170,21 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
       // after the cohort widen revert (q59/q153/q162 plain scans plan a
       // few MORE jobs than the widened form — the r9 posture — and the
       // ANN recall chains measured lower, 21->15/48->43/26->19)
-      "q163_kcore" -> Instrument.Counts(13, 13),
+      "q163_kcore" -> Instrument.Counts(9, 9),
       // q164: four one-round fixpoints + union/max; round 12's
       // INCREMENTAL sweep costs +3 jobs at this tiny scale (one extra
       // initial checkpoint per chain off the prior core) and strictly
-      // less WORK per round at real scale (shrinking frames)
-      "q164_coreness" -> Instrument.Counts(37, 37))
+      // less WORK per round at real scale (shrinking frames);
+      // 37 -> 30 with the round-13 materialized edge scan
+      "q164_coreness" -> Instrument.Counts(30, 30))
+    // coPurchaseEdges is content-key-materialized (round 13): the first
+    // execution against a fresh scratch dir pays the build+publish jobs
+    // once per lineitem vintage; every later one is a pure scan. Warm it
+    // untimed so the counts below pin the steady-state plan, not the
+    // one-off builder (which would make the suite's counts depend on
+    // whether /tmp survived since the last run).
+    SparkEntry.queries("q163_kcore")(spark, sfDir)
+      .write.format("noop").mode("overwrite").save()
     val got = bounds.toSeq.sortBy(_._1).map { case (name, bound) =>
       val fn = SparkEntry.queries(name)
       // cold-cache slate before each measurement (the Bench discipline):
@@ -188,6 +200,9 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
     val report = got.map { case (n, b, c) =>
       s"$n: ${c.jobs} jobs / ${c.stages} stages (bound ${b.jobs}/${b.stages})"
     }.mkString("\n")
+    // measured counts on success too — re-pinning bounds after a plan
+    // improvement needs the numbers without forcing a failure first
+    info(report)
     got.foreach { case (name, bound, c) =>
       assert(c.jobs > 0 && c.stages > 0,
         s"$name submitted nothing — measurement broken\n$report")
