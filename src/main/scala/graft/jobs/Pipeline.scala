@@ -30,7 +30,7 @@ object Pipeline {
   def run(spark: SparkSession, eventsPath: String, geoPath: String,
           outBase: String, date: String, maxDistanceKm: Double,
           processedAt: Option[Column] = None,
-          gridZone: Boolean = false): Unit = {
+          zoneTier: String = "ref"): Unit = {
     val events = spark.read.parquet(eventsPath)
     val geo = spark.read.parquet(geoPath)
     Sink.writePartitionedSorted(UserMartJob.transform(events, geo),
@@ -42,24 +42,33 @@ object Pipeline {
     Sink.writePartitionedSorted(
       RecommendationJob.transform(events, eventsAtDate, geo, date,
         maxDistanceKm, processedAt.getOrElse(current_timestamp()),
-        gridZone = gridZone),
+        zoneTier = zoneTier),
       s"$outBase/recommendations", "zone_id", Seq("user_left", "user_right"))
   }
 
   /** CLI surface: events geo outBase date maxDistanceKm [processedAt]
-    * [gridZone]. The optional 6th arg ("yyyy-MM-dd HH:mm:ss", UTC) pins the
+    * [zoneTier]. The optional 6th arg ("yyyy-MM-dd HH:mm:ss", UTC) pins the
     * wall-clock instant — same injectable as RecommendationJob.transform's
-    * `processedAt`, reachable from a shell. The optional 7th arg "grid"
-    * selects the [[RecommendationJob.withZoneGrid]] nearest-zone scale tier
-    * (output-identical on tie-free data, q148-proven).
+    * `processedAt`, reachable from a shell. The optional 7th arg selects
+    * the nearest-zone tier: "grid" forces
+    * [[RecommendationJob.withZoneGrid]] (output-identical on tie-free
+    * data, q148-proven), "auto" decides from input plan stats
+    * ([[RecommendationJob.chooseGridZone]] — what the catalog's grid
+    * faces run), anything else keeps the reference shape.
     */
   def runArgs(spark: SparkSession, args: Array[String]): Unit = {
     require(args.length >= 5,
-      "usage: Pipeline events geo outBase date maxDistanceKm [processedAt] [grid]")
+      "usage: Pipeline events geo outBase date maxDistanceKm [processedAt] " +
+        "[grid|auto]")
     val Array(eventsPath, geoPath, outBase, date, maxDistance) = args.take(5)
     val processedAt = args.lift(5).map(ts => to_timestamp(lit(ts)))
+    val tier = args.lift(6) match {
+      case Some("grid") => "grid"
+      case Some("auto") => "auto"
+      case _            => "ref"
+    }
     run(spark, eventsPath, geoPath, outBase, date, maxDistance.toDouble,
-      processedAt, gridZone = args.lift(6).contains("grid"))
+      processedAt, zoneTier = tier)
   }
 
   def main(args: Array[String]): Unit = {

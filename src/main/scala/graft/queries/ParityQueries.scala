@@ -67,6 +67,12 @@ object ParityQueries extends Catalog {
   /** The reference's 25-city geo dimension, nation-derived (same formula as
     * GeoQueries.nationCities).
     */
+  /** probe-only accessors for [[graft.tools.ZoneTierProbe]] — the derived
+    * frames stay private to the catalog otherwise */
+  def refEventsFullForProbe(s: SparkSession, d: String): DataFrame =
+    refEventsFull(s, d)
+  def refGeoForProbe(s: SparkSession, d: String): DataFrame = refGeo(s, d)
+
   private def refGeo(s: SparkSession, d: String): DataFrame =
     Tables.nation(s, d).select(
       col("n_nationkey").as("id"),
@@ -486,7 +492,10 @@ object ParityQueries extends Catalog {
       graft.jobs.RecommendationJob.transform(ev, atDate, refGeo(s, d),
           date = "2024-01-20", maxDistanceKm = 2000.0,
           processedAt = to_timestamp(lit("2024-02-01 00:00:00")),
-          gridZone = true)
+          // auto (round-13): plan stats pick the tier — ref shape below
+          // the measured crossover (sf0.1 pays no grid ladder), grid
+          // above it (the sf10 3.0×) — see chooseGridZone
+          zoneTier = "auto")
         .select(col("user_left"), col("user_right"), col("zone_id"),
           col("processed_dttm"),
           date_format(col("local_time"), "yyyy-MM-dd HH:mm:ss").as("local_time"))
@@ -555,7 +564,7 @@ object ParityQueries extends Catalog {
       val session = graft.jobs.JobSession.create("graft pipeline grid e2e")
       graft.jobs.Pipeline.runArgs(session, Array(
         s"$base/events", s"$base/geo", s"$base/marts",
-        "2024-01-20", "2000.0", "2024-02-01 00:00:00", "grid"))
+        "2024-01-20", "2000.0", "2024-02-01 00:00:00", "auto"))
       val recSchema = org.apache.spark.sql.types.StructType.fromDDL(
         "user_left BIGINT, user_right BIGINT, processed_dttm STRING, " +
           "local_time TIMESTAMP, zone_id INT")

@@ -79,7 +79,7 @@ class RecommendationSpec extends AnyFunSuite with SparkTestBase {
       processedAt = at)
     val grid = RecommendationJob.transform(
       allEvents, eventsAtDate, geoDf(spark), d, maxDistanceKm = 5000.0,
-      processedAt = at, gridZone = true)
+      processedAt = at, zoneTier = "grid") // forced: this test IS the tier proof
     def rows(df: org.apache.spark.sql.DataFrame) = df
       .select(col("user_left"), col("user_right"), col("zone_id"),
         col("processed_dttm"),
@@ -87,6 +87,20 @@ class RecommendationSpec extends AnyFunSuite with SparkTestBase {
       .as[(Long, Long, Long, String, String)].collect().sorted.toSeq
     try assert(rows(grid) === rows(ref) && rows(ref).nonEmpty)
     finally graft.ext.GridNearestJoin.releaseCaches()
+  }
+
+  test("auto zone tier: plan stats pick ref below the crossover, grid above") {
+    // stats are plan-time (Range reports rows × 8 bytes) — no data moves.
+    // The three branches: small/small -> reference shape; fact past the
+    // measured 32 MiB crossover -> grid; dim past broadcastability -> grid
+    // regardless of fact size (the 100 TB correctness guard).
+    val smallFact = spark.range(1000L).toDF("x")
+    val smallDim = spark.range(25L).toDF("id")
+    assert(!RecommendationJob.chooseGridZone(smallFact, smallDim))
+    val bigFact = spark.range(16L << 20).toDF("x") // 128 MiB plan estimate
+    assert(RecommendationJob.chooseGridZone(bigFact, smallDim))
+    val bigDim = spark.range(4L << 20).toDF("id") // 32 MiB > dim bound
+    assert(RecommendationJob.chooseGridZone(smallFact, bigDim))
   }
 
   test("injected processedAt pins local_time (F5 made testable)") {
