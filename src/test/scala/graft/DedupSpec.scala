@@ -563,6 +563,49 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(run(-1L).nonEmpty)
   }
 
+  test("cosinePairs: the candidate-mass regime guard routes a high-mass " +
+      "corpus to the signature-LSH tier") {
+    // planted high-mass fixture: every doc shares the same 4-term
+    // vocabulary, so with 8 docs Σ_t df² = 4·64 = 256 — past a bound of
+    // 200 the guard must fire. Doc 9 sits at ~45° to doc 1 (cos² = 1/2
+    // exactly is below τ²=1/2 strict? dot²·den vs num·n2 uses >=, so it
+    // QUALIFIES for the exact tier) yet its tf simhash differs in > 3
+    // bits from nothing — it shares the signature space, so instead the
+    // discriminating case is recall: the LSH tier keeps exact dups
+    // (hamming 0) and the guard's output must equal the simhash tier's
+    // rows byte-for-byte, proving the route (not a slow exact pass that
+    // happens to agree).
+    val docs = Seq(
+      (1L, "a a b c d"), (2L, "a a b c d"),           // exact dups
+      (3L, "a b c d"), (4L, "b c d a"),               // exact dups (perm)
+      (5L, "a a a a b"), (6L, "c c c c d"),
+      (7L, "a b a b a b"), (8L, "c d c d")
+    ).toDF("doc_id", "text")
+    val routed = Dedup.cosinePairs(docs, "doc_id", "text", 9L, 10L,
+        maxDfPermille = 1000L, maxCandidateMass = 200.0)
+      .select("id_a", "id_b", "dot", "n2_a", "n2_b", "cos2_micro")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().sorted.toSeq
+    val simhash = Dedup.cosineNearDupsSimhash(docs, "doc_id", "text",
+        minCos2Num = 9L, minCos2Den = 10L, maxHamming = 3, portable = true)
+      .select("id_a", "id_b", "dot", "n2_a", "n2_b", "cos2_micro")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().sorted.toSeq
+    assert(routed === simhash && routed.nonEmpty)
+    // exact dups survive the route (hamming 0, cos² = 1)
+    assert(routed.exists(r => r._1 == 1L && r._2 == 2L && r._6 == 1000000L))
+    assert(routed.exists(r => r._1 == 3L && r._2 == 4L && r._6 == 1000000L))
+    // below the bound the same corpus takes the exact tier unchanged:
+    // the default-bound run must equal an unguarded run byte-for-byte
+    val exact = Dedup.cosinePairs(docs, "doc_id", "text", 9L, 10L,
+        maxDfPermille = 1000L)
+      .select("id_a", "id_b", "dot", "n2_a", "n2_b", "cos2_micro")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().sorted.toSeq
+    val unguarded = Dedup.cosinePairs(docs, "doc_id", "text", 9L, 10L,
+        maxDfPermille = 1000L, maxCandidateMass = Double.MaxValue)
+      .select("id_a", "id_b", "dot", "n2_a", "n2_b", "cos2_micro")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().sorted.toSeq
+    assert(exact === unguarded)
+  }
+
   test("cosinePairs: sub-threshold pairs drop even with shared terms") {
     // doc 6/7 share one low-weight term among many: cos well under 0.707
     val docs = Seq(
