@@ -166,6 +166,56 @@ object Similarity {
         pinnedScore(col("__cos")), col("neighbor_id"), k).as("__tk")))
   }
 
+  /** IVF-probed hard-negative mining — [[hardNegatives]]' semantics on
+    * [[knnIvf]]'s plan (round-12 verdict item 5): the exact tier crosses
+    * the whole corpus with the broadcast anchor set, which is right for a
+    * bounded anchor set but still SCANS the full corpus per anchor; here
+    * anchors probe their `nprobe` nearest IVF cells and the quantized
+    * positive cut (`floor(cos·10⁶ + 0.5) < maxCosMicro`) excludes
+    * near-positives BEFORE the bounded top-k heap — so at 100 TB the
+    * negative mining touches Σ probed-cell sizes, not |corpus|·|anchors|.
+    * Recall is the IVF contract (a qualifying negative in an unprobed
+    * cell is missed) and is MEASURED, not assumed: the q168 catalog face
+    * composes this with [[recallAtK]] against the exact tier, the same
+    * X120 harness that grades every other ANN tier.
+    */
+  def hardNegativesIvf(corpus: DataFrame, queries: DataFrame,
+                       corpusId: String, corpusVec: String,
+                       queryId: String, queryVec: String,
+                       centroids: DataFrame, centroidId: String,
+                       centroidVec: String,
+                       k: Int, nprobe: Int, maxCosMicro: Long,
+                       scale: Double = DefaultScale): DataFrame = {
+    val assigned = assignCellsQ(corpus, corpusId, corpusVec,
+        centroids, centroidId, centroidVec, scale)
+      .select(col(corpusId).as("neighbor_id"), col("cell").cast("long").as("cell"),
+        col("__qv").as("__cv"), col("__qn").as("__cn"))
+    val cent = prep(centroids, centroidId, centroidVec, "cell", scale)
+      .withColumnRenamed("__qv", "__ctv").withColumnRenamed("__qn", "__ctn")
+    val q = prep(queries, queryId, queryVec, "query_id", scale)
+    val probeCells = q.crossJoin(broadcast(cent))
+      .select(col("query_id"),
+        cosineFromQuantized(col("__qv"), col("__ctv"), col("__qn"), col("__ctn"))
+          .as("__cos"),
+        col("cell").cast("long").as("cell"))
+      .groupBy("query_id")
+      .agg(graft.plans.TopKByAggregate.topkBy(
+        pinnedScore(col("__cos")), col("cell"), nprobe).as("__tk"))
+      .select(col("query_id"), explode(col("__tk.id")).as("cell"))
+    val probes = probeCells.join(q, Seq("query_id"))
+    explodeTopK(probes.join(assigned, Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"),
+        cosineFromQuantized(col("__qv"), col("__cv"), col("__qn"), col("__cn"))
+          .as("__cos"),
+        col("neighbor_id"))
+      // the hard-negative cut, applied before the heap like the exact tier
+      .filter(floor(col("__cos") * 1e6 + lit(0.5)) < lit(maxCosMicro.toDouble))
+      .groupBy("query_id")
+      .agg(graft.plans.TopKByAggregate.topkBy(
+        pinnedScore(col("__cos")), col("neighbor_id"), k).as("__tk")))
+  }
+
   /** Assign every corpus row to its nearest centroid (max cosine, centroid id
     * tiebreak). Output: corpus columns + `cell`. Centroids are broadcast —
     * they are the coarse quantizer and stay small by construction.

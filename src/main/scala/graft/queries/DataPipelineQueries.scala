@@ -363,6 +363,27 @@ object DataPipelineQueries extends Catalog {
       Similarity.recallAtK(exact, approx, "query_id", "neighbor_id", k = 10)
     }),
 
+    // ---- IVF-probed hard negatives, recall-graded (q165's scale tier) ------
+    // q165's exact mining crosses the full corpus with the broadcast
+    // anchors — right for bounded anchors, but the corpus scan is FULL;
+    // this face probes nprobe=3 IVF cells per anchor (the q26 machinery)
+    // with the same quantized positive cut applied before the top-k heap,
+    // and GRADES the probe's recall against the exact tier with the q146
+    // harness — the 100 TB posture (probed scan) with its price measured,
+    // not assumed. Both sides mine k=10 negatives below cos_micro 400000.
+    "q168_hard_negatives_ivf" -> ((s, d) => {
+      val vecs = Tables.embeddingsWide(s, d)
+      val qs = vecs.filter(col("vec_id") % 50 === 0)
+      val exact = Similarity.hardNegatives(vecs, qs,
+        "vec_id", "embedding", "vec_id", "embedding",
+        k = 10, maxCosMicro = 400000L)
+      val approx = Similarity.hardNegativesIvf(vecs, qs,
+        "vec_id", "embedding", "vec_id", "embedding",
+        centroids = vecs.filter(col("vec_id") % 50 === 7),
+        "vec_id", "embedding", k = 10, nprobe = 3, maxCosMicro = 400000L)
+      Similarity.recallAtK(exact, approx, "query_id", "neighbor_id", k = 10)
+    }),
+
     // ---- product quantization: codebooks + ADC top-k + recall --------------
     // the vector-COMPRESSION member of the ANN family (q25 exact, q26 IVF
     // buckets, q77 SRP-LSH, q88 scalar-quantized rerank): 64 dims split
@@ -1576,6 +1597,53 @@ object DataPipelineQueries extends Catalog {
          |  SELECT query_id, neighbor_id
          |  FROM probes JOIN assigned USING (cell)
          |  WHERE neighbor_id != query_id
+         |  QUALIFY row_number() OVER (PARTITION BY query_id
+         |    ORDER BY $cosQN DESC, neighbor_id) <= 10)
+         |SELECT e.query_id,
+         |  CAST(count(*) AS BIGINT) AS evaluated,
+         |  CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS hits,
+         |  CAST((sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+         |    * 1000) // 10 AS BIGINT) AS recall_permille
+         |FROM exact e LEFT JOIN approx a
+         |  ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+         |GROUP BY 1""".stripMargin
+    },
+
+    // q146's recall shape with q165's quantized positive cut in BOTH the
+    // exact and the probed CTEs — the exclusion must be identical on the
+    // two sides or recall would grade the cut, not the probe
+    "q168_hard_negatives_ivf" -> {
+      val cosEx = Similarity.cosineSqlText("qe", "embedding")
+      val cosCent = Similarity.cosineSqlText("embedding", "ce")
+      val cosQCent = Similarity.cosineSqlText("qe", "ce")
+      val cosQN = Similarity.cosineSqlText("qe", "ne")
+      s"""WITH cent AS (SELECT vec_id AS cell, embedding AS ce
+         |              FROM embeddings WHERE vec_id % 50 = 7),
+         |q AS (SELECT vec_id AS query_id, embedding AS qe
+         |      FROM embeddings WHERE vec_id % 50 = 0),
+         |exact AS (
+         |  SELECT query_id, vec_id AS neighbor_id
+         |  FROM embeddings CROSS JOIN q
+         |  WHERE vec_id != query_id
+         |    AND floor(($cosEx)*1000000.0 + 0.5) < 400000
+         |  QUALIFY row_number() OVER (PARTITION BY query_id
+         |    ORDER BY $cosEx DESC, vec_id) <= 10),
+         |assigned AS (
+         |  SELECT vec_id AS neighbor_id, embedding AS ne, cell
+         |  FROM embeddings CROSS JOIN cent
+         |  QUALIFY row_number() OVER (PARTITION BY vec_id
+         |    ORDER BY $cosCent DESC, cell) = 1),
+         |probes AS (
+         |  SELECT query_id, qe, cell
+         |  FROM q CROSS JOIN cent
+         |  QUALIFY row_number() OVER (PARTITION BY query_id
+         |    ORDER BY $cosQCent DESC, cell) <= 3),
+         |approx AS (
+         |  SELECT query_id, neighbor_id
+         |  FROM probes JOIN assigned USING (cell)
+         |  WHERE neighbor_id != query_id
+         |    AND floor(($cosQN)*1000000.0 + 0.5) < 400000
          |  QUALIFY row_number() OVER (PARTITION BY query_id
          |    ORDER BY $cosQN DESC, neighbor_id) <= 10)
          |SELECT e.query_id,

@@ -57,7 +57,12 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
       "q156_opq_recall", // q147's shapes in the permuted space
       "q157_opq_tf_recall", // q147's shapes ×2 (pq + opq) on hashed-tf
       "q161_matryoshka_recall", // q25's product ×4 (baseline + 3 widths)
-      "q165_hard_negatives") // q25's bounded-anchor broadcast product
+      "q165_hard_negatives", // q25's bounded-anchor broadcast product
+      "q168_hard_negatives_ivf", // q146's shapes + q165's cut (exact arm
+                                 // broadcast product + centroid attaches)
+      "q148_recommendations_grid") // auto tier (r13): below the stats
+                                   // crossover this IS q49's reference
+                                   // broadcast nearest-city shape
 
   test("no catalog query plans a CartesianProduct") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
