@@ -200,12 +200,55 @@ object Bpe {
     merges
   }
 
-  /** The learned merge table: (rank, left, right, merged, pair_count) — k
-    * rows, hash-checkable. `docs` is scanned once (pinned freq table).
+  /** Largest merge count the model store fits (and the largest any catalog
+    * face asks for — q151's sweep tops out here). One stored fit serves
+    * every smaller k as a prefix slice, see [[storedMerges]].
     */
-  def bpeMerges(docs: DataFrame, text: String, k: Int): DataFrame = {
-    val freq = Caches.pin(wordFreq(docs, text))
-    val merges = learnMerges(freq, k)
+  val MaxStoredMerges = 128
+
+  /** [[learnMerges]] through the content-keyed model store
+    * ([[graft.sources.Tables.ensureMaterialized]], round-12 verdict item
+    * 6): fitted merge rules are MODEL STATE — a pure function of the
+    * corpus text — so they are learned once per corpus vintage, published
+    * as an ordered parquet rule table, and every later session (or
+    * sibling query in the same session) re-reads ~128 rows instead of
+    * re-running the fit's per-round driver barriers. The store always
+    * fits [[MaxStoredMerges]] rules: BPE learning is greedy-prefix-stable
+    * (merge i never depends on any later merge — the q151 sweep's
+    * spec-pinned property), so ONE stored model serves the whole family
+    * (q132/q133/q142/q145/q151/q154) at any k ≤ 128 via `take(k)`,
+    * counts included. The rank column carries the order parquet drops.
+    */
+  def storedMerges(docs: DataFrame, text: String, srcPath: String,
+                   k: Int): Seq[(String, String, Long)] = {
+    require(k <= MaxStoredMerges,
+      s"storedMerges serves k <= $MaxStoredMerges (got $k) — call " +
+        "learnMerges directly past the store's fit size")
+    val spark = docs.sparkSession
+    val stored = graft.sources.Tables.ensureMaterialized(spark, "bpe_merges",
+        graft.sources.Tables.contentKey(srcPath, s"k=$MaxStoredMerges")) {
+      val freq = Caches.pin(wordFreq(docs, text))
+      val merges = learnMerges(freq, MaxStoredMerges)
+      import spark.implicits._
+      merges.zipWithIndex.map { case ((l, r, c), i) => (i.toLong, l, r, c) }
+        .toDF("rank", "l", "r", "c")
+    }
+    stored.orderBy("rank").collect()
+      .map(r => (r.getString(1), r.getString(2), r.getLong(3)))
+      .take(k).toSeq
+  }
+
+  /** The learned merge table: (rank, left, right, merged, pair_count) — k
+    * rows, hash-checkable. With `srcPath` the rules come from the
+    * [[storedMerges]] model store; otherwise `docs` is scanned once
+    * (pinned freq table) and the fit runs in-session.
+    */
+  def bpeMerges(docs: DataFrame, text: String, k: Int,
+                srcPath: Option[String] = None): DataFrame = {
+    val merges = srcPath match {
+      case Some(p) => storedMerges(docs, text, p, k)
+      case None    => learnMerges(Caches.pin(wordFreq(docs, text)), k)
+    }
     val spark = docs.sparkSession
     import spark.implicits._
     merges.zipWithIndex
@@ -422,11 +465,15 @@ object Bpe {
     */
   def vocabPrune(docs: DataFrame, group: String, text: Column,
                  trainText: String, k: Int,
-                 minUsagePermille: Int): DataFrame = {
+                 minUsagePermille: Int,
+                 preMerges: Option[Seq[(String, String)]] = None)
+      : DataFrame = {
     require(minUsagePermille >= 0,
       s"minUsagePermille must be >= 0, got $minUsagePermille")
     val freq = Caches.pin(wordFreq(docs, trainText))
-    val merges = learnMerges(freq, k).map(m => (m._1, m._2))
+    // preMerges: the caller already holds the fitted rules (the model
+    // store) — the freq pin stays, it still feeds totalWc and pieceUsage
+    val merges = preMerges.getOrElse(learnMerges(freq, k).map(m => (m._1, m._2)))
     // sum() over zero rows is NULL — fail with a diagnosis instead of the
     // opaque NPE getLong would throw on an empty training corpus
     val totalWc = freq.agg(sum(col("wc"))).head match {

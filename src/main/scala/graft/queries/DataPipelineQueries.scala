@@ -403,8 +403,11 @@ object DataPipelineQueries extends Catalog {
     "q147_pq_recall" -> ((s, d) => {
       val vecs = Tables.embeddingsWide(s, d)
       val qs = vecs.filter(col("vec_id") % 50 === 0)
-      val cb = Similarity.collectCodebooks(Similarity.pqFit(
-        vecs, "vec_id", "embedding", m = 4, kc = 8, iters = 2))
+      val cb = Similarity.collectCodebooks(
+        Tables.ensureMaterialized(s, "pq_embed",
+          Tables.contentKey(s"$d/embeddings.parquet", "m4kc8it2"))(
+          Similarity.pqFit(
+            vecs, "vec_id", "embedding", m = 4, kc = 8, iters = 2)))
       val approx = Similarity.pqTopK(vecs, qs,
         "vec_id", "embedding", "vec_id", "embedding", cb, k = 10)
       val exact = Similarity.knnExact(vecs, qs,
@@ -432,10 +435,15 @@ object DataPipelineQueries extends Catalog {
       val qs = vecs.filter(col("vec_id") % 50 === 0)
       val kCells = Similarity.autoSemanticK(vecs.count(),
         targetPerCell = 50)
-      val km = Similarity.kmeansFit(vecs, "vec_id", "embedding",
-        k = kCells, iters = 2)
-      val cb = Similarity.collectCodebooks(Similarity.pqFitResidualsKm(
-        vecs, "vec_id", "embedding", km, m = 4, kc = 8, iters = 2))
+      val km = Tables.ensureMaterialized(s, "kmeans_embed",
+        Tables.contentKey(s"$d/embeddings.parquet", s"k${kCells}it2"))(
+        Similarity.kmeansFit(vecs, "vec_id", "embedding",
+          k = kCells, iters = 2))
+      val cb = Similarity.collectCodebooks(
+        Tables.ensureMaterialized(s, "pqres_embed",
+          Tables.contentKey(s"$d/embeddings.parquet", s"km${kCells}m4kc8it2"))(
+          Similarity.pqFitResidualsKm(
+            vecs, "vec_id", "embedding", km, m = 4, kc = 8, iters = 2)))
       val approx = Similarity.ivfPqTopKKm(vecs, qs,
         "vec_id", "embedding", "vec_id", "embedding",
         km, cb, k = 10, nprobe = 3)
@@ -503,8 +511,11 @@ object DataPipelineQueries extends Catalog {
         m = 4)
       val pvecs = Similarity.permuteVec(vecs, "embedding", perm)
       val qs = pvecs.filter(col("vec_id") % 50 === 0)
-      val cb = Similarity.collectCodebooks(Similarity.pqFit(
-        pvecs, "vec_id", "embedding", m = 4, kc = 8, iters = 2))
+      val cb = Similarity.collectCodebooks(
+        Tables.ensureMaterialized(s, "pq_opq_embed",
+          Tables.contentKey(s"$d/embeddings.parquet", "perm_m4kc8it2"))(
+          Similarity.pqFit(
+            pvecs, "vec_id", "embedding", m = 4, kc = 8, iters = 2)))
       val approx = Similarity.pqTopK(pvecs, qs,
         "vec_id", "embedding", "vec_id", "embedding", cb, k = 10)
       val exact = Similarity.knnExact(vecs,
@@ -540,16 +551,22 @@ object DataPipelineQueries extends Catalog {
       val qs = tf.filter(col("doc_id") % 50 === 0)
       val exact = Similarity.knnExact(tf, qs,
         "doc_id", "tf", "doc_id", "tf", k = 10, scale = 1.0)
-      val cbP = Similarity.collectCodebooks(Similarity.pqFit(
-        tf, "doc_id", "tf", m = 4, kc = 8, iters = 2, scale = 1.0))
+      val cbP = Similarity.collectCodebooks(
+        Tables.ensureMaterialized(s, "pq_tf",
+          Tables.contentKey(s"$d/documents.parquet", "hash64_m4kc8it2"))(
+          Similarity.pqFit(
+            tf, "doc_id", "tf", m = 4, kc = 8, iters = 2, scale = 1.0)))
       val apP = Similarity.pqTopK(tf, qs,
         "doc_id", "tf", "doc_id", "tf", cbP, k = 10, scale = 1.0)
       val perm = Similarity.energyPermutation(tf, "doc_id", "tf",
         m = 4, scale = 1.0)
       val ptf = Similarity.permuteVec(tf, "tf", perm)
       val pqs = ptf.filter(col("doc_id") % 50 === 0)
-      val cbO = Similarity.collectCodebooks(Similarity.pqFit(
-        ptf, "doc_id", "tf", m = 4, kc = 8, iters = 2, scale = 1.0))
+      val cbO = Similarity.collectCodebooks(
+        Tables.ensureMaterialized(s, "pq_opqtf",
+          Tables.contentKey(s"$d/documents.parquet", "hash64perm_m4kc8it2"))(
+          Similarity.pqFit(
+            ptf, "doc_id", "tf", m = 4, kc = 8, iters = 2, scale = 1.0)))
       val apO = Similarity.pqTopK(ptf, pqs,
         "doc_id", "tf", "doc_id", "tf", cbO, k = 10, scale = 1.0)
       Similarity.recallAtK(exact, apP, "query_id", "neighbor_id", k = 10)

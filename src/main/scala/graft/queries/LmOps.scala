@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ext.{Bpe, Caches, LanguageModel}
+import graft.ext.{Bpe, LanguageModel}
 import graft.sources.Tables
 
 /** Round-8 language-model curation catalog: the classic model-driven
@@ -71,7 +71,12 @@ object LmOps extends Catalog {
     // replays the ENTIRE fit as 8 unrolled CTE layers, so tie-breaks and
     // greedy run alignment are hash-pinned.
     "q132_bpe_merges" -> ((s, d) =>
-      Bpe.bpeMerges(Tables.documents(s, d), "text", k = 8)),
+      // srcPath routes the fit through the content-keyed model store
+      // (round 13): first session per corpus vintage fits 128 rules once,
+      // every later session (and every sibling BPE query) reads the rule
+      // table — merges(8) is its prefix slice, counts included
+      Bpe.bpeMerges(Tables.documents(s, d), "text", k = 8,
+        srcPath = Some(s"$d/documents.parquet"))),
 
     // ---- BPE token accounting ----------------------------------------------
     // the corpus re-tokenized under its OWN learned merges: per-doc
@@ -80,8 +85,8 @@ object LmOps extends Catalog {
     // expression cost, Σ words join rows.
     "q133_bpe_token_counts" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      val freq = Caches.pin(Bpe.wordFreq(docs, "text"))
-      val merges = Bpe.learnMerges(freq, 8).map(m => (m._1, m._2))
+      val merges = Bpe.storedMerges(docs, "text",
+        s"$d/documents.parquet", 8).map(m => (m._1, m._2))
       Bpe.tokenCounts(docs, "doc_id", "text", merges)
     }),
 
@@ -97,8 +102,8 @@ object LmOps extends Catalog {
     // over the exported piece set.
     "q142_bpe_wordpiece_roundtrip" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      val freq = Caches.pin(Bpe.wordFreq(docs, "text"))
-      val merges = Bpe.learnMerges(freq, 8).map(m => (m._1, m._2))
+      val merges = Bpe.storedMerges(docs, "text",
+        s"$d/documents.parquet", 8).map(m => (m._1, m._2))
       Bpe.roundTrip(docs, "doc_id", "text", merges)
     }),
 
@@ -115,8 +120,8 @@ object LmOps extends Catalog {
     // shapes that dominate real UNK tails.
     "q145_vocab_coverage" -> ((s, d) => {
       val docs = Tables.documentsWide(s, d)
-      val freq = Caches.pin(Bpe.wordFreq(docs, "text"))
-      val merges = Bpe.learnMerges(freq, 8).map(m => (m._1, m._2))
+      val merges = Bpe.storedMerges(docs, "text",
+        s"$d/documents.parquet", 8).map(m => (m._1, m._2))
       val aug = concat(col("text"), lit(" doc-"),
         col("doc_id").cast("string"), lit(" "), col("source"), lit("#"),
         col("lang"))
@@ -136,8 +141,8 @@ object LmOps extends Catalog {
     // rollup, ×|ks|.
     "q151_vocab_size_sweep" -> ((s, d) => {
       val docs = Tables.documentsWide(s, d)
-      val freq = Caches.pin(Bpe.wordFreq(docs, "text"))
-      val all = Bpe.learnMerges(freq, 128).map(m => (m._1, m._2))
+      val all = Bpe.storedMerges(docs, "text",
+        s"$d/documents.parquet", 128).map(m => (m._1, m._2))
       val aug = concat(col("text"), lit(" doc-"),
         col("doc_id").cast("string"), lit(" "), col("source"), lit("#"),
         col("lang"))
@@ -164,7 +169,9 @@ object LmOps extends Catalog {
         col("doc_id").cast("string"), lit(" "), col("source"), lit("#"),
         col("lang"))
       Bpe.vocabPrune(docs, "source", aug, "text", k = 32,
-        minUsagePermille = 2)
+        minUsagePermille = 2,
+        preMerges = Some(Bpe.storedMerges(docs, "text",
+          s"$d/documents.parquet", 32).map(m => (m._1, m._2))))
     })
   )
 

@@ -115,11 +115,18 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
       // q135 the interval-overlap bucket join
       "q128_media_near_dups" -> Instrument.Counts(9, 9),
       "q131_dsir_selection" -> Instrument.Counts(31, 31),
-      "q132_bpe_merges" -> Instrument.Counts(14, 14),
-      "q133_bpe_token_counts" -> Instrument.Counts(17, 17),
+      "q132_bpe_merges" -> Instrument.Counts(6, 6),
+      "q133_bpe_token_counts" -> Instrument.Counts(9, 9),
       "q134_cosine_near_dups" -> Instrument.Counts(19, 19),
       "q135_overlap_join" -> Instrument.Counts(3, 3),
-      "q142_bpe_wordpiece_roundtrip" -> Instrument.Counts(17, 17),
+      "q142_bpe_wordpiece_roundtrip" -> Instrument.Counts(9, 9),
+      // round-13 re-pins in this tier: the fitted-model stores (BPE
+      // merges, k-means centroids, PQ/OPQ codebooks) and the auto zone
+      // tier removed the fit/ladder jobs from the steady-state plans —
+      // q132 14->6, q133 17->9, q142 17->9, q145 18->9, q147 15->10,
+      // q148 95->51, q151 171->13, q152 43->20, q154 65->19, q156 19->14,
+      // q157 34->24, q160 138->93 (warm-store counts; the warm-up above
+      // makes that the measured state)
       // round-9/10 tier (re-measured after the Tables.wide gated widen —
       // the round-robin exchange adds 1-2 AQE stage-jobs per widened
       // scan): q143 stream-static enrichment's batch twin,
@@ -131,27 +138,27 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
       // q149/q150 the ExactSubstr gram/scrub chains
       "q143_stream_enrichment" -> Instrument.Counts(6, 6),
       "q144_user_mart_city_tz" -> Instrument.Counts(17, 17),
-      "q145_vocab_coverage" -> Instrument.Counts(18, 18),
+      "q145_vocab_coverage" -> Instrument.Counts(9, 9),
       "q146_ann_recall" -> Instrument.Counts(13, 13),
-      "q147_pq_recall" -> Instrument.Counts(15, 15),
-      "q148_recommendations_grid" -> Instrument.Counts(95, 92),
+      "q147_pq_recall" -> Instrument.Counts(10, 10),
+      "q148_recommendations_grid" -> Instrument.Counts(51, 51),
       "q149_exact_substr_spans" -> Instrument.Counts(5, 5),
       "q150_exact_substr_scrub" -> Instrument.Counts(11, 11),
-      "q151_vocab_size_sweep" -> Instrument.Counts(171, 171),
-      "q152_ivfpq_recall" -> Instrument.Counts(43, 43),
+      "q151_vocab_size_sweep" -> Instrument.Counts(13, 13),
+      "q152_ivfpq_recall" -> Instrument.Counts(20, 20),
       // round-10 second tier: q153 pair provenance (gram distinct + df
       // window + self-join), q154 the 32-merge fit + usage + two coverage
       // passes (batched fit rounds ARE the bulk), q155 the stateful
       // streaming face (one gram projection + flatMapGroupsWithState +
       // island window)
       "q153_exact_substr_provenance" -> Instrument.Counts(11, 11),
-      "q154_vocab_prune" -> Instrument.Counts(65, 65),
+      "q154_vocab_prune" -> Instrument.Counts(19, 19),
       "q155_exact_substr_stream" -> Instrument.Counts(5, 5),
       // round-10 OPQ tier: q156 the permuted q147 chain (+ the energy
       // ranking collect), q157 TWO chains (pq + opq) + the tf vectorize
       // and energy collects over the pinned tf frame
-      "q156_opq_recall" -> Instrument.Counts(19, 19),
-      "q157_opq_tf_recall" -> Instrument.Counts(34, 34),
+      "q156_opq_recall" -> Instrument.Counts(14, 14),
+      "q157_opq_tf_recall" -> Instrument.Counts(24, 24),
       // round-11 tier: the triangle machinery (since round 12 q116 is the
       // degree-oriented face and q158 the id-oriented control — the
       // 11-job bound was measured on the degree plan and the id plan is
@@ -165,7 +172,7 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
       "q158_triangles_degree" -> Instrument.Counts(5, 5),
       "q116_triangle_counts" -> Instrument.Counts(8, 8),
       "q159_clustering_coeff" -> Instrument.Counts(22, 22),
-      "q160_pipeline_grid" -> Instrument.Counts(138, 135),
+      "q160_pipeline_grid" -> Instrument.Counts(93, 93),
       // q161: one pinned exact baseline + three sliced search/recall arms
       "q161_matryoshka_recall" -> Instrument.Counts(16, 16),
       // q162: q59's shingle/CC chain + pinned scored frame + argmax attach
@@ -182,14 +189,23 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
       // less WORK per round at real scale (shrinking frames);
       // 37 -> 30 with the round-13 materialized edge scan
       "q164_coreness" -> Instrument.Counts(30, 30))
-    // coPurchaseEdges is content-key-materialized (round 13): the first
-    // execution against a fresh scratch dir pays the build+publish jobs
-    // once per lineitem vintage; every later one is a pure scan. Warm it
-    // untimed so the counts below pin the steady-state plan, not the
-    // one-off builder (which would make the suite's counts depend on
-    // whether /tmp survived since the last run).
-    SparkEntry.queries("q163_kcore")(spark, sfDir)
-      .write.format("noop").mode("overwrite").save()
+    // coPurchaseEdges and the fitted-model stores (BPE merges, k-means
+    // centroids, PQ/OPQ codebooks) are content-key-materialized (round
+    // 13): the first execution against a fresh scratch dir pays the
+    // build+publish jobs once per corpus vintage; every later one is a
+    // pure scan. Warm each distinct store untimed so the counts below pin
+    // the steady-state plan, not the one-off builders (which would make
+    // the suite's counts depend on whether /tmp survived since the last
+    // run). q163 covers the edge store; q151 the 128-merge BPE store
+    // (every other BPE face is a prefix reader); the ANN chains cover
+    // their own codebook/centroid stores.
+    for (warm <- Seq("q163_kcore", "q151_vocab_size_sweep", "q147_pq_recall",
+        "q152_ivfpq_recall", "q156_opq_recall", "q157_opq_tf_recall")) {
+      spark.catalog.clearCache()
+      graft.ext.Caches.releaseAll()
+      SparkEntry.queries(warm)(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
+    }
     val got = bounds.toSeq.sortBy(_._1).map { case (name, bound) =>
       val fn = SparkEntry.queries(name)
       // cold-cache slate before each measurement (the Bench discipline):
