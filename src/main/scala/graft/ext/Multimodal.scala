@@ -182,6 +182,49 @@ object Multimodal {
   def wavEnvelope64(bin: Column): Column =
     graft.plans.MediaHashExpressions.wavEnvelope64(bin)
 
+  // ---- transforms ---------------------------------------------------------
+
+  /** Nearest-neighbor resize of an uncompressed 24-bit BMP to `newW × newH`,
+    * emitted as a fresh valid BMP (the missing member of the multimodal
+    * quartet: decode / feature-extract / frame-sample / RESIZE). Output
+    * pixel (storage row r′, column c′) copies source pixel
+    * (r′·h div newH, c′·w div newW) — the classic index map, per channel —
+    * so the result is a pure function of the input bytes that any engine
+    * replays from the generative pixel formula without parsing a byte.
+    * Source dimensions come from the input's own header; rows are read at
+    * the source's 4-byte-aligned stride and written at the output's (the
+    * two differ whenever 3·width crosses a pad boundary — the case a naive
+    * resizer corrupts). Composed entirely of built-in expressions
+    * (substr+hex+conv byte reads inside [[fabricateBmp]]'s serializer), so
+    * it stays in whole-stage codegen; invalid/truncated input → null,
+    * never a throw. Cost is newW·newH·3 byte reads per row — a THUMBNAIL
+    * device (the resize a perceptual-hash or preview stage needs); a
+    * full-resolution transcode belongs in a `mapInArrow` batch stage, for
+    * which this expression's contract (valid BMP in, valid BMP out) is the
+    * drop-in signature.
+    */
+  def resizeBmp(bin: Column, newW: Int, newH: Int): Column = {
+    require(newW > 0 && newH > 0, "resize dimensions must be positive")
+    val valid = magicIs(bin, 0, "BM") && octet_length(bin) >= 54 &&
+      u32le(bin, lit(14L)) === 40L && u16le(bin, lit(28L)) === 24L &&
+      u32le(bin, lit(30L)) === 0L
+    val off = u32le(bin, lit(10L))
+    val w = u32le(bin, lit(18L))
+    val h = u32le(bin, lit(22L))
+    val srcStride = floor((w * 3L + 3L) / 4.0).cast("long") * 4L
+    val resized = fabricateBmp(lit(newW.toLong), lit(newH.toLong), (r, k) => {
+      // k is the byte index within the output row: pixel k div 3, channel
+      // k mod 3. Integer division via floor(double) is exact while the
+      // products stay under 2^52 — guaranteed by the decoder's ~10^8-pixel
+      // validity envelope.
+      val srcR = floor(r * h / lit(newH.toDouble)).cast("long")
+      val srcC = floor(floor(k / lit(3.0)).cast("long") * w /
+        lit(newW.toDouble)).cast("long")
+      u8(bin, off + srcR * srcStride + srcC * 3L + pmod(k, lit(3L)))
+    })
+    when(valid, resized)
+  }
+
   // ---- decoders -----------------------------------------------------------
 
   /** Decode a canonical 44-byte-header mono/stereo PCM WAV from its bytes

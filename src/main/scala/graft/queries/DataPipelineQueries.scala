@@ -748,6 +748,35 @@ object DataPipelineQueries extends Catalog {
         col("id_b"), col("hamming").cast("long").as("hamming"))
     }),
 
+    // ---- nearest-neighbor BMP resize (X143): fabricate → resize → decode ---
+    // the RESIZE member of the multimodal quartet, proven by round-trip:
+    // each doc fabricates a source BMP from the q99 generative formula
+    // (6..14 × 4..8 px — sizes that EXERCISE both stride regimes), resizes
+    // it to a 5×3 thumbnail (rowBytes 15 → stride 16: the output pads; many
+    // sources don't — the resizer must translate between pad layouts), and
+    // the DECODER reads the thumbnail back. The oracle computes the
+    // expected thumbnail statistics straight from the composed index map
+    // (id + (r'·h div 3)·31 + ((c'·w div 5)·3 + ch)·5) % 256 — header math,
+    // both strides, and the nearest-neighbor map all have to be right for
+    // the sums to agree. Per-row scalar work, zero exchanges.
+    "q169_media_resize" -> ((s, d) => {
+      val id = col("doc_id")
+      val w = lit(6L) + pmod(id, lit(9L))
+      val h = lit(4L) + pmod(id, lit(5L))
+      val thumb = Multimodal.resizeBmp(col("bmp"), 5, 3)
+      Tables.documentsWide(s, d).select(id)
+        .withColumn("bmp", Multimodal.fabricateBmp(w, h,
+          (r, k) => pmod(id + r * 31L + k * 5L, lit(256L))))
+        .select(id, Multimodal.decodeBmp(thumb).as("tb"),
+          octet_length(thumb).cast("long").as("thumb_bytes"))
+        .select(id,
+          col("tb.valid").as("thumb_valid"),
+          col("tb.width").as("thumb_w"),
+          col("tb.height").as("thumb_h"),
+          col("thumb_bytes"),
+          col("tb.sum_pixels").as("thumb_sum_pixels"))
+    }),
+
     // ---- salted two-phase aggregation (skew-safe rollup) -------------------
     "q34_salted_rollup" -> ((s, d) => {
       Skew.saltedAggregate(Tables.lineitem(s, d), Seq("l_suppkey"),
@@ -2104,6 +2133,25 @@ object DataPipelineQueries extends Catalog {
          |FROM ah a JOIN ah b ON a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.h, b.h)) <= 3""".stripMargin
     },
+
+    // replays the COMPOSED index map (generative pixel formula ∘ nearest-
+    // neighbor resize): thumbnail byte (r', k') reads source row r'·h div 3,
+    // source column (k' div 3)·w div 5, channel k' mod 3 — one flat range
+    // over the 45 thumbnail bytes with rp = j div 15, kp = j mod 15. The
+    // constants: 5×3 output → rowBytes 15, stride 16 → 54 + 48 bytes.
+    "q169_media_resize" ->
+      """WITH p AS (SELECT doc_id, 6 + doc_id % 9 AS w, 4 + doc_id % 5 AS h
+        |           FROM documents)
+        |SELECT doc_id,
+        |  CAST(1 AS BIGINT) AS thumb_valid,
+        |  CAST(5 AS BIGINT) AS thumb_w,
+        |  CAST(3 AS BIGINT) AS thumb_h,
+        |  CAST(102 AS BIGINT) AS thumb_bytes,
+        |  CAST(list_sum([
+        |      (doc_id + (((j // 15) * h) // 3) * 31
+        |       + (((((j % 15) // 3) * w) // 5) * 3 + (j % 15) % 3) * 5) % 256
+        |      FOR j IN range(0, 45)]) AS BIGINT) AS thumb_sum_pixels
+        |FROM p""".stripMargin,
 
     "q34_salted_rollup" ->
       """SELECT l_suppkey,

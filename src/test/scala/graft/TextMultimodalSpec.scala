@@ -354,4 +354,61 @@ class TextMultimodalSpec extends AnyFunSuite with SparkTestBase {
       .as[String].head()
     assert(ff === "too_few_tokens")
   }
+
+  test("BMP resize: identity dims round-trip byte-identical, both strides") {
+    // w=5 pads rows to 16 bytes, w=4 doesn't (12 = multiple of 4): the
+    // identity resize must reproduce the input EXACTLY in both regimes
+    for ((w, h) <- Seq((5, 3), (4, 2))) {
+      val src = Seq(Tuple1(1L)).toDF("id").select(
+        Multimodal.fabricateBmp(lit(w.toLong), lit(h.toLong),
+          (r, k) => pmod(lit(7L) + r * 31L + k * 5L, lit(256L))).as("bmp"))
+      val (orig, same) = src.select($"bmp",
+          Multimodal.resizeBmp($"bmp", w, h))
+        .as[(Array[Byte], Array[Byte])].head()
+      assert(same.toSeq === orig.toSeq, s"identity resize at ${w}x$h")
+    }
+  }
+
+  test("BMP resize: nearest-neighbor map against an independent writer") {
+    // golden 4x2 source serialized with java.nio (no shared code with
+    // fabricateBmp): pixel bytes of storage row r are 10r+k for byte k.
+    import java.nio.{ByteBuffer, ByteOrder}
+    val (w, h) = (4, 2)
+    val bb = ByteBuffer.allocate(54 + w * 3 * h).order(ByteOrder.LITTLE_ENDIAN)
+    bb.put('B'.toByte).put('M'.toByte); bb.putInt(54 + w * 3 * h)
+    bb.putInt(0); bb.putInt(54)
+    bb.putInt(40); bb.putInt(w); bb.putInt(h)
+    bb.putShort(1); bb.putShort(24); bb.putInt(0); bb.putInt(w * 3 * h)
+    bb.putInt(0); bb.putInt(0); bb.putInt(0); bb.putInt(0)
+    for (r <- 0 until h; k <- 0 until w * 3) bb.put((10 * r + k).toByte)
+    val out = Seq(Tuple1(bb.array())).toDF("bin")
+      .select(Multimodal.resizeBmp($"bin", 2, 1).as("t"))
+      .select($"t", Multimodal.decodeBmp($"t").as("d"))
+      .as[(Array[Byte], (Long, Long, Long, Long, Long))].head()
+    // 2x1 output: srcR = 0, srcC in {0, 2} -> source bytes 0,1,2 and 6,7,8
+    assert(out._2 === ((1L, 2L, 1L, 24L, 0L + 1 + 2 + 6 + 7 + 8)))
+    // 2 px = 6 row bytes -> stride 8: output pads where the source didn't
+    assert(out._1.length === 54 + 8)
+    assert(out._1.slice(54, 60).map(_ & 0xFF).toSeq === Seq(0, 1, 2, 6, 7, 8))
+  }
+
+  test("BMP resize: integer upsample preserves total mass x factor^2") {
+    val src = Seq(Tuple1(1L)).toDF("id").select(
+      Multimodal.fabricateBmp(lit(2L), lit(2L),
+        (r, k) => pmod(r * 100L + k * 3L, lit(256L))).as("bmp"))
+    val (srcSum, upSum) = src.select(
+        Multimodal.decodeBmp($"bmp").getField("sum_pixels"),
+        Multimodal.decodeBmp(Multimodal.resizeBmp($"bmp", 4, 4))
+          .getField("sum_pixels"))
+      .as[(Long, Long)].head()
+    // every source pixel appears in exactly a 2x2 output block
+    assert(upSum === 4 * srcSum)
+  }
+
+  test("BMP resize rejects invalid input as null, never throws") {
+    val got = Seq(Tuple1("notabmp".getBytes("UTF-8"))).toDF("bin")
+      .select(Multimodal.resizeBmp($"bin", 2, 2))
+      .as[Option[Array[Byte]]].head()
+    assert(got.isEmpty)
+  }
 }
