@@ -373,6 +373,29 @@ object Dedup {
       .select("id_a", "id_b").distinct()
   }
 
+  /** LSH candidate pairs for SEVERAL band configurations from ONE signature
+    * pass — the harness shape for tuning the bands/rows trade (recall rises
+    * with bands at fixed signature length: r = numHashes/bands rows per
+    * band, P(candidate) = 1 − (1 − J^r)^bands). The 64-min aggregation —
+    * the expensive corpus pass — runs once and is pinned (post-aggregation
+    * it is |docs| × numHashes longs, NARROW, unlike the shingle frame whose
+    * pin lost its round-12 A/B); each configuration then pays only its own
+    * banding explode + bucket join. Output: (bands, id_a, id_b) candidate
+    * pairs, distinct per configuration.
+    */
+  def minHashBandSweep(sh: DataFrame, id: String, numHashes: Int,
+                       bandsList: Seq[Int],
+                       portable: Boolean = false): DataFrame = {
+    bandsList.foreach(b =>
+      require(numHashes % b == 0, s"bands=$b must divide numHashes"))
+    val sigs = Caches.pin(
+      minHashSignaturesFromShingles(sh, id, numHashes, portable))
+    bandsList.map { b =>
+      minHashCandidatesFromSignatures(sigs, id, b, numHashes / b)
+        .withColumn("bands", lit(b.toLong))
+    }.reduce(_ unionByName _)
+  }
+
   /** Cross-frame LSH candidate pairs: incoming signatures (A) probed
     * against the corpus's band buckets (B) — the scale tier for incremental
     * dedup when the daily batch is itself too large for the shingle

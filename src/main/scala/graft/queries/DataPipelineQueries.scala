@@ -777,6 +777,55 @@ object DataPipelineQueries extends Catalog {
           col("tb.sum_pixels").as("thumb_sum_pixels"))
     }),
 
+    // ---- LSH recall sweep (X144): the dedup family's X120 ------------------
+    // every LSH dedup deployment picks a band count from theory
+    // (P = 1 − (1 − J^r)^bands) and hopes; this MEASURES the curve on
+    // planted similarity tiers. The corpus's own near-dups all sit at
+    // J ≥ 0.89 (every config finds them — no knee), so each doc is paired
+    // with its own word-prefix versions at 2/5 and 4/5 of its tokens:
+    // prefix shingles ⊂ doc shingles, so (doc, p40) ≈ J 0.4, (doc, p80)
+    // ≈ 0.8, (p40, p80) ≈ 0.5 — three controlled tiers where 8/16/32
+    // bands (r = 8/4/2) theoretically recall ~0.5%/34%/99.6%, ~3%/64%/100%,
+    // and ~67%/99.8%/100%. Ground truth = the exhaustive inverted-index
+    // Jaccard pairs at τ=0.35 (exact — any pair with J > 0 shares a
+    // shingle); candidates = ONE 64-hash signature pass over the tripled
+    // corpus, banded three ways (signatures pinned: narrow post-aggregation
+    // frame, unlike the shingle frame whose pin lost its round-12 A/B);
+    // output = every true pair × config with a found flag. The oracle
+    // re-derives signatures from the portable FNV family and takes
+    // exact-signature band equality, so the bucket-hash device must be
+    // invisible — and the recall CURVE itself is hash-pinned, not sampled.
+    "q170_lsh_recall_sweep" -> ((s, d) => {
+      val docs = Tables.documentsWide(s, d).select(
+        col("doc_id"),
+        filter(split(Dedup.normalizeText(col("text")), " "), w => w =!= "")
+          .as("ws"))
+      // prefix texts re-tokenize to exactly their token slice: tokens are
+      // whitespace-free and normalizeText is idempotent over a
+      // single-space join
+      def prefix(num: Int, den: Int, idOff: Long) = docs.select(
+        (col("doc_id") + idOff).as("doc_id"),
+        concat_ws(" ", slice(col("ws"), lit(1),
+          floor(size(col("ws")) * num / den.toDouble).cast("int")))
+          .as("text"))
+      val corpus = docs.select(col("doc_id"),
+          concat_ws(" ", col("ws")).as("text"))
+        .unionByName(prefix(2, 5, 10000000L))
+        .unionByName(prefix(4, 5, 20000000L))
+      val sh = Dedup.wordShingles(corpus, "doc_id", "text", n = 3)
+      val truth = Dedup.jaccardPairsFromShingles(sh, "doc_id",
+        minJaccard = 0.35)
+      val cand = Dedup.minHashBandSweep(sh, "doc_id", numHashes = 64,
+        bandsList = Seq(8, 16, 32), portable = true)
+      truth.select(col("id_a"), col("id_b"),
+          (floor(col("jaccard") * 1e6 + 0.5) / 1e6).as("jaccard"))
+        .withColumn("bands", explode(array(lit(8L), lit(16L), lit(32L))))
+        .join(cand.withColumn("found", lit(1L)),
+          Seq("bands", "id_a", "id_b"), "left")
+        .select(col("bands"), col("id_a"), col("id_b"), col("jaccard"),
+          coalesce(col("found"), lit(0L)).as("found"))
+    }),
+
     // ---- salted two-phase aggregation (skew-safe rollup) -------------------
     "q34_salted_rollup" -> ((s, d) => {
       Skew.saltedAggregate(Tables.lineitem(s, d), Seq("l_suppkey"),
@@ -1336,6 +1385,61 @@ object DataPipelineQueries extends Catalog {
          |JOIN sizes na ON id_a = na.doc_id
          |JOIN sizes nb ON id_b = nb.doc_id
          |WHERE CAST(inter AS DOUBLE)/(na.n_sh + nb.n_sh - inter) >= 0.5""".stripMargin
+    },
+
+    // the q23 banding oracle generalized over three band configurations
+    // (band id = k div (64 div bands)) joined against the exhaustive
+    // inverted-index truth pairs at τ=0.35 over the tripled corpus (each
+    // doc + its 2/5 and 4/5 token prefixes — the oracle SLICES the token
+    // list where the engine re-tokenizes the joined prefix text, so
+    // normalize-idempotence is itself under test); found=1 iff the true
+    // pair is an LSH candidate under that configuration. Exact-signature
+    // band equality here vs hashed buckets in the engine: the device must
+    // be invisible.
+    "q170_lsh_recall_sweep" -> {
+      import graft.plans.Fnv1a64Expression.{longSqlText, stringSqlText, toSignedSqlText}
+      val fam = toSignedSqlText(
+        longSqlText(longSqlText("14695981039346656037::HUGEINT", "k::HUGEINT"), "bh"))
+      s"""WITH w0 AS (SELECT doc_id, $wordsSql AS ws FROM documents),
+         |w AS (SELECT doc_id, ws FROM w0
+         |      UNION ALL
+         |      SELECT doc_id + 10000000, ws[1:len(ws)*2//5] FROM w0
+         |      UNION ALL
+         |      SELECT doc_id + 20000000, ws[1:len(ws)*4//5] FROM w0),
+         |idx AS (SELECT doc_id, ws, unnest(range(len(ws)-2)) AS i
+         |        FROM w WHERE len(ws) >= 3),
+         |sh AS (SELECT DISTINCT doc_id,
+         |         array_to_string(ws[i+1:i+3], ' ') AS shingle FROM idx),
+         |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+         |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+         |          FROM sh a JOIN sh b
+         |            ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |          GROUP BY 1, 2),
+         |truth AS (SELECT id_a, id_b,
+         |    floor(CAST(inter AS DOUBLE)/(na.n_sh + nb.n_sh - inter)*1000000.0
+         |      + 0.5)/1000000.0 AS jaccard
+         |  FROM inter
+         |  JOIN sizes na ON id_a = na.doc_id
+         |  JOIN sizes nb ON id_b = nb.doc_id
+         |  WHERE CAST(inter AS DOUBLE)/(na.n_sh + nb.n_sh - inter) >= 0.35),
+         |base AS (SELECT doc_id, ${stringSqlText("shingle")} AS bh FROM sh),
+         |fam AS (SELECT doc_id, k, min($fam) AS m
+         |        FROM base CROSS JOIN (SELECT unnest(range(64)) AS k)
+         |        GROUP BY doc_id, k),
+         |cfg AS (SELECT unnest([8, 16, 32]) AS bands),
+         |bandsig AS (SELECT doc_id, bands, k // (64 // bands) AS band,
+         |              list(m ORDER BY k) AS bs
+         |            FROM fam CROSS JOIN cfg GROUP BY 1, 2, 3),
+         |cand AS (SELECT DISTINCT a.bands, a.doc_id AS id_a, b.doc_id AS id_b
+         |         FROM bandsig a JOIN bandsig b
+         |           ON a.bands = b.bands AND a.band = b.band AND a.bs = b.bs
+         |             AND a.doc_id < b.doc_id)
+         |SELECT CAST(cfg.bands AS BIGINT) AS bands, t.id_a, t.id_b, t.jaccard,
+         |  CAST(CASE WHEN c.id_a IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+         |    AS found
+         |FROM truth t CROSS JOIN cfg
+         |LEFT JOIN cand c ON c.bands = cfg.bands
+         |  AND c.id_a = t.id_a AND c.id_b = t.id_b""".stripMargin
     },
 
     // the q23 banding oracle split into batch/corpus frames: signatures and

@@ -617,4 +617,21 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(Dedup.cosinePairs(docs, "doc_id", "text", 1L, 100L, 1000L)
       .count() === 1)
   }
+
+  test("band sweep: per-config candidates equal the direct formulation") {
+    val sh = Dedup.wordShingles(docs, "doc_id", "text", 3)
+    val sweep = Dedup.minHashBandSweep(sh, "doc_id", numHashes = 16,
+        bandsList = Seq(4, 8), portable = true)
+      .as[(Long, Long, Long)].collect().toSet
+    val direct = Seq(4, 8).flatMap { b =>
+      Dedup.minHashCandidatesFromSignatures(
+          Dedup.minHashSignaturesFromShingles(sh, "doc_id", 16,
+            portable = true), "doc_id", b, 16 / b)
+        .as[(Long, Long)].collect().map { case (a, bb) => (a, bb, b.toLong) }
+    }.toSet
+    assert(sweep === direct)
+    // the exact-dup pair (1, 2) has identical signatures: candidate in
+    // EVERY configuration by construction
+    assert(Seq(4L, 8L).forall(b => sweep.contains((1L, 2L, b))))
+  }
 }
