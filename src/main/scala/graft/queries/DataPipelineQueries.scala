@@ -587,8 +587,11 @@ object DataPipelineQueries extends Catalog {
       val tf = graft.ext.Caches.pin(Similarity.hashedTfVectors(
         Tables.documentsWide(s, d), "doc_id", "text", buckets = 64))
       val qs = tf.filter(col("doc_id") % 50 === 0)
-      val exact = Similarity.knnExact(tf, qs,
-        "doc_id", "tf", "doc_id", "tf", k = 10, scale = 1.0)
+      // pinned (the q161 device): the exact baseline feeds BOTH method
+      // arms' recall joins — unpinned, each arm replayed the full
+      // |corpus|×|queries| product (the query's dominant stage twice over)
+      val exact = graft.ext.Caches.pin(Similarity.knnExact(tf, qs,
+        "doc_id", "tf", "doc_id", "tf", k = 10, scale = 1.0))
       val cbP = Similarity.collectCodebooks(
         Tables.ensureMaterialized(s, "pq_tf",
           Tables.contentKey(s"$d/documents.parquet", "hash64_m4kc8it2"))(

@@ -60,6 +60,8 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
       "q165_hard_negatives", // q25's bounded-anchor broadcast product
       "q168_hard_negatives_ivf", // q146's shapes + q165's cut (exact arm
                                  // broadcast product + centroid attaches)
+      "q171_ivf_nprobe_sweep",   // q146's shapes per arm (exact-baseline
+                                 // broadcast product + centroid attaches)
       "q148_recommendations_grid") // auto tier (r13): below the stats
                                    // crossover this IS q49's reference
                                    // broadcast nearest-city shape
