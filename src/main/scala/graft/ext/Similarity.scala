@@ -318,7 +318,11 @@ object Similarity {
     * PREFIX slice: `topkBy` orders by (score desc, id asc), a total order,
     * so the top-np prefix of the top-max list IS the independent top-np —
     * each arm is bit-identical to a standalone [[knnIvf]] run at its
-    * nprobe. Output: knnIvf's contract + an `nprobe` column.
+    * nprobe. Output: knnIvf's contract + an `nprobe` column + a
+    * `candidates` column (the per-query scanned-candidate count, constant
+    * across a query's k rows — the COST axis of the recall/cost curve,
+    * counted inside the same aggregation as the top-k heap: zero extra
+    * stages).
     */
   def knnIvfSweep(corpus: DataFrame, queries: DataFrame,
                   corpusId: String, corpusVec: String,
@@ -349,7 +353,7 @@ object Similarity {
       val probeCells = probeTk.select(col("query_id"),
         explode(slice(col("__tk.id"), 1, np)).as("cell"))
       val probes = probeCells.join(q, Seq("query_id"))
-      explodeTopK(probes.join(assigned, Seq("cell"))
+      probes.join(assigned, Seq("cell"))
         .filter(col("neighbor_id") =!= col("query_id"))
         .select(col("query_id"),
           cosineFromQuantized(col("__qv"), col("__cv"), col("__qn"), col("__cn"))
@@ -357,7 +361,13 @@ object Similarity {
           col("neighbor_id"))
         .groupBy("query_id")
         .agg(graft.plans.TopKByAggregate.topkBy(
-          pinnedScore(col("__cos")), col("neighbor_id"), k).as("__tk")))
+          pinnedScore(col("__cos")), col("neighbor_id"), k).as("__tk"),
+          count(lit(1)).as("candidates"))
+        .select(col("query_id"), col("candidates"),
+          posexplode(col("__tk")).as(Seq("__p", "__e")))
+        .select(col("query_id"), (col("__p") + 1).cast("long").as("rank"),
+          col("__e.id").as("neighbor_id"), col("__e.score").as("cosine"),
+          col("candidates"))
         .withColumn("nprobe", lit(np.toLong))
     }.reduce(_ unionByName _)
   }

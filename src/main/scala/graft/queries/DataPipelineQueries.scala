@@ -390,23 +390,29 @@ object DataPipelineQueries extends Catalog {
     // assignment shared, per-query cell ranking computed once at
     // max(nprobe) and prefix-sliced per arm — bit-identical to independent
     // runs because topkBy's (score desc, id asc) order is total), four
-    // probe budgets, per-arm recall vs the pinned exact top-10. MEASURED
-    // at sf0.01: mean recall 260/420/590/940‰ at nprobe 1/2/4/8 of 10
-    // cells — i.i.d. random unit vectors are IVF's hard case (q146 note),
-    // and the curve quantifies exactly what each probed cell buys. All
-    // integers; the oracle replays each arm independently (row_number ≤ np
-    // probes), so the prefix-slice device must be invisible.
+    // probe budgets, per-arm recall AND scanned-candidate cost (counted
+    // inside the same aggregation as the top-k heap — zero extra stages)
+    // vs the pinned exact top-10. MEASURED at sf0.01: mean recall
+    // 260/420/590/940‰ at 54/101/197/405 candidates (of 500) for nprobe
+    // 1/2/4/8 of 10 cells — i.i.d. random unit vectors are IVF's hard
+    // case (q146 note), and the two-axis curve quantifies exactly what
+    // each probed cell buys AND costs. All integers; the oracle replays
+    // each arm independently (row_number ≤ np probes + a direct candidate
+    // count), so the prefix-slice device must be invisible.
     "q171_ivf_nprobe_sweep" -> ((s, d) => {
       val vecs = Tables.embeddingsWide(s, d)
       val qs = vecs.filter(col("vec_id") % 50 === 0)
       val exact = graft.ext.Caches.pin(Similarity.knnExact(vecs, qs,
         "vec_id", "embedding", "vec_id", "embedding", k = 10))
       val arms = Seq(1, 2, 4, 8)
-      val sweep = Similarity.knnIvfSweep(vecs, qs,
+      // pinned: the sweep result (≤ |arms|·k·|queries| rows — tiny) feeds
+      // both the recall join and the cost rollup; unpinned, the second
+      // consumer would replay every arm's probe join
+      val sweep = graft.ext.Caches.pin(Similarity.knnIvfSweep(vecs, qs,
         "vec_id", "embedding", "vec_id", "embedding",
         centroids = vecs.filter(col("vec_id") % 50 === 7),
-        "vec_id", "embedding", k = 10, nprobes = arms)
-      exact.select(col("query_id"), col("neighbor_id"))
+        "vec_id", "embedding", k = 10, nprobes = arms))
+      val recall = exact.select(col("query_id"), col("neighbor_id"))
         .withColumn("nprobe",
           explode(array(arms.map(np => lit(np.toLong)): _*)))
         .join(sweep.select(col("nprobe"), col("query_id"),
@@ -420,6 +426,11 @@ object DataPipelineQueries extends Catalog {
           expr("sum(rp) div count(1)").as("mean_recall_permille"),
           min("rp").as("min_recall_permille"),
           max("rp").as("max_recall_permille"))
+      val cost = sweep.select("nprobe", "query_id", "candidates").distinct()
+        .groupBy("nprobe").agg(sum("candidates").as("__ct"))
+      recall.join(cost, Seq("nprobe"))
+        .withColumn("mean_candidates", expr("__ct div queries"))
+        .drop("__ct")
     }),
 
     // ---- product quantization: codebooks + ADC top-k + recall --------------
@@ -1828,6 +1839,11 @@ object DataPipelineQueries extends Catalog {
            |  FROM exact e LEFT JOIN approx$np a
            |    ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
            |  GROUP BY 1),
+           |cost$np AS (
+           |  SELECT sum(c) AS ct FROM (
+           |    SELECT query_id, count(*) AS c
+           |    FROM probes$np JOIN assigned USING (cell)
+           |    WHERE neighbor_id != query_id GROUP BY 1)),
            |arm$np AS (
            |  SELECT CAST($np AS BIGINT) AS nprobe,
            |    CAST(count(*) AS BIGINT) AS queries,
@@ -1835,8 +1851,9 @@ object DataPipelineQueries extends Catalog {
            |    CAST(sum((h * 1000) // 10) // count(*) AS BIGINT)
            |      AS mean_recall_permille,
            |    CAST(min((h * 1000) // 10) AS BIGINT) AS min_recall_permille,
-           |    CAST(max((h * 1000) // 10) AS BIGINT) AS max_recall_permille
-           |  FROM per$np)""".stripMargin
+           |    CAST(max((h * 1000) // 10) AS BIGINT) AS max_recall_permille,
+           |    CAST(ct // count(*) AS BIGINT) AS mean_candidates
+           |  FROM per$np CROSS JOIN cost$np GROUP BY ct)""".stripMargin
       }.mkString(",\n")
       val armSelects = Seq(1, 2, 4, 8)
         .map(np => s"SELECT * FROM arm$np").mkString("\nUNION ALL\n")
