@@ -815,12 +815,20 @@ object DataPipelineQueries extends Catalog {
       val id = col("doc_id")
       val w = lit(6L) + pmod(id, lit(9L))
       val h = lit(4L) + pmod(id, lit(5L))
-      val thumb = Multimodal.resizeBmp(col("bmp"), 5, 3)
+      // bmp and thumb are MATERIALIZED columns (the q99 layering): the
+      // decoder reads `thumb` dozens of times and the resizer reads `bmp`
+      // dozens of times — each multi-reference blocks CollapseProject, so
+      // every tier computes once per row in its own Project. Inlining the
+      // resize tree into the decoder instead replicates the whole
+      // fabricate∘resize expression inside every byte-read of the decode
+      // aggregate (measured: 0.33 s/row — 69 s wall / 1665 s CPU at
+      // sf0.1; this layering: per-row scalar work again).
       Tables.documentsWide(s, d).select(id)
         .withColumn("bmp", Multimodal.fabricateBmp(w, h,
           (r, k) => pmod(id + r * 31L + k * 5L, lit(256L))))
-        .select(id, Multimodal.decodeBmp(thumb).as("tb"),
-          octet_length(thumb).cast("long").as("thumb_bytes"))
+        .withColumn("thumb", Multimodal.resizeBmp(col("bmp"), 5, 3))
+        .select(id, Multimodal.decodeBmp(col("thumb")).as("tb"),
+          octet_length(col("thumb")).cast("long").as("thumb_bytes"))
         .select(id,
           col("tb.valid").as("thumb_valid"),
           col("tb.width").as("thumb_w"),
