@@ -886,6 +886,60 @@ object DataPipelineQueries extends Catalog {
           coalesce(col("found"), lit(0L)).as("found"))
     }),
 
+    // ---- cross-resolution media dedup via resize canonicalization (X146) ---
+    // the pipeline role of X143's resize: a media lake holds the SAME asset
+    // at several resolutions (renders, thumbnails, re-encodes), and exact
+    // byte dedup sees them as distinct. Canonicalize: resize everything to
+    // one small raster, dedup on the canonical bytes. The corpus here is
+    // every asset twice — native res, and at id + 10⁷ an INDEPENDENTLY
+    // fabricated 2× upsample (pixel (r,k) = base formula at
+    // (r div 2, ((k div 3) div 2)·3 + k mod 3) — never produced through
+    // resizeBmp). The two variants' canonical 5×3 thumbs are
+    // BYTE-IDENTICAL by the resize's index-map algebra:
+    // floor(floor(2x)/2) = floor(x) makes nearest-neighbor maps commute
+    // with integer upsampling — so md5-grouping the mixed corpus collapses
+    // each (orig, 2×) pair into one group with canonical_id = the original
+    // (min id). One resize byte off anywhere splits a group and fails the
+    // hash: the identity is corpus-proven, not spec-asserted. The oracle
+    // groups by the replayed 45-byte pixel tuple — no md5, no byte
+    // parsing. Map-only per-row scalars + one fp-keyed groupBy: the q21
+    // exact-dedup shape on canonicalized media.
+    "q172_media_cross_resolution" -> ((s, d) => {
+      val id = col("doc_id")
+      val w = lit(6L) + pmod(id, lit(9L))
+      val h = lit(4L) + pmod(id, lit(5L))
+      def base(r: org.apache.spark.sql.Column,
+               k: org.apache.spark.sql.Column) =
+        pmod(id + r * 31L + k * 5L, lit(256L))
+      val docs = Tables.documentsWide(s, d).select(id)
+      // the mixed-resolution corpus: every asset once at native res and
+      // once (id + 10⁷) at an INDEPENDENTLY fabricated 2× upsample
+      val corpus = docs
+        .withColumn("bin", Multimodal.fabricateBmp(w, h, base))
+        .select(id, col("bin"))
+        .unionByName(docs
+          .withColumn("bin", Multimodal.fabricateBmp(w * 2L, h * 2L,
+            (r, k) => base(floor(r / 2.0).cast("long"),
+              floor(floor(k / 3.0) / 2.0).cast("long") * 3L
+                + pmod(k, lit(3L)))))
+          .select((id + 10000000L).as("doc_id"), col("bin")))
+      // localCheckpoint (the multi-consumer device): the group aggregate
+      // and the join both consume canon — unmaterialized, the optimized
+      // two-branch plan re-derived the thumbs with the fabricate chain
+      // degraded to interpreted per-byte eval in BOTH exchange stages
+      // (measured: >390 s at sf0.1 vs 0.4 s for the identical single-
+      // consumer projection); checkpointing the 2·|docs|-row (id, fp)
+      // frame restores the map-once shape (1.4 s end-to-end)
+      val canon = corpus
+        .withColumn("thumb", Multimodal.resizeBmp(col("bin"), 5, 3))
+        .select(id, md5(col("thumb")).as("fp"))
+        .localCheckpoint(false)
+      val groups = canon.groupBy("fp")
+        .agg(count(lit(1)).as("group_size"), min(id).as("canonical_id"))
+      canon.join(groups, Seq("fp"))
+        .select(id, col("group_size"), col("canonical_id"))
+    }),
+
     // ---- salted two-phase aggregation (skew-safe rollup) -------------------
     "q34_salted_rollup" -> ((s, d) => {
       Skew.saltedAggregate(Tables.lineitem(s, d), Seq("l_suppkey"),
@@ -2380,6 +2434,29 @@ object DataPipelineQueries extends Catalog {
         |       + (((((j % 15) // 3) * w) // 5) * 3 + (j % 15) % 3) * 5) % 256
         |      FOR j IN range(0, 45)]) AS BIGINT) AS thumb_sum_pixels
         |FROM p""".stripMargin,
+
+    // both variants reduce to the SAME composed thumb formula (the
+    // floor(floor(2x)/2) = floor(x) identity), so the oracle materializes
+    // each corpus row's 45 thumbnail pixel bytes from the base-doc formula
+    // and groups on the pixel TUPLE — an independent partition (no md5, no
+    // byte construction) that must coincide with the engine's md5 groups
+    "q172_media_cross_resolution" ->
+      """WITH p AS (SELECT doc_id, 6 + doc_id % 9 AS w, 4 + doc_id % 5 AS h
+        |           FROM documents),
+        |u AS (SELECT doc_id AS id, doc_id AS base, w, h FROM p
+        |      UNION ALL
+        |      SELECT doc_id + 10000000, doc_id, w, h FROM p),
+        |t AS (SELECT id, [
+        |        (base + (((j // 15) * h) // 3) * 31
+        |         + (((((j % 15) // 3) * w) // 5) * 3 + (j % 15) % 3) * 5) % 256
+        |        FOR j IN range(0, 45)] AS px
+        |      FROM u),
+        |g AS (SELECT px, count(*) AS group_size, min(id) AS canonical_id
+        |      FROM t GROUP BY px)
+        |SELECT t.id AS doc_id,
+        |  CAST(g.group_size AS BIGINT) AS group_size,
+        |  CAST(g.canonical_id AS BIGINT) AS canonical_id
+        |FROM t JOIN g USING (px)""".stripMargin,
 
     "q34_salted_rollup" ->
       """SELECT l_suppkey,

@@ -405,6 +405,26 @@ class TextMultimodalSpec extends AnyFunSuite with SparkTestBase {
     assert(upSum === 4 * srcSum)
   }
 
+  test("BMP resize commutes with integer upsampling (floor(floor(2x)/2) = floor(x))") {
+    // an INDEPENDENTLY fabricated 2x upsample (never through resizeBmp)
+    // must canonicalize to the byte-identical thumbnail — the q172
+    // cross-resolution dedup identity, across both stride regimes
+    for ((w, h) <- Seq((7L, 5L), (4L, 2L))) {
+      def base(r: org.apache.spark.sql.Column, k: org.apache.spark.sql.Column) =
+        pmod(lit(3L) + r * 31L + k * 5L, lit(256L))
+      val pair = Seq(Tuple1(1L)).toDF("id").select(
+        Multimodal.fabricateBmp(lit(w), lit(h), base).as("b1"),
+        Multimodal.fabricateBmp(lit(w * 2), lit(h * 2),
+          (r, k) => base(floor(r / 2.0).cast("long"),
+            floor(floor(k / 3.0) / 2.0).cast("long") * 3L + pmod(k, lit(3L))))
+          .as("b2"))
+      val (t1, t2) = pair.select(
+          Multimodal.resizeBmp($"b1", 5, 3), Multimodal.resizeBmp($"b2", 5, 3))
+        .as[(Array[Byte], Array[Byte])].head()
+      assert(t1.toSeq === t2.toSeq, s"thumbs diverged at ${w}x$h")
+    }
+  }
+
   test("BMP resize rejects invalid input as null, never throws") {
     val got = Seq(Tuple1("notabmp".getBytes("UTF-8"))).toDF("bin")
       .select(Multimodal.resizeBmp($"bin", 2, 2))
