@@ -190,7 +190,15 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
       // initial checkpoint per chain off the prior core) and strictly
       // less WORK per round at real scale (shrinking frames);
       // 37 -> 30 with the round-13 materialized edge scan
-      "q164_coreness" -> Instrument.Counts(30, 30))
+      "q164_coreness" -> Instrument.Counts(30, 30),
+      // round-13 faces: q169/q172 map-only media chains (q172 adds the
+      // canonical-frame checkpoint + fp groupBy/join), q170 one signature
+      // pass + three bandings + the inverted-index truth, q171 one shared
+      // IVF index pass + four prefix-sliced arms + recall/cost rollups
+      "q169_media_resize" -> Instrument.Counts(3, 3),
+      "q170_lsh_recall_sweep" -> Instrument.Counts(26, 26),
+      "q171_ivf_nprobe_sweep" -> Instrument.Counts(32, 32),
+      "q172_media_cross_resolution" -> Instrument.Counts(5, 5))
     // coPurchaseEdges and the fitted-model stores (BPE merges, k-means
     // centroids, PQ/OPQ codebooks) are content-key-materialized (round
     // 13): the first execution against a fresh scratch dir pays the
