@@ -225,6 +225,33 @@ object Multimodal {
     when(valid, resized)
   }
 
+  /** Integer-factor WAV decimation (the audio twin of [[resizeBmp]]): keep
+    * every `factor`-th sample of a canonical 44-byte-header mono 16-bit PCM
+    * WAV and emit a fresh valid WAV whose sample rate and data chunk shrink
+    * by the factor — sample j of the output is sample j·factor of the
+    * input, rate′ = rate div factor. Like the classic naive decimator this
+    * applies NO anti-alias filter (aliasing is the caller's concern — the
+    * structural plumbing is the point; a real polyphase resampler needs a
+    * DSP library and belongs in a `mapInArrow` batch stage, for which
+    * valid-WAV-in/valid-WAV-out is the drop-in contract). Pure built-in
+    * expressions; invalid/non-mono/non-16-bit input → null.
+    */
+  def decimateWav(bin: Column, factor: Int): Column = {
+    require(factor > 0, "decimation factor must be positive")
+    val valid = magicIs(bin, 0, "RIFF") && magicIs(bin, 8, "WAVE") &&
+      magicIs(bin, 12, "fmt ") && magicIs(bin, 36, "data") &&
+      octet_length(bin) >= 44 &&
+      u16le(bin, lit(20L)) === 1L && u16le(bin, lit(22L)) === 1L &&
+      u16le(bin, lit(34L)) === 16L
+    val rate = u32le(bin, lit(24L))
+    val n = floor(u32le(bin, lit(40L)) / u16le(bin, lit(32L))).cast("long")
+    val outN = floor((n + (factor - 1)) / lit(factor.toDouble)).cast("long")
+    val samples = transform(sequence(lit(0L), outN - 1L),
+      j => s16le(bin, lit(44L) + j * (factor * 2L)))
+    when(valid && n > 0L,
+      fabricateWav(floor(rate / lit(factor.toDouble)).cast("long"), samples))
+  }
+
   // ---- decoders -----------------------------------------------------------
 
   /** Decode a canonical 44-byte-header mono/stereo PCM WAV from its bytes

@@ -940,6 +940,36 @@ object DataPipelineQueries extends Catalog {
         .select(id, col("group_size"), col("canonical_id"))
     }),
 
+    // ---- WAV decimation: fabricate → resample → decode (X147) --------------
+    // the audio twin of q169 and the last member of the transform pair
+    // (image resize / audio resample): each doc fabricates the q99 PCM WAV
+    // (32..64 samples at 8000..15000 Hz), decimates by 4 (sample j of the
+    // output = sample 4j of the input, rate′ = rate div 4), and the
+    // DECODER reads the result back — format fields, the shrunk sample
+    // count ceil(n/4), the integer duration at the new byte rate, and the
+    // strided per-sample statistics all have to survive the round trip.
+    // The oracle replays the generative sample formula at indices 4j.
+    // Column layering per the q169 lesson: wav and ds are materialized
+    // attributes, never inline trees. Map-only, zero exchanges.
+    "q173_media_resample" -> ((s, d) => {
+      val id = col("doc_id")
+      val n = lit(32L) + pmod(id, lit(33L))
+      val rate = lit(8000L) + pmod(id, lit(8L)) * 1000L
+      val samples = transform(sequence(lit(0L), n - 1L),
+        i => pmod(id * 131L + i * 7919L, lit(65536L)) - 32768L)
+      Tables.documentsWide(s, d).select(id)
+        .withColumn("wav", Multimodal.fabricateWav(rate, samples))
+        .withColumn("ds", Multimodal.decimateWav(col("wav"), 4))
+        .select(id, Multimodal.decodeWav(col("ds")).as("dw"))
+        .select(id,
+          col("dw.valid").as("ds_valid"),
+          col("dw.sample_rate").as("ds_rate"),
+          col("dw.n_samples").as("ds_n_samples"),
+          col("dw.duration_us").as("ds_duration_us"),
+          col("dw.sum_abs").as("ds_sum_abs"),
+          col("dw.max_abs").as("ds_max_abs"))
+    }),
+
     // ---- salted two-phase aggregation (skew-safe rollup) -------------------
     "q34_salted_rollup" -> ((s, d) => {
       Skew.saltedAggregate(Tables.lineitem(s, d), Seq("l_suppkey"),
@@ -2457,6 +2487,28 @@ object DataPipelineQueries extends Catalog {
         |  CAST(g.group_size AS BIGINT) AS group_size,
         |  CAST(g.canonical_id AS BIGINT) AS canonical_id
         |FROM t JOIN g USING (px)""".stripMargin,
+
+    // replays q99's generative sample formula at the decimated indices 4j:
+    // the engine must recover these values by PARSING the resampled bytes,
+    // so the decimator's header rewrite (rate, sizes) and the stride are
+    // both under the hash
+    "q173_media_resample" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    32 + doc_id % 33 AS n0,
+        |    8000 + (doc_id % 8) * 1000 AS r0
+        |  FROM documents),
+        |q AS (SELECT doc_id, (n0 + 3) // 4 AS n, r0 // 4 AS r FROM p)
+        |SELECT doc_id,
+        |  CAST(1 AS BIGINT) AS ds_valid,
+        |  CAST(r AS BIGINT) AS ds_rate,
+        |  CAST(n AS BIGINT) AS ds_n_samples,
+        |  CAST((n * 2 * 1000000) // (r * 2) AS BIGINT) AS ds_duration_us,
+        |  CAST(list_sum([abs(((doc_id*131 + (j-1)*4*7919) % 65536) - 32768)
+        |    FOR j IN range(1, n + 1)]) AS BIGINT) AS ds_sum_abs,
+        |  CAST(list_max([abs(((doc_id*131 + (j-1)*4*7919) % 65536) - 32768)
+        |    FOR j IN range(1, n + 1)]) AS BIGINT) AS ds_max_abs
+        |FROM q""".stripMargin,
 
     "q34_salted_rollup" ->
       """SELECT l_suppkey,

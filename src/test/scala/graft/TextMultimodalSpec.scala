@@ -425,6 +425,56 @@ class TextMultimodalSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("WAV decimation: strided subset against an independent writer") {
+    // golden 7-sample WAV serialized with java.nio; decimate by 2 keeps
+    // samples 0, 2, 4, 6 and halves the rate
+    import java.nio.{ByteBuffer, ByteOrder}
+    val samples = Array[Short](100, -200, 300, -400, 500, -600, 700)
+    val bb = ByteBuffer.allocate(44 + samples.length * 2)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")); bb.putInt(36 + samples.length * 2)
+    bb.put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")); bb.putInt(16)
+    bb.putShort(1); bb.putShort(1); bb.putInt(16000); bb.putInt(32000)
+    bb.putShort(2); bb.putShort(16)
+    bb.put("data".getBytes("US-ASCII")); bb.putInt(samples.length * 2)
+    samples.foreach(bb.putShort)
+    val d = Seq(Tuple1(bb.array())).toDF("bin")
+      .withColumn("ds", Multimodal.decimateWav($"bin", 2))
+      .select(Multimodal.decodeWav($"ds").as("d")).select($"d.*")
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long)].head()
+    //    (valid, channels, rate, bits, n, duration_us, sum_abs, max_abs)
+    assert(d._1 === 1L && d._2 === 1L && d._3 === 8000L && d._4 === 16L)
+    assert(d._5 === 4L)                         // ceil(7/2)
+    assert(d._7 === 100L + 300 + 500 + 700)     // samples 0,2,4,6
+    assert(d._8 === 700L)
+  }
+
+  test("WAV decimation: factor 1 round-trips a fabricated WAV byte-identically") {
+    val src = Seq(Tuple1(5L)).toDF("id").select(
+      Multimodal.fabricateWav(lit(8000L),
+        transform(sequence(lit(0L), lit(9L)),
+          i => pmod(i * 7919L, lit(65536L)) - 32768L)).as("wav"))
+    val (orig, same) = src.select($"wav", Multimodal.decimateWav($"wav", 1))
+      .as[(Array[Byte], Array[Byte])].head()
+    assert(same.toSeq === orig.toSeq)
+  }
+
+  test("WAV decimation rejects stereo input as null, never throws") {
+    import java.nio.{ByteBuffer, ByteOrder}
+    val bb = ByteBuffer.allocate(48).order(ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")); bb.putInt(40)
+    bb.put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")); bb.putInt(16)
+    bb.putShort(1); bb.putShort(2) // PCM but STEREO: unsupported
+    bb.putInt(8000); bb.putInt(32000); bb.putShort(4); bb.putShort(16)
+    bb.put("data".getBytes("US-ASCII")); bb.putInt(4); bb.putShort(1); bb.putShort(2)
+    val got = Seq(Tuple1(bb.array())).toDF("bin")
+      .select(Multimodal.decimateWav($"bin", 2))
+      .as[Option[Array[Byte]]].head()
+    assert(got.isEmpty)
+  }
+
   test("BMP resize rejects invalid input as null, never throws") {
     val got = Seq(Tuple1("notabmp".getBytes("UTF-8"))).toDF("bin")
       .select(Multimodal.resizeBmp($"bin", 2, 2))
