@@ -1309,7 +1309,8 @@ object Dedup {
       // duplicate factor multiplies the binary-search cache misses, and
       // the posting join's term skew caps its stage at a few effective
       // cores).
-      val model = graft.plans.SparseVecModel.collect(sparseVecs(kept, id))
+      val model = graft.plans.SparseVecModel.collect(sparseVecs(kept, id),
+        maxPostings = modelTierMaxPostings)
       val chk = graft.plans.SparseDotLookupExpression
         .cosineCheck(col("id_a"), col("id_b"), minCos2Num, minCos2Den,
           model)

@@ -202,16 +202,30 @@ object Multimodal {
     * full-resolution transcode belongs in a `mapInArrow` batch stage, for
     * which this expression's contract (valid BMP in, valid BMP out) is the
     * drop-in signature.
+    *
+    * Vertical anchoring note: the index map runs over STORAGE rows, and BMP
+    * stores rows bottom-up, so the vertical sampling grid anchors at the
+    * image BOTTOM — equivalent to flip ∘ top-anchored-NN ∘ flip. Whenever
+    * `newH` does not divide `h` this selects different source rows than
+    * PIL/OpenCV's top-anchored convention. Deliberate: it keeps the
+    * generative formula replayable per storage byte and the q172
+    * resize∘resize commute identity exact; library-parity thumbnails want
+    * the r′ → h−1−⌊(newH−1−r′)·h/newH⌋ map instead.
     */
   def resizeBmp(bin: Column, newW: Int, newH: Int): Column = {
     require(newW > 0 && newH > 0, "resize dimensions must be positive")
-    val valid = magicIs(bin, 0, "BM") && octet_length(bin) >= 54 &&
-      u32le(bin, lit(14L)) === 40L && u16le(bin, lit(28L)) === 24L &&
-      u32le(bin, lit(30L)) === 0L
     val off = u32le(bin, lit(10L))
     val w = u32le(bin, lit(18L))
     val h = u32le(bin, lit(22L))
     val srcStride = floor((w * 3L + 3L) / 4.0).cast("long") * 4L
+    // The last clause bounds the declared pixel array against the actual
+    // byte count: a header-valid but truncated input must yield null, not a
+    // corrupt BMP assembled from null byte-reads silently dropped by the
+    // serializer's array_join.
+    val valid = magicIs(bin, 0, "BM") && octet_length(bin) >= 54 &&
+      u32le(bin, lit(14L)) === 40L && u16le(bin, lit(28L)) === 24L &&
+      u32le(bin, lit(30L)) === 0L &&
+      octet_length(bin).cast("long") >= off + h * srcStride
     val resized = fabricateBmp(lit(newW.toLong), lit(newH.toLong), (r, k) => {
       // k is the byte index within the output row: pixel k div 3, channel
       // k mod 3. Integer division via floor(double) is exact while the
@@ -238,11 +252,18 @@ object Multimodal {
     */
   def decimateWav(bin: Column, factor: Int): Column = {
     require(factor > 0, "decimation factor must be positive")
+    // The octet_length clause bounds the untrusted 4-byte data-chunk size
+    // against the actual byte count, closing two holes at once: a truncated
+    // input can no longer emit a corrupt non-null WAV (null sample reads
+    // silently dropped by array_join), and a size-lying header can no longer
+    // drive a multi-GB sequence() allocation — outN is now bounded by the
+    // real input size.
     val valid = magicIs(bin, 0, "RIFF") && magicIs(bin, 8, "WAVE") &&
       magicIs(bin, 12, "fmt ") && magicIs(bin, 36, "data") &&
       octet_length(bin) >= 44 &&
       u16le(bin, lit(20L)) === 1L && u16le(bin, lit(22L)) === 1L &&
-      u16le(bin, lit(34L)) === 16L
+      u16le(bin, lit(34L)) === 16L &&
+      octet_length(bin).cast("long") >= lit(44L) + u32le(bin, lit(40L))
     val rate = u32le(bin, lit(24L))
     val n = floor(u32le(bin, lit(40L)) / u16le(bin, lit(32L))).cast("long")
     val outN = floor((n + (factor - 1)) / lit(factor.toDouble)).cast("long")

@@ -186,14 +186,33 @@ final class SparseVecModel(val ids: Array[Long], val offsets: Array[Int],
 }
 
 object SparseVecModel {
+  /** Hard in-function ceiling on collected postings (16 B each → ≤ ~128 MB
+    * of model arrays) — twice the measured caller gate
+    * ([[graft.ext.Dedup.VerifyBroadcastPostings]]), so a caller that skips
+    * or mis-sizes its own gate still fails loudly here instead of OOMing
+    * the driver with a 100 TB vector table. */
+  val MaxCollectedPostings = 8000000L
+
   /** Collect a (id, __ks, __vs, __n2) frame ([[graft.ext.Dedup]]'s
-    * sparseVecs shape) into the compact model — caller gates the size. */
-  def collect(vecs: org.apache.spark.sql.DataFrame): SparseVecModel = {
+    * sparseVecs shape) into the compact model. The caller gates the size
+    * with a MEASURED posting count (`maxPostings` is that gate, re-checked
+    * here); [[MaxCollectedPostings]] is the absolute ceiling enforced
+    * regardless of what the caller passes. Both checks run before the
+    * model arrays allocate, so misuse throws with the observed count in
+    * the message rather than doubling driver memory first. */
+  def collect(vecs: org.apache.spark.sql.DataFrame,
+              maxPostings: Long = MaxCollectedPostings): SparseVecModel = {
     val rows = vecs.collect().sortBy(_.getLong(0))
     val n = rows.length
     val ids = new Array[Long](n)
     val offsets = new Array[Int](n + 1)
     val nPost = rows.iterator.map(_.getSeq[Long](1).size).sum
+    val bound = math.min(maxPostings, MaxCollectedPostings)
+    require(nPost <= bound,
+      s"SparseVecModel.collect: $n rows / $nPost postings exceed the " +
+        s"regime bound $bound — this tier is for DEGENERATE (tiny-" +
+        "vocabulary) vector tables only; route to the distributed " +
+        "merge-dot verify instead (graft.ext.Dedup.verifyCosine)")
     val keys = new Array[Long](nPost)
     val vals = new Array[Long](nPost)
     val n2s = new Array[Long](n)

@@ -428,7 +428,13 @@ object DataPipelineQueries extends Catalog {
           max("rp").as("max_recall_permille"))
       val cost = sweep.select("nprobe", "query_id", "candidates").distinct()
         .groupBy("nprobe").agg(sum("candidates").as("__ct"))
-      recall.join(cost, Seq("nprobe"))
+      // left join: an arm whose probed cells contain zero non-self
+      // candidates corpus-wide has no cost row, but the oracle's
+      // `per CROSS JOIN cost` still emits it (NULL mean_candidates via
+      // sum-over-empty). NULL __ct div queries reproduces that NULL exactly
+      // — no coalesce, or the degenerate arm would read 0 where the oracle
+      // says NULL. Unreachable at the catalog's scales; shape parity only.
+      recall.join(cost, Seq("nprobe"), "left")
         .withColumn("mean_candidates", expr("__ct div queries"))
         .drop("__ct")
     }),

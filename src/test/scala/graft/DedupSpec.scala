@@ -366,6 +366,23 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
       (2L, 4L, 6L, 8L, 5L, 900000L)))
   }
 
+  test("SparseVecModel.collect fails loudly past the in-function posting " +
+      "bound instead of allocating the model") {
+    // the model's (id, __ks, __vs, __n2) input contract, 5 postings total
+    val vecs = Seq(
+      (1L, Seq(10L, 20L), Seq(2L, 1L), 5L),
+      (2L, Seq(10L, 20L, 30L), Seq(1L, 1L, 1L), 3L)
+    ).toDF("doc_id", "__ks", "__vs", "__n2")
+    // caller-passed gate re-checked inside the function: 5 postings > 2
+    val ex = intercept[IllegalArgumentException] {
+      graft.plans.SparseVecModel.collect(vecs, maxPostings = 2L)
+    }
+    assert(ex.getMessage.contains("regime bound"))
+    // within the gate it builds normally
+    val m = graft.plans.SparseVecModel.collect(vecs, maxPostings = 100L)
+    assert(m.ids.length === 2)
+  }
+
   test("exactSubstrSpans: planted long repeats resolve to exact maximal " +
       "spans; sub-threshold repeats are invisible") {
     val p = (1 to 12).map(i => s"p$i").mkString(" ")  // shared 12-token run

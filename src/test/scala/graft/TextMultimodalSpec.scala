@@ -481,4 +481,41 @@ class TextMultimodalSpec extends AnyFunSuite with SparkTestBase {
       .as[Option[Array[Byte]]].head()
     assert(got.isEmpty)
   }
+
+  test("WAV decimation rejects truncated / size-lying input as null") {
+    import java.nio.{ByteBuffer, ByteOrder}
+    // header-valid mono 16-bit WAV whose data chunk CLAIMS 8 samples but
+    // carries only 2 — pre-guard this emitted a corrupt non-null WAV (null
+    // sample reads silently dropped by the serializer's array_join)
+    val bb = ByteBuffer.allocate(48).order(ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")); bb.putInt(40)
+    bb.put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")); bb.putInt(16)
+    bb.putShort(1); bb.putShort(1); bb.putInt(8000); bb.putInt(16000)
+    bb.putShort(2); bb.putShort(16)
+    bb.put("data".getBytes("US-ASCII")); bb.putInt(16) // lies: only 4 bytes follow
+    bb.putShort(1); bb.putShort(2)
+    val truncated = bb.array()
+    // size-LYING header: declares ~2^31 data bytes on a 48-byte input —
+    // pre-guard, outN drove a multi-GB sequence() allocation
+    val lying = truncated.clone()
+    ByteBuffer.wrap(lying).order(ByteOrder.LITTLE_ENDIAN)
+      .putInt(40, Int.MaxValue)
+    val got = Seq(Tuple1(truncated), Tuple1(lying)).toDF("bin")
+      .select(Multimodal.decimateWav($"bin", 2))
+      .as[Option[Array[Byte]]].collect()
+    assert(got.forall(_.isEmpty))
+  }
+
+  test("BMP resize rejects header-valid but truncated pixel data as null") {
+    val full = Seq(Tuple1(1L)).toDF("id")
+      .select(Multimodal.fabricateBmp(lit(4L), lit(3L),
+        (r, k) => pmod(r * 10L + k, lit(256L))).as("bmp"))
+      .as[Array[Byte]].head()
+    val truncated = full.dropRight(5) // header intact, pixel array short
+    val got = Seq(Tuple1(truncated)).toDF("bin")
+      .select(Multimodal.resizeBmp($"bin", 2, 2))
+      .as[Option[Array[Byte]]].head()
+    assert(got.isEmpty)
+  }
 }
