@@ -20,9 +20,12 @@ import graft.operators.NearestNeighborJoin
   * (:161).
   *
   * Scale notes: the per-channel self-join (J6) is the blow-up risk — quadratic in
-  * channel membership. The shape is kept for parity, but candidate volume is halved
-  * up-front by the theta filter, and a skewed "mega-channel" would be handled by
-  * AQE skew-join splitting or by salting the channel key (no semantic change).
+  * channel membership, and AQE is structurally blind to it (skew detection sizes
+  * partitions by shuffle INPUT bytes; a viral channel is a few MB in, (m/2)² pair
+  * rows out through ONE join key). The fix is not salting (a salted self-join
+  * misses cross-salt pairs) but the balanced chunk-cell device
+  * ([[possibleSubscribersToCommunicate]]'s "chunk" tier), auto-engaged from a
+  * measured hottest-channel statistic ([[chooseChunkedPairs]]).
   */
 object RecommendationJob {
 
@@ -65,19 +68,60 @@ object RecommendationJob {
       .filter(col("user_id") > col("message_to"))
   }
 
+  /** Membership chunk for the balanced per-channel pair self-join tier:
+    * a channel with m members splits into ⌈m/B⌉ chunks and its m² pair
+    * work spreads over the chunk-pair cells, each ≤ B² pairs — the
+    * [[graft.ext.Dedup.SelfJoinChunk]] device applied to the one
+    * remaining unsplittable-key shape in the engine (J6,
+    * project_step_3.py:121-126). 2048² ≈ 4M pairs per cell keeps a cell
+    * well under a task's memory while dozens of cells fill a wave.
+    */
+  val PairChunk: Long = 2048L
+
+  /** Measured hottest-channel membership above which the pair self-join
+    * takes the balanced-chunk tier (auto mode). The estimate is ONE tiny
+    * aggregate over the already-cached distinct (user, channel) frame —
+    * the q134/chooseGridZone posture: a real engine decides the tier from
+    * a measured statistic, because AQE cannot (its skew detection sizes
+    * partitions by shuffle INPUT bytes and a hot channel is a few MB in,
+    * (m/2)² pair rows out — structurally invisible). 2·chunk means the
+    * tier only engages when at least one channel actually multi-chunks.
+    */
+  def chooseChunkedPairs(subs: DataFrame,
+                         pairChunk: Long = PairChunk): Boolean =
+    subs.groupBy("subscription_channel").count()
+      .agg(max("count")).first() match {
+        case r if r.isNullAt(0) => false
+        case r => r.getLong(0) > 2 * pairChunk
+      }
+
   /** Candidate pairs for `date`: share a channel, never messaged, within
     * `maxDistanceKm` of each other's last position (project_step_3.py:98-141).
     */
   /** `emitPeerId = false` reproduces the reference quirk exactly (both
     * output columns carry the left user, project_step_3.py:134-135); with
     * `emitPeerId = true`, `user_right` carries the actual peer.
+    *
+    * `pairTier` selects the channel self-join shape: "ref" = the
+    * reference's single-key join (pair fan-out lands on whichever task
+    * owns the channel once the frame outgrows broadcast — at 100 TB one
+    * viral channel = (m/2)² pair rows through one sort-merge key), "chunk"
+    * = the balanced chunk-cell join (identical pair set, work bounded per
+    * cell), "auto" = measure the hottest channel ([[chooseChunkedPairs]])
+    * and pick. The two tiers are row-identical by construction: chunks
+    * are numbered by `user_id` DESC, so a cross-chunk cell meets each
+    * unordered pair exactly once already in the reference's
+    * `user_id > message_to` orientation, and diagonal cells carry both
+    * orientations for the filter to halve — spec-pinned equivalence.
     */
   def possibleSubscribersToCommunicate(subs: DataFrame,
                                        communicating: DataFrame,
                                        eventsAtDate: DataFrame,
                                        date: String,
                                        maxDistanceKm: Double,
-                                       emitPeerId: Boolean = false): DataFrame = {
+                                       emitPeerId: Boolean = false,
+                                       pairTier: String = "auto",
+                                       pairChunk: Long = PairChunk): DataFrame = {
     val wUser = Window.partitionBy("user_id")
     val lastPosition = eventsAtDate
       .filter(col("lat").isNotNull && col("lon").isNotNull)
@@ -91,25 +135,77 @@ object RecommendationJob {
       .drop("dt_max", "datetime")
       .groupBy("user_id")
       .agg(first("lat").as("last_lat"), first("lon").as("last_lon"))
-    // The channel self-join below is a broadcast hash join whose PAIR
-    // fan-out runs inside the stream side's existing tasks — and that
-    // stream arrives from a date-pruned scan, often ONE partition, so the
-    // whole per-channel pair expansion serialized on one core (measured at
-    // sf10 inside q75: a 125k→80M-row stage as a single 169 s task; AQE
-    // never re-splits because it sizes partitions by INPUT bytes, blind to
-    // join fan-out). One explicit user-keyed exchange of the slim
-    // positioned-subscriber rows buys full-width fan-out; the pinned
-    // partition count keeps AQE from re-coalescing it.
-    val positionedSubs = lastPosition.join(subs, Seq("user_id"), "inner")
-      .repartition(subs.sparkSession.sparkContext.defaultParallelism,
-        col("user_id"))
-    positionedSubs
-      .join(positionedSubs.select(
-          col("subscription_channel"),
-          col("user_id").as("message_to"),
+    val positionedBase = lastPosition.join(subs, Seq("user_id"), "inner")
+    val chunked = pairTier match {
+      case "chunk" => true
+      case "ref"   => false
+      case "auto"  => chooseChunkedPairs(subs, pairChunk)
+      case other   => throw new IllegalArgumentException(
+        s"pairTier must be ref|chunk|auto, got $other")
+    }
+    val rawPairs = if (!chunked) {
+      // REFERENCE TIER. The channel self-join below is a broadcast hash
+      // join whose PAIR fan-out runs inside the stream side's existing
+      // tasks — and that stream arrives from a date-pruned scan, often ONE
+      // partition, so the whole per-channel pair expansion serialized on
+      // one core (measured at sf10 inside q75: a 125k→80M-row stage as a
+      // single 169 s task; AQE never re-splits because it sizes partitions
+      // by INPUT bytes, blind to join fan-out). One explicit user-keyed
+      // exchange of the slim positioned-subscriber rows buys full-width
+      // fan-out; the pinned partition count keeps AQE from re-coalescing
+      // it. This spreads fine while the build side fits a broadcast; past
+      // that the join degrades to one sort-merge key per channel — the
+      // regime the chunk tier exists for.
+      val positionedSubs = positionedBase
+        .repartition(subs.sparkSession.sparkContext.defaultParallelism,
+          col("user_id"))
+      positionedSubs
+        .join(positionedSubs.select(
+            col("subscription_channel"),
+            col("user_id").as("message_to"),
+            col("last_lat").as("last_lat_to"),
+            col("last_lon").as("last_lon_to")),
+          Seq("subscription_channel"), "left")
+    } else {
+      // BALANCED-CHUNK TIER (the Dedup.cosinePairs device on the channel
+      // key): number each channel's members (one linear channel-keyed
+      // window, user_id DESC), chunk by `pairChunk`, and join on the CHUNK
+      // CELL (channel, __ca, __cb) — the left member replicates to cells
+      // (c, c..nc−1), the right to (0..c, c), so every unordered member
+      // pair meets in EXACTLY the cell (min chunk, max chunk) with the
+      // LARGER user on the left (DESC numbering), i.e. already in the
+      // reference's user_id > message_to orientation; diagonal cells carry
+      // both orientations and the filter halves them. A viral channel's m²
+      // pairs spread over (m/B)² independent cell keys, each ≤ B² pairs;
+      // single-chunk channels collapse to one (ch, 0, 0) cell with zero
+      // replication. The shuffle_hash hint forbids the broadcast plan —
+      // under a broadcast the pair fan-out would run inside the window's
+      // channel-partitioned tasks and re-serialize the hot channel; the
+      // hint exchanges both sides by the CELL key instead, which is the
+      // entire point of the device.
+      val byCh = Window.partitionBy("subscription_channel")
+      val numbered = positionedBase
+        .withColumn("__pos",
+          row_number().over(byCh.orderBy(col("user_id").desc))
+            .cast("long") - 1)
+        .withColumn("__nc", expr("(count(1) over (partition by " +
+          s"subscription_channel) + ${pairChunk - 1}) div $pairChunk"))
+        .withColumn("__c", expr(s"__pos div $pairChunk"))
+      val left = numbered
+        .withColumn("__cb", explode(sequence(col("__c"), col("__nc") - 1)))
+        .select(col("subscription_channel"), col("__c").as("__ca"),
+          col("__cb"), col("user_id"), col("last_lat"), col("last_lon"))
+      val right = numbered
+        .withColumn("__ca", explode(sequence(lit(0L), col("__c"))))
+        .select(col("subscription_channel"), col("__ca"),
+          col("__c").as("__cb"), col("user_id").as("message_to"),
           col("last_lat").as("last_lat_to"),
-          col("last_lon").as("last_lon_to")),
-        Seq("subscription_channel"), "left")
+          col("last_lon").as("last_lon_to"))
+      left.join(right.hint("shuffle_hash"),
+          Seq("subscription_channel", "__ca", "__cb"))
+        .drop("__ca", "__cb")
+    }
+    rawPairs
       .filter(col("user_id") > col("message_to"))
       .drop("subscription_channel")
       .distinct()
@@ -240,11 +336,17 @@ object RecommendationJob {
     * input plan stats ([[chooseGridZone]]). On tie-free data the tiers
     * are row-identical (see [[withZoneGrid]]); "auto" is what the
     * catalog's grid faces run, so small inputs stop paying the ladder.
+    *
+    * `pairTier` (ref|chunk|auto, default auto) independently selects the
+    * channel self-join shape — see [[possibleSubscribersToCommunicate]];
+    * the tiers are row-identical on any input, so "auto" is the default
+    * everywhere including the parity faces.
     */
   def transform(events: DataFrame, eventsAtDate: DataFrame, geo: DataFrame,
                 date: String, maxDistanceKm: Double,
                 processedAt: Column = current_timestamp(),
-                zoneTier: String = "ref"): DataFrame = {
+                zoneTier: String = "ref",
+                pairTier: String = "auto"): DataFrame = {
     val grid = zoneTier match {
       case "grid" => true
       case "ref"  => false
@@ -255,7 +357,8 @@ object RecommendationJob {
     val subs = subscribers(events).cache() // reused 2x (ref :32)
     val communicating = communicatingSubscribers(events, subs)
     val candidates = possibleSubscribersToCommunicate(
-      subs, communicating, eventsAtDate, date, maxDistanceKm)
+      subs, communicating, eventsAtDate, date, maxDistanceKm,
+      pairTier = pairTier)
     if (grid) withZoneGrid(geo, candidates, processedAt)
     else withZone(geo, candidates, processedAt)
   }
