@@ -79,6 +79,72 @@ object TextAnalysis {
     graft.plans.WordpieceExpression.wordpiecePieces(
       Dedup.normalizeText(text), vocab)
 
+  /** Default scored vocabulary for the unigram-LM Viterbi tokenizer
+    * ([[graft.plans.UnigramExpression]]): integer scores in MILLIBITS
+    * (quantized log₂-probabilities ×1000, negative — the log-free X75
+    * posture: `ln` is not bit-stable across engines, pinned integers
+    * are). Every lowercase letter and digit is a piece (so only words
+    * with out-of-alphabet characters fall to `[UNK]`), common corpus
+    * words are whole pieces, and several corpus words are DELIBERATELY
+    * absent as whole pieces ("customer", "vector", "column", "window")
+    * with competing sub-piece splits supplied instead, so the Viterbi
+    * objective genuinely decides segmentations rather than rubber-
+    * stamping whole words. A production pipeline would plug an
+    * EM-learned SentencePiece vocabulary here; the ALGORITHM (exact
+    * integer Viterbi, whole-word `[UNK]`) is what the engine provides
+    * and what the oracle re-derives.
+    */
+  val UnigramVocab: Seq[(String, Long)] = {
+    val singles = (('a' to 'z') ++ ('0' to '9')).map(c => c.toString -> -14000L)
+    val words = Seq(
+      "the" -> -6000L, "data" -> -7000L, "table" -> -7000L,
+      "stream" -> -7200L, "value" -> -7100L, "query" -> -7300L,
+      "filter" -> -7400L, "order" -> -7100L, "group" -> -7200L,
+      "batch" -> -7400L, "merge" -> -7500L, "small" -> -7300L,
+      "scan" -> -7000L, "sort" -> -7000L, "hash" -> -7000L,
+      "join" -> -6900L, "key" -> -6800L, "row" -> -6700L,
+      "line" -> -7000L, "slow" -> -7100L, "fast" -> -7000L,
+      "spark" -> -7200L, "part" -> -6900L, "agg" -> -7100L,
+      "big" -> -6800L)
+    val pieces = Seq(
+      "cus" -> -9600L, "tom" -> -9200L, "er" -> -7800L, "tomer" -> -9000L,
+      "ve" -> -9400L, "ctor" -> -10400L, "vec" -> -9800L, "tor" -> -9000L,
+      "co" -> -9200L, "lumn" -> -9800L, "col" -> -9600L, "umn" -> -10600L,
+      "win" -> -8800L, "dow" -> -9200L, "wind" -> -10200L, "ow" -> -8800L,
+      "tab" -> -9000L, "le" -> -8000L, "str" -> -9400L, "eam" -> -9400L,
+      "ing" -> -8200L, "que" -> -9800L, "ry" -> -9000L, "or" -> -8600L,
+      "der" -> -9000L, "an" -> -8400L, "in" -> -8000L, "ta" -> -8800L,
+      "all" -> -8800L, "st" -> -8600L)
+    singles ++ words ++ pieces
+  }
+
+  /** `[UNK]` score for [[unigramCount]]/[[unigramScore]] — far below any
+    * real segmentation so an unreachable word is unambiguous in sums. */
+  val UnigramUnkScore: Long = -100000L
+
+  /** Viterbi (unigram-LM) subword token count of the normalized text —
+    * the max-score segmentation's piece count under [[UnigramVocab]];
+    * NULL text → NULL (callers coalesce like [[tokenCount]] consumers).
+    */
+  def unigramCount(text: Column,
+                   vocab: Seq[(String, Long)] = UnigramVocab): Column =
+    graft.plans.UnigramExpression.unigramCount(
+      Dedup.normalizeText(text), vocab, UnigramUnkScore)
+
+  /** The summed Viterbi segmentation score (millibits) — the model
+    * log-likelihood the decode maximizes, exact in integers. */
+  def unigramScore(text: Column,
+                   vocab: Seq[(String, Long)] = UnigramVocab): Column =
+    graft.plans.UnigramExpression.unigramScore(
+      Dedup.normalizeText(text), vocab, UnigramUnkScore)
+
+  /** The winning pieces, space-joined — [[unigramCount]]'s debuggable
+    * twin (spec-land: piece strings are engine-internal artifacts). */
+  def unigramPieces(text: Column,
+                    vocab: Seq[(String, Long)] = UnigramVocab): Column =
+    graft.plans.UnigramExpression.unigramPieces(
+      Dedup.normalizeText(text), vocab, UnigramUnkScore)
+
   /** characters of punctuation / total characters of the normalized text.
     * Empty normalized text → NULL (nullif'd denominator), never NaN:
     * `0.0 / 0` is NaN in Spark, which a downstream `coalesce` can't catch

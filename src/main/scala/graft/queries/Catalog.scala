@@ -136,6 +136,56 @@ object WordpieceSql {
   }
 }
 
+/** DuckDB CTE block replaying [[graft.plans.UnigramExpression]]'s exact
+  * integer Viterbi decode per distinct corpus word — the DP itself, not a
+  * reformulation: the recursion advances one END POSITION per step carrying
+  * a sliding window of the last `maxLen` DP states as a list of
+  * `[score, -pieces]` pairs (so DuckDB's lexicographic `list_sort` IS the
+  * (score DESC, pieces ASC) argmax), each candidate's piece score looked up
+  * scalar-only via `list_position` against per-length literal lists
+  * generated from the same vocabulary constant. An unreachable final
+  * position (`win[1] IS NULL`) is the whole-word `[UNK]`. Scalar-only
+  * recursion — no joins or aggregates in the recursive term.
+  */
+object UnigramSql {
+  /** CTE block `u_dw, u_dp, ug` mapping every distinct corpus word `w` to
+    * its Viterbi piece count `ntok` and summed score `score`. Prepend
+    * `WITH RECURSIVE`. */
+  def segCtes(vocab: Seq[(String, Long)], unkScore: Long): String = {
+    val byLen = vocab.filter(_._1.nonEmpty).groupBy(_._1.length)
+    val maxLen = byLen.keys.max
+    val cands = (1 to maxLen).flatMap { l =>
+      byLen.get(l).map { ps =>
+        val sorted = ps.sortBy(_._1)
+        val plist = sorted.map(p => s"'${p._1}'").mkString("[", ", ", "]")
+        val slist = sorted.map(p => s"CAST(${p._2} AS BIGINT)")
+          .mkString("[", ", ", "]")
+        val sc = s"($slist)[list_position($plist, substr(w, pos + 2 - $l, $l))]"
+        s"""CASE WHEN pos + 1 >= $l AND win[$l] IS NOT NULL
+           |      AND $sc IS NOT NULL
+           |      THEN [win[$l][1] + $sc, win[$l][2] - 1] END""".stripMargin
+      }
+    }.mkString(",\n        ")
+    s"""u_dw AS (SELECT DISTINCT w
+       |  FROM (SELECT unnest(${TextSql.words}) AS w FROM documents) uu),
+       |u_dp(w, pos, win) AS (
+       |  SELECT w, 0, [[CAST(0 AS BIGINT), CAST(0 AS BIGINT)]] FROM u_dw
+       |  UNION ALL
+       |  SELECT w, pos + 1,
+       |    list_prepend(
+       |      list_sort(list_filter([
+       |        $cands], x -> x IS NOT NULL))[-1],
+       |      win)[:$maxLen]
+       |  FROM u_dp WHERE pos < length(w)),
+       |ug AS (SELECT w,
+       |    CASE WHEN win[1] IS NULL THEN CAST(1 AS BIGINT)
+       |         ELSE -win[1][2] END AS ntok,
+       |    CASE WHEN win[1] IS NULL THEN CAST($unkScore AS BIGINT)
+       |         ELSE win[1][1] END AS score
+       |  FROM u_dp WHERE pos = length(w))""".stripMargin
+  }
+}
+
 /** DuckDB CTE chain re-deriving the full PQ pipeline —
   * [[graft.ext.Similarity.pqFit]] (fnv-ranked seeds sliced per subspace,
   * `iters` L2-Lloyd rounds: argmax of 2·dot − ‖c‖² with ties to the lower

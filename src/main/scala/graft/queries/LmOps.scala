@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ext.{Bpe, LanguageModel}
+import graft.ext.{Bpe, LanguageModel, TextAnalysis}
 import graft.sources.Tables
 
 /** Round-8 language-model curation catalog: the classic model-driven
@@ -172,6 +172,28 @@ object LmOps extends Catalog {
         minUsagePermille = 2,
         preMerges = Some(Bpe.storedMerges(docs, "text",
           s"$d/documents.parquet", 32).map(m => (m._1, m._2))))
+    }),
+
+    // ---- unigram-LM (SentencePiece-style) Viterbi segmentation -------------
+    // the third tokenizer family, completing the triad: BPE applies
+    // learned merges in ORDER (q132/q133), WordPiece commits greedily to
+    // the longest match (q125), unigram-LM Viterbi-decodes the GLOBALLY
+    // max-score segmentation under per-piece integer log-prob scores
+    // (millibits — the X75 log-free posture, so the whole decode
+    // hash-checks). wp_tokens rides along because the per-doc wp/ug
+    // disagreement IS the point: several corpus words are deliberately
+    // absent from the unigram vocab as whole pieces, so the objective
+    // genuinely chooses among competing splits. Map-only, zero exchanges
+    // (the q125 scale shape); the oracle replays the exact DP per
+    // distinct word as a recursive CTE (UnigramSql).
+    "q174_unigram_tokens" -> ((s, d) => {
+      Tables.documents(s, d).select(col("doc_id"), col("lang"),
+        coalesce(TextAnalysis.wordpieceCount(col("text")), lit(0L))
+          .as("wp_tokens"),
+        coalesce(TextAnalysis.unigramCount(col("text")), lit(0L))
+          .as("ug_tokens"),
+        coalesce(TextAnalysis.unigramScore(col("text")), lit(0L))
+          .as("ug_score"))
     })
   )
 
@@ -560,6 +582,27 @@ object LmOps extends Catalog {
          |FROM pd
          |ORDER BY s // n DESC, doc_id ASC
          |LIMIT 100""".stripMargin
-    }
+    },
+
+    // both recursive tokenizer replays under one WITH RECURSIVE: the
+    // greedy WordPiece CTEs (dw/tk/wp) and the Viterbi DP CTEs
+    // (u_dw/u_dp/ug), joined to the per-occurrence word stream
+    "q174_unigram_tokens" ->
+      s"""WITH RECURSIVE
+         |${WordpieceSql.tokenCtes(graft.ext.TextAnalysis.WordpieceVocab)},
+         |${UnigramSql.segCtes(graft.ext.TextAnalysis.UnigramVocab,
+              graft.ext.TextAnalysis.UnigramUnkScore)},
+         |dwords AS (SELECT doc_id, unnest(${TextSql.words}) AS w
+         |  FROM documents),
+         |cnt AS (SELECT dwords.doc_id,
+         |    CAST(sum(wp.ntok) AS BIGINT) AS wp_tokens,
+         |    CAST(sum(ug.ntok) AS BIGINT) AS ug_tokens,
+         |    CAST(sum(ug.score) AS BIGINT) AS ug_score
+         |  FROM dwords JOIN wp USING (w) JOIN ug USING (w) GROUP BY 1)
+         |SELECT d.doc_id, d.lang,
+         |  coalesce(cnt.wp_tokens, 0) AS wp_tokens,
+         |  coalesce(cnt.ug_tokens, 0) AS ug_tokens,
+         |  coalesce(cnt.ug_score, 0) AS ug_score
+         |FROM documents d LEFT JOIN cnt ON d.doc_id = cnt.doc_id""".stripMargin
   )
 }

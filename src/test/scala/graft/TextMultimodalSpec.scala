@@ -63,6 +63,81 @@ class TextMultimodalSpec extends AnyFunSuite with SparkTestBase {
     assert(pieces === "spa ##r ##k win ##dow")
   }
 
+  test("unigram Viterbi: hand-computed max-score decodes under the " +
+      "default vocabulary") {
+    val cases = Seq(
+      (1L, "table"),    // whole piece beats tab+le (-7000 vs -17000)
+      (2L, "customer"), // cus+tomer (-18600) beats cus+tom+er (-26600)
+      (3L, "window"),   // win+dow (-18000) beats wind+ow (-19000)
+      (4L, "vector"),   // vec+tor (-18800) beats ve+ctor (-19800)
+      (5L, "column"),   // co+lumn (-19000) beats col+umn (-20200)
+      (6L, "x9%"),      // '%' unreachable -> whole word [UNK]
+      (7L, ""),         // empty text -> 0 tokens, 0 score
+      (8L, "table x9% window") // multi-word sum with an UNK in the middle
+    ).toDF("id", "text")
+    val got = cases.select($"id",
+        TextAnalysis.unigramCount($"text").as("n"),
+        TextAnalysis.unigramScore($"text").as("s"),
+        TextAnalysis.unigramPieces($"text").as("p"))
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(1L) === ((1L, -7000L, "table")))
+    assert(got(2L) === ((2L, -18600L, "cus tomer")))
+    assert(got(3L) === ((2L, -18000L, "win dow")))
+    assert(got(4L) === ((2L, -18800L, "vec tor")))
+    assert(got(5L) === ((2L, -19000L, "co lumn")))
+    assert(got(6L) === ((1L, TextAnalysis.UnigramUnkScore, "[UNK]")))
+    assert(got(7L) === ((0L, 0L, "")))
+    assert(got(8L) === ((4L, -7000L + TextAnalysis.UnigramUnkScore - 18000L,
+      "table [UNK] win dow")))
+  }
+
+  test("unigram Viterbi beats greedy longest-match: the constructed case") {
+    import graft.plans.UnigramExpression
+    // greedy longest-match on this vocab commits to 'ab' first and is
+    // forced into the expensive 'c': ab+c = -25. Viterbi takes the
+    // globally optimal a+bc = -10 — the same piece count, higher score.
+    val vocab = Seq("ab" -> -5L, "a" -> -6L, "bc" -> -4L, "c" -> -20L,
+      "b" -> -30L)
+    val greedyScore = -5L + -20L // what longest-match would pay
+    val got = Seq(Tuple1("abc")).toDF("text")
+      .select(
+        UnigramExpression.unigramScore($"text", vocab, -1000L).as("s"),
+        UnigramExpression.unigramPieces($"text", vocab, -1000L).as("p"))
+      .as[(Long, String)].head()
+    assert(got === ((-10L, "a bc")))
+    assert(got._1 > greedyScore)
+  }
+
+  test("unigram Viterbi tie-break: equal (score, pieces) resolves to the " +
+      "longest last piece") {
+    import graft.plans.UnigramExpression
+    // 'aaa': aa+a and a+aa both score -15 with 2 pieces; the documented
+    // tie-break (longest LAST piece) picks a+aa. a+a+a also scores -15
+    // but loses on piece count.
+    val vocab = Seq("aa" -> -10L, "a" -> -5L)
+    val got = Seq(Tuple1("aaa")).toDF("text")
+      .select(
+        UnigramExpression.unigramCount($"text", vocab, -1000L).as("n"),
+        UnigramExpression.unigramScore($"text", vocab, -1000L).as("s"),
+        UnigramExpression.unigramPieces($"text", vocab, -1000L).as("p"))
+      .as[(Long, Long, String)].head()
+    assert(got === ((2L, -15L, "a aa")))
+  }
+
+  test("unigram Viterbi: NULL text is NULL; count equals piece count") {
+    val n = Seq((1L, Option.empty[String]), (2L, Some("Spark  Window")))
+      .toDF("id", "text")
+      .select($"id", TextAnalysis.unigramCount($"text").as("n"),
+        TextAnalysis.unigramPieces($"text").as("p"))
+      .as[(Long, Option[Long], Option[String])].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(n(1L) === ((None, None)))
+    val (cnt, pieces) = (n(2L)._1.get, n(2L)._2.get)
+    assert(cnt === pieces.split(" ").length.toLong)
+    assert(pieces === "spark win dow")
+  }
+
   test("ratios, language guess, fingerprint equality for case variants") {
     val r = docs.select($"doc_id",
         TextAnalysis.stopwordRatio($"text").as("sr"),
