@@ -201,7 +201,8 @@ object Multimodal {
     * device (the resize a perceptual-hash or preview stage needs); a
     * full-resolution transcode belongs in a `mapInArrow` batch stage, for
     * which this expression's contract (valid BMP in, valid BMP out) is the
-    * drop-in signature.
+    * drop-in signature — a contract PROVEN on the audio side by
+    * [[graft.ext.Resample]]'s windowed-sinc decimator (q175).
     *
     * Vertical anchoring note: the index map runs over STORAGE rows, and BMP
     * stores rows bottom-up, so the vertical sampling grid anchors at the
@@ -245,10 +246,11 @@ object Multimodal {
     * by the factor — sample j of the output is sample j·factor of the
     * input, rate′ = rate div factor. Like the classic naive decimator this
     * applies NO anti-alias filter (aliasing is the caller's concern — the
-    * structural plumbing is the point; a real polyphase resampler needs a
-    * DSP library and belongs in a `mapInArrow` batch stage, for which
-    * valid-WAV-in/valid-WAV-out is the drop-in contract). Pure built-in
-    * expressions; invalid/non-mono/non-16-bit input → null.
+    * structural plumbing is the point; a real polyphase resampler belongs
+    * in an iterator batch stage, for which valid-WAV-in/valid-WAV-out is
+    * the drop-in contract — EXERCISED by [[graft.ext.Resample]]'s
+    * windowed-sinc decimator, q175). Pure built-in expressions;
+    * invalid/non-mono/non-16-bit input → null.
     */
   def decimateWav(bin: Column, factor: Int): Column = {
     require(factor > 0, "decimation factor must be positive")

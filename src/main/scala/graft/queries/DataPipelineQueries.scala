@@ -976,6 +976,36 @@ object DataPipelineQueries extends Catalog {
           col("dw.max_abs").as("ds_max_abs"))
     }),
 
+    // ---- anti-aliased WAV resample through the external-codec seam ---------
+    // the promised mapInArrow contract (q169/q173 scaladocs), EXERCISED:
+    // a real windowed-sinc polyphase decimator in plain Scala behind
+    // Dataset.mapPartitions — binary column in, binary column out, the
+    // exact stage shape an Arrow-batched DSP library plugs into. Taps are
+    // pinned Q15 integer literals and the convolution is pure integer
+    // arithmetic (Resample scaladoc), so the oracle replays every output
+    // SAMPLE from the generative input formula + the tap list — the
+    // filter itself is under the hash, not just the envelope. Same
+    // fixture as q173 (whose naive keep-every-4th decimator aliases; this
+    // low-pass-filters first — the difference a DSP library exists for).
+    "q175_wav_sinc_resample" -> ((s, d) => {
+      val id = col("doc_id")
+      val n = lit(32L) + pmod(id, lit(33L))
+      val rate = lit(8000L) + pmod(id, lit(8L)) * 1000L
+      val samples = transform(sequence(lit(0L), n - 1L),
+        i => pmod(id * 131L + i * 7919L, lit(65536L)) - 32768L)
+      val src = Tables.documentsWide(s, d).select(id)
+        .withColumn("wav", Multimodal.fabricateWav(rate, samples))
+      graft.ext.Resample.resampleWav(src, "wav", "rs", factor = 2)
+        .select(id, Multimodal.decodeWav(col("rs")).as("dw"))
+        .select(id,
+          col("dw.valid").as("rs_valid"),
+          col("dw.sample_rate").as("rs_rate"),
+          col("dw.n_samples").as("rs_n_samples"),
+          col("dw.duration_us").as("rs_duration_us"),
+          col("dw.sum_abs").as("rs_sum_abs"),
+          col("dw.max_abs").as("rs_max_abs"))
+    }),
+
     // ---- salted two-phase aggregation (skew-safe rollup) -------------------
     "q34_salted_rollup" -> ((s, d) => {
       Skew.saltedAggregate(Tables.lineitem(s, d), Seq("l_suppkey"),
@@ -2515,6 +2545,43 @@ object DataPipelineQueries extends Catalog {
         |  CAST(list_max([abs(((doc_id*131 + (j-1)*4*7919) % 65536) - 32768)
         |    FOR j IN range(1, n + 1)]) AS BIGINT) AS ds_max_abs
         |FROM q""".stripMargin,
+
+    // replays the WHOLE filter: y_j = clamp16(floor((Σ_k s(2j+k−9)·h_k +
+    // 2^14)/2^15)) over the generative samples with zero-padding, the
+    // floor computed as the same non-negative-shift truncating division
+    // the engine uses (floor ≠ trunc on negatives; the shift makes them
+    // agree provably) — one wrong tap, pad, or rounding breaks the hash
+    "q175_wav_sinc_resample" -> {
+      val taps = graft.ext.Resample.TapsM2.mkString("[", ", ", "]")
+      s"""WITH p AS (
+         |  SELECT doc_id,
+         |    32 + doc_id % 33 AS n0,
+         |    8000 + (doc_id % 8) * 1000 AS r0
+         |  FROM documents),
+         |q AS (SELECT doc_id, n0, (n0 + 1) // 2 AS n, r0 // 2 AS r FROM p),
+         |jx AS (SELECT doc_id, n0, n, r, unnest(range(1, n + 1)) AS j
+         |  FROM q),
+         |ys AS (SELECT doc_id, n, r,
+         |  LEAST(32767, GREATEST(-32768,
+         |    (list_sum([
+         |      (CASE WHEN (2*(j-1)+(k-1)-9) >= 0
+         |            AND (2*(j-1)+(k-1)-9) < n0
+         |        THEN ((doc_id*131 + (2*(j-1)+(k-1)-9)*7919) % 65536)
+         |             - 32768
+         |        ELSE 0 END) * ($taps[k])
+         |      FOR k IN range(1, 20)]) + 16384 + 2147483648) // 32768
+         |    - 65536)) AS y
+         |  FROM jx)
+         |SELECT doc_id,
+         |  CAST(1 AS BIGINT) AS rs_valid,
+         |  CAST(min(r) AS BIGINT) AS rs_rate,
+         |  CAST(min(n) AS BIGINT) AS rs_n_samples,
+         |  CAST((min(n) * 2 * 1000000) // (min(r) * 2) AS BIGINT)
+         |    AS rs_duration_us,
+         |  CAST(sum(abs(y)) AS BIGINT) AS rs_sum_abs,
+         |  CAST(max(abs(y)) AS BIGINT) AS rs_max_abs
+         |FROM ys GROUP BY doc_id""".stripMargin
+    },
 
     "q34_salted_rollup" ->
       """SELECT l_suppkey,

@@ -209,8 +209,11 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
       "q172_media_cross_resolution" -> Instrument.Counts(5, 5),
       "q173_media_resample" -> Instrument.Counts(3, 3),
       // round-14: q174 unigram Viterbi — two map-only scalar expressions
-      // over one scan, zero exchanges (the q125 shape)
-      "q174_unigram_tokens" -> Instrument.Counts(2, 2))
+      // over one scan, zero exchanges (the q125 shape); q175 the
+      // external-codec seam (documentsWide widen + the mapPartitions
+      // stage + decode)
+      "q174_unigram_tokens" -> Instrument.Counts(2, 2),
+      "q175_wav_sinc_resample" -> Instrument.Counts(3, 3))
     // coPurchaseEdges and the fitted-model stores (BPE merges, k-means
     // centroids, PQ/OPQ codebooks) are content-key-materialized (round
     // 13): the first execution against a fresh scratch dir pays the

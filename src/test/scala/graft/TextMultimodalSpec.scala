@@ -582,6 +582,84 @@ class TextMultimodalSpec extends AnyFunSuite with SparkTestBase {
     assert(got.forall(_.isEmpty))
   }
 
+  test("sinc resample through the seam: decimate-by-1 is byte-identical " +
+      "(parse → rebuild round trip)") {
+    import graft.ext.Resample
+    val src = Seq(Tuple1(7L)).toDF("id").select(
+      Multimodal.fabricateWav(lit(8000L),
+        transform(sequence(lit(0L), lit(24L)),
+          i => pmod(i * 7919L + 13L, lit(65536L)) - 32768L)).as("wav"))
+    val (orig, same) = Resample.resampleWav(src, "wav", "rs", factor = 1)
+      .select($"wav", $"rs").as[(Array[Byte], Array[Byte])].head()
+    assert(same.toSeq === orig.toSeq)
+  }
+
+  test("sinc resample golden: factor-2 output matches an independent " +
+      "integer convolution, edges zero-padded") {
+    import graft.ext.Resample
+    import java.nio.{ByteBuffer, ByteOrder}
+    val samples = Array[Short](1000, -2000, 3000, -4000, 5000, -6000,
+      7000, -8000, 9000, -10000, 11000, -12000, 32767)
+    val bb = ByteBuffer.allocate(44 + samples.length * 2)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")); bb.putInt(36 + samples.length * 2)
+    bb.put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")); bb.putInt(16)
+    bb.putShort(1); bb.putShort(1); bb.putInt(16000); bb.putInt(32000)
+    bb.putShort(2); bb.putShort(16)
+    bb.put("data".getBytes("US-ASCII")); bb.putInt(samples.length * 2)
+    samples.foreach(bb.putShort)
+    // independent reference: the documented formula, straight-line
+    val h = Resample.TapsM2
+    val expN = (samples.length + 1) / 2
+    val expected = (0 until expN).map { j =>
+      var acc = 0L
+      for (k <- h.indices) {
+        val i = 2 * j + k - 9
+        if (i >= 0 && i < samples.length) acc += samples(i).toLong * h(k)
+      }
+      val y = (acc + 16384L + 2147483648L) / 32768L - 65536L
+      math.max(-32768L, math.min(32767L, y))
+    }
+    val got = Resample.resampleWavBytes(bb.array(), 2)
+    val gb = ByteBuffer.wrap(got).order(ByteOrder.LITTLE_ENDIAN)
+    assert(gb.getInt(24) === 8000)           // rate halved
+    assert(gb.getInt(40) === expN * 2)       // data chunk resized
+    val gotSamples = (0 until expN).map(j => gb.getShort(44 + 2 * j).toLong)
+    assert(gotSamples === expected)
+    // and the seam yields the same bytes as the pure function
+    val viaSeam = Resample.resampleWav(
+        Seq(Tuple1(bb.array())).toDF("wav"), "wav", "rs", factor = 2)
+      .select($"rs").as[Array[Byte]].head()
+    assert(viaSeam.toSeq === got.toSeq)
+  }
+
+  test("sinc resample rejects invalid input as null through the seam") {
+    import graft.ext.Resample
+    import java.nio.{ByteBuffer, ByteOrder}
+    // stereo: valid RIFF shape, unsupported channel count
+    val bb = ByteBuffer.allocate(48).order(ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")); bb.putInt(40)
+    bb.put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")); bb.putInt(16)
+    bb.putShort(1); bb.putShort(2); bb.putInt(8000); bb.putInt(32000)
+    bb.putShort(4); bb.putShort(16)
+    bb.put("data".getBytes("US-ASCII")); bb.putInt(4)
+    bb.putShort(1); bb.putShort(2)
+    val rows = Seq(
+      (1L, bb.array()),                     // stereo
+      (2L, "noise".getBytes("UTF-8")),      // not a WAV at all
+      (3L, null.asInstanceOf[Array[Byte]])  // null propagates
+    ).toDF("id", "wav")
+    val got = Resample.resampleWav(rows, "wav", "rs", factor = 2)
+      .select($"id", $"rs").as[(Long, Option[Array[Byte]])].collect()
+    assert(got.forall(_._2.isEmpty))
+    // unsupported factor fails at plan time, loudly
+    intercept[IllegalArgumentException] {
+      Resample.resampleWav(rows, "wav", "rs", factor = 3)
+    }
+  }
+
   test("BMP resize rejects header-valid but truncated pixel data as null") {
     val full = Seq(Tuple1(1L)).toDF("id")
       .select(Multimodal.fabricateBmp(lit(4L), lit(3L),
