@@ -189,7 +189,21 @@ object Bench {
             .getOrElse("\"wall\":" + r2(v) + ",\"cpu\":" + r2(cpuV))
           "\"" + k + "\":{" + sh + "}"
         }.mkString("{", ",", "}")
-        s"""{"cpu_total":${r2(cpuTotal)},"queries":$qs,"runs_per_query":$runs,"agg":"median","sf":"$sfName"}"""
+        // store + load provenance (round-14): cold_builds > 0 means this
+        // run paid one-off content-keyed store derivations (wiped /tmp)
+        // and its walls are NOT comparable query-by-query to a warm run
+        // with identical plans; load_avg_end is the ambient 1-min OS load
+        // when the bench finished — the machine-epoch signal the round-13
+        // bisect had to reconstruct after the fact
+        val store = s""","store_cold_builds":${
+          graft.sources.Tables.storeColdBuilds.get},"store_warm_reads":${
+          graft.sources.Tables.storeWarmReads.get}"""
+        val load = {
+          val l = java.lang.management.ManagementFactory
+            .getOperatingSystemMXBean.getSystemLoadAverage
+          if (l >= 0) s""","load_avg_end":${r1(l)}""" else ""
+        }
+        s"""{"cpu_total":${r2(cpuTotal)},"queries":$qs,"runs_per_query":$runs,"agg":"median","sf":"$sfName"$store$load}"""
       }
       try {
         java.nio.file.Files.write(

@@ -257,10 +257,23 @@ object Tables {
     * staged content of both racers is identical by construction (the name
     * carries the content key).
     */
+  /** Session counters over the content-keyed scratch store (bucket tables
+    * + materialized model state): cold builds pay the derivation jobs,
+    * warm reads are pure scans. Read by Bench's plan-shape sidecar so
+    * store state is RECORDED per run — a wiped /tmp makes first runs
+    * slower with identical plans, and without this field that reads as a
+    * plan regression (the round-13 q23/q170 lesson). */
+  val storeColdBuilds = new java.util.concurrent.atomic.AtomicInteger
+  val storeWarmReads = new java.util.concurrent.atomic.AtomicInteger
+
   private def ensureScratch(name: String)(
       write: java.io.File => Unit): java.io.File = {
     val tmpRoot = sys.props.getOrElse("java.io.tmpdir", "/tmp")
     val scratch = new java.io.File(tmpRoot, name)
+    if (new java.io.File(scratch, "_SUCCESS").exists())
+      storeWarmReads.incrementAndGet()
+    else
+      storeColdBuilds.incrementAndGet()
     if (!new java.io.File(scratch, "_SUCCESS").exists()) {
       val staging = new java.io.File(tmpRoot,
         s"$name.tmp.${java.util.UUID.randomUUID}")
