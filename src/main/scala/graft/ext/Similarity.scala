@@ -1166,6 +1166,109 @@ object Similarity {
         collectCentroids(centroids))
       .select(col("__id").as(id), col("cell"), col("__cos").as("cosine"))
 
+  // ---- incremental model maintenance ---------------------------------------
+
+  /** Fitted-model state for INCREMENTAL maintenance (round-14 verdict item
+    * 6): the fitted centroids PLUS, per cell, the exact per-dimension
+    * scaled-vector sums and member count of the corpus assigned under
+    * those centroids — `(cell, centroid, sums, n)`. Persisting sums (not
+    * just means) is what makes [[kmeansFold]] EXACT: the integer mean
+    * `sign·(|S| div n)` loses its remainder, so a mean-only store could
+    * never reproduce the grown corpus's mean; the sums store can, and one
+    * long per (cell, dim) holds Σ of 10⁶-scaled components for ~10¹²
+    * rows per cell before overflow.
+    *
+    * Store key scheme (the [[graft.sources.Tables.ensureMaterialized]]
+    * contract): callers key the state by the BASE corpus's content key +
+    * fit params (e.g. `contentKey(srcPath, "k8it2base")`); a grown corpus
+    * changes the source key, and instead of refitting under the new key,
+    * [[kmeansFold]] folds just the new batch into the old key's state —
+    * an O(batch) update whose output is itself a state frame, so daily
+    * batches chain (fold ∘ fold ∘ state).
+    */
+  def kmeansState(corpus: DataFrame, id: String, vec: String, k: Int,
+                  iters: Int, scale: Double = DefaultScale): DataFrame =
+    stateAt(kmeansFitSeq(corpus, id, vec, k, iters, scale),
+      corpus, id, vec, scale)
+
+  /** [[kmeansState]] under GIVEN centroids (no fit) — the spec's tool for
+    * proving fold exactness, and the entry point when centroids come from
+    * an external fit. */
+  def kmeansStateAt(centroids: DataFrame, corpus: DataFrame, id: String,
+                    vec: String, scale: Double = DefaultScale): DataFrame =
+    stateAt(collectCentroids(centroids), corpus, id, vec, scale)
+
+  private def stateAt(cent: Seq[(Int, Array[Long])], corpus: DataFrame,
+                      id: String, vec: String, scale: Double): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val agg = cellSums(cent, prep(corpus, id, vec, "__id", scale))
+    cent.sortBy(_._1).map { case (c, v) =>
+      val (s, n) = agg.getOrElse(c, (new Array[Long](v.length), 0L))
+      (c, v.toSeq, s.toSeq, n)
+    }.toDF("cell", "centroid", "sums", "n")
+  }
+
+  /** Per-cell (per-dim scaled sums, member count) of `q` assigned under
+    * `cent`, collected — k·dims longs of driver-sized model state (the
+    * MLlib Lloyd posture; every caller is gated by k being a fitted
+    * cluster count). */
+  private def cellSums(cent: Seq[(Int, Array[Long])],
+                       q: DataFrame): Map[Int, (Array[Long], Long)] =
+    assign(q, cent)
+      .select(col("cell"), posexplode(col("__qv")).as(Seq("__dim", "__x")))
+      .groupBy("cell", "__dim")
+      .agg(sum(col("__x")).as("__s"), count(lit(1)).as("__n"))
+      .collect()
+      .groupBy(_.getInt(0))
+      .map { case (c, rows) =>
+        val dims = rows.map(_.getInt(1)).max + 1
+        val s = new Array[Long](dims)
+        rows.foreach(r => s(r.getInt(1)) = r.getLong(2))
+        c -> ((s, rows.head.getLong(3)))
+      }
+
+  /** Fold a NEW BATCH into persisted k-means state without re-scanning the
+    * base corpus: assign the batch under the state's centroids (literal
+    * argmax — no shuffle, no join), add its exact per-dim sums and counts
+    * to the stored ones, and re-derive each centroid as
+    * `sign·(|S_base + S_batch| div (n_base + n_batch))`. This IS the
+    * update half of one Lloyd round over base ∪ batch seeded at the
+    * stored centroids — exactly, not approximately: the base rows would
+    * assign identically under the same centroids, and their sums are
+    * already in the state (spec-pinned against [[kmeansStateAt]] on the
+    * union). Cells with no members anywhere keep their centroid (the
+    * fit's empty-cell carry rule). Output is a state frame, so folds
+    * CHAIN — with sequential mini-batch semantics: each batch is assigned
+    * under the state's then-current centroids, so
+    * `fold(fold(s, b1), b2)` places b2 under b1's update (the freshest
+    * model) rather than under the original centroids — deliberately not
+    * equal to `fold(s, b1 ∪ b2)`, though total count and scaled mass are
+    * conserved exactly either way (spec-pinned). Cost: one batch scan +
+    * a k·dims collect — O(batch), the point.
+    */
+  def kmeansFold(state: DataFrame, batch: DataFrame, id: String,
+                 vec: String, scale: Double = DefaultScale): DataFrame = {
+    val spark = state.sparkSession
+    import spark.implicits._
+    val st = state.select(col("cell"), col("centroid"), col("sums"),
+        col("n")).collect()
+      .map(r => (r.getInt(0), r.getSeq[Long](1).toArray,
+        r.getSeq[Long](2).toArray, r.getLong(3)))
+      .sortBy(_._1)
+    val cent = st.map(r => (r._1, r._2)).toSeq
+    val bagg = cellSums(cent, prep(batch, id, vec, "__id", scale))
+    st.map { case (c, cv, s, n) =>
+      val (bs, bn) = bagg.getOrElse(c, (new Array[Long](cv.length), 0L))
+      val n2 = n + bn
+      val s2 = s.indices.map(i => s(i) + bs(i)).toArray
+      val cv2 =
+        if (n2 == 0) cv // empty everywhere: carry the centroid
+        else s2.map(x => (if (x < 0) -1L else 1L) * (math.abs(x) / n2))
+      (c, cv2.toSeq, s2.toSeq, n2)
+    }.toSeq.toDF("cell", "centroid", "sums", "n")
+  }
+
   /** SemDeDup-style semantic dedup: fit k cells ([[kmeansFit]]), then inside
     * each cell drop every row that has a SMALLER-id neighbor with cosine ≥
     * `minCosine` (greedy min-id pruning, per-pair — not the transitive

@@ -62,6 +62,40 @@ object CurationOps extends Catalog {
           (floor(col("cosine") * 1e6 + 0.5) / 1e6).as("cosine"))
     }),
 
+    // ---- incremental k-means maintenance (fold a batch into stored state) --
+    // the model store (q84/q147/q152) persisted FITS; this closes the
+    // maintenance loop: the state frame carries exact per-cell scaled
+    // SUMS + counts beside the centroids, and a new batch folds in with
+    // one batch scan + a k·dims collect — no base-corpus re-scan. The
+    // fold IS the update half of one Lloyd round over base ∪ batch
+    // (exact, spec-pinned): base rows assign identically under the same
+    // centroids and their sums are already stored. Output per cell:
+    // counts, an order-sensitive centroid checksum, and the full-corpus
+    // assignment census under the folded model — the oracle re-derives
+    // the base fit, the fold arithmetic, and both assignments from
+    // scratch, so the whole maintenance path is under the hash.
+    "q176_kmeans_incremental" -> ((s, d) => {
+      val all = Tables.embeddings(s, d)
+      val base = all.filter(col("vec_id") % 10 =!= 9)
+      val batch = all.filter(col("vec_id") % 10 === 9)
+      val state = Tables.ensureMaterialized(s, "kmeans_state",
+        Tables.contentKey(s"$d/embeddings.parquet", "k8it2base9"))(
+        Similarity.kmeansState(base, "vec_id", "embedding", k = 8, iters = 2))
+      val folded = Similarity.kmeansFold(state, batch, "vec_id", "embedding")
+      val assigned = Similarity.kmeansAssign(all, "vec_id", "embedding",
+        folded.select("cell", "centroid"))
+      folded.select(col("cell"), col("n").as("n_total"),
+          expr("aggregate(zip_with(centroid, sequence(1, size(centroid)), " +
+            "(c, i) -> c * i), 0L, (a, x) -> a + x)").as("c_weighted"))
+        .join(state.select(col("cell"), col("n").as("n_base")), Seq("cell"))
+        .join(assigned.groupBy("cell")
+            .agg(count(lit(1)).as("assigned_full")), Seq("cell"), "left")
+        .select(col("cell").cast("long").as("cell"), col("n_base"),
+          (col("n_total") - col("n_base")).as("n_batch"), col("n_total"),
+          col("c_weighted"),
+          coalesce(col("assigned_full"), lit(0L)).as("assigned_full"))
+    }),
+
     // ---- inter-document boilerplate n-gram ratio ---------------------------
     // the CROSS-document complement of q80's intra-document repetition:
     // a trigram appearing in "unusually many" docs is boilerplate
@@ -1230,6 +1264,75 @@ object CurationOps extends Catalog {
          |SELECT vec_id, cell,
          |  floor(cs*1000000.0 + 0.5)/1000000.0 AS cosine
          |FROM fin""".stripMargin
+    },
+
+    // the base fit (kmeans chain on the % 10 != 9 slice), the state sums,
+    // the batch fold, and the full-corpus assignment under the folded
+    // centroids, all re-derived — the oracle never sees the stored state
+    "q176_kmeans_incremental" -> {
+      val ctes = kmeansCtes(kSql = "8", iters = 2, dims = 64,
+        from = "(SELECT vec_id, embedding FROM embeddings " +
+          "WHERE vec_id % 10 != 9)")
+      val cosB = Similarity.cosineLongSqlText("b.v", "c.v")
+      val cosF = Similarity.cosineLongSqlText("q.v", "f.v")
+      s"""WITH $ctes,
+         |${finAssignCte(2)},
+         |sn AS (SELECT cell, CAST(count(*) AS BIGINT) AS n_base
+         |  FROM fin GROUP BY cell),
+         |ss AS (SELECT f.cell, ii.i, sum(q.v[ii.i]) AS s
+         |  FROM fin f JOIN qv q USING (vec_id)
+         |  CROSS JOIN (SELECT unnest(range(1, 65)) AS i) ii
+         |  GROUP BY f.cell, ii.i),
+         |bqv AS (SELECT vec_id,
+         |  [CAST(floor(CAST(embedding[i] AS DOUBLE)*1000000.0 + 0.5)
+         |     AS BIGINT) FOR i IN range(1, len(embedding)+1)] AS v
+         |  FROM embeddings WHERE vec_id % 10 = 9),
+         |bfin AS (SELECT vec_id, cell FROM (
+         |    SELECT b.vec_id, c.cell,
+         |      row_number() OVER (PARTITION BY b.vec_id
+         |        ORDER BY $cosB DESC, c.cell) AS rn
+         |    FROM bqv b CROSS JOIN c2 c) WHERE rn = 1),
+         |bn AS (SELECT cell, CAST(count(*) AS BIGINT) AS n_batch
+         |  FROM bfin GROUP BY cell),
+         |bs AS (SELECT f.cell, ii.i, sum(b.v[ii.i]) AS s
+         |  FROM bfin f JOIN bqv b USING (vec_id)
+         |  CROSS JOIN (SELECT unnest(range(1, 65)) AS i) ii
+         |  GROUP BY f.cell, ii.i),
+         |nn AS (SELECT c.cell, coalesce(sn.n_base, 0) AS n_base,
+         |    coalesce(bn.n_batch, 0) AS n_batch,
+         |    coalesce(sn.n_base, 0) + coalesce(bn.n_batch, 0) AS n_total
+         |  FROM c2 c LEFT JOIN sn USING (cell) LEFT JOIN bn USING (cell)),
+         |fi AS (SELECT c.cell, ii.i,
+         |    CASE WHEN nn.n_total = 0 THEN c.v[ii.i]
+         |      ELSE CAST(CASE WHEN coalesce(ss.s, 0) + coalesce(bs.s, 0) < 0
+         |          THEN -1 ELSE 1 END
+         |        * (abs(coalesce(ss.s, 0) + coalesce(bs.s, 0)) // nn.n_total)
+         |        AS BIGINT)
+         |    END AS cx
+         |  FROM c2 c CROSS JOIN (SELECT unnest(range(1, 65)) AS i) ii
+         |  JOIN nn ON nn.cell = c.cell
+         |  LEFT JOIN ss ON ss.cell = c.cell AND ss.i = ii.i
+         |  LEFT JOIN bs ON bs.cell = c.cell AND bs.i = ii.i),
+         |folded AS (SELECT cell, list(cx ORDER BY i) AS v
+         |  FROM fi GROUP BY cell),
+         |fqv AS (SELECT vec_id,
+         |  [CAST(floor(CAST(embedding[i] AS DOUBLE)*1000000.0 + 0.5)
+         |     AS BIGINT) FOR i IN range(1, len(embedding)+1)] AS v
+         |  FROM embeddings),
+         |ffin AS (SELECT vec_id, cell FROM (
+         |    SELECT q.vec_id, f.cell,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY $cosF DESC, f.cell) AS rn
+         |    FROM fqv q CROSS JOIN folded f) WHERE rn = 1),
+         |ac AS (SELECT cell, CAST(count(*) AS BIGINT) AS assigned_full
+         |  FROM ffin GROUP BY cell)
+         |SELECT CAST(nn.cell AS BIGINT) AS cell, nn.n_base, nn.n_batch,
+         |  nn.n_total,
+         |  CAST(list_sum([folded.v[i]*i FOR i IN range(1, 65)]) AS BIGINT)
+         |    AS c_weighted,
+         |  coalesce(ac.assigned_full, 0) AS assigned_full
+         |FROM nn JOIN folded USING (cell) LEFT JOIN ac USING (cell)"""
+        .stripMargin
     },
 
     "q85_semantic_dedup" -> {

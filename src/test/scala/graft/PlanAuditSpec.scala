@@ -213,7 +213,11 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
       // external-codec seam (documentsWide widen + the mapPartitions
       // stage + decode)
       "q174_unigram_tokens" -> Instrument.Counts(2, 2),
-      "q175_wav_sinc_resample" -> Instrument.Counts(3, 3))
+      "q175_wav_sinc_resample" -> Instrument.Counts(3, 3),
+      // q176 warm-store (measured 9): the state scan feeds the fold's TWO
+      // driver collects (state rows + batch cell sums) and the rollup's
+      // joins; each driver-sized collect IS a job — the MLlib posture
+      "q176_kmeans_incremental" -> Instrument.Counts(9, 9))
     // coPurchaseEdges and the fitted-model stores (BPE merges, k-means
     // centroids, PQ/OPQ codebooks) are content-key-materialized (round
     // 13): the first execution against a fresh scratch dir pays the
@@ -225,7 +229,8 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
     // (every other BPE face is a prefix reader); the ANN chains cover
     // their own codebook/centroid stores.
     for (warm <- Seq("q163_kcore", "q151_vocab_size_sweep", "q147_pq_recall",
-        "q152_ivfpq_recall", "q156_opq_recall", "q157_opq_tf_recall")) {
+        "q152_ivfpq_recall", "q156_opq_recall", "q157_opq_tf_recall",
+        "q176_kmeans_incremental")) { // kmeans_state store
       spark.catalog.clearCache()
       graft.ext.Caches.releaseAll()
       SparkEntry.queries(warm)(spark, sfDir)

@@ -280,6 +280,84 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("kmeansFold is EXACT: folding a batch into stored state equals the " +
+      "state computed on the union under the same centroids") {
+    // the incremental-maintenance contract (round-14 item 6): because the
+    // state stores exact per-dim SUMS (not lossy integer means), adding
+    // the batch's sums reproduces the union's Lloyd update bit-for-bit —
+    // an O(batch) fold with no base re-scan
+    val base = vecs.filter($"vec_id" % 10 =!= 9 && $"vec_id" < 200)
+    val batch = vecs.filter($"vec_id" % 10 === 9 && $"vec_id" < 200)
+    val cent = Similarity.kmeansFit(base, "vec_id", "embedding",
+      k = 4, iters = 1)
+    val folded = Similarity
+      .kmeansFold(Similarity.kmeansStateAt(cent, base, "vec_id", "embedding"),
+        batch, "vec_id", "embedding")
+      .select($"cell", $"centroid", $"sums", $"n")
+      .as[(Int, Seq[Long], Seq[Long], Long)].collect().sortBy(_._1)
+    val union = Similarity
+      .kmeansStateAt(cent, base.unionByName(batch), "vec_id", "embedding")
+      .select($"cell", $"sums", $"n")
+      .as[(Int, Seq[Long], Long)].collect().sortBy(_._1)
+    assert(folded.map(_._1).toSeq === union.map(_._1).toSeq)
+    folded.zip(union).foreach { case ((c, cv, s, n), (_, us, un)) =>
+      assert(s === us, s"sums for cell $c")
+      assert(n === un, s"n for cell $c")
+      val expected =
+        if (un == 0L) cv // carry — nothing to compare the mean against
+        else us.map(x => (if (x < 0) -1L else 1L) * (math.abs(x) / un))
+      assert(cv === expected, s"centroid for cell $c")
+    }
+    // folds CHAIN with sequential mini-batch semantics: the second batch
+    // is assigned under the first fold's UPDATED centroids (the freshest
+    // model — deliberately not the same partition as one big fold under
+    // the original centroids), but no row is ever lost or double-counted
+    val b1 = batch.filter($"vec_id" % 20 === 9)
+    val b2 = batch.filter($"vec_id" % 20 =!= 9)
+    val chained = Similarity.kmeansFold(
+        Similarity.kmeansFold(
+          Similarity.kmeansStateAt(cent, base, "vec_id", "embedding"),
+          b1, "vec_id", "embedding"),
+        b2, "vec_id", "embedding")
+      .select($"sums", $"n").as[(Seq[Long], Long)].collect().toSeq
+    assert(chained.map(_._2).sum === folded.map(_._4).sum)
+    // and the total scaled mass is conserved exactly (sums are exact ints)
+    assert(chained.flatMap(_._1).sum === folded.flatMap(_._3.toSeq).sum)
+  }
+
+  test("kmeansFold drift bound: on separated clusters the folded model " +
+      "assigns the grown corpus identically to a from-scratch refit") {
+    // two tight clusters around orthogonal axes; the batch adds points to
+    // both. Centroid VALUES differ between fold (one Lloyd step) and
+    // refit (fresh seeds + 2 rounds), but every assignment agrees — the
+    // measured-equivalence posture for the incremental path.
+    val mk = (id: Long, axis: Int, eps: Float) =>
+      (id, Array.tabulate(4)(d =>
+        (if (d == axis) 1f else 0f) + (if (d == (axis + 1) % 4) eps else 0f)))
+    val base = (0L until 40L).map(i =>
+      mk(i, if (i % 2 == 0) 0 else 2, (i % 5).toFloat * 0.01f))
+    val batch = (100L until 120L).map(i =>
+      mk(i, if (i % 2 == 0) 0 else 2, (i % 7).toFloat * 0.01f))
+    val baseDf = base.toDF("vec_id", "embedding")
+    val batchDf = batch.toDF("vec_id", "embedding")
+    val full = baseDf.unionByName(batchDf)
+    val folded = Similarity.kmeansFold(
+      Similarity.kmeansState(baseDf, "vec_id", "embedding", k = 2, iters = 2),
+      batchDf, "vec_id", "embedding")
+    val refit = Similarity.kmeansFit(full, "vec_id", "embedding",
+      k = 2, iters = 2)
+    def cells(cent: org.apache.spark.sql.DataFrame) =
+      Similarity.kmeansAssign(full, "vec_id", "embedding", cent)
+        .select($"vec_id", $"cell").as[(Long, Int)].collect().toMap
+    val a = cells(folded.select($"cell", $"centroid"))
+    val b = cells(refit)
+    // cell LABELS may permute between the two fits; compare the partition
+    val groupsA = a.groupBy(_._2).values.map(_.keySet).toSet
+    val groupsB = b.groupBy(_._2).values.map(_.keySet).toSet
+    assert(groupsA === groupsB)
+    assert(groupsA.size === 2)
+  }
+
   test("kmeansFit is stable under repartitioning and never shrinks k") {
     val cent = Similarity.kmeansFit(vecs, "vec_id", "embedding",
       k = 8, iters = 2)
