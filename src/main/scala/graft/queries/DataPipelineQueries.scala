@@ -217,11 +217,15 @@ object DataPipelineQueries extends Catalog {
     // no shuffle — with exact-int quotients quantized at 1e-6 on both sides
     "q80_repetition_signals" -> ((s, d) => {
       val q6 = (c: org.apache.spark.sql.Column) => floor(c * 1e6 + 0.5) / 1e6
-      // plain scan: this query's zero-exchange contract (PlanAuditSpec) IS
-      // its 100 TB posture — map-only work must never shuffle. The rr
-      // widen slipped past the contract because the spec counts hash/range
-      // exchanges only; the round-11 hash widen surfaced it.
-      Tables.documents(s, d)
+      // gated widen (round 14): plain scan below 4 MiB — the zero-exchange
+      // contract (PlanAuditSpec, pinned at sf0.001) and the round-11 A/B
+      // win both live there — widened in the single-file mid-scale band,
+      // where one parquet file under maxPartitionBytes serialized the
+      // whole map-only stage on one core (sf1: 31.1 s wall / 27 CPU-s
+      // plain -> ~3 s widened). wide()'s 1 GiB upper bound turns the
+      // exchange back off at real scale, where the scan is wide on its
+      // own — map-only work still never shuffles at 100 TB.
+      Tables.documentsWideMapOnly(s, d)
         .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("__ts"))
         .select(col("doc_id"),
           size(col("__ts")).cast("long").as("n_tokens"),

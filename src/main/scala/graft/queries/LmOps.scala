@@ -187,7 +187,10 @@ object LmOps extends Catalog {
     // (the q125 scale shape); the oracle replays the exact DP per
     // distinct word as a recursive CTE (UnigramSql).
     "q174_unigram_tokens" -> ((s, d) => {
-      Tables.documents(s, d).select(col("doc_id"), col("lang"),
+      // gated widen: the q80 posture — plain below 4 MiB, one exchange in
+      // the single-file mid-scale band (sf1: 6.7 s / 6.4 CPU-s on one
+      // core plain), off again past 1 GiB where the scan is wide itself
+      Tables.documentsWideMapOnly(s, d).select(col("doc_id"), col("lang"),
         coalesce(TextAnalysis.wordpieceCount(col("text")), lit(0L))
           .as("wp_tokens"),
         coalesce(TextAnalysis.unigramCount(col("text")), lit(0L))

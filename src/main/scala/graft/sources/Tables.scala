@@ -136,6 +136,23 @@ object Tables {
   def embeddingsWide(spark: SparkSession, d: String): DataFrame =
     wide(embeddings(spark, d), minBytes = 2L << 20, hashKey = "vec_id")
 
+  /** Gated-widen documents read for SINGLE-CONSUMER map-only faces
+    * (q80/q174): plain scan below a 4 MiB PLAN ESTIMATE — parquet scans
+    * without CBO stats estimate at FILE bytes (sf0.1 documents ≈ 0.58 MB,
+    * sf1 ≈ 5.9 MB), so the gate keeps sf0.001/0.01/0.1 on the plain scan
+    * (their measured win — the
+    * widen's fixed exchange cost loses on a half-MB frame, round-11 A/B)
+    * and widened in the single-file mid-scale band above it, where one
+    * parquet file under `maxPartitionBytes` otherwise serializes the whole
+    * map-only stage on one core (measured at sf1: q80 31.1 s wall for
+    * 27 CPU-s — 0.9 effective cores). [[wide]]'s existing 1 GiB upper
+    * bound turns the exchange back off at real scale, where the scan
+    * arrives as many files and is wide on its own — the widen is strictly
+    * a mid-scale single-file device.
+    */
+  def documentsWideMapOnly(spark: SparkSession, d: String): DataFrame =
+    wide(documents(spark, d), minBytes = 4L << 20, hashKey = "doc_id")
+
   /** events with `ts` as a session-TZ timestamp at µs precision, whatever the
     * file's physical encoding. The driver has shipped two encodings across
     * rounds — INT64 TIMESTAMP(NANOS) (read as long via the legacy flag, then
