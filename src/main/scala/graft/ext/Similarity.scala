@@ -500,6 +500,92 @@ object Similarity {
     q.select(col("__id").as(id), codes.as("codes"))
   }
 
+  /** PQ model state for INCREMENTAL maintenance — [[kmeansState]]'s
+    * product-quantization twin: the fitted codebooks PLUS, per (subspace,
+    * codeword), the exact per-dimension scaled subvector sums and member
+    * count of the corpus encoded under them. Same exactness argument:
+    * sums (not lossy integer means) make [[pqFold]] reproduce the grown
+    * corpus's codeword means bit-for-bit. Store key scheme as
+    * [[kmeansState]]: base-corpus content key + (m, kc, iters). */
+  def pqState(corpus: DataFrame, id: String, vec: String, m: Int, kc: Int,
+              iters: Int, scale: Double = DefaultScale): DataFrame =
+    pqStateAt(pqFitSeq(corpus, id, vec, m, kc, iters, scale),
+      corpus, id, vec, scale)
+
+  /** [[pqState]] under GIVEN codebooks (no fit) — the fold-exactness
+    * spec's tool. */
+  def pqStateAt(codebooks: Seq[(Int, Int, Array[Long])], corpus: DataFrame,
+                id: String, vec: String,
+                scale: Double = DefaultScale): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val agg = pqCellSums(codebooks, prep(corpus, id, vec, "__id", scale))
+    codebooks.sortBy(c => (c._1, c._2)).map { case (j, c, v) =>
+      val (s, n) = agg.getOrElse((j, c), (new Array[Long](v.length), 0L))
+      (j, c, v.toSeq, s.toSeq, n)
+    }.toDF("subspace", "cell", "centroid", "sums", "n")
+  }
+
+  /** Per-(subspace, codeword) exact subvector sums + counts of `q` encoded
+    * under `codebooks`, collected — m·kc·sub longs of driver-sized model
+    * state (the [[pqFitSeqQ]] update block's shape, one scan for all m
+    * subspaces). */
+  private def pqCellSums(codebooks: Seq[(Int, Int, Array[Long])],
+                         q: DataFrame): Map[(Int, Int), (Array[Long], Long)] = {
+    val byJ = codebooks.groupBy(_._1)
+    val m = byJ.size
+    val sub = codebooks.head._3.length
+    val arms = (0 until m).map { j =>
+      val sv = pqSlice(col("__qv"), j, sub)
+      struct(lit(j).as("j"),
+        pqArgminCell(sv, byJ(j).map(c => (c._2, c._3))).as("cell"),
+        sv.as("sv"))
+    }
+    q.select(explode(array(arms: _*)).as("__a"))
+      .select(col("__a.j").as("__j"), col("__a.cell").as("__cell"),
+        posexplode(col("__a.sv")).as(Seq("__dim", "__x")))
+      .groupBy("__j", "__cell", "__dim")
+      .agg(sum(col("__x")).as("__s"), count(lit(1)).as("__n"))
+      .collect()
+      .groupBy(r => (r.getInt(0), r.getInt(1)))
+      .map { case (k, rows) =>
+        val s = new Array[Long](sub)
+        rows.foreach(r => s(r.getInt(2)) = r.getLong(3))
+        k -> ((s, rows.head.getLong(4)))
+      }
+  }
+
+  /** Fold a NEW BATCH into persisted PQ state — [[kmeansFold]]'s PQ twin,
+    * with the identical exactness claim per subspace: encode the batch
+    * under the state's codebooks (literal argmin, zero shuffle), add its
+    * exact sums/counts, re-derive each codeword as
+    * `sign·(|S_base + S_batch| div (n_base + n_batch))` — the update half
+    * of one per-subspace Lloyd round over base ∪ batch, exact
+    * (spec-pinned against [[pqStateAt]] on the union). Empty codewords
+    * carry. O(batch) + an m·kc·sub collect; folds chain with sequential
+    * mini-batch semantics like [[kmeansFold]]. */
+  def pqFold(state: DataFrame, batch: DataFrame, id: String, vec: String,
+             scale: Double = DefaultScale): DataFrame = {
+    val spark = state.sparkSession
+    import spark.implicits._
+    val st = state.select(col("subspace"), col("cell"), col("centroid"),
+        col("sums"), col("n")).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Long](2).toArray,
+        r.getSeq[Long](3).toArray, r.getLong(4)))
+      .sortBy(r => (r._1, r._2))
+    val cbs = st.map(r => (r._1, r._2, r._3)).toSeq
+    val bagg = pqCellSums(cbs, prep(batch, id, vec, "__id", scale))
+    st.map { case (j, c, cv, s, n) =>
+      val (bs, bn) = bagg.getOrElse((j, c), (new Array[Long](cv.length), 0L))
+      val n2 = n + bn
+      val s2 = s.indices.map(i => s(i) + bs(i)).toArray
+      val cv2 =
+        if (n2 == 0) cv
+        else s2.map(x => (if (x < 0) -1L else 1L) * (math.abs(x) / n2))
+      (j, c, cv2.toSeq, s2.toSeq, n2)
+    }.toSeq.toDF("subspace", "cell", "centroid", "sums", "n")
+  }
+
   /** Asymmetric-distance (ADC) approximate top-k by PQ codes: each query
     * precomputes its lookup table — the exact long dot of its j-th
     * subvector with every codeword (m·kc entries, flattened j-major) — and

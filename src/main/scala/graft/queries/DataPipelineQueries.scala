@@ -980,6 +980,43 @@ object DataPipelineQueries extends Catalog {
           col("dw.max_abs").as("ds_max_abs"))
     }),
 
+    // ---- incremental PQ maintenance (fold a batch into stored codebooks) ---
+    // q176's device applied to the OTHER fitted-model family: the PQ
+    // state persists exact per-(subspace, codeword) subvector sums +
+    // counts beside the codebooks, and a new batch folds in with one
+    // batch scan — the update half of one per-subspace Lloyd round over
+    // base ∪ batch, exact. Output per (subspace, codeword): counts, an
+    // order-sensitive codeword checksum, and the full-corpus encode
+    // census under the folded codebooks.
+    "q177_pq_incremental" -> ((s, d) => {
+      val all = Tables.embeddings(s, d)
+      val base = all.filter(col("vec_id") % 10 =!= 9)
+      val batch = all.filter(col("vec_id") % 10 === 9)
+      val state = Tables.ensureMaterialized(s, "pq_state",
+        Tables.contentKey(s"$d/embeddings.parquet", "m4kc8it2base9"))(
+        Similarity.pqState(base, "vec_id", "embedding",
+          m = 4, kc = 8, iters = 2))
+      val folded = Similarity.pqFold(state, batch, "vec_id", "embedding")
+      val cbs = folded.select("subspace", "cell", "centroid").collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Long](2).toArray))
+        .toSeq
+      val census = Similarity.pqEncode(all, "vec_id", "embedding", cbs)
+        .select(posexplode(col("codes")).as(Seq("subspace", "cell")))
+        .groupBy("subspace", "cell")
+        .agg(count(lit(1)).as("encoded_full"))
+      folded.select(col("subspace"), col("cell"), col("n").as("n_total"),
+          expr("aggregate(zip_with(centroid, sequence(1, size(centroid)), " +
+            "(c, i) -> c * i), 0L, (a, x) -> a + x)").as("cw_weighted"))
+        .join(state.select(col("subspace"), col("cell"),
+          col("n").as("n_base")), Seq("subspace", "cell"))
+        .join(census, Seq("subspace", "cell"), "left")
+        .select(col("subspace").cast("long").as("subspace"),
+          col("cell").cast("long").as("cell"), col("n_base"),
+          (col("n_total") - col("n_base")).as("n_batch"), col("n_total"),
+          col("cw_weighted"),
+          coalesce(col("encoded_full"), lit(0L)).as("encoded_full"))
+    }),
+
     // ---- anti-aliased WAV resample through the external-codec seam ---------
     // the promised mapInArrow contract (q169/q173 scaladocs), EXERCISED:
     // a real windowed-sinc polyphase decimator in plain Scala behind
@@ -2088,6 +2125,81 @@ object DataPipelineQueries extends Catalog {
          |  QUALIFY row_number() OVER (PARTITION BY query_id
          |    ORDER BY $cosEx DESC, vec_id) <= 10)
          |${Seq(8, 16, 32).map(arm).mkString("\nUNION ALL\n")}""".stripMargin
+    },
+
+    // base PQ fit (the shared PqSql chain on the % 10 != 9 slice), state
+    // sums, batch fold, and the full-corpus encode census under the
+    // folded codebooks, all re-derived — the stored state never seen
+    "q177_pq_incremental" -> {
+      val (m, kc, iters, sub) = (4, 8, 2, 16)
+      def dot(a: String, b: String) = Similarity.dotLongSqlText(a, b)
+      s"""WITH qv AS (SELECT vec_id,
+         |  [CAST(floor(CAST(embedding[i] AS DOUBLE)*1000000.0 + 0.5)
+         |     AS BIGINT) FOR i IN range(1, len(embedding)+1)] AS v
+         |  FROM embeddings),
+         |bsrc AS (SELECT vec_id, v FROM qv WHERE vec_id % 10 != 9),
+         |jj AS (SELECT unnest(range($m)) AS j),
+         |${PqSql.chain("", "bsrc", m, kc, iters, sub)},
+         |sn AS (SELECT j, cell, CAST(count(*) AS BIGINT) AS n_base
+         |  FROM codes GROUP BY 1, 2),
+         |ss AS (SELECT co.j, co.cell, ii.i, sum(s.sv[ii.i]) AS s
+         |  FROM codes co JOIN sv s ON s.vec_id = co.vec_id AND s.j = co.j
+         |  CROSS JOIN (SELECT unnest(range(1, ${sub + 1})) AS i) ii
+         |  GROUP BY 1, 2, 3),
+         |bsv AS (SELECT vec_id, j,
+         |    list_slice(v, j*$sub + 1, (j+1)*$sub) AS sv
+         |  FROM qv CROSS JOIN jj WHERE vec_id % 10 = 9),
+         |bcodes AS (SELECT vec_id, j, cell FROM (
+         |    SELECT s.vec_id, s.j, c.cell,
+         |      row_number() OVER (PARTITION BY s.vec_id, s.j
+         |        ORDER BY 2*${dot("s.sv", "c.v")} - ${dot("c.v", "c.v")}
+         |          DESC, c.cell) AS rn
+         |    FROM bsv s JOIN cb$iters c ON s.j = c.j) WHERE rn = 1),
+         |bn AS (SELECT j, cell, CAST(count(*) AS BIGINT) AS n_batch
+         |  FROM bcodes GROUP BY 1, 2),
+         |bs AS (SELECT co.j, co.cell, ii.i, sum(s.sv[ii.i]) AS s
+         |  FROM bcodes co JOIN bsv s ON s.vec_id = co.vec_id AND s.j = co.j
+         |  CROSS JOIN (SELECT unnest(range(1, ${sub + 1})) AS i) ii
+         |  GROUP BY 1, 2, 3),
+         |nn AS (SELECT c.j, c.cell, coalesce(sn.n_base, 0) AS n_base,
+         |    coalesce(bn.n_batch, 0) AS n_batch,
+         |    coalesce(sn.n_base, 0) + coalesce(bn.n_batch, 0) AS n_total
+         |  FROM cb$iters c LEFT JOIN sn USING (j, cell)
+         |  LEFT JOIN bn USING (j, cell)),
+         |fi AS (SELECT c.j, c.cell, ii.i,
+         |    CASE WHEN nn.n_total = 0 THEN c.v[ii.i]
+         |      ELSE CAST(CASE WHEN coalesce(ss.s, 0) + coalesce(bs.s, 0) < 0
+         |          THEN -1 ELSE 1 END
+         |        * (abs(coalesce(ss.s, 0) + coalesce(bs.s, 0)) // nn.n_total)
+         |        AS BIGINT)
+         |    END AS cx
+         |  FROM cb$iters c
+         |  CROSS JOIN (SELECT unnest(range(1, ${sub + 1})) AS i) ii
+         |  JOIN nn ON nn.j = c.j AND nn.cell = c.cell
+         |  LEFT JOIN ss ON ss.j = c.j AND ss.cell = c.cell AND ss.i = ii.i
+         |  LEFT JOIN bs ON bs.j = c.j AND bs.cell = c.cell AND bs.i = ii.i),
+         |folded AS (SELECT j, cell, list(cx ORDER BY i) AS v
+         |  FROM fi GROUP BY 1, 2),
+         |fsv AS (SELECT vec_id, j,
+         |    list_slice(v, j*$sub + 1, (j+1)*$sub) AS sv
+         |  FROM qv CROSS JOIN jj),
+         |fcodes AS (SELECT vec_id, j, cell FROM (
+         |    SELECT s.vec_id, s.j, f.cell,
+         |      row_number() OVER (PARTITION BY s.vec_id, s.j
+         |        ORDER BY 2*${dot("s.sv", "f.v")} - ${dot("f.v", "f.v")}
+         |          DESC, f.cell) AS rn
+         |    FROM fsv s JOIN folded f ON s.j = f.j) WHERE rn = 1),
+         |ac AS (SELECT j, cell, CAST(count(*) AS BIGINT) AS encoded_full
+         |  FROM fcodes GROUP BY 1, 2)
+         |SELECT CAST(nn.j AS BIGINT) AS subspace,
+         |  CAST(nn.cell AS BIGINT) AS cell, nn.n_base, nn.n_batch,
+         |  nn.n_total,
+         |  CAST(list_sum([folded.v[i]*i FOR i IN range(1, ${sub + 1})])
+         |    AS BIGINT) AS cw_weighted,
+         |  coalesce(ac.encoded_full, 0) AS encoded_full
+         |FROM nn JOIN folded ON folded.j = nn.j AND folded.cell = nn.cell
+         |LEFT JOIN ac ON ac.j = nn.j AND ac.cell = nn.cell"""
+        .stripMargin
     },
 
     "q147_pq_recall" -> {

@@ -217,7 +217,10 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
       // q176 warm-store (measured 9): the state scan feeds the fold's TWO
       // driver collects (state rows + batch cell sums) and the rollup's
       // joins; each driver-sized collect IS a job — the MLlib posture
-      "q176_kmeans_incremental" -> Instrument.Counts(9, 9))
+      "q176_kmeans_incremental" -> Instrument.Counts(9, 9),
+      // q177 warm-store: the PQ twin — state scan + fold collects + the
+      // encode census action
+      "q177_pq_incremental" -> Instrument.Counts(9, 9))
     // coPurchaseEdges and the fitted-model stores (BPE merges, k-means
     // centroids, PQ/OPQ codebooks) are content-key-materialized (round
     // 13): the first execution against a fresh scratch dir pays the
@@ -230,7 +233,7 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
     // their own codebook/centroid stores.
     for (warm <- Seq("q163_kcore", "q151_vocab_size_sweep", "q147_pq_recall",
         "q152_ivfpq_recall", "q156_opq_recall", "q157_opq_tf_recall",
-        "q176_kmeans_incremental")) { // kmeans_state store
+        "q176_kmeans_incremental", "q177_pq_incremental")) { // model stores
       spark.catalog.clearCache()
       graft.ext.Caches.releaseAll()
       SparkEntry.queries(warm)(spark, sfDir)

@@ -358,6 +358,37 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(groupsA.size === 2)
   }
 
+  test("pqFold is EXACT: folding a batch into stored PQ state equals the " +
+      "union state under the same codebooks") {
+    // the kmeansFold exactness claim per subspace (round-14 q177)
+    val base = vecs.filter($"vec_id" % 10 =!= 9 && $"vec_id" < 200)
+    val batch = vecs.filter($"vec_id" % 10 === 9 && $"vec_id" < 200)
+    val cbs = Similarity.pqFit(base, "vec_id", "embedding",
+        m = 4, kc = 4, iters = 1)
+      .collect().map(r => (r.getInt(0), r.getInt(1),
+        r.getSeq[Long](2).toArray)).toSeq
+    val folded = Similarity
+      .pqFold(Similarity.pqStateAt(cbs, base, "vec_id", "embedding"),
+        batch, "vec_id", "embedding")
+      .select($"subspace", $"cell", $"centroid", $"sums", $"n")
+      .as[(Int, Int, Seq[Long], Seq[Long], Long)].collect()
+      .sortBy(r => (r._1, r._2))
+    val union = Similarity
+      .pqStateAt(cbs, base.unionByName(batch), "vec_id", "embedding")
+      .select($"subspace", $"cell", $"sums", $"n")
+      .as[(Int, Int, Seq[Long], Long)].collect().sortBy(r => (r._1, r._2))
+    assert(folded.map(r => (r._1, r._2)).toSeq ===
+      union.map(r => (r._1, r._2)).toSeq)
+    folded.zip(union).foreach { case ((j, c, cv, s, n), (_, _, us, un)) =>
+      assert(s === us, s"sums for ($j, $c)")
+      assert(n === un, s"n for ($j, $c)")
+      val expected =
+        if (un == 0L) cv
+        else us.map(x => (if (x < 0) -1L else 1L) * (math.abs(x) / un))
+      assert(cv === expected, s"codeword for ($j, $c)")
+    }
+  }
+
   test("kmeansFit is stable under repartitioning and never shrinks k") {
     val cent = Similarity.kmeansFit(vecs, "vec_id", "embedding",
       k = 8, iters = 2)
