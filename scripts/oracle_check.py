@@ -61,6 +61,15 @@ def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     only = set(sys.argv[3:])
     con = duckdb.connect()
+    # Explicit memory cap + spill dir: the round-14 driver check lost q176 to
+    # a DuckDB OOM on a memory-pressured epoch. Capping here (a) keeps the
+    # whole catalog's oracles honest about their memory floors, and (b) lets
+    # DuckDB spill instead of dying when one legitimately exceeds it.
+    # Override with GRAFT_ORACLE_MEM=512MB etc.
+    con.execute(f"PRAGMA memory_limit='{os.environ.get('GRAFT_ORACLE_MEM', '2GB')}'")
+    spill = os.environ.get('GRAFT_ORACLE_SPILL', '/tmp/graft_duck_spill')
+    os.makedirs(spill, exist_ok=True)
+    con.execute(f"SET temp_directory='{spill}'")
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
         if os.path.exists(p):

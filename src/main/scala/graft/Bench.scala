@@ -234,9 +234,21 @@ object Bench {
         else "{}"
       // empty errors array is dead weight on a tight budget — omit it
       val errField = if (failed.isEmpty) "" else s""","errors":$errs"""
+      // load + store provenance IN the tail line (round-15, verdict item
+      // 8): the driver's BENCH_r{N}.json now self-describes its epoch —
+      // cold_builds > 0 means one-off store derivations were paid,
+      // load_avg_end is the ambient 1-min load at finish. ~45 chars
+      // buys never again cross-referencing a loaded epoch by hand.
+      val prov = {
+        val l = java.lang.management.ManagementFactory
+          .getOperatingSystemMXBean.getSystemLoadAverage
+        val load = if (l >= 0) s""","load_avg_end":${r1(l)}""" else ""
+        s""","store_cold_builds":${
+          graft.sources.Tables.storeColdBuilds.get}$load"""
+      }
       // cpu_total: one scalar buys the load-insensitive round comparator
       // on the driver's record without per-query line budget
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","cpu_total":${r1(cpuTotal)},"queries":$qs$errField,"sf":"$sfName"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","cpu_total":${r1(cpuTotal)}$prov,"queries":$qs$errField,"sf":"$sfName"}"""
     }
     // degradation ladder — the line must fit a ~2000-char tail capture or
     // the round records "parsed": null. Nothing prints after this line

@@ -516,10 +516,17 @@ object Similarity {
     * spec's tool. */
   def pqStateAt(codebooks: Seq[(Int, Int, Array[Long])], corpus: DataFrame,
                 id: String, vec: String,
-                scale: Double = DefaultScale): DataFrame = {
-    val spark = corpus.sparkSession
+                scale: Double = DefaultScale): DataFrame =
+    pqStateAtQ(codebooks, prep(corpus, id, vec, "__id", scale))
+
+  /** [[pqStateAt]] over an ALREADY-QUANTIZED (__id, __qv) frame — the
+    * entry point residual-space state needs ([[ivfPqState]]: residuals
+    * are exact long differences, never re-quantized doubles). */
+  def pqStateAtQ(codebooks: Seq[(Int, Int, Array[Long])],
+                 q: DataFrame): DataFrame = {
+    val spark = q.sparkSession
     import spark.implicits._
-    val agg = pqCellSums(codebooks, prep(corpus, id, vec, "__id", scale))
+    val agg = pqCellSums(codebooks, q)
     codebooks.sortBy(c => (c._1, c._2)).map { case (j, c, v) =>
       val (s, n) = agg.getOrElse((j, c), (new Array[Long](v.length), 0L))
       (j, c, v.toSeq, s.toSeq, n)
@@ -565,7 +572,12 @@ object Similarity {
     * carry. O(batch) + an m·kc·sub collect; folds chain with sequential
     * mini-batch semantics like [[kmeansFold]]. */
   def pqFold(state: DataFrame, batch: DataFrame, id: String, vec: String,
-             scale: Double = DefaultScale): DataFrame = {
+             scale: Double = DefaultScale): DataFrame =
+    pqFoldQ(state, prep(batch, id, vec, "__id", scale))
+
+  /** [[pqFold]] over an ALREADY-QUANTIZED (__id, __qv) batch frame — the
+    * residual-space fold's entry point ([[ivfPqFold]]). */
+  private def pqFoldQ(state: DataFrame, qBatch: DataFrame): DataFrame = {
     val spark = state.sparkSession
     import spark.implicits._
     val st = state.select(col("subspace"), col("cell"), col("centroid"),
@@ -574,7 +586,7 @@ object Similarity {
         r.getSeq[Long](3).toArray, r.getLong(4)))
       .sortBy(r => (r._1, r._2))
     val cbs = st.map(r => (r._1, r._2, r._3)).toSeq
-    val bagg = pqCellSums(cbs, prep(batch, id, vec, "__id", scale))
+    val bagg = pqCellSums(cbs, qBatch)
     st.map { case (j, c, cv, s, n) =>
       val (bs, bn) = bagg.getOrElse((j, c), (new Array[Long](cv.length), 0L))
       val n2 = n + bn
@@ -729,6 +741,85 @@ object Similarity {
       .toDF("subspace", "cell", "centroid")
   }
 
+  /** IVF-PQ model state for INCREMENTAL maintenance — [[pqState]] in the
+    * RESIDUAL space of a FROZEN coarse quantizer. The composite index has
+    * two fitted layers; maintenance freezes the coarse one (the
+    * production IVF posture: a trained coarse quantizer routes inserts to
+    * existing inverted lists — re-fitting it would move every stored
+    * residual, invalidating the exact sums that make folds cheap) and
+    * folds the residual codebooks exactly. State rows are [[pqState]]'s
+    * shape over residuals x − c(x): per (subspace, codeword) the fitted
+    * codeword PLUS exact per-dim residual sums and member count.
+    * Residuals are exact long differences of quantized vectors, so the
+    * whole maintenance path stays integer-exact and cross-engine
+    * hash-checkable (the q152 replay's residual rule).
+    */
+  def ivfPqState(corpus: DataFrame, id: String, vec: String,
+                 kmCentroids: DataFrame, m: Int, kc: Int, iters: Int,
+                 scale: Double = DefaultScale): DataFrame = {
+    val r = residualsQ(corpus, id, vec, kmCentroids, scale)
+    pqStateAtQ(pqFitSeqQ(r, m, kc, iters), r)
+  }
+
+  /** Fold a NEW BATCH into persisted IVF-PQ state — [[pqFold]] in the
+    * frozen coarse layer's residual space: the batch is assigned to its
+    * coarse cells (literal argmax under the SAME centroids the state was
+    * built with — the caller passes the frozen layer), residualized
+    * exactly, and its per-(subspace, codeword) sums fold in. This IS the
+    * update half of one per-subspace Lloyd round over the base ∪ batch
+    * residuals under the frozen coarse quantizer — exact, spec-pinned
+    * against [[pqStateAtQ]] on the union's residuals. O(batch) + an
+    * m·kc·sub collect; chained folds are sequential mini-batch like
+    * [[pqFold]]/[[kmeansFold]]. The coarse layer itself can fold in
+    * parallel via [[kmeansFold]] when drift warrants a re-route — but
+    * that is a REFIT trigger for the residual state, not a fold (moved
+    * centroids change every stored residual; see the kmeansFold drift
+    * measurements in BENCH_SF1.json for the refit policy).
+    */
+  def ivfPqFold(state: DataFrame, batch: DataFrame, id: String,
+                vec: String, kmCentroids: DataFrame,
+                scale: Double = DefaultScale): DataFrame =
+    pqFoldQ(state, residualsQ(batch, id, vec, kmCentroids, scale))
+
+  /** [[ivfPqState]] under GIVEN codebooks (no fit) — the fold-exactness
+    * spec's tool, mirroring [[pqStateAt]]/[[kmeansStateAt]]. */
+  def ivfPqStateAt(codebooks: Seq[(Int, Int, Array[Long])],
+                   corpus: DataFrame, id: String, vec: String,
+                   kmCentroids: DataFrame,
+                   scale: Double = DefaultScale): DataFrame =
+    pqStateAtQ(codebooks, residualsQ(corpus, id, vec, kmCentroids, scale))
+
+  /** Residual-space encode under GIVEN codebooks and a frozen
+    * [[kmeansFit]] coarse layer — the census tool of the q178 face.
+    * Output: (id, codes), codes(j) ∈ 1..kc. Zero shuffle: assignment and
+    * argmin are literal projections. */
+  def ivfPqEncode(corpus: DataFrame, id: String, vec: String,
+                  kmCentroids: DataFrame,
+                  codebooks: Seq[(Int, Int, Array[Long])],
+                  scale: Double = DefaultScale): DataFrame =
+    pqEncodeQ(residualsQ(corpus, id, vec, kmCentroids, scale))(codebooks)
+      .withColumnRenamed("__id", id)
+
+  /** Quantized residual frame (__id, __qv) of `corpus` against a frozen
+    * [[kmeansFit]] coarse layer — the shared prep of the ivfPq*
+    * maintenance entry points. */
+  private def residualsQ(corpus: DataFrame, id: String, vec: String,
+                         kmCentroids: DataFrame, scale: Double): DataFrame =
+    residualsC(corpus, id, vec, centCFromKmeans(kmCentroids), scale)
+      .select(col("__id"), col("__rv").as("__qv"))
+
+  /** [[pqEncode]] over an ALREADY-QUANTIZED (__id, __qv) frame. */
+  private def pqEncodeQ(q: DataFrame)(
+      codebooks: Seq[(Int, Int, Array[Long])]): DataFrame = {
+    val byJ = codebooks.groupBy(_._1)
+    val m = byJ.size
+    val sub = codebooks.head._3.length
+    val codes = array((0 until m).map(j =>
+      pqArgminCell(pqSlice(col("__qv"), j, sub),
+        byJ(j).map(c => (c._2, c._3)))): _*)
+    q.select(col("__id"), codes.as("codes"))
+  }
+
   /** IVF-PQ approximate top-k: coarse cells prune the candidate set
     * ([[knnIvf]]'s equi-join shape — queries probe their `nprobe` nearest
     * cells), PQ codes over cell residuals compress the vectors, and a
@@ -851,13 +942,50 @@ object Similarity {
     * model-sized by construction (same collect class as codebooks).
     */
   def energyPermutation(corpus: DataFrame, id: String, vec: String, m: Int,
-                        scale: Double = DefaultScale): Seq[Int] = {
-    val ranked = prep(corpus, id, vec, "__id", scale)
-      .select(posexplode(col("__qv")).as(Seq("__dim", "__x")))
-      .groupBy("__dim")
-      .agg(sum(col("__x") * col("__x")).as("__e"))
-      .orderBy(col("__e").desc, col("__dim"))
-      .select("__dim").collect().map(_.getInt(0))
+                        scale: Double = DefaultScale): Seq[Int] =
+    permutationFromState(energyState(corpus, id, vec, scale), m)
+
+  /** OPQ energy model state for INCREMENTAL maintenance: the per-dim
+    * exact second moments Σx² (scaled longs) plus the row count — the
+    * ENTIRE model behind [[energyPermutation]], persisted as d rows.
+    * Unlike the k-means/PQ states, this one folds EXACTLY equal to a
+    * refit: energy is one associative sum per dim with no
+    * assignment-depends-on-model feedback, so
+    * `energyFold(energyState(base), batch) == energyState(base ∪ batch)`
+    * row-for-row, and the folded permutation IS the from-scratch
+    * permutation on the union (spec-pinned — no mini-batch caveat, no
+    * drift, no refit trigger needed). Overflow bound as documented on
+    * [[energyPermutation]]: Σx² holds ~9e6 rows per dim at the default
+    * scale before long overflow — the fold inherits the bound on the
+    * UNION size, so at 100 TB the state is fit on a sample like every
+    * model in this family. Output: (dim 0-based, energy, n).
+    */
+  def energyState(corpus: DataFrame, id: String, vec: String,
+                  scale: Double = DefaultScale): DataFrame =
+    prep(corpus, id, vec, "__id", scale)
+      .select(posexplode(col("__qv")).as(Seq("dim", "__x")))
+      .groupBy("dim")
+      .agg(sum(col("__x") * col("__x")).as("energy"),
+        count(lit(1)).as("n"))
+
+  /** Fold a NEW BATCH into persisted energy state — per-dim long adds
+    * over d rows. Exactly equals [[energyState]] on the union (see
+    * [[energyState]]); folds chain with NO semantic drift. */
+  def energyFold(state: DataFrame, batch: DataFrame, id: String,
+                 vec: String, scale: Double = DefaultScale): DataFrame =
+    state.select(col("dim"), col("energy"), col("n"))
+      .unionByName(energyState(batch, id, vec, scale))
+      .groupBy("dim")
+      .agg(sum(col("energy")).as("energy"), sum(col("n")).as("n"))
+
+  /** The [[energyPermutation]] deal from a persisted/folded
+    * [[energyState]] frame: rank dims energy-desc (ties to the lower
+    * dim), deal rank r round-robin to permuted position
+    * (r mod m)·(d/m) + (r div m). */
+  def permutationFromState(state: DataFrame, m: Int): Seq[Int] = {
+    val ranked = state
+      .orderBy(col("energy").desc, col("dim"))
+      .select("dim").collect().map(_.getInt(0))
     val d = ranked.length
     require(d > 0 && d % m == 0, s"dims $d not divisible by m=$m")
     val sub = d / m

@@ -88,12 +88,34 @@ object RecommendationJob {
     * tier only engages when at least one channel actually multi-chunks.
     */
   def chooseChunkedPairs(subs: DataFrame,
-                         pairChunk: Long = PairChunk): Boolean =
-    subs.groupBy("subscription_channel").count()
-      .agg(max("count")).first() match {
-        case r if r.isNullAt(0) => false
-        case r => r.getLong(0) > 2 * pairChunk
-      }
+                         pairChunk: Long = PairChunk): Boolean = {
+    // Memoized per (analyzed plan, chunk): with pairTier="auto" the probe
+    // is an EAGER Spark job at DataFrame-CONSTRUCTION time — callers that
+    // build several plans over the same subscriber frame (transform caches
+    // `subs`; direct callers may not) should pay the scan once, not per
+    // construction. WeakHashMap keyed by the analyzed plan object so
+    // retired frames stay collectable.
+    val plan = subs.queryExecution.analyzed
+    val cached = Option(chunkDecisionCache.get(plan)).getOrElse(Map.empty)
+    cached.getOrElse(pairChunk, {
+      val decided = subs.groupBy("subscription_channel").count()
+        .agg(max("count")).first() match {
+          case r if r.isNullAt(0) => false
+          case r => r.getLong(0) > 2 * pairChunk
+        }
+      chunkDecisionCache.put(plan, cached + (pairChunk -> decided))
+      decided
+    })
+  }
+
+  // weak KEY = the frame's analyzed plan (strongly held by its
+  // QueryExecution, so the entry lives exactly as long as some DataFrame
+  // over that plan does)
+  private val chunkDecisionCache =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[
+        org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+        Map[Long, Boolean]]())
 
   /** Candidate pairs for `date`: share a channel, never messaged, within
     * `maxDistanceKm` of each other's last position (project_step_3.py:98-141).
@@ -108,7 +130,12 @@ object RecommendationJob {
     * viral channel = (m/2)² pair rows through one sort-merge key), "chunk"
     * = the balanced chunk-cell join (identical pair set, work bounded per
     * cell), "auto" = measure the hottest channel ([[chooseChunkedPairs]])
-    * and pick. The two tiers are row-identical by construction: chunks
+    * and pick. NOTE: "auto" runs that probe as an EAGER Spark job at
+    * DataFrame-construction time (memoized per analyzed plan of `subs`,
+    * so repeated constructions over one frame pay once; `transform`
+    * caches `subs`, direct callers building plans lazily should cache
+    * theirs or pass an explicit tier). The two tiers are
+    * row-identical by construction: chunks
     * are numbered by `user_id` DESC, so a cross-chunk cell meets each
     * unordered pair exactly once already in the reference's
     * `user_id > message_to` orientation, and diagonal cells carry both

@@ -202,19 +202,29 @@ object SparseVecModel {
     * the message rather than doubling driver memory first. */
   def collect(vecs: org.apache.spark.sql.DataFrame,
               maxPostings: Long = MaxCollectedPostings): SparseVecModel = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit, size, sum}
+    // Gate BEFORE collecting: the posting count is a distributed aggregate
+    // (one tiny extra job), accumulated as Long, so a mis-gated 100 TB
+    // table throws here without the driver ever materializing a row. The
+    // post-collect require below it would otherwise fire only AFTER the
+    // OOM-risk allocation it exists to prevent.
+    val bound = math.min(maxPostings, MaxCollectedPostings)
+    val nPost = vecs
+      .agg(coalesce(sum(size(col(vecs.columns(1)))).cast("long"), lit(0L)))
+      .first().getLong(0)
+    require(nPost <= bound,
+      s"SparseVecModel.collect: $nPost postings exceed the " +
+        s"regime bound $bound — this tier is for DEGENERATE (tiny-" +
+        "vocabulary) vector tables only; route to the distributed " +
+        "merge-dot verify instead (graft.ext.Dedup.verifyCosine)")
+    require(nPost <= Int.MaxValue.toLong,
+      s"SparseVecModel.collect: $nPost postings exceed array addressing")
     val rows = vecs.collect().sortBy(_.getLong(0))
     val n = rows.length
     val ids = new Array[Long](n)
     val offsets = new Array[Int](n + 1)
-    val nPost = rows.iterator.map(_.getSeq[Long](1).size).sum
-    val bound = math.min(maxPostings, MaxCollectedPostings)
-    require(nPost <= bound,
-      s"SparseVecModel.collect: $n rows / $nPost postings exceed the " +
-        s"regime bound $bound — this tier is for DEGENERATE (tiny-" +
-        "vocabulary) vector tables only; route to the distributed " +
-        "merge-dot verify instead (graft.ext.Dedup.verifyCosine)")
-    val keys = new Array[Long](nPost)
-    val vals = new Array[Long](nPost)
+    val keys = new Array[Long](nPost.toInt)
+    val vals = new Array[Long](nPost.toInt)
     val n2s = new Array[Long](n)
     var p = 0
     var i = 0

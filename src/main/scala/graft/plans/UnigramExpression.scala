@@ -48,21 +48,34 @@ object UnigramOps {
     * rebuilt lazily after serialization to executors. */
   final class Vocab(val entries: Seq[(String, Long)], val unkScore: Long)
       extends Serializable {
-    @transient private var map: java.util.HashMap[String, java.lang.Long] = _
-    @transient private var maxLenV: Int = -1
+    // Published through ONE volatile reference to an immutable holder (the
+    // [[WordpieceOps.Vocab]] posture): one Vocab per executor is shared by
+    // many task threads, and a plain two-field double-checked publish could
+    // expose `map != null` with `maxLen` still -1 on a weak-memory machine
+    // — decode() would then probe zero piece lengths and silently emit
+    // all-[UNK] counts with no error.
+    private final class Compiled(
+        val map: java.util.HashMap[String, java.lang.Long], val maxLen: Int)
+    @transient @volatile private var compiled: Compiled = _
 
-    private def ensure(): Unit = if (map == null) synchronized {
-      if (map == null) {
-        val m = new java.util.HashMap[String, java.lang.Long]()
-        var ml = 0
-        entries.foreach { case (p, s) =>
-          if (p.nonEmpty) { m.put(p, s); ml = math.max(ml, p.length) }
+    private def ensure(): Compiled = {
+      var c = compiled
+      if (c == null) synchronized {
+        c = compiled
+        if (c == null) {
+          val m = new java.util.HashMap[String, java.lang.Long]()
+          var ml = 0
+          entries.foreach { case (p, s) =>
+            if (p.nonEmpty) { m.put(p, s); ml = math.max(ml, p.length) }
+          }
+          c = new Compiled(m, ml)
+          compiled = c
         }
-        maxLenV = ml; map = m
       }
+      c
     }
-    def scores: java.util.HashMap[String, java.lang.Long] = { ensure(); map }
-    def maxLen: Int = { ensure(); maxLenV }
+    def scores: java.util.HashMap[String, java.lang.Long] = ensure().map
+    def maxLen: Int = ensure().maxLen
 
     override def equals(o: Any): Boolean = o match {
       case v: Vocab => v.entries == entries && v.unkScore == unkScore

@@ -44,31 +44,44 @@ object WordpieceOps {
     * serialization to executors.
     */
   final class Vocab(val pieces: Seq[String]) extends Serializable {
-    @transient private var startSet: java.util.HashSet[String] = _
-    @transient private var contSet: java.util.HashSet[String] = _
-    @transient private var maxStartLen: Int = -1
-    @transient private var maxContLen: Int = -1
+    // One shared Vocab per executor serves many task threads. The compiled
+    // lookup state is published through a SINGLE volatile reference to an
+    // immutable holder — the fields are fully written before the volatile
+    // store, so a reader that sees the holder sees every field (a plain
+    // multi-field double-checked publish can expose startSet != null with
+    // maxStartLen still -1 on a weak-memory machine, silently truncating
+    // every longest-match probe to zero).
+    private final class Compiled(val startSet: java.util.HashSet[String],
+                                 val contSet: java.util.HashSet[String],
+                                 val maxStartLen: Int, val maxContLen: Int)
+    @transient @volatile private var compiled: Compiled = _
 
-    private def ensure(): Unit = if (startSet == null) synchronized {
-      if (startSet == null) {
-        val s = new java.util.HashSet[String]()
-        val c = new java.util.HashSet[String]()
-        var ms = 0
-        var mc = 0
-        pieces.foreach { p =>
-          if (p.startsWith("##")) {
-            val suf = p.substring(2)
-            if (suf.nonEmpty) { c.add(suf); mc = math.max(mc, suf.length) }
-          } else if (p.nonEmpty) { s.add(p); ms = math.max(ms, p.length) }
+    private def ensure(): Compiled = {
+      var c = compiled
+      if (c == null) synchronized {
+        c = compiled
+        if (c == null) {
+          val s = new java.util.HashSet[String]()
+          val ct = new java.util.HashSet[String]()
+          var ms = 0
+          var mc = 0
+          pieces.foreach { p =>
+            if (p.startsWith("##")) {
+              val suf = p.substring(2)
+              if (suf.nonEmpty) { ct.add(suf); mc = math.max(mc, suf.length) }
+            } else if (p.nonEmpty) { s.add(p); ms = math.max(ms, p.length) }
+          }
+          c = new Compiled(s, ct, ms, mc)
+          compiled = c
         }
-        maxStartLen = ms; maxContLen = mc; contSet = c; startSet = s
       }
+      c
     }
 
-    def starts: java.util.HashSet[String] = { ensure(); startSet }
-    def conts: java.util.HashSet[String] = { ensure(); contSet }
-    def maxStart: Int = { ensure(); maxStartLen }
-    def maxCont: Int = { ensure(); maxContLen }
+    def starts: java.util.HashSet[String] = ensure().startSet
+    def conts: java.util.HashSet[String] = ensure().contSet
+    def maxStart: Int = ensure().maxStartLen
+    def maxCont: Int = ensure().maxContLen
 
     override def equals(o: Any): Boolean = o match {
       case v: Vocab => v.pieces == pieces

@@ -41,6 +41,13 @@ object TextSql {
   * source relation text exposing (vec_id, embedding); the returned chain
   * defines `qv` (quantized vectors) and `c$iters` (final centroids).
   * Shared by the q84/q85 oracles and the q152 IVF-PQ replay.
+  *
+  * Every CTE is `AS MATERIALIZED`: consumers reference `qv`/`c2`/`fin`
+  * several times, and DuckDB's default inlining re-evaluates the WHOLE
+  * upstream Lloyd chain per reference — measured on the q176 oracle at
+  * sf0.01 this multiplied a ~1 MB problem to a >256 MB memory floor (the
+  * round-14 driver OOM); materialized, the same statement runs in 0.2 s
+  * under a 64 MB cap (bisected, scripts/oracle_mem_audit.py).
   */
 object KmeansSql {
   import graft.ext.Similarity
@@ -53,10 +60,10 @@ object KmeansSql {
     def cos(a: String, b: String) = Similarity.cosineLongSqlText(a, b)
     val sb = new StringBuilder
     sb.append(
-      s"""qv AS (SELECT vec_id,
+      s"""qv AS MATERIALIZED (SELECT vec_id,
          |  [CAST(floor(CAST(embedding[i] AS DOUBLE)*1000000.0 + 0.5) AS BIGINT)
          |   FOR i IN range(1, len(embedding)+1)] AS v FROM $from),
-         |c0 AS (SELECT cell, v FROM (
+         |c0 AS MATERIALIZED (SELECT cell, v FROM (
          |    SELECT CAST(row_number() OVER (ORDER BY $fnv, vec_id) AS INTEGER)
          |      AS cell, v
          |    FROM qv) WHERE cell <= ($kSql))""".stripMargin)
@@ -64,19 +71,19 @@ object KmeansSql {
       val prev = s"c${it - 1}"
       sb.append(
         s""",
-           |a$it AS (SELECT vec_id, v, cell FROM (
+           |a$it AS MATERIALIZED (SELECT vec_id, v, cell FROM (
            |    SELECT q.vec_id, q.v, c.cell,
            |      row_number() OVER (PARTITION BY q.vec_id
            |        ORDER BY ${cos("q.v", "c.v")} DESC, c.cell) AS rn
            |    FROM qv q CROSS JOIN $prev c) WHERE rn = 1),
-           |s$it AS (SELECT cell, i,
+           |s$it AS MATERIALIZED (SELECT cell, i,
            |      CAST(CASE WHEN sum(x) < 0 THEN -1 ELSE 1 END
            |        * (abs(sum(x)) // count(*)) AS BIGINT) AS cx
            |    FROM (SELECT cell, i, v[i] AS x
            |          FROM a$it CROSS JOIN (SELECT unnest(range(1, ${dims + 1})) AS i))
            |    GROUP BY cell, i),
-           |n$it AS (SELECT cell, list(cx ORDER BY i) AS v FROM s$it GROUP BY cell),
-           |c$it AS (SELECT p.cell, coalesce(n$it.v, p.v) AS v
+           |n$it AS MATERIALIZED (SELECT cell, list(cx ORDER BY i) AS v FROM s$it GROUP BY cell),
+           |c$it AS MATERIALIZED (SELECT p.cell, coalesce(n$it.v, p.v) AS v
            |         FROM $prev p LEFT JOIN n$it USING (cell))""".stripMargin)
     }
     sb.toString
@@ -85,7 +92,7 @@ object KmeansSql {
   /** final-assignment CTE (`fin`): every qv row against the final centroids */
   def finAssignCte(iters: Int): String = {
     val cos = Similarity.cosineLongSqlText("q.v", "c.v")
-    s"""fin AS (SELECT vec_id, cell, cs FROM (
+    s"""fin AS MATERIALIZED (SELECT vec_id, cell, cs FROM (
        |    SELECT q.vec_id, c.cell, $cos AS cs,
        |      row_number() OVER (PARTITION BY q.vec_id
        |        ORDER BY $cos DESC, c.cell) AS rn

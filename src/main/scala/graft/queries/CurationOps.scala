@@ -1277,54 +1277,56 @@ object CurationOps extends Catalog {
       val cosF = Similarity.cosineLongSqlText("q.v", "f.v")
       s"""WITH $ctes,
          |${finAssignCte(2)},
-         |sn AS (SELECT cell, CAST(count(*) AS BIGINT) AS n_base
+         |sn AS MATERIALIZED (SELECT cell, CAST(count(*) AS BIGINT) AS n_base
          |  FROM fin GROUP BY cell),
-         |ss AS (SELECT f.cell, ii.i, sum(q.v[ii.i]) AS s
-         |  FROM fin f JOIN qv q USING (vec_id)
-         |  CROSS JOIN (SELECT unnest(range(1, 65)) AS i) ii
-         |  GROUP BY f.cell, ii.i),
-         |bqv AS (SELECT vec_id,
+         |ss AS MATERIALIZED (SELECT cell,
+         |    [CAST(list_sum([v[i] FOR v IN vs]) AS HUGEINT)
+         |     FOR i IN range(1, 65)] AS s
+         |  FROM (SELECT f.cell, list(q.v) AS vs
+         |        FROM fin f JOIN qv q USING (vec_id) GROUP BY f.cell) t),
+         |bqv AS MATERIALIZED (SELECT vec_id,
          |  [CAST(floor(CAST(embedding[i] AS DOUBLE)*1000000.0 + 0.5)
          |     AS BIGINT) FOR i IN range(1, len(embedding)+1)] AS v
          |  FROM embeddings WHERE vec_id % 10 = 9),
-         |bfin AS (SELECT vec_id, cell FROM (
+         |bfin AS MATERIALIZED (SELECT vec_id, cell FROM (
          |    SELECT b.vec_id, c.cell,
          |      row_number() OVER (PARTITION BY b.vec_id
          |        ORDER BY $cosB DESC, c.cell) AS rn
          |    FROM bqv b CROSS JOIN c2 c) WHERE rn = 1),
-         |bn AS (SELECT cell, CAST(count(*) AS BIGINT) AS n_batch
+         |bn AS MATERIALIZED (SELECT cell, CAST(count(*) AS BIGINT) AS n_batch
          |  FROM bfin GROUP BY cell),
-         |bs AS (SELECT f.cell, ii.i, sum(b.v[ii.i]) AS s
-         |  FROM bfin f JOIN bqv b USING (vec_id)
-         |  CROSS JOIN (SELECT unnest(range(1, 65)) AS i) ii
-         |  GROUP BY f.cell, ii.i),
-         |nn AS (SELECT c.cell, coalesce(sn.n_base, 0) AS n_base,
+         |bs AS MATERIALIZED (SELECT cell,
+         |    [CAST(list_sum([v[i] FOR v IN vs]) AS HUGEINT)
+         |     FOR i IN range(1, 65)] AS s
+         |  FROM (SELECT f.cell, list(b.v) AS vs
+         |        FROM bfin f JOIN bqv b USING (vec_id) GROUP BY f.cell) t),
+         |nn AS MATERIALIZED (SELECT c.cell, coalesce(sn.n_base, 0) AS n_base,
          |    coalesce(bn.n_batch, 0) AS n_batch,
          |    coalesce(sn.n_base, 0) + coalesce(bn.n_batch, 0) AS n_total
          |  FROM c2 c LEFT JOIN sn USING (cell) LEFT JOIN bn USING (cell)),
-         |fi AS (SELECT c.cell, ii.i,
-         |    CASE WHEN nn.n_total = 0 THEN c.v[ii.i]
-         |      ELSE CAST(CASE WHEN coalesce(ss.s, 0) + coalesce(bs.s, 0) < 0
-         |          THEN -1 ELSE 1 END
-         |        * (abs(coalesce(ss.s, 0) + coalesce(bs.s, 0)) // nn.n_total)
-         |        AS BIGINT)
-         |    END AS cx
-         |  FROM c2 c CROSS JOIN (SELECT unnest(range(1, 65)) AS i) ii
-         |  JOIN nn ON nn.cell = c.cell
-         |  LEFT JOIN ss ON ss.cell = c.cell AND ss.i = ii.i
-         |  LEFT JOIN bs ON bs.cell = c.cell AND bs.i = ii.i),
-         |folded AS (SELECT cell, list(cx ORDER BY i) AS v
-         |  FROM fi GROUP BY cell),
-         |fqv AS (SELECT vec_id,
+         |fi AS MATERIALIZED (SELECT c.cell, nn.n_total, c.v AS cv,
+         |    coalesce(ss.s, [CAST(0 AS HUGEINT) FOR i IN range(1, 65)]) AS sa,
+         |    coalesce(bs.s, [CAST(0 AS HUGEINT) FOR i IN range(1, 65)]) AS sb
+         |  FROM c2 c JOIN nn ON nn.cell = c.cell
+         |  LEFT JOIN ss ON ss.cell = c.cell
+         |  LEFT JOIN bs ON bs.cell = c.cell),
+         |folded AS MATERIALIZED (SELECT cell,
+         |    CASE WHEN n_total = 0 THEN cv
+         |      ELSE [CAST(CASE WHEN sa[i] + sb[i] < 0 THEN -1 ELSE 1 END
+         |              * (abs(sa[i] + sb[i]) // n_total) AS BIGINT)
+         |            FOR i IN range(1, 65)]
+         |    END AS v
+         |  FROM fi),
+         |fqv AS MATERIALIZED (SELECT vec_id,
          |  [CAST(floor(CAST(embedding[i] AS DOUBLE)*1000000.0 + 0.5)
          |     AS BIGINT) FOR i IN range(1, len(embedding)+1)] AS v
          |  FROM embeddings),
-         |ffin AS (SELECT vec_id, cell FROM (
+         |ffin AS MATERIALIZED (SELECT vec_id, cell FROM (
          |    SELECT q.vec_id, f.cell,
          |      row_number() OVER (PARTITION BY q.vec_id
          |        ORDER BY $cosF DESC, f.cell) AS rn
          |    FROM fqv q CROSS JOIN folded f) WHERE rn = 1),
-         |ac AS (SELECT cell, CAST(count(*) AS BIGINT) AS assigned_full
+         |ac AS MATERIALIZED (SELECT cell, CAST(count(*) AS BIGINT) AS assigned_full
          |  FROM ffin GROUP BY cell)
          |SELECT CAST(nn.cell AS BIGINT) AS cell, nn.n_base, nn.n_batch,
          |  nn.n_total,

@@ -1017,6 +1017,88 @@ object DataPipelineQueries extends Catalog {
           coalesce(col("encoded_full"), lit(0L)).as("encoded_full"))
     }),
 
+    // ---- incremental IVF-PQ maintenance (fold into residual codebooks) -----
+    // closes the q176/q177 maintenance loop for the COMPOSITE index
+    // (round-14 verdict item 5): the coarse k-means layer is FROZEN (the
+    // production IVF posture — re-fitting it would move every stored
+    // residual) and the residual codebooks fold exactly: batch rows are
+    // routed to their coarse cells, residualized as exact long
+    // differences, and their per-(subspace, codeword) sums add into the
+    // stored state — the update half of one per-subspace Lloyd round
+    // over base ∪ batch residuals under the frozen quantizer. Output per
+    // (subspace, codeword): counts, an order-sensitive codeword
+    // checksum, and the full-corpus residual-encode census under the
+    // folded codebooks. The oracle re-derives coarse fit, residuals,
+    // codebook fit, fold arithmetic, and census from scratch.
+    "q178_ivfpq_incremental" -> ((s, d) => {
+      val all = Tables.embeddings(s, d)
+      val base = all.filter(col("vec_id") % 10 =!= 9)
+      val batch = all.filter(col("vec_id") % 10 === 9)
+      val km = Tables.ensureMaterialized(s, "ivfpq_coarse",
+        Tables.contentKey(s"$d/embeddings.parquet", "k8it2base9"))(
+        Similarity.kmeansFit(base, "vec_id", "embedding", k = 8, iters = 2))
+      val state = Tables.ensureMaterialized(s, "ivfpq_state",
+        Tables.contentKey(s"$d/embeddings.parquet", "km8m4kc8it2base9"))(
+        Similarity.ivfPqState(base, "vec_id", "embedding", km,
+          m = 4, kc = 8, iters = 2))
+      val folded = Similarity.ivfPqFold(state, batch, "vec_id", "embedding",
+        km)
+      val cbs = folded.select("subspace", "cell", "centroid").collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Long](2).toArray))
+        .toSeq
+      val census = Similarity.ivfPqEncode(all, "vec_id", "embedding", km, cbs)
+        .select(posexplode(col("codes")).as(Seq("subspace", "cell")))
+        .groupBy("subspace", "cell")
+        .agg(count(lit(1)).as("encoded_full"))
+      folded.select(col("subspace"), col("cell"), col("n").as("n_total"),
+          expr("aggregate(zip_with(centroid, sequence(1, size(centroid)), " +
+            "(c, i) -> c * i), 0L, (a, x) -> a + x)").as("cw_weighted"))
+        .join(state.select(col("subspace"), col("cell"),
+          col("n").as("n_base")), Seq("subspace", "cell"))
+        .join(census, Seq("subspace", "cell"), "left")
+        .select(col("subspace").cast("long").as("subspace"),
+          col("cell").cast("long").as("cell"), col("n_base"),
+          (col("n_total") - col("n_base")).as("n_batch"), col("n_total"),
+          col("cw_weighted"),
+          coalesce(col("encoded_full"), lit(0L)).as("encoded_full"))
+    }),
+
+    // ---- incremental OPQ maintenance (fold into the energy ranking) --------
+    // the permutation's whole model is d per-dim second moments Σx² —
+    // ASSOCIATIVE sums with no assignment feedback, so unlike q176–q178
+    // this fold is EXACTLY a refit: fold(state(base), batch) ==
+    // state(base ∪ batch) row-for-row and the folded deal IS the
+    // from-scratch permutation on the union (spec-pinned; no mini-batch
+    // caveat, no drift, no refit trigger). Output per permuted position:
+    // the dealt dim, its base/batch/total energies (the fold arithmetic
+    // under the hash), and the receiving subspace.
+    "q179_opq_incremental" -> ((s, d) => {
+      val spark = s
+      import spark.implicits._
+      val all = Tables.embeddings(s, d)
+      val base = all.filter(col("vec_id") % 10 =!= 9)
+      val batch = all.filter(col("vec_id") % 10 === 9)
+      val state = Tables.ensureMaterialized(s, "opq_energy",
+        Tables.contentKey(s"$d/embeddings.parquet", "energybase9"))(
+        Similarity.energyState(base, "vec_id", "embedding"))
+      val folded = Similarity.energyFold(state, batch, "vec_id", "embedding")
+      val m = 4
+      val perm = Similarity.permutationFromState(folded, m)
+      val sub = perm.length / m
+      val posRows = perm.zipWithIndex
+        .map { case (dim, p) => (p + 1L, (p / sub).toLong, dim) }
+        .toDF("pos", "subspace", "dim")
+      posRows
+        .join(state.select(col("dim"), col("energy").as("e_base")),
+          Seq("dim"))
+        .join(folded.select(col("dim"), col("energy").as("e_total")),
+          Seq("dim"))
+        .select(col("pos"), col("subspace"),
+          (col("dim") + 1).cast("long").as("dim"),
+          col("e_base"), (col("e_total") - col("e_base")).as("e_batch"),
+          col("e_total"))
+    }),
+
     // ---- anti-aliased WAV resample through the external-codec seam ---------
     // the promised mapInArrow contract (q169/q173 scaladocs), EXERCISED:
     // a real windowed-sinc polyphase decimator in plain Scala behind
@@ -2200,6 +2282,152 @@ object DataPipelineQueries extends Catalog {
          |FROM nn JOIN folded ON folded.j = nn.j AND folded.cell = nn.cell
          |LEFT JOIN ac ON ac.j = nn.j AND ac.cell = nn.cell"""
         .stripMargin
+    },
+
+    // coarse fit on the base slice (kmeans chain), base residuals, the
+    // shared PqSql chain over them, batch residual fold under the FROZEN
+    // coarse layer, and the full-corpus residual-encode census under the
+    // folded codebooks — all re-derived; the stored state never seen.
+    // Per-(j, cell) sums use list-comprehension aggregation over list(sv)
+    // (the q176 idiom — no unnest(range) row explosions), and every
+    // multi-referenced CTE is MATERIALIZED (KmeansSql scaladoc: DuckDB's
+    // default inlining re-evaluates the whole upstream chain per
+    // reference).
+    "q178_ivfpq_incremental" -> {
+      val (m, kc, iters, sub) = (4, 8, 2, 16)
+      def dot(a: String, b: String) = Similarity.dotLongSqlText(a, b)
+      val cosB = Similarity.cosineLongSqlText("b.v", "c.v")
+      val cosF = Similarity.cosineLongSqlText("q.v", "c.v")
+      val zeros = s"[CAST(0 AS HUGEINT) FOR i IN range(1, ${sub + 1})]"
+      s"""WITH ${KmeansSql.kmeansCtes("8", 2, 64,
+           "(SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 != 9)")},
+         |${KmeansSql.finAssignCte(2)},
+         |rv AS MATERIALIZED (SELECT q.vec_id,
+         |    [q.v[i] - c.v[i] FOR i IN range(1, len(q.v)+1)] AS v
+         |  FROM qv q JOIN fin f ON q.vec_id = f.vec_id
+         |  JOIN c2 c ON f.cell = c.cell),
+         |jj AS (SELECT unnest(range($m)) AS j),
+         |${PqSql.chain("", "rv", m, kc, iters, sub)},
+         |sn AS MATERIALIZED (SELECT j, cell,
+         |    CAST(count(*) AS BIGINT) AS n_base
+         |  FROM codes GROUP BY 1, 2),
+         |ss AS MATERIALIZED (SELECT j, cell,
+         |    [CAST(list_sum([v[i] FOR v IN vs]) AS HUGEINT)
+         |     FOR i IN range(1, ${sub + 1})] AS s
+         |  FROM (SELECT co.j, co.cell, list(s.sv) AS vs
+         |        FROM codes co JOIN sv s
+         |          ON s.vec_id = co.vec_id AND s.j = co.j
+         |        GROUP BY co.j, co.cell) t),
+         |bqv AS MATERIALIZED (SELECT vec_id,
+         |  [CAST(floor(CAST(embedding[i] AS DOUBLE)*1000000.0 + 0.5)
+         |     AS BIGINT) FOR i IN range(1, len(embedding)+1)] AS v
+         |  FROM embeddings WHERE vec_id % 10 = 9),
+         |bfin AS MATERIALIZED (SELECT vec_id, cell FROM (
+         |    SELECT b.vec_id, c.cell,
+         |      row_number() OVER (PARTITION BY b.vec_id
+         |        ORDER BY $cosB DESC, c.cell) AS rn
+         |    FROM bqv b CROSS JOIN c2 c) WHERE rn = 1),
+         |brv AS MATERIALIZED (SELECT b.vec_id,
+         |    [b.v[i] - c.v[i] FOR i IN range(1, len(b.v)+1)] AS v
+         |  FROM bqv b JOIN bfin f ON b.vec_id = f.vec_id
+         |  JOIN c2 c ON f.cell = c.cell),
+         |bsv AS MATERIALIZED (SELECT vec_id, j,
+         |    list_slice(v, j*$sub + 1, (j+1)*$sub) AS sv
+         |  FROM brv CROSS JOIN jj),
+         |bcodes AS MATERIALIZED (SELECT vec_id, j, cell FROM (
+         |    SELECT s.vec_id, s.j, c.cell,
+         |      row_number() OVER (PARTITION BY s.vec_id, s.j
+         |        ORDER BY 2*${dot("s.sv", "c.v")} - ${dot("c.v", "c.v")}
+         |          DESC, c.cell) AS rn
+         |    FROM bsv s JOIN cb$iters c ON s.j = c.j) WHERE rn = 1),
+         |bn AS MATERIALIZED (SELECT j, cell,
+         |    CAST(count(*) AS BIGINT) AS n_batch
+         |  FROM bcodes GROUP BY 1, 2),
+         |bs AS MATERIALIZED (SELECT j, cell,
+         |    [CAST(list_sum([v[i] FOR v IN vs]) AS HUGEINT)
+         |     FOR i IN range(1, ${sub + 1})] AS s
+         |  FROM (SELECT co.j, co.cell, list(s.sv) AS vs
+         |        FROM bcodes co JOIN bsv s
+         |          ON s.vec_id = co.vec_id AND s.j = co.j
+         |        GROUP BY co.j, co.cell) t),
+         |nn AS MATERIALIZED (SELECT c.j, c.cell,
+         |    coalesce(sn.n_base, 0) AS n_base,
+         |    coalesce(bn.n_batch, 0) AS n_batch,
+         |    coalesce(sn.n_base, 0) + coalesce(bn.n_batch, 0) AS n_total
+         |  FROM cb$iters c LEFT JOIN sn USING (j, cell)
+         |  LEFT JOIN bn USING (j, cell)),
+         |fi AS MATERIALIZED (SELECT c.j, c.cell, nn.n_total, c.v AS cv,
+         |    coalesce(ss.s, $zeros) AS sa,
+         |    coalesce(bs.s, $zeros) AS sb
+         |  FROM cb$iters c JOIN nn ON nn.j = c.j AND nn.cell = c.cell
+         |  LEFT JOIN ss ON ss.j = c.j AND ss.cell = c.cell
+         |  LEFT JOIN bs ON bs.j = c.j AND bs.cell = c.cell),
+         |folded AS MATERIALIZED (SELECT j, cell,
+         |    CASE WHEN n_total = 0 THEN cv
+         |      ELSE [CAST(CASE WHEN sa[i] + sb[i] < 0 THEN -1 ELSE 1 END
+         |              * (abs(sa[i] + sb[i]) // n_total) AS BIGINT)
+         |            FOR i IN range(1, ${sub + 1})]
+         |    END AS v
+         |  FROM fi),
+         |fqv AS MATERIALIZED (SELECT vec_id,
+         |  [CAST(floor(CAST(embedding[i] AS DOUBLE)*1000000.0 + 0.5)
+         |     AS BIGINT) FOR i IN range(1, len(embedding)+1)] AS v
+         |  FROM embeddings),
+         |cfin AS MATERIALIZED (SELECT vec_id, cell FROM (
+         |    SELECT q.vec_id, c.cell,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY $cosF DESC, c.cell) AS rn
+         |    FROM fqv q CROSS JOIN c2 c) WHERE rn = 1),
+         |frv AS MATERIALIZED (SELECT q.vec_id,
+         |    [q.v[i] - c.v[i] FOR i IN range(1, len(q.v)+1)] AS v
+         |  FROM fqv q JOIN cfin f ON q.vec_id = f.vec_id
+         |  JOIN c2 c ON f.cell = c.cell),
+         |fsv AS MATERIALIZED (SELECT vec_id, j,
+         |    list_slice(v, j*$sub + 1, (j+1)*$sub) AS sv
+         |  FROM frv CROSS JOIN jj),
+         |fcodes AS MATERIALIZED (SELECT vec_id, j, cell FROM (
+         |    SELECT s.vec_id, s.j, f.cell,
+         |      row_number() OVER (PARTITION BY s.vec_id, s.j
+         |        ORDER BY 2*${dot("s.sv", "f.v")} - ${dot("f.v", "f.v")}
+         |          DESC, f.cell) AS rn
+         |    FROM fsv s JOIN folded f ON s.j = f.j) WHERE rn = 1),
+         |ac AS MATERIALIZED (SELECT j, cell,
+         |    CAST(count(*) AS BIGINT) AS encoded_full
+         |  FROM fcodes GROUP BY 1, 2)
+         |SELECT CAST(nn.j AS BIGINT) AS subspace,
+         |  CAST(nn.cell AS BIGINT) AS cell, nn.n_base, nn.n_batch,
+         |  nn.n_total,
+         |  CAST(list_sum([folded.v[i]*i FOR i IN range(1, ${sub + 1})])
+         |    AS BIGINT) AS cw_weighted,
+         |  coalesce(ac.encoded_full, 0) AS encoded_full
+         |FROM nn JOIN folded ON folded.j = nn.j AND folded.cell = nn.cell
+         |LEFT JOIN ac ON ac.j = nn.j AND ac.cell = nn.cell"""
+        .stripMargin
+    },
+
+    // per-dim base/batch second moments from scratch, added, ranked, and
+    // dealt — the whole fold-equals-refit claim under the hash
+    "q179_opq_incremental" -> {
+      val (m, sub, dims) = (4, 16, 64)
+      s"""WITH qv AS MATERIALIZED (SELECT vec_id,
+         |  [CAST(floor(CAST(embedding[i] AS DOUBLE)*1000000.0 + 0.5)
+         |     AS BIGINT) FOR i IN range(1, len(embedding)+1)] AS v
+         |  FROM embeddings),
+         |en AS MATERIALIZED (SELECT i,
+         |    CAST(sum(CASE WHEN vec_id % 10 != 9 THEN v[i]*v[i]
+         |      ELSE 0 END) AS BIGINT) AS e_base,
+         |    CAST(sum(CASE WHEN vec_id % 10 = 9 THEN v[i]*v[i]
+         |      ELSE 0 END) AS BIGINT) AS e_batch
+         |  FROM qv CROSS JOIN (SELECT unnest(range(1, ${dims + 1})) AS i) ii
+         |  GROUP BY i),
+         |rk AS (SELECT i, e_base, e_batch, e_base + e_batch AS e_total,
+         |    row_number() OVER (ORDER BY e_base + e_batch DESC, i) AS r
+         |  FROM en)
+         |SELECT CAST(((r-1) % $m) * $sub + ((r-1) // $m) + 1 AS BIGINT)
+         |    AS pos,
+         |  CAST((r-1) % $m AS BIGINT) AS subspace,
+         |  CAST(i AS BIGINT) AS dim, e_base, e_batch, e_total
+         |FROM rk""".stripMargin
     },
 
     "q147_pq_recall" -> {

@@ -223,7 +223,7 @@ object LmOps extends Catalog {
     */
   private def bpeCtes(k: Int): String = {
     val base =
-      s"""f0 AS (SELECT word, count(*) AS wc
+      s"""f0 AS MATERIALIZED (SELECT word, count(*) AS wc
          |  FROM (SELECT unnest(${TextSql.words}) AS word FROM documents)
          |  WHERE length(word) BETWEEN 2 AND ${graft.ext.Bpe.MaxWordLen}
          |    AND regexp_full_match(word, '${graft.ext.Bpe.WordCharset}')
@@ -239,7 +239,7 @@ object LmOps extends Catalog {
          |  (SELECT wc, a, unnest(generate_series(1, len(a) - 1)) AS ii
          |   FROM a$i)),
          |c$i AS (SELECT l, r, sum(wc) AS c FROM p$i GROUP BY 1, 2),
-         |b$i AS (SELECT l, r, c FROM c$i
+         |b$i AS MATERIALIZED (SELECT l, r, c FROM c$i
          |  ORDER BY c DESC, l ASC, r ASC LIMIT 1),
          |w$i AS MATERIALIZED (SELECT w.word, w.wc,
          |  coalesce(replace(w.sym, '(' || b.l || ')(' || b.r || ')',
@@ -311,7 +311,7 @@ object LmOps extends Catalog {
   private def piecesCte(k: Int, sfx: String = ""): String = {
     val arms = (1 to k).map(i => s"SELECT l || r AS piece FROM b$i")
       .mkString("\n  UNION ")
-    s"""pieces$sfx AS (SELECT piece, length(piece) AS plen FROM (
+    s"""pieces$sfx AS MATERIALIZED (SELECT piece, length(piece) AS plen FROM (
        |  $arms
        |  UNION SELECT unnest(regexp_extract_all(
        |    'abcdefghijklmnopqrstuvwxyz0123456789', '.')) AS piece))"""
@@ -428,7 +428,7 @@ object LmOps extends Catalog {
            |GROUP BY 1, 2""".stripMargin
       }.mkString("\nUNION ALL\n")
       s"""WITH ${bpeCtes(128)},
-         |cw AS (SELECT source, word FROM (
+         |cw AS MATERIALIZED (SELECT source, word FROM (
          |  SELECT source, unnest(list_filter(string_split($norm, ' '),
          |    x -> x != '')) AS word FROM documents)
          |  WHERE length(word) <= $maxLen),
@@ -451,7 +451,7 @@ object LmOps extends Catalog {
       // clearing the 2-permille usage threshold (integer arithmetic on
       // both sides — the Spark operator compares usage*1000 >= total*2)
       val piecesP =
-        s"""piecesp AS (SELECT piece, length(piece) AS plen FROM (
+        s"""piecesp AS MATERIALIZED (SELECT piece, length(piece) AS plen FROM (
            |  SELECT piece FROM keepm
            |  UNION SELECT unnest(regexp_extract_all(
            |    'abcdefghijklmnopqrstuvwxyz0123456789', '.')) AS piece))"""
@@ -485,17 +485,17 @@ object LmOps extends Catalog {
          |  FROM f0),
          |${greedyUsageCtes(trainLen, "u")},
          |${usedCte(trainLen, "u")},
-         |tot AS (SELECT sum(wc) AS t FROM f0),
-         |msym AS (SELECT DISTINCT piece FROM (
+         |tot AS MATERIALIZED (SELECT sum(wc) AS t FROM f0),
+         |msym AS MATERIALIZED (SELECT DISTINCT piece FROM (
          |  $msymArms)),
-         |usg AS (SELECT u.piece, sum(f.wc) AS uc FROM usedu u
+         |usg AS MATERIALIZED (SELECT u.piece, sum(f.wc) AS uc FROM usedu u
          |  JOIN f0 f ON u.word = f.word GROUP BY 1),
-         |keepm AS (SELECT m.piece FROM msym m
+         |keepm AS MATERIALIZED (SELECT m.piece FROM msym m
          |  JOIN usg ON m.piece = usg.piece CROSS JOIN tot
          |  WHERE usg.uc * 1000 >= tot.t * 2),
          |${piecesCte(k, "f")},
          |$piecesP,
-         |cw AS (SELECT source, word FROM (
+         |cw AS MATERIALIZED (SELECT source, word FROM (
          |  SELECT source, unnest(list_filter(string_split($norm, ' '),
          |    x -> x != '')) AS word FROM documents)
          |  WHERE length(word) <= $maxLen),

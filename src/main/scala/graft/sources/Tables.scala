@@ -287,11 +287,15 @@ object Tables {
       write: java.io.File => Unit): java.io.File = {
     val tmpRoot = sys.props.getOrElse("java.io.tmpdir", "/tmp")
     val scratch = new java.io.File(tmpRoot, name)
-    if (new java.io.File(scratch, "_SUCCESS").exists())
-      storeWarmReads.incrementAndGet()
-    else
-      storeColdBuilds.incrementAndGet()
-    if (!new java.io.File(scratch, "_SUCCESS").exists()) {
+    // One exists() probe feeds BOTH the provenance counter and the build
+    // branch: probing twice lets a concurrent JVM publish in between, which
+    // records a cold build that never happens (or a warm read that then
+    // builds) — skewing exactly the store-provenance fields the counters
+    // exist to make trustworthy.
+    val published = new java.io.File(scratch, "_SUCCESS").exists()
+    if (published) storeWarmReads.incrementAndGet()
+    else storeColdBuilds.incrementAndGet()
+    if (!published) {
       val staging = new java.io.File(tmpRoot,
         s"$name.tmp.${java.util.UUID.randomUUID}")
       write(staging)

@@ -62,6 +62,10 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
                                  // broadcast product + centroid attaches)
       "q171_ivf_nprobe_sweep",   // q146's shapes per arm (exact-baseline
                                  // broadcast product + centroid attaches)
+      "q178_ivfpq_incremental",  // q152's centroid-assignment cross join
+                                 // (broadcast side = the k fitted coarse
+                                 // centroids) in the residual prep of
+                                 // state, fold, and census
       "q148_recommendations_grid") // auto tier (r13): below the stats
                                    // crossover this IS q49's reference
                                    // broadcast nearest-city shape
@@ -119,7 +123,12 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
       "q131_dsir_selection" -> Instrument.Counts(30, 30),
       "q132_bpe_merges" -> Instrument.Counts(6, 6),
       "q133_bpe_token_counts" -> Instrument.Counts(9, 9),
-      "q134_cosine_near_dups" -> Instrument.Counts(19, 19),
+      // 19 -> 22 (round-15): SparseVecModel.collect now gates on a
+      // DISTRIBUTED posting-count aggregate BEFORE materializing anything
+      // on the driver (round-14 ADVICE — the old post-collect require
+      // fired only after the OOM-risk allocation it guarded against); the
+      // gate is one global agg over the regime-tiny sparse-vector frame
+      "q134_cosine_near_dups" -> Instrument.Counts(22, 22),
       "q135_overlap_join" -> Instrument.Counts(3, 3),
       "q142_bpe_wordpiece_roundtrip" -> Instrument.Counts(9, 9),
       // round-13 re-pins in this tier: the fitted-model stores (BPE
@@ -220,7 +229,16 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
       "q176_kmeans_incremental" -> Instrument.Counts(9, 9),
       // q177 warm-store: the PQ twin — state scan + fold collects + the
       // encode census action
-      "q177_pq_incremental" -> Instrument.Counts(9, 9))
+      "q177_pq_incremental" -> Instrument.Counts(9, 9),
+      // q178 warm-store (round-15): the composite twin — coarse-centroid
+      // scan + residual-state scan + the fold's batch cell-sum collect +
+      // the census under broadcast-attached coarse cells; residual prep
+      // runs per consumer (state/fold/census), each a centroid argmax +
+      // broadcast attach
+      "q178_ivfpq_incremental" -> Instrument.Counts(19, 19),
+      // q179 warm-store (round-15): energy-state scan + the fold's d-row
+      // aggregate + permutation collect + the two narrow dim-keyed joins
+      "q179_opq_incremental" -> Instrument.Counts(12, 12))
     // coPurchaseEdges and the fitted-model stores (BPE merges, k-means
     // centroids, PQ/OPQ codebooks) are content-key-materialized (round
     // 13): the first execution against a fresh scratch dir pays the
@@ -233,7 +251,8 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
     // their own codebook/centroid stores.
     for (warm <- Seq("q163_kcore", "q151_vocab_size_sweep", "q147_pq_recall",
         "q152_ivfpq_recall", "q156_opq_recall", "q157_opq_tf_recall",
-        "q176_kmeans_incremental", "q177_pq_incremental")) { // model stores
+        "q176_kmeans_incremental", "q177_pq_incremental",
+        "q178_ivfpq_incremental", "q179_opq_incremental")) { // model stores
       spark.catalog.clearCache()
       graft.ext.Caches.releaseAll()
       SparkEntry.queries(warm)(spark, sfDir)

@@ -389,6 +389,78 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("ivfPqFold is EXACT: folding a batch into stored residual-PQ state " +
+      "equals the union state under the same frozen coarse layer") {
+    // the composite-index maintenance contract (round-15): the coarse
+    // quantizer is FROZEN, so base rows route and residualize identically
+    // whether or not the batch exists — adding the batch's residual sums
+    // reproduces the union's per-subspace Lloyd update bit-for-bit
+    val base = vecs.filter($"vec_id" % 10 =!= 9 && $"vec_id" < 200)
+    val batch = vecs.filter($"vec_id" % 10 === 9 && $"vec_id" < 200)
+    val km = Similarity.kmeansFit(base, "vec_id", "embedding",
+      k = 4, iters = 1)
+    val cbs = Similarity.ivfPqState(base, "vec_id", "embedding", km,
+        m = 4, kc = 4, iters = 1)
+      .select($"subspace", $"cell", $"centroid")
+      .collect().map(r => (r.getInt(0), r.getInt(1),
+        r.getSeq[Long](2).toArray)).toSeq
+    val folded = Similarity
+      .ivfPqFold(
+        Similarity.ivfPqStateAt(cbs, base, "vec_id", "embedding", km),
+        batch, "vec_id", "embedding", km)
+      .select($"subspace", $"cell", $"centroid", $"sums", $"n")
+      .as[(Int, Int, Seq[Long], Seq[Long], Long)].collect()
+      .sortBy(r => (r._1, r._2))
+    val union = Similarity
+      .ivfPqStateAt(cbs, base.unionByName(batch), "vec_id", "embedding", km)
+      .select($"subspace", $"cell", $"sums", $"n")
+      .as[(Int, Int, Seq[Long], Long)].collect().sortBy(r => (r._1, r._2))
+    assert(folded.map(r => (r._1, r._2)).toSeq ===
+      union.map(r => (r._1, r._2)).toSeq)
+    folded.zip(union).foreach { case ((j, c, cv, s, n), (_, _, us, un)) =>
+      assert(s === us, s"sums for ($j, $c)")
+      assert(n === un, s"n for ($j, $c)")
+      val expected =
+        if (un == 0L) cv
+        else us.map(x => (if (x < 0) -1L else 1L) * (math.abs(x) / un))
+      assert(cv === expected, s"codeword for ($j, $c)")
+    }
+  }
+
+  test("energyFold equals a from-scratch refit EXACTLY, and the folded " +
+      "permutation is the union's permutation") {
+    // the OPQ permutation's model is d associative sums — the one fold in
+    // the maintenance family with NO mini-batch caveat: fold == refit
+    val base = vecs.filter($"vec_id" % 10 =!= 9 && $"vec_id" < 200)
+    val batch = vecs.filter($"vec_id" % 10 === 9 && $"vec_id" < 200)
+    val union = base.unionByName(batch)
+    val folded = Similarity.energyFold(
+        Similarity.energyState(base, "vec_id", "embedding"),
+        batch, "vec_id", "embedding")
+      .select($"dim", $"energy", $"n")
+      .as[(Int, Long, Long)].collect().sortBy(_._1).toSeq
+    val refit = Similarity.energyState(union, "vec_id", "embedding")
+      .select($"dim", $"energy", $"n")
+      .as[(Int, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(folded === refit)
+    val foldedDf = Similarity.energyFold(
+      Similarity.energyState(base, "vec_id", "embedding"),
+      batch, "vec_id", "embedding")
+    assert(Similarity.permutationFromState(foldedDf, m = 4) ===
+      Similarity.energyPermutation(union, "vec_id", "embedding", m = 4))
+    // chained folds are ALSO exact here (associativity — no drift)
+    val b1 = batch.filter($"vec_id" % 20 === 9)
+    val b2 = batch.filter($"vec_id" % 20 =!= 9)
+    val chained = Similarity.energyFold(
+        Similarity.energyFold(
+          Similarity.energyState(base, "vec_id", "embedding"),
+          b1, "vec_id", "embedding"),
+        b2, "vec_id", "embedding")
+      .select($"dim", $"energy", $"n")
+      .as[(Int, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(chained === refit)
+  }
+
   test("kmeansFit is stable under repartitioning and never shrinks k") {
     val cent = Similarity.kmeansFit(vecs, "vec_id", "embedding",
       k = 8, iters = 2)
