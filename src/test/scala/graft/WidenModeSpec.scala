@@ -55,4 +55,25 @@ class WidenModeSpec extends AnyFunSuite with SparkTestBase {
         s"$name result differs across widen modes: $sums")
     }
   }
+
+  test("the widen's size band gates correctly at BOTH edges (round-15: " +
+      "no fixture reaches the 1 GiB upper bound, so pin it at plan level)") {
+    // spark.range has EXACT plan statistics (8 bytes/row), so the band
+    // edges are testable without materializing a >1 GiB frame. The upper
+    // bound is the 100 TB contract itself: past 1 GiB the scan has
+    // natural splits and an unconditional full-table exchange would be
+    // the bug the gate exists to prevent.
+    def widened(df: org.apache.spark.sql.DataFrame, minBytes: Long) =
+      graft.sources.Tables.wide(df, minBytes = minBytes, hashKey = "id")
+        .queryExecution.analyzed.toString.contains("RepartitionByExpression")
+    val big = spark.range(1L << 28).toDF("id") // 2 GiB estimate
+    val mid = spark.range(1L << 21).toDF("id") // 16 MiB
+    val tiny = spark.range(1L << 10).toDF("id") // 8 KiB
+    assert(!widened(big, 4L << 20),
+      "above 1 GiB the widen must be a pass-through")
+    assert(widened(mid, 4L << 20),
+      "inside [4 MiB, 1 GiB) the single-file band widens")
+    assert(!widened(tiny, 4L << 20),
+      "below the lower bound the plain scan wins (measured, round 11)")
+  }
 }
