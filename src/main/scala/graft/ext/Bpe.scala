@@ -219,14 +219,19 @@ object Bpe {
     * (q132/q133/q142/q145/q151/q154) at any k ≤ 128 via `take(k)`,
     * counts included. The rank column carries the order parquet drops.
     */
+  /** `variant` distinguishes stores fitted on different SLICES of the same
+    * source file (e.g. the q180 frozen-vocabulary drift face trains on the
+    * base slice only) — it folds into the content key, so slice fits never
+    * collide with the full-corpus model. */
   def storedMerges(docs: DataFrame, text: String, srcPath: String,
-                   k: Int): Seq[(String, String, Long)] = {
+                   k: Int, variant: String = ""): Seq[(String, String, Long)] = {
     require(k <= MaxStoredMerges,
       s"storedMerges serves k <= $MaxStoredMerges (got $k) — call " +
         "learnMerges directly past the store's fit size")
     val spark = docs.sparkSession
     val stored = graft.sources.Tables.ensureMaterialized(spark, "bpe_merges",
-        graft.sources.Tables.contentKey(srcPath, s"k=$MaxStoredMerges")) {
+        graft.sources.Tables.contentKey(srcPath,
+          s"k=$MaxStoredMerges$variant")) {
       val freq = Caches.pin(wordFreq(docs, text))
       val merges = learnMerges(freq, MaxStoredMerges)
       import spark.implicits._
@@ -381,6 +386,77 @@ object Bpe {
         countDistinct(when(col("__unk") === 1, col("word")))
           .as("unk_vocab"))
       .withColumn("unk_permille", expr("(unk_words * 1000) div n_words"))
+  }
+
+  /** Tokenizer-coverage DRIFT monitor under a FROZEN vocabulary — the
+    * monitoring half of the incremental-maintenance family (X150–X153
+    * fold model STATE; this watches whether the model still FITS the
+    * data): the vocabulary is trained on the base corpus and frozen, a
+    * new batch arrives (`isBatch` marks its rows), and per `group` the
+    * report compares base vs batch on the two signals a tokenizer
+    * deployment actually watches —
+    *  - UNK permille (off-charset word mass: distribution shift in the
+    *    raw character inventory; merge-INdependent, since the exported
+    *    vocabulary always carries all 36 charset chars), and
+    *  - fertility permille (subword tokens per 1000 words under the
+    *    frozen merges: the number that degrades when the batch's word
+    *    distribution no longer matches what the merges were learned on —
+    *    merge-DEPENDENT, the reason the vocabulary is trained on the
+    *    BASE slice, not the union).
+    * `refit_flag` fires when either |drift| ≥ `refitPermille` — the
+    * documented trigger for re-running the fit (BPE merges cannot fold:
+    * merge i depends on the counts AFTER merge i−1, so unlike
+    * k-means/PQ/energy state the only maintenance move is refit, and the
+    * decision needs a measured signal, which this is). Slices with no
+    * words in a group report NULL permilles and never fire the flag.
+    *
+    * Scale shape: identical to [[vocabCoverage]] — one map-only
+    * projection over the word stream (the greedy matcher is a bounded
+    * codegen'd scalar) plus one mergeable conditional-sum groupBy on the
+    * small `group` key; the batch flag rides the row, so base and batch
+    * are measured in a single corpus pass, no join anywhere.
+    */
+  def vocabDrift(docs: DataFrame, group: String, isBatch: Column,
+                 text: Column, merges: Seq[(String, String)],
+                 refitPermille: Long = 50L): DataFrame = {
+    import graft.plans.WordpieceExpression.{wordpieceCount, wordpiecePieces}
+    val vocab = bpeVocab(merges)
+    def permille(num: String, den: String): Column =
+      when(col(den) > 0, expr(s"($num * 1000) div $den"))
+    docs.select(col(group), isBatch.as("__b"),
+        explode(split(Dedup.normalizeText(text), " ")).as("word"))
+      .filter(col("word") =!= "" &&
+        length(col("word")) <= MaxCoverageWordLen)
+      .withColumn("__wp", wordpieceCount(col("word"), vocab))
+      .withColumn("__unk",
+        (wordpiecePieces(col("word"), vocab) === "[UNK]").cast("long"))
+      .groupBy(col(group))
+      .agg(
+        sum(when(!col("__b"), 1L).otherwise(0L)).as("base_n_words"),
+        sum(when(!col("__b"), col("__unk")).otherwise(0L))
+          .as("__base_unk"),
+        sum(when(!col("__b"), col("__wp")).otherwise(0L)).as("__base_wp"),
+        sum(when(col("__b"), 1L).otherwise(0L)).as("batch_n_words"),
+        sum(when(col("__b"), col("__unk")).otherwise(0L))
+          .as("__batch_unk"),
+        sum(when(col("__b"), col("__wp")).otherwise(0L)).as("__batch_wp"))
+      .withColumn("base_unk_permille",
+        permille("__base_unk", "base_n_words"))
+      .withColumn("batch_unk_permille",
+        permille("__batch_unk", "batch_n_words"))
+      .withColumn("base_fertility_permille",
+        permille("__base_wp", "base_n_words"))
+      .withColumn("batch_fertility_permille",
+        permille("__batch_wp", "batch_n_words"))
+      .withColumn("unk_drift_permille",
+        col("batch_unk_permille") - col("base_unk_permille"))
+      .withColumn("fertility_drift_permille",
+        col("batch_fertility_permille") - col("base_fertility_permille"))
+      .withColumn("refit_flag", coalesce(
+        (abs(col("unk_drift_permille")) >= refitPermille ||
+          abs(col("fertility_drift_permille")) >= refitPermille)
+          .cast("long"), lit(0L)))
+      .drop("__base_unk", "__base_wp", "__batch_unk", "__batch_wp")
   }
 
   /** Per-doc token accounting under a learned merge list: (id, bpe_tokens,

@@ -1075,9 +1075,9 @@ object AnalyticsOps extends Catalog {
         .stripMargin,
 
     "q116_triangle_counts" ->
-      """WITH bk AS (SELECT DISTINCT l_orderkey AS o,
+      """WITH bk AS MATERIALIZED (SELECT DISTINCT l_orderkey AS o,
         |              CAST(l_partkey AS BIGINT) AS p FROM lineitem),
-        |e AS (SELECT a.p AS p1, b.p AS p2
+        |e AS MATERIALIZED (SELECT a.p AS p1, b.p AS p2
         |  FROM bk a JOIN bk b ON a.o = b.o AND a.p < b.p
         |  GROUP BY 1, 2 HAVING count(*) >= 2),
         |tri AS (SELECT e1.p1 AS a, e1.p2 AS b, e2.p2 AS c
@@ -1149,9 +1149,9 @@ object AnalyticsOps extends Catalog {
     // q158 = q116's oracle verbatim: the degree-oriented tier must be
     // hash-IDENTICAL to the id-oriented form — equality is the claim
     "q158_triangles_degree" ->
-      """WITH bk AS (SELECT DISTINCT l_orderkey AS o,
+      """WITH bk AS MATERIALIZED (SELECT DISTINCT l_orderkey AS o,
         |              CAST(l_partkey AS BIGINT) AS p FROM lineitem),
-        |e AS (SELECT a.p AS p1, b.p AS p2
+        |e AS MATERIALIZED (SELECT a.p AS p1, b.p AS p2
         |  FROM bk a JOIN bk b ON a.o = b.o AND a.p < b.p
         |  GROUP BY 1, 2 HAVING count(*) >= 2),
         |tri AS (SELECT e1.p1 AS a, e1.p2 AS b, e2.p2 AS c
@@ -1163,9 +1163,9 @@ object AnalyticsOps extends Catalog {
         |FROM n GROUP BY 1""".stripMargin,
 
     "q159_clustering_coeff" ->
-      """WITH bk AS (SELECT DISTINCT l_orderkey AS o,
+      """WITH bk AS MATERIALIZED (SELECT DISTINCT l_orderkey AS o,
         |              CAST(l_partkey AS BIGINT) AS p FROM lineitem),
-        |e AS (SELECT a.p AS p1, b.p AS p2
+        |e AS MATERIALIZED (SELECT a.p AS p1, b.p AS p2
         |  FROM bk a JOIN bk b ON a.o = b.o AND a.p < b.p
         |  GROUP BY 1, 2 HAVING count(*) >= 2),
         |deg AS (SELECT node, CAST(count(*) AS BIGINT) AS degree FROM (

@@ -96,6 +96,27 @@ object CurationOps extends Catalog {
           coalesce(col("assigned_full"), lit(0L)).as("assigned_full"))
     }),
 
+    // ---- embedding-space drift under the frozen coarse model ---------------
+    // the ANN twin of q180's tokenizer-drift monitor, reading the SAME
+    // stored model q176 folds into (one base fit serves maintenance and
+    // monitoring): base and batch assign under the frozen centroids; per
+    // cell the occupancy shares and each slice's mean centroid-cosine,
+    // plus the total-variation distance between the two occupancy
+    // distributions and the refit flag at tv >= 100 permille. Occupancy
+    // says WHERE the batch moved; the mean-cosine says how WELL the
+    // frozen cells still fit it — the signal occupancy alone misses
+    // (an off-model batch still assigns somewhere).
+    "q181_embedding_drift" -> ((s, d) => {
+      val all = Tables.embeddings(s, d)
+      val base = all.filter(col("vec_id") % 10 =!= 9)
+      val state = Tables.ensureMaterialized(s, "kmeans_state",
+        Tables.contentKey(s"$d/embeddings.parquet", "k8it2base9"))(
+        Similarity.kmeansState(base, "vec_id", "embedding", k = 8, iters = 2))
+      Similarity.assignmentDrift(all, "vec_id", "embedding",
+        state.select(col("cell"), col("centroid")),
+        col("vec_id") % 10 === 9)
+    }),
+
     // ---- inter-document boilerplate n-gram ratio ---------------------------
     // the CROSS-document complement of q80's intra-document repetition:
     // a trigram appearing in "unusually many" docs is boilerplate
@@ -1335,6 +1356,68 @@ object CurationOps extends Catalog {
          |  coalesce(ac.assigned_full, 0) AS assigned_full
          |FROM nn JOIN folded USING (cell) LEFT JOIN ac USING (cell)"""
         .stripMargin
+    },
+
+    // the base fit chain, the full-corpus assignment under its centroids,
+    // and the whole drift arithmetic (shares, means, TV, flag) re-derived
+    "q181_embedding_drift" -> {
+      val ctes = kmeansCtes(kSql = "8", iters = 2, dims = 64,
+        from = "(SELECT vec_id, embedding FROM embeddings " +
+          "WHERE vec_id % 10 != 9)")
+      val cosA = Similarity.cosineLongSqlText("q.v", "c.v")
+      s"""WITH $ctes,
+         |fqv AS MATERIALIZED (SELECT vec_id,
+         |  [CAST(floor(CAST(embedding[i] AS DOUBLE)*1000000.0 + 0.5)
+         |     AS BIGINT) FOR i IN range(1, len(embedding)+1)] AS v
+         |  FROM embeddings),
+         |afin AS MATERIALIZED (SELECT vec_id, cell, cs FROM (
+         |    SELECT q.vec_id, c.cell, $cosA AS cs,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY $cosA DESC, c.cell) AS rn
+         |    FROM fqv q CROSS JOIN c2 c) WHERE rn = 1),
+         |cen AS MATERIALIZED (SELECT cell,
+         |    CAST(sum(CASE WHEN vec_id % 10 != 9 THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_base,
+         |    CAST(sum(CASE WHEN vec_id % 10 = 9 THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_batch,
+         |    CAST(sum(CASE WHEN vec_id % 10 != 9
+         |      THEN CAST(floor(cs*1000000.0 + 0.5) AS BIGINT) ELSE 0 END)
+         |      AS BIGINT) AS bcm,
+         |    CAST(sum(CASE WHEN vec_id % 10 = 9
+         |      THEN CAST(floor(cs*1000000.0 + 0.5) AS BIGINT) ELSE 0 END)
+         |      AS BIGINT) AS ncm
+         |  FROM afin GROUP BY 1),
+         |cells AS MATERIALIZED (SELECT c.cell,
+         |    coalesce(cen.n_base, 0) AS n_base,
+         |    coalesce(cen.n_batch, 0) AS n_batch,
+         |    coalesce(cen.bcm, 0) AS bcm, coalesce(cen.ncm, 0) AS ncm
+         |  FROM c2 c LEFT JOIN cen USING (cell)),
+         |tot AS (SELECT CAST(sum(n_base) AS BIGINT) AS tb,
+         |    CAST(sum(n_batch) AS BIGINT) AS tn FROM cells),
+         |sh AS MATERIALIZED (SELECT cells.cell, cells.n_base,
+         |    cells.n_batch, cells.bcm, cells.ncm, tot.tb, tot.tn,
+         |    CASE WHEN tb > 0 THEN (n_base * 1000) // tb
+         |      END AS base_share_permille,
+         |    CASE WHEN tn > 0 THEN (n_batch * 1000) // tn
+         |      END AS batch_share_permille,
+         |    CASE WHEN n_base > 0 THEN bcm // n_base
+         |      END AS base_mean_cos_micro,
+         |    CASE WHEN n_batch > 0 THEN ncm // n_batch
+         |      END AS batch_mean_cos_micro
+         |  FROM cells CROSS JOIN tot),
+         |tv AS (SELECT CAST(sum(abs(coalesce(base_share_permille, 0)
+         |    - coalesce(batch_share_permille, 0))) // 2 AS BIGINT) AS tvv
+         |  FROM sh)
+         |SELECT CAST(sh.cell AS BIGINT) AS cell, n_base, n_batch,
+         |  base_share_permille, batch_share_permille,
+         |  batch_share_permille - base_share_permille
+         |    AS share_drift_permille,
+         |  base_mean_cos_micro, batch_mean_cos_micro,
+         |  CASE WHEN tb > 0 AND tn > 0 THEN tv.tvv END AS tv_permille,
+         |  CAST(coalesce(
+         |    (CASE WHEN tb > 0 AND tn > 0 THEN tv.tvv END) >= 100, false)
+         |    AS BIGINT) AS refit_flag
+         |FROM sh CROSS JOIN tv""".stripMargin
     },
 
     "q85_semantic_dedup" -> {

@@ -1841,13 +1841,13 @@ object DataPipelineQueries extends Catalog {
            |          WHERE $pred),
            |idx$sfx AS (SELECT doc_id, ws, unnest(range(len(ws)-2)) AS i
            |            FROM w$sfx WHERE len(ws) >= 3),
-           |sh$sfx AS (SELECT DISTINCT doc_id,
+           |sh$sfx AS MATERIALIZED (SELECT DISTINCT doc_id,
            |             array_to_string(ws[i+1:i+3], ' ') AS shingle
            |           FROM idx$sfx),
-           |sizes$sfx AS (SELECT doc_id, count(*) AS n_sh FROM sh$sfx
+           |sizes$sfx AS MATERIALIZED (SELECT doc_id, count(*) AS n_sh FROM sh$sfx
            |              GROUP BY 1),
-           |df$sfx AS (SELECT shingle, count(*) AS df FROM sh$sfx GROUP BY 1),
-           |gen$sfx AS (SELECT s.doc_id, s.shingle FROM sh$sfx s
+           |df$sfx AS MATERIALIZED (SELECT shingle, count(*) AS df FROM sh$sfx GROUP BY 1),
+           |gen$sfx AS MATERIALIZED (SELECT s.doc_id, s.shingle FROM sh$sfx s
            |            JOIN df$sfx USING (shingle) WHERE df <= 5)""".stripMargin
       def withinPairs(sfx: String): String =
         s"""cand$sfx AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
@@ -1884,7 +1884,7 @@ object DataPipelineQueries extends Catalog {
          |alledges AS (SELECT id_a AS u, id_b AS v FROM pairsa
          |             UNION SELECT id_a, id_b FROM pairsb
          |             UNION SELECT id_a, id_b FROM pairsc),
-         |edges AS (SELECT u, v FROM alledges UNION SELECT v, u FROM alledges),
+         |edges AS MATERIALIZED (SELECT u, v FROM alledges UNION SELECT v, u FROM alledges),
          |verts AS (SELECT DISTINCT u AS id FROM edges),
          |reach(id, r) AS (
          |  SELECT id, id FROM verts

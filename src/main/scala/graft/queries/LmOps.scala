@@ -174,6 +174,34 @@ object LmOps extends Catalog {
           s"$d/documents.parquet", 32).map(m => (m._1, m._2))))
     }),
 
+    // ---- tokenizer-coverage drift under a FROZEN vocabulary ----------------
+    // the MONITORING half of the incremental-maintenance family
+    // (q176-q179 fold model state; this watches whether a model still
+    // fits the data): merges trained on the base slice and frozen, the
+    // batch slice arrives, and per source the report compares UNK
+    // permille (charset distribution shift — merge-independent) and
+    // fertility permille (tokens per 1000 words under the frozen merges
+    // — the number that degrades on a mismatched batch). refit_flag
+    // fires at |drift| >= 50 permille — BPE merges cannot fold (merge i
+    // depends on counts AFTER merge i-1), so unlike the fold family the
+    // only maintenance move is refit, and the trigger needs a measured
+    // signal. One corpus pass, no join (the flag rides the row).
+    "q180_vocab_drift" -> ((s, d) => {
+      val docs = Tables.documentsWide(s, d)
+      // batch = every 10th doc-id STRIDE-20 block: doc_id % 10 would be
+      // perfectly correlated with `source` on this fixture (each source
+      // owns one residue), making every source all-base or all-batch and
+      // the within-source comparison degenerate
+      val isBatch = expr("(doc_id div 20) % 10") === 9
+      val base = docs.filter(!isBatch)
+      val merges = Bpe.storedMerges(base, "text",
+        s"$d/documents.parquet", 8, variant = "base20x9").map(m => (m._1, m._2))
+      val aug = concat(col("text"), lit(" doc-"),
+        col("doc_id").cast("string"), lit(" "), col("source"), lit("#"),
+        col("lang"))
+      Bpe.vocabDrift(docs, "source", isBatch, aug, merges)
+    }),
+
     // ---- unigram-LM (SentencePiece-style) Viterbi segmentation -------------
     // the third tokenizer family, completing the triad: BPE applies
     // learned merges in ORDER (q132/q133), WordPiece commits greedily to
@@ -221,10 +249,12 @@ object LmOps extends Catalog {
     * unchanged instead of emptying every later layer, matching the Spark
     * learner's behavior of simply learning fewer than k merges.
     */
-  private def bpeCtes(k: Int): String = {
+  /** `docsFrom` overrides the fit's source relation (must expose `text`) —
+    * the q180 frozen-vocabulary face fits on the base slice only. */
+  private def bpeCtes(k: Int, docsFrom: String = "documents"): String = {
     val base =
       s"""f0 AS MATERIALIZED (SELECT word, count(*) AS wc
-         |  FROM (SELECT unnest(${TextSql.words}) AS word FROM documents)
+         |  FROM (SELECT unnest(${TextSql.words}) AS word FROM $docsFrom)
          |  WHERE length(word) BETWEEN 2 AND ${graft.ext.Bpe.MaxWordLen}
          |    AND regexp_full_match(word, '${graft.ext.Bpe.WordCharset}')
          |  GROUP BY 1),
@@ -505,6 +535,69 @@ object LmOps extends Catalog {
          |${arm("full", "f", "piecesf")}
          |UNION ALL
          |${arm("pruned", "p", "piecesp")}""".stripMargin
+    },
+
+    // base-slice fit (bpeCtes over doc_id % 10 != 9), one greedy chain
+    // over the UNION's distinct words, conditional per-slice rollups —
+    // the whole drift arithmetic (permilles, deltas, flag) under the hash
+    "q180_vocab_drift" -> {
+      val k = 8
+      val maxLen = graft.ext.Bpe.MaxCoverageWordLen
+      val aug = "text || ' doc-' || CAST(doc_id AS VARCHAR) || ' ' || " +
+        "source || '#' || lang"
+      val norm =
+        s"lower(trim(regexp_replace($aug, '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')))"
+      s"""WITH ${bpeCtes(k,
+           "(SELECT * FROM documents WHERE (doc_id // 20) % 10 != 9)")},
+         |${piecesCte(k)},
+         |cw AS MATERIALIZED (SELECT (doc_id // 20) % 10 = 9 AS is_batch, source,
+         |    word FROM (
+         |  SELECT doc_id, source, unnest(list_filter(string_split($norm, ' '),
+         |    x -> x != '')) AS word FROM documents)
+         |  WHERE length(word) <= $maxLen),
+         |dwords AS MATERIALIZED (SELECT DISTINCT word FROM cw),
+         |g0 AS (SELECT word, length(word) AS len, 0 AS pos, 0 AS n
+         |  FROM dwords),
+         |${greedyCtes(maxLen)},
+         |fin AS (SELECT word, n FROM g$maxLen WHERE pos >= len),
+         |wr AS MATERIALIZED (SELECT d.word, coalesce(fin.n, 1) AS wp_n,
+         |    CASE WHEN fin.word IS NULL THEN 1 ELSE 0 END AS unk
+         |  FROM dwords d LEFT JOIN fin ON d.word = fin.word),
+         |agg AS (SELECT cw.source AS source,
+         |    CAST(sum(CASE WHEN NOT is_batch THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS base_n_words,
+         |    CAST(sum(CASE WHEN NOT is_batch THEN wr.unk ELSE 0 END)
+         |      AS BIGINT) AS bu,
+         |    CAST(sum(CASE WHEN NOT is_batch THEN wr.wp_n ELSE 0 END)
+         |      AS BIGINT) AS bw,
+         |    CAST(sum(CASE WHEN is_batch THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS batch_n_words,
+         |    CAST(sum(CASE WHEN is_batch THEN wr.unk ELSE 0 END) AS BIGINT)
+         |      AS nu,
+         |    CAST(sum(CASE WHEN is_batch THEN wr.wp_n ELSE 0 END) AS BIGINT)
+         |      AS nw
+         |  FROM cw JOIN wr ON cw.word = wr.word GROUP BY 1),
+         |pm AS (SELECT source, base_n_words, batch_n_words,
+         |    CASE WHEN base_n_words > 0 THEN (bu * 1000) // base_n_words
+         |      END AS base_unk_permille,
+         |    CASE WHEN batch_n_words > 0 THEN (nu * 1000) // batch_n_words
+         |      END AS batch_unk_permille,
+         |    CASE WHEN base_n_words > 0 THEN (bw * 1000) // base_n_words
+         |      END AS base_fertility_permille,
+         |    CASE WHEN batch_n_words > 0 THEN (nw * 1000) // batch_n_words
+         |      END AS batch_fertility_permille
+         |  FROM agg)
+         |SELECT source, base_n_words, batch_n_words,
+         |  base_unk_permille, batch_unk_permille,
+         |  base_fertility_permille, batch_fertility_permille,
+         |  batch_unk_permille - base_unk_permille AS unk_drift_permille,
+         |  batch_fertility_permille - base_fertility_permille
+         |    AS fertility_drift_permille,
+         |  CAST(coalesce(
+         |    abs(batch_unk_permille - base_unk_permille) >= 50 OR
+         |    abs(batch_fertility_permille - base_fertility_permille) >= 50,
+         |    false) AS BIGINT) AS refit_flag
+         |FROM pm""".stripMargin
     },
 
     "q133_bpe_token_counts" ->

@@ -176,6 +176,41 @@ class BpeSpec extends AnyFunSuite with SparkTestBase {
       ("s2", 3L, 0L, 36L, 0L, 0L)))
   }
 
+  test("vocabDrift: planted drift fires the refit flag in both directions, " +
+      "an in-distribution batch stays quiet, empty slices stay NULL") {
+    // pieces = 36 chars + "ab". Base words tokenize tightly (ab = 1
+    // piece); the g1 batch is off-charset-heavy (UNK drift) AND
+    // merge-mismatched (cd never merged: fertility drift); the g2 batch
+    // repeats the base distribution (no drift, flag 0); g3 has only
+    // batch words (base permilles NULL, drifts NULL, flag 0).
+    val d = Seq(
+      ("g1", false, "ab ab ab ab ab ab ab ab ab ab"),
+      ("g1", true, "x-y p#q cd cd cd cd cd cd cd cd"),
+      ("g2", false, "ab ab ab ab"),
+      ("g2", true, "ab ab ab ab"),
+      ("g3", true, "ab ab"))
+      .toDF("grp", "b", "text")
+    val out = Bpe.vocabDrift(d, "grp", col("b"), col("text"),
+        Seq(("a", "b")))
+      .orderBy("grp").collect()
+    val g1 = out(0)
+    // base: 10 words, 0 UNK, 10 pieces -> fertility 1000; batch: 10
+    // words, 2 UNK, wp = 2·1 + 8·2 = 18 -> 1800; unk 0 -> 200
+    assert((g1.getLong(1), g1.getLong(2)) === ((10L, 10L)))
+    assert((g1.getLong(3), g1.getLong(4)) === ((0L, 200L)))
+    assert((g1.getLong(5), g1.getLong(6)) === ((1000L, 1800L)))
+    assert((g1.getLong(7), g1.getLong(8)) === ((200L, 800L)))
+    assert(g1.getLong(9) === 1L)
+    val g2 = out(1)
+    assert((g2.getLong(7), g2.getLong(8)) === ((0L, 0L)))
+    assert(g2.getLong(9) === 0L)
+    val g3 = out(2)
+    assert(g3.getLong(1) === 0L) // no base words
+    assert(g3.isNullAt(3) && g3.isNullAt(5)) // base permilles NULL
+    assert(g3.isNullAt(7) && g3.isNullAt(8)) // drifts NULL
+    assert(g3.getLong(9) === 0L) // a NULL drift never fires the flag
+  }
+
   test("pieceUsage scores greedy piece consumption; a merge swallowed by " +
       "a longer merge strands at zero") {
     // 20×"abc" + 1×"abd": learns (a,b) then (ab,c). Greedy tokenizes

@@ -238,7 +238,13 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
       "q178_ivfpq_incremental" -> Instrument.Counts(19, 19),
       // q179 warm-store (round-15): energy-state scan + the fold's d-row
       // aggregate + permutation collect + the two narrow dim-keyed joins
-      "q179_opq_incremental" -> Instrument.Counts(12, 12))
+      "q179_opq_incremental" -> Instrument.Counts(12, 12),
+      // q180 warm-store (round-15): base-slice merge-table scan + the
+      // single drift pass (one conditional-sum groupBy, no join)
+      "q180_vocab_drift" -> Instrument.Counts(8, 8),
+      // q181 warm-store (round-15): stored-state centroid scan + the
+      // assignment census + the k-row share/tv windows
+      "q181_embedding_drift" -> Instrument.Counts(7, 7))
     // coPurchaseEdges and the fitted-model stores (BPE merges, k-means
     // centroids, PQ/OPQ codebooks) are content-key-materialized (round
     // 13): the first execution against a fresh scratch dir pays the
@@ -252,7 +258,8 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
     for (warm <- Seq("q163_kcore", "q151_vocab_size_sweep", "q147_pq_recall",
         "q152_ivfpq_recall", "q156_opq_recall", "q157_opq_tf_recall",
         "q176_kmeans_incremental", "q177_pq_incremental",
-        "q178_ivfpq_incremental", "q179_opq_incremental")) { // model stores
+        "q178_ivfpq_incremental", "q179_opq_incremental",
+        "q180_vocab_drift", "q181_embedding_drift")) { // model stores
       spark.catalog.clearCache()
       graft.ext.Caches.releaseAll()
       SparkEntry.queries(warm)(spark, sfDir)

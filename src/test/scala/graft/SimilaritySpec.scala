@@ -461,6 +461,44 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(chained === refit)
   }
 
+  test("assignmentDrift: planted occupancy shift fires the refit flag, an " +
+      "identical batch stays at tv 0, an empty batch reports NULLs") {
+    // two orthogonal-axis centroids; base splits 50/50. A batch living
+    // entirely on axis 0 has occupancy (1000, 0) vs base (500, 500):
+    // tv = (|500-1000| + |500-0|)/2 = 500 >= 100 -> flag.
+    val cent = Seq((1, Seq(1000000L, 0L, 0L, 0L)),
+      (2, Seq(0L, 1000000L, 0L, 0L))).toDF("cell", "centroid")
+    def mk(rows: Seq[(Long, Int)]) = rows.map { case (id, axis) =>
+      (id, Array.tabulate(4)(d => if (d == axis) 1f else 0f))
+    }.toDF("vec_id", "embedding")
+    val base = mk((0L until 20L).map(i => (i, (i % 2).toInt)))
+    val shifted = base.unionByName(
+      mk((100L until 110L).map(i => (i, 0))))
+    val driftShift = Similarity.assignmentDrift(shifted, "vec_id",
+        "embedding", cent, col("vec_id") >= 100L)
+      .orderBy("cell").collect()
+    assert(driftShift.map(_.getLong(8)).toSeq === Seq(500L, 500L))
+    assert(driftShift.map(_.getLong(9)).toSeq === Seq(1L, 1L))
+    assert(driftShift(0).getLong(3) === 500L) // base share cell 1
+    assert(driftShift(0).getLong(4) === 1000L) // batch share cell 1
+    assert(driftShift(0).getLong(6) === 1000000L) // exact alignment
+    // identical distribution: shares equal, tv 0, quiet
+    val same = base.unionByName(
+      mk((100L until 120L).map(i => (i, (i % 2).toInt))))
+    val driftSame = Similarity.assignmentDrift(same, "vec_id",
+        "embedding", cent, col("vec_id") >= 100L)
+      .orderBy("cell").collect()
+    assert(driftSame.map(_.getLong(8)).toSeq === Seq(0L, 0L))
+    assert(driftSame.map(_.getLong(9)).toSeq === Seq(0L, 0L))
+    // no batch rows at all: batch-side metrics NULL, flag never fires
+    val driftEmpty = Similarity.assignmentDrift(base, "vec_id",
+        "embedding", cent, col("vec_id") >= 100L)
+      .orderBy("cell").collect()
+    assert(driftEmpty.forall(_.isNullAt(4))) // batch share NULL
+    assert(driftEmpty.forall(_.isNullAt(8))) // tv NULL
+    assert(driftEmpty.map(_.getLong(9)).toSeq === Seq(0L, 0L))
+  }
+
   test("kmeansFit is stable under repartitioning and never shrinks k") {
     val cent = Similarity.kmeansFit(vecs, "vec_id", "embedding",
       k = 8, iters = 2)
