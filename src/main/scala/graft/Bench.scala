@@ -225,10 +225,16 @@ object Bench {
     val keys =
       if (shortKeys.distinct.size == results.size) shortKeys
       else results.map(_._1)
-    def mkLine(fmt: Double => String, withQueries: Boolean): String = {
+    // last-resort key compression before dropping the map entirely: strip
+    // the uniform "q" prefix ("q178" -> "178") — 181 queries no longer fit
+    // the tail window even at 1 decimal with full short keys (measured
+    // 2012 chars vs the 1980 budget; stripped: 1831)
+    val bareKeys = keys.map(_.stripPrefix("q"))
+    def mkLine(fmt: Double => String, withQueries: Boolean,
+               keySet: Seq[String] = keys): String = {
       val qs =
         if (withQueries)
-          keys.zip(results).map { case (k, (_, v, _, _, _)) =>
+          keySet.zip(results).map { case (k, (_, v, _, _, _)) =>
             "\"" + k + "\":" + fmt(v)
           }.mkString("{", ",", "}")
         else "{}"
@@ -262,11 +268,22 @@ object Bench {
         val l1 = mkLine(r1, withQueries = true)
         if (l1.length <= 1980) l1
         else {
-          System.err.println(
-            s"[bench] tail line over budget even at 1 decimal " +
-              s"(${l1.length} chars); dropping the per-query map — " +
-              s"read $outPath for per-query timings")
-          mkLine(r1, withQueries = false)
+          val lb =
+            if (bareKeys.distinct.size == results.size)
+              mkLine(r1, withQueries = true, keySet = bareKeys)
+            else l1
+          if (lb.length <= 1980) {
+            System.err.println(
+              "[bench] tail line keys compressed to bare numbers " +
+                "(\"178\" = q178) to fit the window")
+            lb
+          } else {
+            System.err.println(
+              s"[bench] tail line over budget even at 1 decimal with " +
+                s"bare keys (${lb.length} chars); dropping the per-query " +
+                s"map — read $outPath for per-query timings")
+            mkLine(r1, withQueries = false)
+          }
         }
       }
     }
