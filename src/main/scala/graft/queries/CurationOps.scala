@@ -96,6 +96,42 @@ object CurationOps extends Catalog {
           coalesce(col("assigned_full"), lit(0L)).as("assigned_full"))
     }),
 
+    // ---- chained k-means folds (the streaming maintenance path's twin) -----
+    // q176 folds ONE batch; this is the N-batch CHAIN — exactly what the
+    // streaming sink ([[graft.streaming.EventStream.foldPerBatch]])
+    // computes as micro-batches arrive in trigger order (spec-pinned
+    // equal on a MemoryStream). Two batches fold sequentially: b2
+    // assigns under b1's UPDATE (the freshest model — the sequential
+    // mini-batch semantics every fold documents, measured at <= 12
+    // permille assignment churn vs one fold, BENCH_SF1 round15_updates).
+    // Output per cell: the count ladder (base, after-b1, total), the
+    // final-centroid checksum, and the full-corpus assignment census —
+    // the oracle re-derives BOTH fold layers from scratch.
+    "q182_kmeans_fold_chain" -> ((s, d) => {
+      val all = Tables.embeddings(s, d)
+      val base = all.filter(col("vec_id") % 10 =!= 9)
+      val batch = all.filter(col("vec_id") % 10 === 9)
+      val b1 = batch.filter(pmod(expr("vec_id div 10"), lit(2)) === 0)
+      val b2 = batch.filter(pmod(expr("vec_id div 10"), lit(2)) === 1)
+      val state = Tables.ensureMaterialized(s, "kmeans_state",
+        Tables.contentKey(s"$d/embeddings.parquet", "k8it2base9"))(
+        Similarity.kmeansState(base, "vec_id", "embedding", k = 8, iters = 2))
+      val f1 = Similarity.kmeansFold(state, b1, "vec_id", "embedding")
+      val f2 = Similarity.kmeansFold(f1, b2, "vec_id", "embedding")
+      val assigned = Similarity.kmeansAssign(all, "vec_id", "embedding",
+        f2.select("cell", "centroid"))
+      f2.select(col("cell"), col("n").as("n_total"),
+          expr("aggregate(zip_with(centroid, sequence(1, size(centroid)), " +
+            "(c, i) -> c * i), 0L, (a, x) -> a + x)").as("c_weighted"))
+        .join(state.select(col("cell"), col("n").as("n_base")), Seq("cell"))
+        .join(f1.select(col("cell"), col("n").as("n_mid")), Seq("cell"))
+        .join(assigned.groupBy("cell")
+            .agg(count(lit(1)).as("assigned_full")), Seq("cell"), "left")
+        .select(col("cell").cast("long").as("cell"), col("n_base"),
+          col("n_mid"), col("n_total"), col("c_weighted"),
+          coalesce(col("assigned_full"), lit(0L)).as("assigned_full"))
+    }),
+
     // ---- embedding-space drift under the frozen coarse model ---------------
     // the ANN twin of q180's tokenizer-drift monitor, reading the SAME
     // stored model q176 folds into (one base fit serves maintenance and
@@ -1356,6 +1392,109 @@ object CurationOps extends Catalog {
          |  coalesce(ac.assigned_full, 0) AS assigned_full
          |FROM nn JOIN folded USING (cell) LEFT JOIN ac USING (cell)"""
         .stripMargin
+    },
+
+    // q176's oracle with a SECOND fold layer: base fit + state sums, b1
+    // routed under the base centroids and folded, b2 routed under the
+    // FOLDED (f1) centroids and folded again, census under f2 — the
+    // sequential mini-batch semantics replayed exactly
+    "q182_kmeans_fold_chain" -> {
+      val ctes = kmeansCtes(kSql = "8", iters = 2, dims = 64,
+        from = "(SELECT vec_id, embedding FROM embeddings " +
+          "WHERE vec_id % 10 != 9)")
+      val cosB1 = Similarity.cosineLongSqlText("b.v", "c.v")
+      val cosB2 = Similarity.cosineLongSqlText("b.v", "f.v")
+      val cosF = Similarity.cosineLongSqlText("q.v", "f.v")
+      val zeros = "[CAST(0 AS HUGEINT) FOR i IN range(1, 65)]"
+      s"""WITH $ctes,
+         |${finAssignCte(2)},
+         |sn AS MATERIALIZED (SELECT cell, CAST(count(*) AS BIGINT) AS n_base
+         |  FROM fin GROUP BY cell),
+         |ss AS MATERIALIZED (SELECT cell,
+         |    [CAST(list_sum([v[i] FOR v IN vs]) AS HUGEINT)
+         |     FOR i IN range(1, 65)] AS s
+         |  FROM (SELECT f.cell, list(q.v) AS vs
+         |        FROM fin f JOIN qv q USING (vec_id) GROUP BY f.cell) t),
+         |b1qv AS MATERIALIZED (SELECT vec_id,
+         |  [CAST(floor(CAST(embedding[i] AS DOUBLE)*1000000.0 + 0.5)
+         |     AS BIGINT) FOR i IN range(1, len(embedding)+1)] AS v
+         |  FROM embeddings
+         |  WHERE vec_id % 10 = 9 AND (vec_id // 10) % 2 = 0),
+         |b1fin AS MATERIALIZED (SELECT vec_id, cell FROM (
+         |    SELECT b.vec_id, c.cell,
+         |      row_number() OVER (PARTITION BY b.vec_id
+         |        ORDER BY $cosB1 DESC, c.cell) AS rn
+         |    FROM b1qv b CROSS JOIN c2 c) WHERE rn = 1),
+         |b1n AS MATERIALIZED (SELECT cell, CAST(count(*) AS BIGINT) AS n_b1
+         |  FROM b1fin GROUP BY cell),
+         |b1s AS MATERIALIZED (SELECT cell,
+         |    [CAST(list_sum([v[i] FOR v IN vs]) AS HUGEINT)
+         |     FOR i IN range(1, 65)] AS s
+         |  FROM (SELECT f.cell, list(b.v) AS vs
+         |        FROM b1fin f JOIN b1qv b USING (vec_id) GROUP BY f.cell) t),
+         |cnt1 AS MATERIALIZED (SELECT c.cell,
+         |    coalesce(sn.n_base, 0) AS n_base,
+         |    coalesce(sn.n_base, 0) + coalesce(b1n.n_b1, 0) AS n_mid
+         |  FROM c2 c LEFT JOIN sn USING (cell) LEFT JOIN b1n USING (cell)),
+         |fo1 AS MATERIALIZED (SELECT c.cell, cnt1.n_base, cnt1.n_mid,
+         |    [sa[i] + sb[i] FOR i IN range(1, 65)] AS s1,
+         |    CASE WHEN cnt1.n_mid = 0 THEN c.v
+         |      ELSE [CAST(CASE WHEN sa[i] + sb[i] < 0 THEN -1 ELSE 1 END
+         |              * (abs(sa[i] + sb[i]) // cnt1.n_mid) AS BIGINT)
+         |            FOR i IN range(1, 65)]
+         |    END AS v
+         |  FROM (SELECT c.cell, c.v,
+         |          coalesce(ss.s, $zeros) AS sa,
+         |          coalesce(b1s.s, $zeros) AS sb
+         |        FROM c2 c LEFT JOIN ss ON ss.cell = c.cell
+         |        LEFT JOIN b1s ON b1s.cell = c.cell) c
+         |  JOIN cnt1 ON cnt1.cell = c.cell),
+         |b2qv AS MATERIALIZED (SELECT vec_id,
+         |  [CAST(floor(CAST(embedding[i] AS DOUBLE)*1000000.0 + 0.5)
+         |     AS BIGINT) FOR i IN range(1, len(embedding)+1)] AS v
+         |  FROM embeddings
+         |  WHERE vec_id % 10 = 9 AND (vec_id // 10) % 2 = 1),
+         |b2fin AS MATERIALIZED (SELECT vec_id, cell FROM (
+         |    SELECT b.vec_id, f.cell,
+         |      row_number() OVER (PARTITION BY b.vec_id
+         |        ORDER BY $cosB2 DESC, f.cell) AS rn
+         |    FROM b2qv b CROSS JOIN fo1 f) WHERE rn = 1),
+         |b2n AS MATERIALIZED (SELECT cell, CAST(count(*) AS BIGINT) AS n_b2
+         |  FROM b2fin GROUP BY cell),
+         |b2s AS MATERIALIZED (SELECT cell,
+         |    [CAST(list_sum([v[i] FOR v IN vs]) AS HUGEINT)
+         |     FOR i IN range(1, 65)] AS s
+         |  FROM (SELECT f.cell, list(b.v) AS vs
+         |        FROM b2fin f JOIN b2qv b USING (vec_id) GROUP BY f.cell) t),
+         |fo2 AS MATERIALIZED (SELECT f.cell, f.n_base, f.n_mid,
+         |    f.n_mid + coalesce(b2n.n_b2, 0) AS n_total,
+         |    CASE WHEN f.n_mid + coalesce(b2n.n_b2, 0) = 0 THEN f.v
+         |      ELSE [CAST(CASE WHEN f.s1[i] + sb2[i] < 0 THEN -1 ELSE 1 END
+         |              * (abs(f.s1[i] + sb2[i])
+         |                 // (f.n_mid + coalesce(b2n.n_b2, 0))) AS BIGINT)
+         |            FOR i IN range(1, 65)]
+         |    END AS v
+         |  FROM (SELECT fo1.*, coalesce(b2s.s, $zeros) AS sb2
+         |        FROM fo1 LEFT JOIN b2s ON b2s.cell = fo1.cell) f
+         |  LEFT JOIN b2n ON b2n.cell = f.cell),
+         |fqv AS MATERIALIZED (SELECT vec_id,
+         |  [CAST(floor(CAST(embedding[i] AS DOUBLE)*1000000.0 + 0.5)
+         |     AS BIGINT) FOR i IN range(1, len(embedding)+1)] AS v
+         |  FROM embeddings),
+         |ffin AS MATERIALIZED (SELECT vec_id, cell FROM (
+         |    SELECT q.vec_id, f.cell,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY $cosF DESC, f.cell) AS rn
+         |    FROM fqv q CROSS JOIN fo2 f) WHERE rn = 1),
+         |ac AS MATERIALIZED (SELECT cell,
+         |    CAST(count(*) AS BIGINT) AS assigned_full
+         |  FROM ffin GROUP BY cell)
+         |SELECT CAST(fo2.cell AS BIGINT) AS cell, fo2.n_base,
+         |  fo2.n_mid, fo2.n_total,
+         |  CAST(list_sum([fo2.v[i]*i FOR i IN range(1, 65)]) AS BIGINT)
+         |    AS c_weighted,
+         |  coalesce(ac.assigned_full, 0) AS assigned_full
+         |FROM fo2 LEFT JOIN ac USING (cell)""".stripMargin
     },
 
     // the base fit chain, the full-corpus assignment under its centroids,

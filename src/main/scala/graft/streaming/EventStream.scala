@@ -378,6 +378,39 @@ object EventStream {
         write(enrichEvents(batch.toDF(), readDim(), dimKey), batchId)
     }
 
+  /** Streaming MODEL-MAINTENANCE sink — the arrival path of the
+    * incremental-maintenance family: each micro-batch folds into the
+    * running model state via `fold`
+    * ([[graft.ext.Similarity.kmeansFold]]/`pqFold`/`ivfPqFold`/
+    * `energyFold` all fit the signature), the state rides across
+    * triggers as a driver-local frame (model-sized by the fold
+    * contract — the folds' own collects bound it), and `publish`
+    * receives each updated state with its batch id (write it to the
+    * content-keyed store for downstream sessions; idempotent-on-batch-id
+    * is foreachBatch's usual contract).
+    *
+    * SEMANTICS: foreachBatch delivers micro-batches SEQUENTIALLY in
+    * trigger order, so the final state after N triggers is exactly the
+    * N-fold CHAIN over the same batches in arrival order — the
+    * sequential mini-batch semantics every fold documents, spec-pinned
+    * here on a MemoryStream against the batch chain. The batch face of
+    * the same chain is the oracle-able catalog query (q182), so the
+    * streaming path's target value is itself under the cross-engine
+    * hash.
+    */
+  def foldPerBatch(batches: DataFrame, state0: DataFrame,
+                   fold: (DataFrame, DataFrame) => DataFrame)(
+      publish: (DataFrame, Long) => Unit = (_, _) => ())
+      : (DataStreamWriter[Row], () => DataFrame) = {
+    @volatile var st = state0
+    val w = batches.writeStream.foreachBatch {
+      (batch: Dataset[Row], batchId: java.lang.Long) =>
+        st = fold(st, batch.toDF())
+        publish(st, batchId)
+    }
+    (w, () => st)
+  }
+
   /** Cross-batch state of one L-gram key: the buffered first occurrence
     * awaiting a duplicate, and whether the key has already proven
     * duplicated (later occurrences then emit immediately). */

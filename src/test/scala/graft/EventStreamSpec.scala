@@ -645,4 +645,42 @@ class EventStreamSpec extends AnyFunSuite with SparkTestBase {
       .select("click_id", "purchase_id").as[(Long, Long)].collect().toSet
     assert(twin === got)
   }
+
+  test("foldPerBatch: streaming micro-batch folds equal the chained batch " +
+      "folds in arrival order (the q182 twin)") {
+    import graft.ext.Similarity
+    def vecs(ids: Range, axis: Long => Int) = ids.map { i =>
+      (i.toLong, Array.tabulate(4)(d =>
+        (if (d == axis(i.toLong)) 1f else 0f) + (i % 3) * 0.01f))
+    }
+    val base = vecs(0 until 30, i => (i % 2).toInt * 2).toDF(
+      "vec_id", "embedding")
+    val b1 = vecs(100 until 110, i => (i % 2).toInt * 2)
+    val b2 = vecs(200 until 212, i => (i % 2).toInt * 2)
+    val state0 = Similarity.kmeansState(base, "vec_id", "embedding",
+      k = 2, iters = 1)
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[(Long, Array[Float])]
+    val (writer, current) = EventStream.foldPerBatch(
+      in.toDF().toDF("vec_id", "embedding"), state0,
+      (st, batch) => Similarity.kmeansFold(st, batch, "vec_id", "embedding"))()
+    val q = writer.start()
+    try {
+      // one addData + processAllAvailable per model batch: foldPerBatch's
+      // contract is fold-per-TRIGGER in arrival order
+      in.addData(b1)
+      q.processAllAvailable()
+      in.addData(b2)
+      q.processAllAvailable()
+    } finally q.stop()
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select($"cell", $"centroid", $"sums", $"n")
+        .as[(Int, Seq[Long], Seq[Long], Long)].collect().sortBy(_._1).toSeq
+    val streamed = rows(current())
+    val chained = rows(Similarity.kmeansFold(
+      Similarity.kmeansFold(state0, b1.toDF("vec_id", "embedding"),
+        "vec_id", "embedding"),
+      b2.toDF("vec_id", "embedding"), "vec_id", "embedding"))
+    assert(streamed === chained)
+  }
 }

@@ -244,7 +244,10 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
       "q180_vocab_drift" -> Instrument.Counts(8, 8),
       // q181 warm-store (round-15): stored-state centroid scan + the
       // assignment census + the k-row share/tv windows
-      "q181_embedding_drift" -> Instrument.Counts(7, 7))
+      "q181_embedding_drift" -> Instrument.Counts(7, 7),
+      // q182 warm-store (round-15): q176's shape with a second fold —
+      // state scan + two folds' batch cell-sum collects + the census
+      "q182_kmeans_fold_chain" -> Instrument.Counts(12, 12))
     // coPurchaseEdges and the fitted-model stores (BPE merges, k-means
     // centroids, PQ/OPQ codebooks) are content-key-materialized (round
     // 13): the first execution against a fresh scratch dir pays the
@@ -259,7 +262,8 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
         "q152_ivfpq_recall", "q156_opq_recall", "q157_opq_tf_recall",
         "q176_kmeans_incremental", "q177_pq_incremental",
         "q178_ivfpq_incremental", "q179_opq_incremental",
-        "q180_vocab_drift", "q181_embedding_drift")) { // model stores
+        "q180_vocab_drift", "q181_embedding_drift",
+        "q182_kmeans_fold_chain")) { // model stores
       spark.catalog.clearCache()
       graft.ext.Caches.releaseAll()
       SparkEntry.queries(warm)(spark, sfDir)
