@@ -573,11 +573,41 @@ object Similarity {
     * mini-batch semantics like [[kmeansFold]]. */
   def pqFold(state: DataFrame, batch: DataFrame, id: String, vec: String,
              scale: Double = DefaultScale): DataFrame =
-    pqFoldQ(state, prep(batch, id, vec, "__id", scale))
+    pqFoldSignedQ(state, prep(batch, id, vec, "__id", scale),
+      sign = 1L, at = None)
 
-  /** [[pqFold]] over an ALREADY-QUANTIZED (__id, __qv) batch frame — the
-    * residual-space fold's entry point ([[ivfPqFold]]). */
-  private def pqFoldQ(state: DataFrame, qBatch: DataFrame): DataFrame = {
+  /** Retract (unfold) a batch FROM persisted PQ state — [[kmeansUnfold]]'s
+    * product-quantization twin, per subspace: encode the retracted rows
+    * under the state's current codebooks (literal argmin, zero shuffle),
+    * SUBTRACT their exact subvector sums/counts, re-derive each codeword
+    * over the survivors. Exact vs [[pqStateAt]] on the survivors when the
+    * rows were encoded under these same codebooks (takedown from a fresh
+    * state — spec-pinned); to invert a mid-chain fold exactly, pass the
+    * stored fold-time codebooks to [[pqUnfoldAt]]. Refuses a foreign
+    * batch (negative codeword count) loudly, like [[kmeansUnfold]]. */
+  def pqUnfold(state: DataFrame, batch: DataFrame, id: String, vec: String,
+               scale: Double = DefaultScale): DataFrame =
+    pqFoldSignedQ(state, prep(batch, id, vec, "__id", scale),
+      sign = -1L, at = None)
+
+  /** [[pqUnfold]] with the batch encoded under GIVEN codebooks — the exact
+    * fold inverse: `pqUnfoldAt(pqFold(S, B), B, codebooksOf(S)) == S` on
+    * sums and counts always, and on the full state when S is a fold
+    * output (spec-pinned; [[kmeansUnfoldAt]]'s argument per subspace). */
+  def pqUnfoldAt(state: DataFrame, batch: DataFrame, id: String,
+                 vec: String, atCodebooks: Seq[(Int, Int, Array[Long])],
+                 scale: Double = DefaultScale): DataFrame =
+    pqFoldSignedQ(state, prep(batch, id, vec, "__id", scale),
+      sign = -1L, at = Some(atCodebooks))
+
+  /** [[pqFold]]/[[pqUnfold]] over an ALREADY-QUANTIZED (__id, __qv) batch
+    * frame — the residual-space entry point ([[ivfPqFold]]/
+    * [[ivfPqUnfold]]). `at` supplies fold-time codebooks for the exact
+    * unfold inverse; None assigns under the state's current ones. */
+  private def pqFoldSignedQ(state: DataFrame, qBatch: DataFrame,
+                            sign: Long,
+                            at: Option[Seq[(Int, Int, Array[Long])]])
+      : DataFrame = {
     val spark = state.sparkSession
     import spark.implicits._
     val st = state.select(col("subspace"), col("cell"), col("centroid"),
@@ -585,12 +615,17 @@ object Similarity {
       .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Long](2).toArray,
         r.getSeq[Long](3).toArray, r.getLong(4)))
       .sortBy(r => (r._1, r._2))
-    val cbs = st.map(r => (r._1, r._2, r._3)).toSeq
+    val cbs = at.getOrElse(st.map(r => (r._1, r._2, r._3)).toSeq)
     val bagg = pqCellSums(cbs, qBatch)
     st.map { case (j, c, cv, s, n) =>
       val (bs, bn) = bagg.getOrElse((j, c), (new Array[Long](cv.length), 0L))
-      val n2 = n + bn
-      val s2 = s.indices.map(i => s(i) + bs(i)).toArray
+      val n2 = n + sign * bn
+      require(n2 >= 0,
+        s"codeword ($j, $c) count went negative ($n " +
+          s"${if (sign < 0) "-" else "+"} $bn): the batch is not part of " +
+          "this state's corpus under these codebooks — retract under the " +
+          "fold-time model (pqUnfoldAt/ivfPqUnfoldAt) or refit")
+      val s2 = s.indices.map(i => s(i) + sign * bs(i)).toArray
       val cv2 =
         if (n2 == 0) cv
         else s2.map(x => (if (x < 0) -1L else 1L) * (math.abs(x) / n2))
@@ -779,7 +814,36 @@ object Similarity {
   def ivfPqFold(state: DataFrame, batch: DataFrame, id: String,
                 vec: String, kmCentroids: DataFrame,
                 scale: Double = DefaultScale): DataFrame =
-    pqFoldQ(state, residualsQ(batch, id, vec, kmCentroids, scale))
+    pqFoldSignedQ(state, residualsQ(batch, id, vec, kmCentroids, scale),
+      sign = 1L, at = None)
+
+  /** Retract (unfold) a batch FROM persisted IVF-PQ state — [[pqUnfold]]
+    * in the FROZEN coarse layer's residual space: the retracted rows
+    * route to their coarse cells and residualize exactly as they did at
+    * insert time (the coarse quantizer never moved — the whole point of
+    * freezing it), so their per-(subspace, codeword) residual sums
+    * subtract out bit-for-bit when the rows were encoded under the
+    * state's current codebooks (takedown from a fresh state,
+    * spec-pinned vs [[ivfPqStateAt]] on the survivors). Mid-chain fold
+    * inversion takes the stored fold-time codebooks via
+    * [[ivfPqUnfoldAt]]. Refuses a foreign batch loudly. */
+  def ivfPqUnfold(state: DataFrame, batch: DataFrame, id: String,
+                  vec: String, kmCentroids: DataFrame,
+                  scale: Double = DefaultScale): DataFrame =
+    pqFoldSignedQ(state, residualsQ(batch, id, vec, kmCentroids, scale),
+      sign = -1L, at = None)
+
+  /** [[ivfPqUnfold]] with the batch's residuals encoded under GIVEN
+    * codebooks — the exact fold inverse:
+    * `ivfPqUnfoldAt(ivfPqFold(S, B, km), B, km, codebooksOf(S)) == S` on
+    * sums and counts always, full state when S is a fold output
+    * (spec-pinned). */
+  def ivfPqUnfoldAt(state: DataFrame, batch: DataFrame, id: String,
+                    vec: String, kmCentroids: DataFrame,
+                    atCodebooks: Seq[(Int, Int, Array[Long])],
+                    scale: Double = DefaultScale): DataFrame =
+    pqFoldSignedQ(state, residualsQ(batch, id, vec, kmCentroids, scale),
+      sign = -1L, at = Some(atCodebooks))
 
   /** [[ivfPqState]] under GIVEN codebooks (no fit) — the fold-exactness
     * spec's tool, mirroring [[pqStateAt]]/[[kmeansStateAt]]. */
@@ -975,6 +1039,29 @@ object Similarity {
                  vec: String, scale: Double = DefaultScale): DataFrame =
     state.select(col("dim"), col("energy"), col("n"))
       .unionByName(energyState(batch, id, vec, scale))
+      .groupBy("dim")
+      .agg(sum(col("energy")).as("energy"), sum(col("n")).as("n"))
+
+  /** Retract (unfold) a batch FROM persisted energy state — per-dim long
+    * SUBTRACTS over d rows. Like [[energyFold]], this is associative
+    * arithmetic with no assignment-depends-on-model feedback, so the
+    * unfold is EXACTLY a refit on the difference:
+    * `energyUnfold(energyState(base ∪ batch), batch) == energyState(base)`
+    * row-for-row, `energyUnfold(energyFold(S, B), B) == S` always, and
+    * the retracted permutation IS the from-scratch permutation on the
+    * survivors (spec-pinned — no drift, no fold-time-model argument
+    * needed, the one unfold in the family with no `At` variant).
+    * Precondition: the batch is part of the state's corpus — energies
+    * are Σx² ≥ 0, so retracting foreign rows shows up as a negative
+    * per-dim energy in the output, which [[permutationFromState]]'s
+    * ranking would still consume; callers retracting untrusted batches
+    * should assert `min(energy) >= 0` on the result. */
+  def energyUnfold(state: DataFrame, batch: DataFrame, id: String,
+                   vec: String, scale: Double = DefaultScale): DataFrame =
+    state.select(col("dim"), col("energy"), col("n"))
+      .unionByName(energyState(batch, id, vec, scale)
+        .select(col("dim"), (-col("energy")).as("energy"),
+          (-col("n")).as("n")))
       .groupBy("dim")
       .agg(sum(col("energy")).as("energy"), sum(col("n")).as("n"))
 
@@ -1543,7 +1630,59 @@ object Similarity {
     * majority-new corpus deserves fresh seeds and full rounds.
     */
   def kmeansFold(state: DataFrame, batch: DataFrame, id: String,
-                 vec: String, scale: Double = DefaultScale): DataFrame = {
+                 vec: String, scale: Double = DefaultScale): DataFrame =
+    kmeansFoldSigned(state, batch, id, vec, scale, sign = 1L, at = None)
+
+  /** Retract (unfold) a batch FROM persisted k-means state — the deletion
+    * half of the maintenance family (takedowns, opt-outs, license
+    * revocations): assign the retracted rows under the state's CURRENT
+    * centroids, SUBTRACT their exact per-dim sums and counts from the
+    * stored ones, and re-derive each centroid as `sign·(|S′| div n′)` —
+    * one Lloyd update half over the survivors, O(batch), no survivor
+    * re-scan. Because the state persists exact sums (not lossy means),
+    * the subtraction is exact arithmetic: when the retracted rows were
+    * assigned under these same centroids (a takedown from a
+    * freshly-built/refit state — [[kmeansState]]'s centroid column IS the
+    * assignment model), the result's sums and counts equal
+    * [[kmeansStateAt]] on the survivors bit-for-bit (spec-pinned).
+    *
+    * To invert a FOLD mid-chain (`unfold(fold(S,B), B) == S`), the batch
+    * must be re-assigned under the centroids it was folded under — S's,
+    * not the folded state's — which the content-keyed store retains per
+    * state version: use [[kmeansUnfoldAt]] with the stored pre-fold
+    * model. Under the current centroids the retraction is approximate in
+    * exactly the chained-fold sense (rows near a moved boundary may
+    * re-route), measured by [[graft.tools.FoldDriftProbe]]'s unfold row.
+    *
+    * A batch that was never in the corpus can drive a cell's count
+    * negative — that is a protocol violation (retracting foreign rows),
+    * and the fold REFUSES it loudly rather than emitting a corrupt model.
+    * Empty cells (n′ = 0) carry their current centroid, [[kmeansFold]]'s
+    * rule.
+    */
+  def kmeansUnfold(state: DataFrame, batch: DataFrame, id: String,
+                   vec: String, scale: Double = DefaultScale): DataFrame =
+    kmeansFoldSigned(state, batch, id, vec, scale, sign = -1L, at = None)
+
+  /** [[kmeansUnfold]] with the batch assigned under GIVEN centroids — the
+    * model version the batch was originally folded/assigned under (the
+    * content-keyed store keeps one per batch id). This is the EXACT fold
+    * inverse: `kmeansUnfoldAt(kmeansFold(S, B), B, centroidsOf(S)) == S`
+    * on sums and counts for any S, and on the full state (centroid
+    * included) when S is itself a fold output (spec-pinned) — fold and
+    * unfold then compute the same batch sums under the same model, and
+    * the re-derive is the same function of the restored (sums, n). */
+  def kmeansUnfoldAt(state: DataFrame, batch: DataFrame, id: String,
+                     vec: String, atCentroids: DataFrame,
+                     scale: Double = DefaultScale): DataFrame =
+    kmeansFoldSigned(state, batch, id, vec, scale, sign = -1L,
+      at = Some(collectCentroids(atCentroids)))
+
+  private def kmeansFoldSigned(state: DataFrame, batch: DataFrame,
+                               id: String, vec: String, scale: Double,
+                               sign: Long,
+                               at: Option[Seq[(Int, Array[Long])]])
+      : DataFrame = {
     val spark = state.sparkSession
     import spark.implicits._
     val st = state.select(col("cell"), col("centroid"), col("sums"),
@@ -1551,12 +1690,17 @@ object Similarity {
       .map(r => (r.getInt(0), r.getSeq[Long](1).toArray,
         r.getSeq[Long](2).toArray, r.getLong(3)))
       .sortBy(_._1)
-    val cent = st.map(r => (r._1, r._2)).toSeq
+    val cent = at.getOrElse(st.map(r => (r._1, r._2)).toSeq)
     val bagg = cellSums(cent, prep(batch, id, vec, "__id", scale))
     st.map { case (c, cv, s, n) =>
       val (bs, bn) = bagg.getOrElse(c, (new Array[Long](cv.length), 0L))
-      val n2 = n + bn
-      val s2 = s.indices.map(i => s(i) + bs(i)).toArray
+      val n2 = n + sign * bn
+      require(n2 >= 0,
+        s"cell $c count went negative ($n ${if (sign < 0) "-" else "+"} " +
+          s"$bn): the batch is not part of this state's corpus under " +
+          "these centroids — retract under the fold-time model " +
+          "(kmeansUnfoldAt) or refit")
+      val s2 = s.indices.map(i => s(i) + sign * bs(i)).toArray
       val cv2 =
         if (n2 == 0) cv // empty everywhere: carry the centroid
         else s2.map(x => (if (x < 0) -1L else 1L) * (math.abs(x) / n2))

@@ -94,18 +94,27 @@ object RecommendationJob {
     // build several plans over the same subscriber frame (transform caches
     // `subs`; direct callers may not) should pay the scan once, not per
     // construction. WeakHashMap keyed by the analyzed plan object so
-    // retired frames stay collectable.
+    // retired frames stay collectable. ASSUMES the files behind a
+    // structurally-equal plan are immutable for the session (the fixture
+    // contract everywhere in this repo) — a source rewritten in place
+    // mid-session would return the stale tier, like any plan-statistics
+    // cache would.
     val plan = subs.queryExecution.analyzed
-    val cached = Option(chunkDecisionCache.get(plan)).getOrElse(Map.empty)
-    cached.getOrElse(pairChunk, {
-      val decided = subs.groupBy("subscription_channel").count()
-        .agg(max("count")).first() match {
-          case r if r.isNullAt(0) => false
-          case r => r.getLong(0) > 2 * pairChunk
-        }
-      chunkDecisionCache.put(plan, cached + (pairChunk -> decided))
-      decided
-    })
+    Option(chunkDecisionCache.get(plan)).flatMap(_.get(pairChunk))
+      .getOrElse {
+        // the probe job runs OUTSIDE the map's lock (two threads racing
+        // the same cold plan duplicate a tiny deterministic aggregate —
+        // benign); `merge` then folds the entry in atomically, so neither
+        // thread's (pairChunk -> decided) can be lost to the other's put
+        val decided = subs.groupBy("subscription_channel").count()
+          .agg(max("count")).first() match {
+            case r if r.isNullAt(0) => false
+            case r => r.getLong(0) > 2 * pairChunk
+          }
+        chunkDecisionCache.merge(plan, Map(pairChunk -> decided),
+          (a, b) => a ++ b)
+        decided
+      }
   }
 
   // weak KEY = the frame's analyzed plan (strongly held by its

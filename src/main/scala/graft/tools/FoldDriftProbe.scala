@@ -67,6 +67,7 @@ object FoldDriftProbe {
       Similarity.kmeansFold(state0, batchAll, "vec_id", "embedding")
         .select(col("cell"), col("centroid")))
     val n = refitA.size
+    require(n > 0, s"no embeddings under $sfDir — nothing to measure")
 
     /** (bestmatch churn ‰, Rand index ‰) of two labelings over the same
       * id set — both label-permutation-free. */

@@ -461,6 +461,187 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(chained === refit)
   }
 
+  // ---- deletion/retraction folds (round-16: the unfold family) ------------
+
+  private def stateRows(df: org.apache.spark.sql.DataFrame) =
+    df.select($"cell", $"centroid", $"sums", $"n")
+      .as[(Int, Seq[Long], Seq[Long], Long)].collect().sortBy(_._1).toSeq
+
+  private def pqStateRows(df: org.apache.spark.sql.DataFrame) =
+    df.select($"subspace", $"cell", $"centroid", $"sums", $"n")
+      .as[(Int, Int, Seq[Long], Seq[Long], Long)].collect()
+      .sortBy(r => (r._1, r._2)).toSeq
+
+  test("kmeansUnfold retracts a takedown EXACTLY: survivors' state under " +
+      "the same centroids, with a one-Lloyd-update centroid") {
+    // the takedown-from-a-fresh-state case: every corpus row (retracted
+    // ones included) was assigned under the state's own centroids, so
+    // subtracting the takedown's sums under those centroids IS the
+    // survivors' stateAt — no survivor re-scan
+    val all = vecs.filter($"vec_id" < 200)
+    val takedown = all.filter($"vec_id" % 10 === 9)
+    val survivors = all.filter($"vec_id" % 10 =!= 9)
+    val cent = Similarity.kmeansFit(all, "vec_id", "embedding",
+      k = 4, iters = 1)
+    val unfolded = stateRows(Similarity.kmeansUnfold(
+      Similarity.kmeansStateAt(cent, all, "vec_id", "embedding"),
+      takedown, "vec_id", "embedding"))
+    val surv = stateRows(
+      Similarity.kmeansStateAt(cent, survivors, "vec_id", "embedding"))
+    assert(unfolded.map(_._1) === surv.map(_._1))
+    unfolded.zip(surv).foreach { case ((c, cv, s, n), (_, _, us, un)) =>
+      assert(s === us, s"sums for cell $c")
+      assert(n === un, s"n for cell $c")
+      val expected =
+        if (un == 0L) cv
+        else us.map(x => (if (x < 0) -1L else 1L) * (math.abs(x) / un))
+      assert(cv === expected, s"centroid for cell $c")
+    }
+  }
+
+  test("kmeansUnfoldAt inverts a fold: unfold(fold(S, B), B, centroidsOf(S))" +
+      " == S, bit-for-bit on a fold-output S") {
+    val base = vecs.filter($"vec_id" % 10 =!= 9 && $"vec_id" < 200)
+    val batch = vecs.filter($"vec_id" % 10 === 9 && $"vec_id" < 200)
+    val b1 = batch.filter($"vec_id" % 20 === 9)
+    val b2 = batch.filter($"vec_id" % 20 =!= 9)
+    val cent = Similarity.kmeansFit(base, "vec_id", "embedding",
+      k = 4, iters = 1)
+    val s0 = Similarity.kmeansStateAt(cent, base, "vec_id", "embedding")
+      .localCheckpoint()
+    val s1 = Similarity.kmeansFold(s0, b1, "vec_id", "embedding")
+      .localCheckpoint()
+    val s2 = Similarity.kmeansFold(s1, b2, "vec_id", "embedding")
+    // full roundtrip on a fold-output state: S1 is itself a fold, so its
+    // centroid is sign·(|sums| div n) of its own sums, and the unfold's
+    // re-derive restores it exactly — centroid included
+    assert(stateRows(Similarity.kmeansUnfoldAt(s2, b2, "vec_id", "embedding",
+      s1.select($"cell", $"centroid"))) === stateRows(s1))
+    // on a FRESH state (centroid = the fitted model, one Lloyd update
+    // behind its own sums) the roundtrip restores sums and counts exactly;
+    // the centroid comes back as the update half over S0's mass — the same
+    // frame an empty-batch fold produces
+    val back = stateRows(Similarity.kmeansUnfoldAt(s1, b1, "vec_id",
+      "embedding", s0.select($"cell", $"centroid")))
+    val fresh = stateRows(s0)
+    assert(back.map(r => (r._1, r._3, r._4)) ===
+      fresh.map(r => (r._1, r._3, r._4)))
+    assert(back === stateRows(Similarity.kmeansFold(
+      s0, base.filter(lit(false)), "vec_id", "embedding")))
+  }
+
+  test("kmeansUnfold refuses a foreign batch loudly (negative cell count)") {
+    val base = vecs.filter($"vec_id" < 100)
+    val cent = Similarity.kmeansFit(base, "vec_id", "embedding",
+      k = 4, iters = 1)
+    val state = Similarity.kmeansStateAt(cent, base, "vec_id", "embedding")
+    val doubled = base.unionByName(base) // twice the corpus: must go < 0
+    val e = intercept[IllegalArgumentException] {
+      Similarity.kmeansUnfold(state, doubled, "vec_id", "embedding")
+    }
+    assert(e.getMessage.contains("negative"))
+  }
+
+  test("pqUnfold retracts a takedown EXACTLY per subspace, and pqUnfoldAt " +
+      "inverts a fold on a fold-output state") {
+    val all = vecs.filter($"vec_id" < 200)
+    val takedown = all.filter($"vec_id" % 10 === 9)
+    val survivors = all.filter($"vec_id" % 10 =!= 9)
+    val cbs = Similarity.pqFit(all, "vec_id", "embedding",
+        m = 4, kc = 4, iters = 1)
+      .collect().map(r => (r.getInt(0), r.getInt(1),
+        r.getSeq[Long](2).toArray)).toSeq
+    val unfolded = pqStateRows(Similarity.pqUnfold(
+      Similarity.pqStateAt(cbs, all, "vec_id", "embedding"),
+      takedown, "vec_id", "embedding"))
+    val surv = pqStateRows(
+      Similarity.pqStateAt(cbs, survivors, "vec_id", "embedding"))
+    assert(unfolded.map(r => (r._1, r._2)) === surv.map(r => (r._1, r._2)))
+    unfolded.zip(surv).foreach { case ((j, c, cv, s, n), (_, _, _, us, un)) =>
+      assert(s === us, s"sums for ($j, $c)")
+      assert(n === un, s"n for ($j, $c)")
+      val expected =
+        if (un == 0L) cv
+        else us.map(x => (if (x < 0) -1L else 1L) * (math.abs(x) / un))
+      assert(cv === expected, s"codeword for ($j, $c)")
+    }
+    // fold inverse on a fold-output state (full equality incl. codewords)
+    val base = all.filter($"vec_id" % 10 =!= 9)
+    val b1 = all.filter($"vec_id" % 20 === 9)
+    val b2 = all.filter($"vec_id" % 10 === 9 && $"vec_id" % 20 =!= 9)
+    val s0 = Similarity.pqStateAt(cbs, base, "vec_id", "embedding")
+    val s1 = Similarity.pqFold(s0, b1, "vec_id", "embedding")
+      .localCheckpoint()
+    val s2 = Similarity.pqFold(s1, b2, "vec_id", "embedding")
+    val s1cbs = s1.select($"subspace", $"cell", $"centroid")
+      .collect().map(r => (r.getInt(0), r.getInt(1),
+        r.getSeq[Long](2).toArray)).toSeq
+    assert(pqStateRows(Similarity.pqUnfoldAt(s2, b2, "vec_id", "embedding",
+      s1cbs)) === pqStateRows(s1))
+  }
+
+  test("ivfPqUnfold retracts a takedown EXACTLY in the frozen coarse " +
+      "layer's residual space") {
+    val all = vecs.filter($"vec_id" < 200)
+    val takedown = all.filter($"vec_id" % 10 === 9)
+    val survivors = all.filter($"vec_id" % 10 =!= 9)
+    val km = Similarity.kmeansFit(all, "vec_id", "embedding",
+      k = 4, iters = 1)
+    val cbs = Similarity.ivfPqState(all, "vec_id", "embedding", km,
+        m = 4, kc = 4, iters = 1)
+      .select($"subspace", $"cell", $"centroid")
+      .collect().map(r => (r.getInt(0), r.getInt(1),
+        r.getSeq[Long](2).toArray)).toSeq
+    val unfolded = pqStateRows(Similarity.ivfPqUnfold(
+      Similarity.ivfPqStateAt(cbs, all, "vec_id", "embedding", km),
+      takedown, "vec_id", "embedding", km))
+    val surv = pqStateRows(
+      Similarity.ivfPqStateAt(cbs, survivors, "vec_id", "embedding", km))
+    assert(unfolded.map(r => (r._1, r._2)) === surv.map(r => (r._1, r._2)))
+    unfolded.zip(surv).foreach { case ((j, c, cv, s, n), (_, _, _, us, un)) =>
+      assert(s === us, s"sums for ($j, $c)")
+      assert(n === un, s"n for ($j, $c)")
+      val expected =
+        if (un == 0L) cv
+        else us.map(x => (if (x < 0) -1L else 1L) * (math.abs(x) / un))
+      assert(cv === expected, s"codeword for ($j, $c)")
+    }
+    // fold inverse under the SAME frozen coarse layer
+    val base = all.filter($"vec_id" % 10 =!= 9)
+    val s0 = Similarity.ivfPqStateAt(cbs, base, "vec_id", "embedding", km)
+    val s1 = Similarity.ivfPqFold(s0, takedown, "vec_id", "embedding", km)
+      .localCheckpoint()
+    val b2 = all.filter($"vec_id" % 20 === 9)
+    val s2 = Similarity.ivfPqFold(s1, b2, "vec_id", "embedding", km)
+    val s1cbs = s1.select($"subspace", $"cell", $"centroid")
+      .collect().map(r => (r.getInt(0), r.getInt(1),
+        r.getSeq[Long](2).toArray)).toSeq
+    assert(pqStateRows(Similarity.ivfPqUnfoldAt(s2, b2, "vec_id",
+      "embedding", km, s1cbs)) === pqStateRows(s1))
+  }
+
+  test("energyUnfold IS a refit on the difference: survivors' state " +
+      "row-for-row, roundtrip identity, and the survivors' permutation") {
+    val all = vecs.filter($"vec_id" < 200)
+    val takedown = all.filter($"vec_id" % 10 === 9)
+    val survivors = all.filter($"vec_id" % 10 =!= 9)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select($"dim", $"energy", $"n")
+        .as[(Int, Long, Long)].collect().sortBy(_._1).toSeq
+    val stateAll = Similarity.energyState(all, "vec_id", "embedding")
+    val unfolded = Similarity.energyUnfold(stateAll, takedown,
+      "vec_id", "embedding")
+    assert(rows(unfolded) ===
+      rows(Similarity.energyState(survivors, "vec_id", "embedding")))
+    assert(Similarity.permutationFromState(unfolded, m = 4) ===
+      Similarity.energyPermutation(survivors, "vec_id", "embedding", m = 4))
+    // roundtrip: unfold(fold(S, B), B) == S exactly (associative sums)
+    val s0 = Similarity.energyState(survivors, "vec_id", "embedding")
+    assert(rows(Similarity.energyUnfold(
+      Similarity.energyFold(s0, takedown, "vec_id", "embedding"),
+      takedown, "vec_id", "embedding")) === rows(s0))
+  }
+
   test("assignmentDrift: planted occupancy shift fires the refit flag, an " +
       "identical batch stays at tv 0, an empty batch reports NULLs") {
     // two orthogonal-axis centroids; base splits 50/50. A batch living
