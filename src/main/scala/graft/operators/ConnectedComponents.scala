@@ -76,6 +76,50 @@ object ConnectedComponents {
         .unionByName(newEdges.select(col(src).as("__u"), col(dst).as("__v"))),
       "__u", "__v", maxIters)
 
+  /** FRONTIER-ONLY incremental fold — [[merge]] restricted to the
+    * components the batch actually touches (round-16, the graph tier's
+    * member of the fold family): a new edge can only relabel vertices
+    * reachable from its endpoints, so any stored component containing NO
+    * batch endpoint is already final and its labels pass through
+    * untouched — never re-read by the star rounds. Affected components
+    * are found with one semi-join of the batch's endpoints against the
+    * labels (per-vertex, then per-component), the star rounds run over
+    * (affected labels-as-edges ∪ batch edges) only, and the output is
+    * the union. At 100 TB this is the difference that matters: [[merge]]
+    * re-converges |vertices| star edges per day even when the batch
+    * touches a handful of clusters; this folds |affected ∪ batch| — the
+    * batch's own neighborhood — and the untouched billions ride a
+    * pass-through scan (measured fold-vs-merge-vs-refit at sf1,
+    * BENCH_SF1.json round16_updates).
+    *
+    * Output: (id, component, touched) — `touched` = 1 on rows the star
+    * rounds re-derived (members of an affected component, plus vertices
+    * the batch introduced), 0 on pass-through labels. Same correctness
+    * contract as [[merge]], spec-pinned: dropping `touched`,
+    * `fold(run(E1), E2)` equals `run(E1 ∪ E2)` on vertices of E1 ∪ E2.
+    */
+  def fold(labels: DataFrame, idCol: String, compCol: String,
+           newEdges: DataFrame, src: String, dst: String,
+           maxIters: Int = 30): DataFrame = {
+    // the batch's endpoint set is batch-sized; the two semi-joins against
+    // it are equi-joins on id/component (broadcast-able at daily-batch
+    // scale, shuffle joins otherwise — never a scan of the pair history)
+    val ends = newEdges.select(col(src).as("__e"))
+      .unionByName(newEdges.select(col(dst).as("__e")))
+      .distinct()
+    val lab = labels.select(col(idCol).as("id"), col(compCol).as("component"))
+    val touchedRoots = lab
+      .join(ends, lab("id") === col("__e"), "left_semi")
+      .select(col("component").as("__root")).distinct()
+    val affected = lab.join(touchedRoots,
+      lab("component") === col("__root"), "left_semi")
+    val untouched = lab.join(touchedRoots,
+      lab("component") === col("__root"), "left_anti")
+    merge(affected, "id", "component", newEdges, src, dst, maxIters)
+      .withColumn("touched", lit(1))
+      .unionByName(untouched.withColumn("touched", lit(0)))
+  }
+
   /** As [[run]], additionally returning the number of large+small-star
     * rounds executed until the edge-set fixpoint (telemetry / specs).
     */

@@ -132,6 +132,45 @@ object CurationOps extends Catalog {
           coalesce(col("assigned_full"), lit(0L)).as("assigned_full"))
     }),
 
+    // ---- k-means retraction (unfold a takedown from stored state) ----------
+    // the DELETION half of the q176/q182 maintenance loop (round-16):
+    // takedowns/opt-outs/license revocations subtract from the SAME
+    // exact sums+counts state the folds add to. The retracted rows
+    // re-assign under the state's own centroids — the model every corpus
+    // row was counted under at state build — so their per-cell sums
+    // subtract out bit-for-bit and the result equals the survivors'
+    // state under those centroids (spec-pinned), with the centroid
+    // re-derived as one Lloyd update over the survivors: O(takedown),
+    // never a survivor re-scan. Output per cell: the count ladder
+    // (full, takedown, after), an order-sensitive centroid checksum of
+    // the retracted model, and the survivor census under it — the
+    // oracle re-derives the full-corpus fit, the subtraction, and both
+    // assignments from scratch.
+    "q183_kmeans_retract" -> ((s, d) => {
+      val all = Tables.embeddings(s, d)
+      val takedown = all.filter(col("vec_id") % 10 === 9)
+      val survivors = all.filter(col("vec_id") % 10 =!= 9)
+      val state = Tables.ensureMaterialized(s, "kmeans_state_all",
+        Tables.contentKey(s"$d/embeddings.parquet", "k8it2all"))(
+        Similarity.kmeansState(all, "vec_id", "embedding", k = 8, iters = 2))
+      val unfolded = Similarity.kmeansUnfold(state, takedown, "vec_id",
+        "embedding")
+      val assigned = Similarity.kmeansAssign(survivors, "vec_id",
+        "embedding", unfolded.select("cell", "centroid"))
+      unfolded.select(col("cell"), col("n").as("n_after"),
+          expr("aggregate(zip_with(centroid, sequence(1, size(centroid)), " +
+            "(c, i) -> c * i), 0L, (a, x) -> a + x)").as("c_weighted"))
+        .join(state.select(col("cell"), col("n").as("n_full")), Seq("cell"))
+        .join(assigned.groupBy("cell")
+            .agg(count(lit(1)).as("assigned_survivors")),
+          Seq("cell"), "left")
+        .select(col("cell").cast("long").as("cell"), col("n_full"),
+          (col("n_full") - col("n_after")).as("n_takedown"), col("n_after"),
+          col("c_weighted"),
+          coalesce(col("assigned_survivors"), lit(0L))
+            .as("assigned_survivors"))
+    }),
+
     // ---- embedding-space drift under the frozen coarse model ---------------
     // the ANN twin of q180's tokenizer-drift monitor, reading the SAME
     // stored model q176 folds into (one base fit serves maintenance and
@@ -1391,6 +1430,61 @@ object CurationOps extends Catalog {
          |    AS c_weighted,
          |  coalesce(ac.assigned_full, 0) AS assigned_full
          |FROM nn JOIN folded USING (cell) LEFT JOIN ac USING (cell)"""
+        .stripMargin
+    },
+
+    // the FULL-corpus fit (kmeans chain over every embedding), the
+    // survivors' per-cell counts and sums read off the same final
+    // assignment (the takedown rows assigned under the same centroids,
+    // so the subtraction IS the survivor slice), the one-Lloyd-update
+    // re-derive, and the survivor census under the retracted centroids —
+    // all re-derived; the stored state never seen
+    "q183_kmeans_retract" -> {
+      val ctes = kmeansCtes(kSql = "8", iters = 2, dims = 64,
+        from = "embeddings")
+      val cosU = Similarity.cosineLongSqlText("q.v", "u.v")
+      val zeros = "[CAST(0 AS HUGEINT) FOR i IN range(1, 65)]"
+      s"""WITH $ctes,
+         |${finAssignCte(2)},
+         |an AS MATERIALIZED (SELECT cell, CAST(count(*) AS BIGINT) AS n_full
+         |  FROM fin GROUP BY cell),
+         |wn AS MATERIALIZED (SELECT cell, CAST(count(*) AS BIGINT) AS n_after
+         |  FROM fin WHERE vec_id % 10 != 9 GROUP BY cell),
+         |ws AS MATERIALIZED (SELECT cell,
+         |    [CAST(list_sum([v[i] FOR v IN vs]) AS HUGEINT)
+         |     FOR i IN range(1, 65)] AS s
+         |  FROM (SELECT f.cell, list(q.v) AS vs
+         |        FROM fin f JOIN qv q USING (vec_id)
+         |        WHERE f.vec_id % 10 != 9 GROUP BY f.cell) t),
+         |nn AS MATERIALIZED (SELECT c.cell, coalesce(an.n_full, 0) AS n_full,
+         |    coalesce(wn.n_after, 0) AS n_after
+         |  FROM c2 c LEFT JOIN an USING (cell) LEFT JOIN wn USING (cell)),
+         |fi AS MATERIALIZED (SELECT c.cell, nn.n_after, c.v AS cv,
+         |    coalesce(ws.s, $zeros) AS ss
+         |  FROM c2 c JOIN nn ON nn.cell = c.cell
+         |  LEFT JOIN ws ON ws.cell = c.cell),
+         |unf AS MATERIALIZED (SELECT cell,
+         |    CASE WHEN n_after = 0 THEN cv
+         |      ELSE [CAST(CASE WHEN ss[i] < 0 THEN -1 ELSE 1 END
+         |              * (abs(ss[i]) // n_after) AS BIGINT)
+         |            FOR i IN range(1, 65)]
+         |    END AS v
+         |  FROM fi),
+         |sfin AS MATERIALIZED (SELECT vec_id, cell FROM (
+         |    SELECT q.vec_id, u.cell,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY $cosU DESC, u.cell) AS rn
+         |    FROM (SELECT * FROM qv WHERE vec_id % 10 != 9) q
+         |    CROSS JOIN unf u) WHERE rn = 1),
+         |ac AS MATERIALIZED (SELECT cell,
+         |    CAST(count(*) AS BIGINT) AS assigned_survivors
+         |  FROM sfin GROUP BY cell)
+         |SELECT CAST(nn.cell AS BIGINT) AS cell, nn.n_full,
+         |  nn.n_full - nn.n_after AS n_takedown, nn.n_after,
+         |  CAST(list_sum([unf.v[i]*i FOR i IN range(1, 65)]) AS BIGINT)
+         |    AS c_weighted,
+         |  coalesce(ac.assigned_survivors, 0) AS assigned_survivors
+         |FROM nn JOIN unf USING (cell) LEFT JOIN ac USING (cell)"""
         .stripMargin
     },
 

@@ -306,6 +306,46 @@ object DataPipelineQueries extends Catalog {
         .withColumnRenamed("id", "doc_id")
     }),
 
+    // ---- frontier-only cluster fold against STORED labels ------------------
+    // q76 merges batch pairs into prior labels by re-converging the WHOLE
+    // |vertices|-sized star set; this is the fold-family posture applied
+    // to the graph tier (round-16): the base labeling persists in the
+    // content-keyed store (built once per corpus vintage, like every
+    // fitted model), and a batch folds in FRONTIER-ONLY — components with
+    // no batch endpoint ride a pass-through scan, the star rounds run
+    // over the affected neighborhood ∪ batch edges only. At daily-batch
+    // scale that is |touched clusters|, not |corpus| (measured
+    // fold-vs-merge-vs-refit at sf1, BENCH_SF1 round16_updates). Output
+    // adds the `touched` flag — the frontier itself is under the oracle
+    // hash, which re-derives base components, batch endpoints, touched
+    // roots, AND the final whole-graph closure from scratch.
+    "q187_cc_fold" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val incoming = docs.filter(col("doc_id") % 10 === 7)
+      val corpus = docs.filter(col("doc_id") % 10 =!= 7)
+      val shA = Dedup.wordShingles(incoming, "doc_id", "text", n = 3)
+      val shB = Dedup.wordShingles(corpus, "doc_id", "text", n = 3)
+      val stored = Tables.ensureMaterialized(s, "cc_labels",
+        Tables.contentKey(s"$d/documents.parquet", "j01df5base7"))(
+        graft.operators.ConnectedComponents.run(
+          Dedup.jaccardPairsFromShingles(shB, "doc_id",
+              minJaccard = 0.1, maxShingleDf = 5L)
+            .select(col("id_a"), col("id_b")),
+          "id_a", "id_b"))
+      val batchEdges = Dedup.crossJaccardPairs(shA, shB, "doc_id",
+          minJaccard = 0.1, maxShingleDf = 5L)
+        .select(col("id_a"), col("id_b"))
+        .unionByName(Dedup.jaccardPairsFromShingles(shA, "doc_id",
+            minJaccard = 0.1, maxShingleDf = 5L)
+          .select(col("id_a"), col("id_b")))
+      graft.operators.ConnectedComponents.fold(stored, "id", "component",
+          batchEdges, "id_a", "id_b")
+        .withColumn("cluster_size",
+          count(lit(1)).over(Window.partitionBy("component")))
+        .select(col("id").as("doc_id"), col("component"),
+          col("cluster_size"), col("touched").cast("long").as("touched"))
+    }),
+
     // ---- exact cosine top-k over embeddings (brute-force baseline) ---------
     "q25_knn_exact" -> ((s, d) => {
       val vecs = Tables.embeddingsWide(s, d)
@@ -1097,6 +1137,125 @@ object DataPipelineQueries extends Catalog {
           (col("dim") + 1).cast("long").as("dim"),
           col("e_base"), (col("e_total") - col("e_base")).as("e_batch"),
           col("e_total"))
+    }),
+
+    // ---- PQ retraction (unfold a takedown from stored codebook state) ------
+    // q183's deletion semantics for the PQ index (round-16): the
+    // retracted rows re-encode under the state's own codebooks (the
+    // model they were counted under at state build), their per-
+    // (subspace, codeword) subvector sums subtract out bit-for-bit —
+    // the survivors' state exactly, spec-pinned — and each codeword
+    // re-derives as one per-subspace Lloyd update over the survivors.
+    // Output per (subspace, codeword): the count ladder, the retracted
+    // codeword checksum, and the survivor re-encode census under it.
+    "q184_pq_retract" -> ((s, d) => {
+      val all = Tables.embeddings(s, d)
+      val takedown = all.filter(col("vec_id") % 10 === 9)
+      val survivors = all.filter(col("vec_id") % 10 =!= 9)
+      val state = Tables.ensureMaterialized(s, "pq_state_all",
+        Tables.contentKey(s"$d/embeddings.parquet", "m4kc8it2all"))(
+        Similarity.pqState(all, "vec_id", "embedding",
+          m = 4, kc = 8, iters = 2))
+      val unfolded = Similarity.pqUnfold(state, takedown, "vec_id",
+        "embedding")
+      val cbs = unfolded.select("subspace", "cell", "centroid").collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Long](2).toArray))
+        .toSeq
+      val census = Similarity.pqEncode(survivors, "vec_id", "embedding", cbs)
+        .select(posexplode(col("codes")).as(Seq("subspace", "cell")))
+        .groupBy("subspace", "cell")
+        .agg(count(lit(1)).as("encoded_survivors"))
+      unfolded.select(col("subspace"), col("cell"), col("n").as("n_after"),
+          expr("aggregate(zip_with(centroid, sequence(1, size(centroid)), " +
+            "(c, i) -> c * i), 0L, (a, x) -> a + x)").as("cw_weighted"))
+        .join(state.select(col("subspace"), col("cell"),
+          col("n").as("n_full")), Seq("subspace", "cell"))
+        .join(census, Seq("subspace", "cell"), "left")
+        .select(col("subspace").cast("long").as("subspace"),
+          col("cell").cast("long").as("cell"), col("n_full"),
+          (col("n_full") - col("n_after")).as("n_takedown"), col("n_after"),
+          col("cw_weighted"),
+          coalesce(col("encoded_survivors"), lit(0L))
+            .as("encoded_survivors"))
+    }),
+
+    // ---- IVF-PQ retraction (unfold in the frozen residual space) -----------
+    // the composite index's deletion half: the coarse layer is FROZEN
+    // (as in q178 — it never moved, so the retracted rows route and
+    // residualize exactly as they did at insert), and their residual
+    // sums subtract from the stored per-(subspace, codeword) state.
+    // Output contract as q184, over residual codebooks; the survivor
+    // census residual-encodes under the frozen coarse layer + the
+    // retracted codebooks.
+    "q185_ivfpq_retract" -> ((s, d) => {
+      val all = Tables.embeddings(s, d)
+      val takedown = all.filter(col("vec_id") % 10 === 9)
+      val survivors = all.filter(col("vec_id") % 10 =!= 9)
+      val km = Tables.ensureMaterialized(s, "ivfpq_coarse_all",
+        Tables.contentKey(s"$d/embeddings.parquet", "k8it2all"))(
+        Similarity.kmeansFit(all, "vec_id", "embedding", k = 8, iters = 2))
+      val state = Tables.ensureMaterialized(s, "ivfpq_state_all",
+        Tables.contentKey(s"$d/embeddings.parquet", "km8m4kc8it2all"))(
+        Similarity.ivfPqState(all, "vec_id", "embedding", km,
+          m = 4, kc = 8, iters = 2))
+      val unfolded = Similarity.ivfPqUnfold(state, takedown, "vec_id",
+        "embedding", km)
+      val cbs = unfolded.select("subspace", "cell", "centroid").collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Long](2).toArray))
+        .toSeq
+      val census = Similarity.ivfPqEncode(survivors, "vec_id", "embedding",
+          km, cbs)
+        .select(posexplode(col("codes")).as(Seq("subspace", "cell")))
+        .groupBy("subspace", "cell")
+        .agg(count(lit(1)).as("encoded_survivors"))
+      unfolded.select(col("subspace"), col("cell"), col("n").as("n_after"),
+          expr("aggregate(zip_with(centroid, sequence(1, size(centroid)), " +
+            "(c, i) -> c * i), 0L, (a, x) -> a + x)").as("cw_weighted"))
+        .join(state.select(col("subspace"), col("cell"),
+          col("n").as("n_full")), Seq("subspace", "cell"))
+        .join(census, Seq("subspace", "cell"), "left")
+        .select(col("subspace").cast("long").as("subspace"),
+          col("cell").cast("long").as("cell"), col("n_full"),
+          (col("n_full") - col("n_after")).as("n_takedown"), col("n_after"),
+          col("cw_weighted"),
+          coalesce(col("encoded_survivors"), lit(0L))
+            .as("encoded_survivors"))
+    }),
+
+    // ---- OPQ retraction (unfold the energy ranking) -------------------------
+    // q179's fold-equals-refit claim, inverted: per-dim second moments
+    // are associative sums, so the unfold is EXACTLY a refit on the
+    // survivors — the retracted permutation IS the from-scratch
+    // permutation on what remains (spec-pinned; the one retraction in
+    // the family with no drift story at all). Output per permuted
+    // position under the RETRACTED deal: the dealt dim, its full/
+    // takedown/after energies (the subtraction under the hash), and the
+    // receiving subspace.
+    "q186_opq_retract" -> ((s, d) => {
+      val spark = s
+      import spark.implicits._
+      val all = Tables.embeddings(s, d)
+      val takedown = all.filter(col("vec_id") % 10 === 9)
+      val state = Tables.ensureMaterialized(s, "opq_energy_all",
+        Tables.contentKey(s"$d/embeddings.parquet", "energyall"))(
+        Similarity.energyState(all, "vec_id", "embedding"))
+      val unfolded = Similarity.energyUnfold(state, takedown, "vec_id",
+        "embedding")
+      val m = 4
+      val perm = Similarity.permutationFromState(unfolded, m)
+      val sub = perm.length / m
+      val posRows = perm.zipWithIndex
+        .map { case (dim, p) => (p + 1L, (p / sub).toLong, dim) }
+        .toDF("pos", "subspace", "dim")
+      posRows
+        .join(state.select(col("dim"), col("energy").as("e_full")),
+          Seq("dim"))
+        .join(unfolded.select(col("dim"), col("energy").as("e_after")),
+          Seq("dim"))
+        .select(col("pos"), col("subspace"),
+          (col("dim") + 1).cast("long").as("dim"),
+          col("e_full"), (col("e_full") - col("e_after")).as("e_takedown"),
+          col("e_after"))
     }),
 
     // ---- anti-aliased WAV resample through the external-codec seam ---------
@@ -1897,6 +2056,94 @@ object DataPipelineQueries extends Catalog {
          |FROM comp""".stripMargin
     },
 
+    // q76's whole-graph closure PLUS an independent base-graph closure:
+    // the final labels come from the union closure (so the fold's two-path
+    // union must agree with a from-scratch run), and the touched flag is
+    // re-derived from first principles — a vertex is touched iff it is a
+    // batch-pair endpoint or its BASE component contains one
+    "q187_cc_fold" -> {
+      def frame(sfx: String, pred: String): String =
+        s"""w$sfx AS (SELECT doc_id, $wordsSql AS ws FROM documents
+           |          WHERE $pred),
+           |idx$sfx AS (SELECT doc_id, ws, unnest(range(len(ws)-2)) AS i
+           |            FROM w$sfx WHERE len(ws) >= 3),
+           |sh$sfx AS MATERIALIZED (SELECT DISTINCT doc_id,
+           |             array_to_string(ws[i+1:i+3], ' ') AS shingle
+           |           FROM idx$sfx),
+           |sizes$sfx AS MATERIALIZED (SELECT doc_id, count(*) AS n_sh FROM sh$sfx
+           |              GROUP BY 1),
+           |df$sfx AS MATERIALIZED (SELECT shingle, count(*) AS df FROM sh$sfx GROUP BY 1),
+           |gen$sfx AS MATERIALIZED (SELECT s.doc_id, s.shingle FROM sh$sfx s
+           |            JOIN df$sfx USING (shingle) WHERE df <= 5)""".stripMargin
+      def withinPairs(sfx: String): String =
+        s"""cand$sfx AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           |             FROM gen$sfx a JOIN gen$sfx b USING (shingle)
+           |             WHERE a.doc_id < b.doc_id),
+           |inter$sfx AS (SELECT id_a, id_b, count(*) AS inter FROM cand$sfx
+           |              JOIN sh$sfx sa ON sa.doc_id = id_a
+           |              JOIN sh$sfx sb ON sb.doc_id = id_b
+           |                AND sb.shingle = sa.shingle
+           |              GROUP BY 1, 2),
+           |pairs$sfx AS MATERIALIZED (SELECT id_a, id_b FROM inter$sfx
+           |              JOIN sizes$sfx na ON id_a = na.doc_id
+           |              JOIN sizes$sfx nb ON id_b = nb.doc_id
+           |              WHERE CAST(inter AS DOUBLE)
+           |                /(na.n_sh + nb.n_sh - inter) >= 0.1)""".stripMargin
+      s"""WITH RECURSIVE ${frame("a", "doc_id % 10 = 7")},
+         |${frame("b", "doc_id % 10 <> 7")},
+         |${withinPairs("a")},
+         |${withinPairs("b")},
+         |genab AS (SELECT s.doc_id, s.shingle FROM sha s
+         |          JOIN dfb USING (shingle) WHERE df <= 5),
+         |candc AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |          FROM genab a JOIN genb b USING (shingle)),
+         |interc AS (SELECT id_a, id_b, count(*) AS inter FROM candc
+         |           JOIN sha sa ON sa.doc_id = id_a
+         |           JOIN shb sb ON sb.doc_id = id_b
+         |             AND sb.shingle = sa.shingle
+         |           GROUP BY 1, 2),
+         |pairsc AS MATERIALIZED (SELECT id_a, id_b FROM interc
+         |           JOIN sizesa na ON id_a = na.doc_id
+         |           JOIN sizesb nb ON id_b = nb.doc_id
+         |           WHERE CAST(inter AS DOUBLE)
+         |             /(na.n_sh + nb.n_sh - inter) >= 0.1),
+         |alledges AS (SELECT id_a AS u, id_b AS v FROM pairsa
+         |             UNION SELECT id_a, id_b FROM pairsb
+         |             UNION SELECT id_a, id_b FROM pairsc),
+         |edges AS MATERIALIZED (SELECT u, v FROM alledges UNION SELECT v, u FROM alledges),
+         |verts AS (SELECT DISTINCT u AS id FROM edges),
+         |reach(id, r) AS (
+         |  SELECT id, id FROM verts
+         |  UNION
+         |  SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.id),
+         |comp AS MATERIALIZED (SELECT id, min(r) AS component
+         |  FROM reach GROUP BY 1),
+         |bedges AS MATERIALIZED (SELECT id_a AS u, id_b AS v FROM pairsb
+         |          UNION SELECT id_b, id_a FROM pairsb),
+         |bverts AS (SELECT DISTINCT u AS id FROM bedges),
+         |breach(id, r) AS (
+         |  SELECT id, id FROM bverts
+         |  UNION
+         |  SELECT e.u, breach.r FROM bedges e JOIN breach ON e.v = breach.id),
+         |bcomp AS MATERIALIZED (SELECT id, min(r) AS component
+         |  FROM breach GROUP BY 1),
+         |bends AS MATERIALIZED (SELECT DISTINCT id FROM (
+         |  SELECT id_a AS id FROM pairsa UNION SELECT id_b FROM pairsa
+         |  UNION SELECT id_a FROM pairsc UNION SELECT id_b FROM pairsc)),
+         |troots AS MATERIALIZED (SELECT DISTINCT bc.component
+         |  FROM bcomp bc JOIN bends ON bc.id = bends.id)
+         |SELECT c.id AS doc_id, c.component,
+         |  CAST(count(*) OVER (PARTITION BY c.component) AS BIGINT)
+         |    AS cluster_size,
+         |  CAST(CASE WHEN be.id IS NOT NULL THEN 1
+         |    WHEN tr.component IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+         |    AS touched
+         |FROM comp c
+         |LEFT JOIN bends be ON be.id = c.id
+         |LEFT JOIN bcomp bc ON bc.id = c.id
+         |LEFT JOIN troots tr ON tr.component = bc.component""".stripMargin
+    },
+
     // portable SimHash oracle: FNV-1a token hashes -> 64 sign-sums -> unsigned
     // fingerprint -> 4x16-bit chunk pigeonhole join -> hamming <= 3
     "q27_simhash_near_dups" -> {
@@ -2427,6 +2674,163 @@ object DataPipelineQueries extends Catalog {
          |    AS pos,
          |  CAST((r-1) % $m AS BIGINT) AS subspace,
          |  CAST(i AS BIGINT) AS dim, e_base, e_batch, e_total
+         |FROM rk""".stripMargin
+    },
+
+    // the full-corpus PQ chain, survivors' per-(j, cell) counts and sums
+    // read off the same codes (the takedown encoded under the same
+    // codebooks, so the subtraction IS the survivor slice), the per-
+    // subspace re-derive, and the survivor re-encode census — all from
+    // scratch, the stored state never seen
+    "q184_pq_retract" -> {
+      val (m, kc, iters, sub) = (4, 8, 2, 16)
+      def dot(a: String, b: String) = Similarity.dotLongSqlText(a, b)
+      val zeros = s"[CAST(0 AS HUGEINT) FOR i IN range(1, ${sub + 1})]"
+      s"""WITH qv AS MATERIALIZED (SELECT vec_id,
+         |  [CAST(floor(CAST(embedding[i] AS DOUBLE)*1000000.0 + 0.5)
+         |     AS BIGINT) FOR i IN range(1, len(embedding)+1)] AS v
+         |  FROM embeddings),
+         |jj AS (SELECT unnest(range($m)) AS j),
+         |${PqSql.chain("", "qv", m, kc, iters, sub)},
+         |an AS MATERIALIZED (SELECT j, cell,
+         |    CAST(count(*) AS BIGINT) AS n_full
+         |  FROM codes GROUP BY 1, 2),
+         |wn AS MATERIALIZED (SELECT j, cell,
+         |    CAST(count(*) AS BIGINT) AS n_after
+         |  FROM codes WHERE vec_id % 10 != 9 GROUP BY 1, 2),
+         |ws AS MATERIALIZED (SELECT j, cell,
+         |    [CAST(list_sum([v[i] FOR v IN vs]) AS HUGEINT)
+         |     FOR i IN range(1, ${sub + 1})] AS s
+         |  FROM (SELECT co.j, co.cell, list(s.sv) AS vs
+         |        FROM codes co JOIN sv s
+         |          ON s.vec_id = co.vec_id AND s.j = co.j
+         |        WHERE co.vec_id % 10 != 9
+         |        GROUP BY co.j, co.cell) t),
+         |nn AS MATERIALIZED (SELECT c.j, c.cell,
+         |    coalesce(an.n_full, 0) AS n_full,
+         |    coalesce(wn.n_after, 0) AS n_after
+         |  FROM cb$iters c LEFT JOIN an USING (j, cell)
+         |  LEFT JOIN wn USING (j, cell)),
+         |fi AS MATERIALIZED (SELECT c.j, c.cell, nn.n_after, c.v AS cv,
+         |    coalesce(ws.s, $zeros) AS ss
+         |  FROM cb$iters c JOIN nn ON nn.j = c.j AND nn.cell = c.cell
+         |  LEFT JOIN ws ON ws.j = c.j AND ws.cell = c.cell),
+         |unf AS MATERIALIZED (SELECT j, cell,
+         |    CASE WHEN n_after = 0 THEN cv
+         |      ELSE [CAST(CASE WHEN ss[i] < 0 THEN -1 ELSE 1 END
+         |              * (abs(ss[i]) // n_after) AS BIGINT)
+         |            FOR i IN range(1, ${sub + 1})]
+         |    END AS v
+         |  FROM fi),
+         |scodes AS MATERIALIZED (SELECT vec_id, j, cell FROM (
+         |    SELECT s.vec_id, s.j, u.cell,
+         |      row_number() OVER (PARTITION BY s.vec_id, s.j
+         |        ORDER BY 2*${dot("s.sv", "u.v")} - ${dot("u.v", "u.v")}
+         |          DESC, u.cell) AS rn
+         |    FROM (SELECT * FROM sv WHERE vec_id % 10 != 9) s
+         |    JOIN unf u ON s.j = u.j) WHERE rn = 1),
+         |ac AS MATERIALIZED (SELECT j, cell,
+         |    CAST(count(*) AS BIGINT) AS encoded_survivors
+         |  FROM scodes GROUP BY 1, 2)
+         |SELECT CAST(nn.j AS BIGINT) AS subspace,
+         |  CAST(nn.cell AS BIGINT) AS cell, nn.n_full,
+         |  nn.n_full - nn.n_after AS n_takedown, nn.n_after,
+         |  CAST(list_sum([unf.v[i]*i FOR i IN range(1, ${sub + 1})])
+         |    AS BIGINT) AS cw_weighted,
+         |  coalesce(ac.encoded_survivors, 0) AS encoded_survivors
+         |FROM nn JOIN unf ON unf.j = nn.j AND unf.cell = nn.cell
+         |LEFT JOIN ac ON ac.j = nn.j AND ac.cell = nn.cell""".stripMargin
+    },
+
+    // q184's retraction over RESIDUALS: coarse fit on the full corpus,
+    // residuals, the shared PqSql chain over them, survivor filters off
+    // the same codes, and the survivor residual re-encode under the
+    // frozen coarse layer + retracted codebooks
+    "q185_ivfpq_retract" -> {
+      val (m, kc, iters, sub) = (4, 8, 2, 16)
+      def dot(a: String, b: String) = Similarity.dotLongSqlText(a, b)
+      val zeros = s"[CAST(0 AS HUGEINT) FOR i IN range(1, ${sub + 1})]"
+      s"""WITH ${KmeansSql.kmeansCtes("8", 2, 64, "embeddings")},
+         |${KmeansSql.finAssignCte(2)},
+         |rv AS MATERIALIZED (SELECT q.vec_id,
+         |    [q.v[i] - c.v[i] FOR i IN range(1, len(q.v)+1)] AS v
+         |  FROM qv q JOIN fin f ON q.vec_id = f.vec_id
+         |  JOIN c2 c ON f.cell = c.cell),
+         |jj AS (SELECT unnest(range($m)) AS j),
+         |${PqSql.chain("", "rv", m, kc, iters, sub)},
+         |an AS MATERIALIZED (SELECT j, cell,
+         |    CAST(count(*) AS BIGINT) AS n_full
+         |  FROM codes GROUP BY 1, 2),
+         |wn AS MATERIALIZED (SELECT j, cell,
+         |    CAST(count(*) AS BIGINT) AS n_after
+         |  FROM codes WHERE vec_id % 10 != 9 GROUP BY 1, 2),
+         |ws AS MATERIALIZED (SELECT j, cell,
+         |    [CAST(list_sum([v[i] FOR v IN vs]) AS HUGEINT)
+         |     FOR i IN range(1, ${sub + 1})] AS s
+         |  FROM (SELECT co.j, co.cell, list(s.sv) AS vs
+         |        FROM codes co JOIN sv s
+         |          ON s.vec_id = co.vec_id AND s.j = co.j
+         |        WHERE co.vec_id % 10 != 9
+         |        GROUP BY co.j, co.cell) t),
+         |nn AS MATERIALIZED (SELECT c.j, c.cell,
+         |    coalesce(an.n_full, 0) AS n_full,
+         |    coalesce(wn.n_after, 0) AS n_after
+         |  FROM cb$iters c LEFT JOIN an USING (j, cell)
+         |  LEFT JOIN wn USING (j, cell)),
+         |fi AS MATERIALIZED (SELECT c.j, c.cell, nn.n_after, c.v AS cv,
+         |    coalesce(ws.s, $zeros) AS ss
+         |  FROM cb$iters c JOIN nn ON nn.j = c.j AND nn.cell = c.cell
+         |  LEFT JOIN ws ON ws.j = c.j AND ws.cell = c.cell),
+         |unf AS MATERIALIZED (SELECT j, cell,
+         |    CASE WHEN n_after = 0 THEN cv
+         |      ELSE [CAST(CASE WHEN ss[i] < 0 THEN -1 ELSE 1 END
+         |              * (abs(ss[i]) // n_after) AS BIGINT)
+         |            FOR i IN range(1, ${sub + 1})]
+         |    END AS v
+         |  FROM fi),
+         |scodes AS MATERIALIZED (SELECT vec_id, j, cell FROM (
+         |    SELECT s.vec_id, s.j, u.cell,
+         |      row_number() OVER (PARTITION BY s.vec_id, s.j
+         |        ORDER BY 2*${dot("s.sv", "u.v")} - ${dot("u.v", "u.v")}
+         |          DESC, u.cell) AS rn
+         |    FROM (SELECT * FROM sv WHERE vec_id % 10 != 9) s
+         |    JOIN unf u ON s.j = u.j) WHERE rn = 1),
+         |ac AS MATERIALIZED (SELECT j, cell,
+         |    CAST(count(*) AS BIGINT) AS encoded_survivors
+         |  FROM scodes GROUP BY 1, 2)
+         |SELECT CAST(nn.j AS BIGINT) AS subspace,
+         |  CAST(nn.cell AS BIGINT) AS cell, nn.n_full,
+         |  nn.n_full - nn.n_after AS n_takedown, nn.n_after,
+         |  CAST(list_sum([unf.v[i]*i FOR i IN range(1, ${sub + 1})])
+         |    AS BIGINT) AS cw_weighted,
+         |  coalesce(ac.encoded_survivors, 0) AS encoded_survivors
+         |FROM nn JOIN unf ON unf.j = nn.j AND unf.cell = nn.cell
+         |LEFT JOIN ac ON ac.j = nn.j AND ac.cell = nn.cell""".stripMargin
+    },
+
+    // per-dim full/takedown second moments from scratch, subtracted,
+    // ranked by what REMAINS, and dealt — the unfold-equals-refit-on-
+    // the-difference claim under the hash
+    "q186_opq_retract" -> {
+      val (m, sub, dims) = (4, 16, 64)
+      s"""WITH qv AS MATERIALIZED (SELECT vec_id,
+         |  [CAST(floor(CAST(embedding[i] AS DOUBLE)*1000000.0 + 0.5)
+         |     AS BIGINT) FOR i IN range(1, len(embedding)+1)] AS v
+         |  FROM embeddings),
+         |en AS MATERIALIZED (SELECT i,
+         |    CAST(sum(v[i]*v[i]) AS BIGINT) AS e_full,
+         |    CAST(sum(CASE WHEN vec_id % 10 = 9 THEN v[i]*v[i]
+         |      ELSE 0 END) AS BIGINT) AS e_takedown
+         |  FROM qv CROSS JOIN (SELECT unnest(range(1, ${dims + 1})) AS i) ii
+         |  GROUP BY i),
+         |rk AS (SELECT i, e_full, e_takedown,
+         |    e_full - e_takedown AS e_after,
+         |    row_number() OVER (ORDER BY e_full - e_takedown DESC, i) AS r
+         |  FROM en)
+         |SELECT CAST(((r-1) % $m) * $sub + ((r-1) // $m) + 1 AS BIGINT)
+         |    AS pos,
+         |  CAST((r-1) % $m AS BIGINT) AS subspace,
+         |  CAST(i AS BIGINT) AS dim, e_full, e_takedown, e_after
          |FROM rk""".stripMargin
     },
 

@@ -103,6 +103,34 @@ object FoldDriftProbe {
     println(s"""{"probe":"fold_drift","sf":"$sfDir","k":$k,"iters":$iters,"rows":$n}""")
     val (sfChurn, sfRand) = agree(singleFoldA, refitA)
     println(s"""{"compare":"single_fold_vs_refit","churn_bestmatch_permille":$sfChurn,"rand_permille":$sfRand}""")
+
+    // UNFOLD churn (round-16): retract the 10% slice from a state built
+    // on the FULL corpus (the takedown case — subtraction is exact, so
+    // this measures only the one-Lloyd-update-vs-fresh-refit gap on the
+    // survivors, the same seed-lottery axis as the fold rows above)
+    val stateAll = Similarity.kmeansState(all, "vec_id", "embedding",
+      k = k, iters = iters)
+    val unfolded = Similarity.kmeansUnfold(stateAll, batchAll,
+      "vec_id", "embedding")
+    val refitSurv = Similarity.kmeansFit(base, "vec_id", "embedding",
+      k = k, iters = iters)
+    def survAssignments(cent: DataFrame): Map[Long, Int] =
+      Similarity.kmeansAssign(base, "vec_id", "embedding", cent)
+        .select(col("vec_id"), col("cell"))
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val ua = survAssignments(unfolded.select(col("cell"), col("centroid")))
+    val ra = survAssignments(refitSurv)
+    val nSurv = ra.size
+    require(nSurv > 0, s"no survivor embeddings under $sfDir")
+    val contU = ua.keysIterator.map(id => (ua(id), ra(id))).toSeq
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    var usedA = Set.empty[Int]; var usedB = Set.empty[Int]; var m = 0L
+    contU.toSeq.sortBy(-_._2).foreach { case ((ca, cb), c) =>
+      if (!usedA.contains(ca) && !usedB.contains(cb)) {
+        usedA += ca; usedB += cb; m += c
+      }
+    }
+    println(s"""{"compare":"unfold_vs_refit_on_survivors","churn_bestmatch_permille":${1000L - m * 1000L / nSurv},"survivors":$nSurv}""")
     batchCounts.foreach { nb =>
       var st = state0
       (0 until nb).foreach { i =>

@@ -220,6 +220,30 @@ class ConnectedComponentsSpec extends AnyFunSuite with SparkTestBase {
     assert(merged(100L) === 100L && merged(101L) === 100L)
   }
 
+  test("fold == from-scratch run, and only touched components re-derive") {
+    // the frontier contract (round-16): fold(run(E1), E2) equals
+    // run(E1 ∪ E2) on labels, AND the untouched component (30,31) rides
+    // the pass-through path — touched = 0 — while extended, bridged, and
+    // brand-new vertices all carry touched = 1
+    val e1 = Seq((1L, 2L), (2L, 3L), (3L, 4L), (20L, 21L), (30L, 31L))
+    val e2 = Seq((8L, 9L), (4L, 20L), (9L, 1L), (100L, 101L))
+    val prior = ConnectedComponents.run(e1.toDF("a", "b"), "a", "b")
+    val folded = ConnectedComponents
+      .fold(prior, "id", "component", e2.toDF("a", "b"), "a", "b")
+      .as[(Long, Long, Int)].collect()
+    val scratch = ConnectedComponents
+      .run((e1 ++ e2).toDF("a", "b"), "a", "b")
+      .as[(Long, Long)].collect().toMap
+    assert(folded.map(r => r._1 -> r._2).toMap === scratch)
+    val touched = folded.map(r => r._1 -> r._3).toMap
+    assert(touched(30L) === 0 && touched(31L) === 0) // pass-through
+    assert(touched(1L) === 1 && touched(21L) === 1)  // affected components
+    assert(touched(9L) === 1 && touched(100L) === 1) // batch-new vertices
+    // exactly one row per vertex — the untouched/affected split is a
+    // partition, not an overlap
+    assert(folded.map(_._1).distinct.length === folded.length)
+  }
+
   test("star fixpoint handles merged clusters and preserves singletons") {
     // two chains bridged by one edge + a self-loop singleton + an isolated
     // pair — exercises re-rooting across the bridge and the left-join that

@@ -66,6 +66,7 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
                                  // (broadcast side = the k fitted coarse
                                  // centroids) in the residual prep of
                                  // state, fold, and census
+      "q185_ivfpq_retract",      // q178's residual prep, retraction side
       "q148_recommendations_grid") // auto tier (r13): below the stats
                                    // crossover this IS q49's reference
                                    // broadcast nearest-city shape
@@ -247,7 +248,23 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
       "q181_embedding_drift" -> Instrument.Counts(7, 7),
       // q182 warm-store (round-15): q176's shape with a second fold —
       // state scan + two folds' batch cell-sum collects + the census
-      "q182_kmeans_fold_chain" -> Instrument.Counts(12, 12))
+      "q182_kmeans_fold_chain" -> Instrument.Counts(12, 12),
+      // round-16 retraction faces (warm-store): same collect anatomy as
+      // their fold twins — state scan + the unfold's batch cell-sum
+      // collect + the survivor census
+      "q183_kmeans_retract" -> Instrument.Counts(9, 9),
+      "q184_pq_retract" -> Instrument.Counts(9, 9),
+      "q185_ivfpq_retract" -> Instrument.Counts(19, 19),
+      "q186_opq_retract" -> Instrument.Counts(12, 12),
+      // q187 warm-store (round-16): the batch-edge DERIVATION (within-A +
+      // A×B cross jaccard chains — shingle/df/candidate/intersection, the
+      // same pair pipeline q76 pays) is the job count; the fold itself is
+      // the small remainder — endpoint semi-joins + star rounds over the
+      // affected neighborhood (1 round here) + the pass-through union.
+      // q76's merge path measures 77 on the same corpus: the fold's
+      // saving at this SF is the skipped whole-graph star re-convergence,
+      // and it grows with |untouched| at scale
+      "q187_cc_fold" -> Instrument.Counts(71, 71))
     // coPurchaseEdges and the fitted-model stores (BPE merges, k-means
     // centroids, PQ/OPQ codebooks) are content-key-materialized (round
     // 13): the first execution against a fresh scratch dir pays the
@@ -263,7 +280,9 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
         "q176_kmeans_incremental", "q177_pq_incremental",
         "q178_ivfpq_incremental", "q179_opq_incremental",
         "q180_vocab_drift", "q181_embedding_drift",
-        "q182_kmeans_fold_chain")) { // model stores
+        "q182_kmeans_fold_chain", "q183_kmeans_retract",
+        "q184_pq_retract", "q185_ivfpq_retract",
+        "q186_opq_retract", "q187_cc_fold")) { // model stores
       spark.catalog.clearCache()
       graft.ext.Caches.releaseAll()
       SparkEntry.queries(warm)(spark, sfDir)
