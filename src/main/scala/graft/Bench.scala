@@ -12,6 +12,160 @@ import org.apache.spark.sql.SparkSession
   * broken query surfaces as an error rather than a fast timing.
   */
 object Bench {
+
+  /** Epoch-calibration probe (round-16): a FIXED synthetic workload —
+    * pinned CPU-bound projection (two chained xxhash64 passes over a
+    * deterministic range) plus exactly one small shuffle (1024-group
+    * rollup) — run untimed-then-timed at bench start and timed again at
+    * bench end, never part of the catalog. Its wall is a pure function of
+    * the machine epoch (effective per-core throughput + shuffle latency),
+    * so `cal_start`/`cal_end` in the tail line let a reader NORMALIZE two
+    * rounds' walls measured under different ambient load: carried-147
+    * driver ratios tracked `load_avg_end` (1.30× loaded vs 0.74× clean,
+    * same build, round 15) — dividing each run's walls by its own cal
+    * median removes exactly that axis. A large start→end spread within
+    * one run flags an epoch that CHANGED mid-bench (walls then aren't
+    * comparable even within the run). Sized ~1 s on an idle 32-thread
+    * box; partitions ride SPARK_GRAFT_CPUS so the probe saturates the
+    * same slots the catalog does.
+    */
+  def calibrationWall(spark: SparkSession, cpus: Int): Double = {
+    val t0 = System.nanoTime()
+    spark.range(0L, 128L * 1000 * 1000, 1L, cpus)
+      .selectExpr("xxhash64(id) AS h1")
+      // h2 % 1e6 keeps the per-group sum far under Long.MaxValue — ANSI
+      // mode (Spark 4 default) faults a raw sum of 64-bit hashes
+      .selectExpr("h1 % 1024 AS k", "xxhash64(h1) % 1000000 AS h2")
+      .groupBy("k")
+      .agg(org.apache.spark.sql.functions.sum("h2"))
+      .write.format("noop").mode("overwrite").save()
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  /** Median of three timed probe runs (the probe is ~1 s; three runs
+    * tolerate one scheduler hiccup without moving the recorded value). */
+  def calibrationMedian(spark: SparkSession, cpus: Int): Double = {
+    val ts = (1 to 3).map(_ => calibrationWall(spark, cpus)).sorted
+    ts(1)
+  }
+
+  def r3(v: Double): String =
+    if (v < 0) "-1" else BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+  // 2-decimal, trailing-zeros-stripped ("0.50"→"0.5"): at 66 queries the
+  // line must stay well under the ~2000-char tail window MINUS sbt's
+  // trailing "[success] ..." line
+  def r2(v: Double): String =
+    if (v < 0) "-1"
+    else {
+      val bd = BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+      if (bd.signum == 0) "0" else bd.underlying.stripTrailingZeros.toPlainString
+    }
+  def r1(v: Double): String =
+    if (v < 0) "-1"
+    else {
+      val bd = BigDecimal(v).setScale(1, BigDecimal.RoundingMode.HALF_UP)
+      if (bd.signum == 0) "0" else bd.underlying.stripTrailingZeros.toPlainString
+    }
+  // integer deciseconds ("4.53"→"45", "0.52"→"5"): the round-16 ladder
+  // step — same 0.1 s resolution as r1 with the decimal point and the
+  // "0." prefix gone (~2 chars/query on a mostly-sub-second catalog)
+  def rDs(v: Double): String =
+    if (v < 0) "-1" else math.round(v * 10).toString
+
+  /** The driver-tail JSON line, extracted from main so the char budget is
+    * SPEC-PINNED at simulated future catalog sizes instead of discovered
+    * the round a step bursts (BenchLineSpec pins 200 queries inside the
+    * window). The driver parses the last ~2000 chars of stdout; each
+    * ladder step trades per-query detail for fit, and the last (totals +
+    * provenance only, per-query walls delegated to BENCH_PLANSHAPE.json,
+    * which the driver also reads) always fits:
+    *   1. 2-decimal walls, short keys ("q24")
+    *   2. 1-decimal walls, short keys
+    *   3. 1-decimal walls, bare keys ("24")
+    *   4. integer-DECISECOND walls, bare keys, map renamed "q_ds" so the
+    *      unit is self-describing (round-16; same 0.1 s resolution as
+    *      step 3, ~2 chars/query shorter)
+    *   5. totals + provenance only
+    * Provenance fields ride every step: cpu_total, store_cold_builds,
+    * load_avg_end, and the round-16 epoch-calibration walls
+    * cal_start/cal_end (see [[calibrationWall]]; BASELINE.md documents
+    * the normalization).
+    */
+  def tailLine(entries: Seq[(String, Double)], total: Double,
+               cpuTotal: Double, failed: Seq[String], coldBuilds: Int,
+               loadAvg: Double, calStart: Double, calEnd: Double,
+               sfName: String, budget: Int = 1980,
+               note: String => Unit = System.err.println): String = {
+    val errs = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val shortKeys = entries.map { case (k, _) => k.takeWhile(_ != '_') }
+    val keys =
+      if (shortKeys.distinct.size == entries.size) shortKeys
+      else entries.map(_._1)
+    val bareKeys = keys.map(_.stripPrefix("q"))
+    val bareOk = bareKeys.distinct.size == entries.size
+    def mkLine(fmt: Double => String, withQueries: Boolean,
+               keySet: Seq[String] = keys,
+               queriesField: String = "queries"): String = {
+      val qs =
+        if (withQueries)
+          keySet.zip(entries).map { case (k, (_, v)) =>
+            "\"" + k + "\":" + fmt(v)
+          }.mkString("{", ",", "}")
+        else "{}"
+      // empty errors array is dead weight on a tight budget — omit it
+      val errField = if (failed.isEmpty) "" else s""","errors":$errs"""
+      // load + store provenance IN the tail line (round-15, verdict item
+      // 8) + the round-16 calibration walls: the driver's BENCH_r{N}.json
+      // self-describes its epoch — cold_builds > 0 means one-off store
+      // derivations were paid, load_avg_end is the ambient 1-min load at
+      // finish, cal_start/cal_end are the fixed synthetic probe's walls
+      // bracketing the catalog (normalize cross-round walls by dividing
+      // each run's by its own cal median; a big start→end spread flags a
+      // mid-run epoch change).
+      val prov = {
+        val load = if (loadAvg >= 0) s""","load_avg_end":${r1(loadAvg)}""" else ""
+        val cal =
+          if (calStart >= 0 && calEnd >= 0)
+            s""","cal_start":${r2(calStart)},"cal_end":${r2(calEnd)}"""
+          else ""
+        s""","store_cold_builds":$coldBuilds$load$cal"""
+      }
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","cpu_total":${r1(cpuTotal)}$prov,"$queriesField":$qs$errField,"sf":"$sfName"}"""
+    }
+    val l2 = mkLine(r2, withQueries = true)
+    if (l2.length <= budget) l2
+    else {
+      val l1 = mkLine(r1, withQueries = true)
+      if (l1.length <= budget) l1
+      else {
+        val lb = if (bareOk) mkLine(r1, withQueries = true, keySet = bareKeys)
+                 else l1
+        if (lb.length <= budget) {
+          note("[bench] tail line keys compressed to bare numbers " +
+            "(\"178\" = q178) to fit the window")
+          lb
+        } else {
+          val lds =
+            if (bareOk)
+              mkLine(rDs, withQueries = true, keySet = bareKeys,
+                queriesField = "q_ds")
+            else lb
+          if (lds.length <= budget) {
+            note("[bench] tail line walls compressed to integer " +
+              "deciseconds (\"q_ds\") to fit the window")
+            lds
+          } else {
+            note(s"[bench] tail line over budget even in deciseconds " +
+              s"with bare keys (${lds.length} chars); dropping the " +
+              s"per-query map — read bench_full.json / " +
+              s"BENCH_PLANSHAPE.json for per-query timings")
+            mkLine(r1, withQueries = false)
+          }
+        }
+      }
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -43,6 +197,13 @@ object Bench {
         .groupBy("r_regionkey").count()
         .write.format("noop").mode("overwrite").save()
     } catch { case _: Throwable => () }
+    // epoch calibration, start side: one untimed run compiles the probe's
+    // codegen so both recorded values are steady-state and comparable
+    val calStart = try {
+      calibrationWall(spark, cpus.toInt)
+      calibrationMedian(spark, cpus.toInt)
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] calibration probe failed: $e"); -1.0 }
     // load-insensitive cost accounting: task CPU time per query, summed by
     // a single long-lived listener; per-run deltas are attributable
     // because queries run strictly sequentially (round-7 lesson: q49 wall
@@ -119,29 +280,17 @@ object Bench {
         else samples.map(_._2).sorted.apply(samples.size / 2)
       (name, median, cpuMedian, times, shape)
     }
+    // epoch calibration, end side: same probe, codegen already warm from
+    // the start side — start/end bracket the whole catalog run
+    val calEnd = try calibrationMedian(spark, cpus.toInt)
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] calibration probe failed: $e"); -1.0 }
     // The driver parses ONE JSON line from the tail (last ~2000 chars) of the
     // process output. Keep that line compact (3-decimal medians, no raw runs)
     // and print it LAST — after spark.stop() — so no late WARN can push it
     // out of the tail window. r04's line carried full-precision doubles plus
     // all raw runs (~7 KB): its head fell outside the window and the round's
     // bench was recorded as "parsed": null.
-    def r3(v: Double): String =
-      if (v < 0) "-1" else BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
-    // 2-decimal, trailing-zeros-stripped (\"0.50\"→\"0.5\"): at 66 queries the
-    // line must stay well under the ~2000-char tail window MINUS sbt's
-    // trailing \"[success] ...\" line
-    def r2(v: Double): String =
-      if (v < 0) "-1"
-      else {
-        val bd = BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP)
-        if (bd.signum == 0) "0" else bd.underlying.stripTrailingZeros.toPlainString
-      }
-    def r1(v: Double): String =
-      if (v < 0) "-1"
-      else {
-        val bd = BigDecimal(v).setScale(1, BigDecimal.RoundingMode.HALF_UP)
-        if (bd.signum == 0) "0" else bd.underlying.stripTrailingZeros.toPlainString
-      }
     val raw = results.map { case (k, _, _, ts, _) =>
       s"\"" + k + "\":" + ts.map(r3).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
@@ -162,7 +311,7 @@ object Bench {
         "\"" + k + "\":{\"median\":" + r3(v) + ",\"cpu\":" + r3(cpuV) +
           ",\"runs\":" + ts.map(r3).mkString("[", ",", "]") + sh + "}"
       }.mkString("{", ",", "}")
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","cpu_total":${r3(cpuTotal)},"queries":$qs,"errors":$errs,"runs_per_query":$runs,"agg":"median","sf":"$sfName"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","cpu_total":${r3(cpuTotal)},"cal_start":${r3(calStart)},"cal_end":${r3(calEnd)},"queries":$qs,"errors":$errs,"runs_per_query":$runs,"agg":"median","sf":"$sfName"}"""
     }
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json")
     try {
@@ -203,7 +352,8 @@ object Bench {
             .getOperatingSystemMXBean.getSystemLoadAverage
           if (l >= 0) s""","load_avg_end":${r1(l)}""" else ""
         }
-        s"""{"cpu_total":${r2(cpuTotal)},"queries":$qs,"runs_per_query":$runs,"agg":"median","sf":"$sfName"$store$load}"""
+        val cal = s""","cal_start":${r2(calStart)},"cal_end":${r2(calEnd)}"""
+        s"""{"cpu_total":${r2(cpuTotal)},"queries":$qs,"runs_per_query":$runs,"agg":"median","sf":"$sfName"$store$load$cal}"""
       }
       try {
         java.nio.file.Files.write(
@@ -214,79 +364,18 @@ object Bench {
         System.err.println(s"[bench] could not write BENCH_PLANSHAPE.json: $e")
       }
     }
-    // tail-line keys are the catalog names truncated at the first '_'
-    // ("q24_grid_nearest" -> "q24"): ~11 chars/query instead of ~27 keeps
-    // 150+ queries at 2 decimals inside the ~2000-char tail capture, where
-    // full names overflowed at 74. Full names live in bench_full.json and
-    // the [bench-runs] stderr line. If truncation ever collides, fall back
-    // to full names rather than silently merging two queries' timings.
-    val shortKeys =
-      results.map { case (k, _, _, _, _) => k.takeWhile(_ != '_') }
-    val keys =
-      if (shortKeys.distinct.size == results.size) shortKeys
-      else results.map(_._1)
-    // last-resort key compression before dropping the map entirely: strip
-    // the uniform "q" prefix ("q178" -> "178") — 181 queries no longer fit
-    // the tail window even at 1 decimal with full short keys (measured
-    // 2012 chars vs the 1980 budget; stripped: 1831)
-    val bareKeys = keys.map(_.stripPrefix("q"))
-    def mkLine(fmt: Double => String, withQueries: Boolean,
-               keySet: Seq[String] = keys): String = {
-      val qs =
-        if (withQueries)
-          keySet.zip(results).map { case (k, (_, v, _, _, _)) =>
-            "\"" + k + "\":" + fmt(v)
-          }.mkString("{", ",", "}")
-        else "{}"
-      // empty errors array is dead weight on a tight budget — omit it
-      val errField = if (failed.isEmpty) "" else s""","errors":$errs"""
-      // load + store provenance IN the tail line (round-15, verdict item
-      // 8): the driver's BENCH_r{N}.json now self-describes its epoch —
-      // cold_builds > 0 means one-off store derivations were paid,
-      // load_avg_end is the ambient 1-min load at finish. ~45 chars
-      // buys never again cross-referencing a loaded epoch by hand.
-      val prov = {
-        val l = java.lang.management.ManagementFactory
-          .getOperatingSystemMXBean.getSystemLoadAverage
-        val load = if (l >= 0) s""","load_avg_end":${r1(l)}""" else ""
-        s""","store_cold_builds":${
-          graft.sources.Tables.storeColdBuilds.get}$load"""
-      }
-      // cpu_total: one scalar buys the load-insensitive round comparator
-      // on the driver's record without per-query line budget
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","cpu_total":${r1(cpuTotal)}$prov,"queries":$qs$errField,"sf":"$sfName"}"""
-    }
     // degradation ladder — the line must fit a ~2000-char tail capture or
     // the round records "parsed": null. Nothing prints after this line
-    // (build.sbt sets showSuccess := false). Each step trades detail for
-    // fit; the last (totals + errors only) always fits, so a growing
-    // catalog can coarsen the tail metric but never un-parse it.
-    val line = {
-      val l2 = mkLine(r2, withQueries = true)
-      if (l2.length <= 1980) l2
-      else {
-        val l1 = mkLine(r1, withQueries = true)
-        if (l1.length <= 1980) l1
-        else {
-          val lb =
-            if (bareKeys.distinct.size == results.size)
-              mkLine(r1, withQueries = true, keySet = bareKeys)
-            else l1
-          if (lb.length <= 1980) {
-            System.err.println(
-              "[bench] tail line keys compressed to bare numbers " +
-                "(\"178\" = q178) to fit the window")
-            lb
-          } else {
-            System.err.println(
-              s"[bench] tail line over budget even at 1 decimal with " +
-                s"bare keys (${lb.length} chars); dropping the per-query " +
-                s"map — read $outPath for per-query timings")
-            mkLine(r1, withQueries = false)
-          }
-        }
-      }
-    }
+    // (build.sbt sets showSuccess := false). The ladder lives in
+    // [[tailLine]] (extracted round-16) so BenchLineSpec pins the char
+    // budget at simulated future catalog sizes.
+    val loadAvg = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+    val line = tailLine(
+      results.map { case (k, v, _, _, _) => (k, v) },
+      total, cpuTotal, failed,
+      graft.sources.Tables.storeColdBuilds.get, loadAvg,
+      calStart, calEnd, sfName)
     try spark.stop()
     finally println(line)
     if (failed.nonEmpty) sys.exit(1)
