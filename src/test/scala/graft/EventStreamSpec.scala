@@ -683,4 +683,84 @@ class EventStreamSpec extends AnyFunSuite with SparkTestBase {
       b2.toDF("vec_id", "embedding"), "vec_id", "embedding"))
     assert(streamed === chained)
   }
+
+  test("foldPerBatchResumable: kill the stream, resume a FRESH session " +
+      "from the stored state, final state == the uninterrupted chain") {
+    import graft.ext.Similarity
+    def vecs(ids: Range, axis: Long => Int) = ids.map { i =>
+      (i.toLong, Array.tabulate(4)(d =>
+        (if (d == axis(i.toLong)) 1f else 0f) + (i % 3) * 0.01f))
+    }
+    val base = vecs(0 until 30, i => (i % 2).toInt * 2).toDF(
+      "vec_id", "embedding")
+    val b1 = vecs(100 until 110, i => (i % 2).toInt * 2)
+    val b2 = vecs(200 until 212, i => (i % 2).toInt * 2)
+    val state0 = Similarity.kmeansState(base, "vec_id", "embedding",
+      k = 2, iters = 1)
+    // unique store identity per spec run — a rerun must never resume the
+    // previous run's publications
+    val runKey = java.util.UUID.randomUUID.toString.take(8)
+    val fold = (st: org.apache.spark.sql.DataFrame,
+                b: org.apache.spark.sql.DataFrame) =>
+      Similarity.kmeansFold(st, b, "vec_id", "embedding")
+
+    // leg 1: fold b1 (batch 0), publish, then KILL the stream
+    {
+      implicit val ctx = spark.sqlContext
+      val in1 = MemoryStream[(Long, Array[Float])]
+      val (w1, _) = EventStream.foldPerBatchResumable(
+        in1.toDF().toDF("vec_id", "embedding"), state0, fold,
+        "restart_sink", runKey)
+      val q1 = w1.start()
+      try { in1.addData(b1); q1.processAllAvailable() } finally q1.stop()
+    }
+    assert(EventStream.resumeFoldState(spark, "restart_sink", runKey)
+      .map(_._2) === Some(0L))
+
+    // leg 2: a FRESH session resumes from the STORE — state0 here is
+    // deliberately WRONG (fitted on different rows), so the assert below
+    // proves the stored state, not the argument, feeds the chain. The
+    // restarted source re-delivers the in-flight batch under its original
+    // id (batch 0 = b1, the crash-replay contract) — already folded into
+    // the resumed state, it must be SKIPPED, then b2 arrives as batch 1.
+    val s2 = spark.newSession()
+    val streamed = {
+      implicit val ctx2 = s2.sqlContext
+      val in2 = MemoryStream[(Long, Array[Float])]
+      val wrongState0 = Similarity.kmeansState(
+        vecs(500 until 520, i => ((i + 1) % 2).toInt * 2)
+          .toDF("vec_id", "embedding"),
+        "vec_id", "embedding", k = 2, iters = 1)
+      val (w2, cur2) = EventStream.foldPerBatchResumable(
+        in2.toDF().toDF("vec_id", "embedding"), wrongState0, fold,
+        "restart_sink", runKey)
+      val q2 = w2.start()
+      try {
+        in2.addData(b1) // replayed batch 0: id ≤ stored hwm → skipped
+        q2.processAllAvailable()
+        in2.addData(b2) // batch 1: folds on top of the resumed state
+        q2.processAllAvailable()
+      } finally q2.stop()
+      cur2()
+    }
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select($"cell", $"centroid", $"sums", $"n")
+        .as[(Int, Seq[Long], Seq[Long], Long)].collect().sortBy(_._1).toSeq
+    val chained = rows(Similarity.kmeansFold(
+      Similarity.kmeansFold(state0, b1.toDF("vec_id", "embedding"),
+        "vec_id", "embedding"),
+      b2.toDF("vec_id", "embedding"), "vec_id", "embedding"))
+    assert(rows(streamed) === chained)
+    // the resumed leg published batch 1 — the store's high-water mark
+    // advanced, so a THIRD restart would continue from after b2
+    assert(EventStream.resumeFoldState(spark, "restart_sink", runKey)
+      .map(_._2) === Some(1L))
+  }
+
+  test("resumeFoldState: a cold or wiped store resumes nothing") {
+    // never-published identity → None (the /tmp-wipe cold start: the
+    // chain restarts from state0 and the source replays from retention)
+    assert(EventStream.resumeFoldState(spark, "restart_sink",
+      "never-published-key").isEmpty)
+  }
 }
