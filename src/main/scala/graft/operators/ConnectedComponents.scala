@@ -89,8 +89,14 @@ object ConnectedComponents {
     * re-converges |vertices| star edges per day even when the batch
     * touches a handful of clusters; this folds |affected ∪ batch| — the
     * batch's own neighborhood — and the untouched billions ride a
-    * pass-through scan (measured fold-vs-merge-vs-refit at sf1,
-    * BENCH_SF1.json round16_updates).
+    * pass-through scan. MEASURED REGIME BOUND (CcFoldProbe at sf1,
+    * BENCH_SF1.json round16_updates): below ~1M stored labels the star
+    * rounds are so cheap that the endpoint semi-joins cost more than the
+    * restriction saves — use [[merge]] there; above it, merge's wall
+    * grows linearly with the untouched mass (every label re-converged
+    * per batch) while fold's grows sublinearly (one anti-join scan):
+    * 1.6× faster at 10M untouched labels, 2.3× at 30M, widening with
+    * scale.
     *
     * Output: (id, component, touched) — `touched` = 1 on rows the star
     * rounds re-derived (members of an affected component, plus vertices

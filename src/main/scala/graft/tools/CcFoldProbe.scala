@@ -133,6 +133,47 @@ object CcFoldProbe {
       if (total > 0) touched * 1000 / total else -1},"batch_edges":${
       batchEdges.count()},"base_edges":${baseEdges.count()}}""")
 
+    // ---- untouched-mass ladder -------------------------------------------
+    // The fixture's label frame is tiny (thousands of vertices), so the
+    // star rounds are trivially cheap and fold's endpoint semi-joins cost
+    // more than they save — the frontier restriction's value is
+    // proportional to the UNTOUCHED mass, which at fixture scale is ~0.
+    // Measure the mechanism itself: inflate the stored labels with S
+    // synthetic singleton components (ids from a disjoint high range,
+    // never batch endpoints — exactly the "settled corpus history" a
+    // production labeling carries), and time merge vs fold per S. merge
+    // re-converges S + |base| star edges per batch; fold anti-joins the
+    // singletons through untouched. The crossover S is the regime bound.
+    val ladder = args.lift(2).getOrElse("0,1000000,10000000")
+      .split(",").map(_.trim.toLong).filter(_ > 0).toSeq
+    ladder.foreach { s =>
+      val inflated = mat(s"labels_x$s")(
+        labels.select(col("id"), col("component")).unionByName(
+          spark.range(s).select(
+            (col("id") + 1000000000L).as("id"),
+            (col("id") + 1000000000L).as("component"))))
+      def timedWall(build: => DataFrame): (Double, Int) = {
+        var shape = -1
+        val walls = (1 to 3).map { i =>
+          spark.catalog.clearCache()
+          System.gc()
+          val t0 = System.nanoTime()
+          if (i == 1) {
+            val (_, c) = Instrument.countStages(spark)(
+              build.write.format("noop").mode("overwrite").save())
+            shape = c.jobs
+          } else build.write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        }.sorted
+        (walls(1), shape)
+      }
+      val (mW, mJ) = timedWall(ConnectedComponents.merge(
+        inflated, "id", "component", batchEdges, "id_a", "id_b"))
+      val (fW, fJ) = timedWall(ConnectedComponents.fold(
+        inflated, "id", "component", batchEdges, "id_a", "id_b"))
+      println(f"""{"ladder_singletons":$s,"merge_wall":$mW%.2f,"merge_jobs":$mJ,"fold_wall":$fW%.2f,"fold_jobs":$fJ}""")
+    }
+
     def rm(f: java.io.File): Unit = {
       Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
     }
