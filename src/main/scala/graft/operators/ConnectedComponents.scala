@@ -126,6 +126,79 @@ object ConnectedComponents {
       .unionByName(untouched.withColumn("touched", lit(0)))
   }
 
+  /** Vertex RETRACTION — the deletion half of the graph tier (round-16,
+    * [[fold]]'s inverse posture; takedowns / opt-outs / license
+    * revocations): remove `retracted` vertices and every incident edge
+    * from a graph whose stored labeling is `labels`, re-deriving ONLY the
+    * components a retraction touches.
+    *
+    * Unlike the model-state unfolds (`Similarity.kmeansUnfold` subtracts
+    * exact sums), a label set alone is NOT invertible under deletion — a
+    * retracted vertex may be a BRIDGE, splitting its component, and which
+    * survivors stay connected depends on the component's internal edge
+    * structure, which the stars discarded. So this unfold keys on the
+    * STORED base edges (`edges`, persisted beside the labels in the
+    * content-keyed store — the posture every fitted model in the
+    * maintenance family already has), restricted to the frontier:
+    *
+    *   - touched roots: components containing a retracted id — one
+    *     retraction-sized semi-join against the labels,
+    *   - untouched components pass through with `touched` = 0, never read
+    *     by the star rounds (their membership is unchanged, so their
+    *     min-id root is unchanged — a retracted id in a component makes
+    *     it touched by construction),
+    *   - touched components re-derive from their surviving edges (both
+    *     endpoints unretracted): [[run]] over that restricted set, plus
+    *     singleton self-labels for surviving members whose every edge
+    *     died — `touched` = 1 on all of them.
+    *
+    * The edge restriction is one pass-through scan of the stored edge
+    * list (two anti-joins against the retraction set + one semi-join
+    * against the affected members; an edge's endpoints share a component,
+    * so filtering `src` suffices) — with edges bucketed by component in a
+    * production store, partition pruning cuts even that scan to the
+    * touched buckets. Retracted ids absent from the graph are harmless
+    * no-ops (takedown lists routinely name docs that never entered the
+    * pair graph); retracted ids vanish from the output.
+    *
+    * Correctness contract (pinned by `ConnectedComponentsSpec`): dropping
+    * `touched`, `unfold(run(E), E, R)` equals `run(E')` ∪ singletons,
+    * where E' = edges of E with neither endpoint in R and the singletons
+    * are the vertices of E \ R that lost every edge — including genuine
+    * SPLITS when a bridge vertex is retracted.
+    */
+  def unfold(labels: DataFrame, idCol: String, compCol: String,
+             edges: DataFrame, src: String, dst: String,
+             retracted: DataFrame, rCol: String,
+             maxIters: Int = 30): DataFrame = {
+    val retr = retracted.select(col(rCol).as("__r")).distinct()
+    val lab = labels.select(col(idCol).as("id"), col(compCol).as("component"))
+    val touchedRoots = lab
+      .join(retr, lab("id") === col("__r"), "left_semi")
+      .select(col("component").as("__root")).distinct()
+    val untouched = lab.join(touchedRoots,
+      lab("component") === col("__root"), "left_anti")
+    // surviving members of touched components (the re-derive universe)
+    val affected = lab.join(touchedRoots,
+        lab("component") === col("__root"), "left_semi")
+      .join(retr, lab("id") === col("__r"), "left_anti")
+      .select(col("id"))
+    // stored edges, restricted to touched components and stripped of
+    // retracted endpoints — the only part of the history the stars re-read
+    val e = edges.select(col(src).as("__u"), col(dst).as("__v"))
+    val surviving = e
+      .join(affected, e("__u") === affected("id"), "left_semi")
+      .join(retr, e("__u") === col("__r"), "left_anti")
+      .join(retr, e("__v") === col("__r"), "left_anti")
+    val rerun = run(surviving, "__u", "__v", maxIters)
+    // members whose every edge died re-label as their own singleton
+    val isolated = affected.join(rerun, Seq("id"), "left_anti")
+      .select(col("id"), col("id").as("component"))
+    rerun.unionByName(isolated)
+      .withColumn("touched", lit(1))
+      .unionByName(untouched.withColumn("touched", lit(0)))
+  }
+
   /** As [[run]], additionally returning the number of large+small-star
     * rounds executed until the edge-set fixpoint (telemetry / specs).
     */

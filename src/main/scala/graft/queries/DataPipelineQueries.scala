@@ -346,6 +346,119 @@ object DataPipelineQueries extends Catalog {
           col("cluster_size"), col("touched").cast("long").as("touched"))
     }),
 
+    // ---- vertex retraction against the STORED labels + edges ---------------
+    // q187's inverse (round-16): a takedown batch leaves the corpus, and
+    // the stored clustering unfolds FRONTIER-ONLY — components containing
+    // no retracted doc pass through untouched (their membership, hence
+    // their min-id root, is unchanged), while touched components re-derive
+    // from their surviving stored edges, including genuine SPLITS when the
+    // retracted doc was a bridge. Labels alone are not invertible under
+    // deletion (the stars discarded the internal structure a split depends
+    // on), so the unfold keys on the stored base EDGES — persisted beside
+    // the labels under the same content key, the posture every fitted
+    // model in the maintenance family already has. The oracle re-derives
+    // the base closure, the touched roots, AND the survivor closure from
+    // scratch; the `touched` frontier itself is under the hash.
+    "q188_cc_unfold" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val corpus = docs.filter(col("doc_id") % 10 =!= 7)
+      val shB = Dedup.wordShingles(corpus, "doc_id", "text", n = 3)
+      val key = Tables.contentKey(s"$d/documents.parquet", "j01df5base7")
+      val storedEdges = Tables.ensureMaterialized(s, "cc_edges", key)(
+        Dedup.jaccardPairsFromShingles(shB, "doc_id",
+            minJaccard = 0.1, maxShingleDf = 5L)
+          .select(col("id_a"), col("id_b")))
+      val stored = Tables.ensureMaterialized(s, "cc_labels", key)(
+        graft.operators.ConnectedComponents.run(storedEdges, "id_a", "id_b"))
+      val takedown = corpus.filter(col("doc_id") % 10 === 3)
+        .select(col("doc_id"))
+      graft.operators.ConnectedComponents.unfold(stored, "id", "component",
+          storedEdges, "id_a", "id_b", takedown, "doc_id")
+        .withColumn("cluster_size",
+          count(lit(1)).over(Window.partitionBy("component")))
+        .select(col("id").as("doc_id"), col("component"),
+          col("cluster_size"), col("touched").cast("long").as("touched"))
+    }),
+
+    // ---- takedown cascade: retraction through SURVIVORSHIP -----------------
+    // The compliance pipeline end-to-end (q188 relabels; this repairs the
+    // downstream artifact): a takedown can remove a cluster's kept
+    // REPRESENTATIVE, so the survivor table must promote a replacement —
+    // per surviving doc: its post-retraction cluster, the cluster's
+    // representative under q162's (score DESC, doc_id ASC) policy, the
+    // keep verdict, and `repaired` = 1 where the doc's representative
+    // CHANGED vs the stored base survivorship (promotion after the old
+    // survivor's takedown, or a re-rooted split). Frontier posture
+    // throughout: untouched clusters join their STORED survivor row
+    // (never re-scored), only touched clusters re-run the argmax — at
+    // 100 TB the repair is O(touched neighborhood), not a corpus re-score.
+    "q189_takedown_cascade" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val corpus = docs.filter(col("doc_id") % 10 =!= 7)
+      val shB = Dedup.wordShingles(corpus, "doc_id", "text", n = 3)
+      val key = Tables.contentKey(s"$d/documents.parquet", "j01df5base7")
+      val storedEdges = Tables.ensureMaterialized(s, "cc_edges", key)(
+        Dedup.jaccardPairsFromShingles(shB, "doc_id",
+            minJaccard = 0.1, maxShingleDf = 5L)
+          .select(col("id_a"), col("id_b")))
+      val stored = Tables.ensureMaterialized(s, "cc_labels", key)(
+        graft.operators.ConnectedComponents.run(storedEdges, "id_a", "id_b"))
+      val scoredAll = corpus.select(col("doc_id"),
+        greatest(TextAnalysis.tokenCount(col("text")), lit(0L)).as("score"))
+      // base survivorship, persisted beside the labels: one row per base
+      // CLUSTER (argmax as a mergeable max(struct) aggregate, the q162
+      // shape — model-sized, like every stored artifact in the family)
+      val storedSurv = Tables.ensureMaterialized(s, "cc_surv", key)(
+        scoredAll.join(stored.withColumnRenamed("id", "doc_id"),
+            Seq("doc_id"))
+          .groupBy("component")
+          .agg(max(struct(col("score"), (-col("doc_id")).as("__nid")))
+            .as("__b"))
+          .select(col("component").as("old_canonical"),
+            (-col("__b.__nid")).as("old_survivor")))
+      val takedown = corpus.filter(col("doc_id") % 10 === 3)
+        .select(col("doc_id"))
+      val relabeled = graft.operators.ConnectedComponents.unfold(
+        stored, "id", "component", storedEdges, "id_a", "id_b",
+        takedown, "doc_id")
+      // surviving corpus under its post-retraction clusters; singletons
+      // (never in the pair graph) are their own cluster, touched = 0
+      val scored = graft.ext.Caches.pin(scoredAll
+        .join(takedown, Seq("doc_id"), "left_anti")
+        .join(relabeled.withColumnRenamed("id", "doc_id"),
+          Seq("doc_id"), "left")
+        .withColumn("canonical_id", coalesce(col("component"), col("doc_id")))
+        .withColumn("touched", coalesce(col("touched"), lit(0)).cast("long"))
+        .drop("component"))
+      // repairs: ONLY touched clusters re-derive their representative
+      val repaired = scored.filter(col("touched") === 1L)
+        .groupBy("canonical_id")
+        .agg(max(struct(col("score"), (-col("doc_id")).as("__nid")))
+          .as("__b"))
+        .select(col("canonical_id"), (-col("__b.__nid")).as("new_survivor"))
+      // component roots partition the id space, so a touched cluster's
+      // root never collides with an untouched one's: coalesce resolves
+      // touched -> re-derived argmax, untouched clustered -> stored
+      // survivor, singleton -> self
+      scored
+        .join(repaired, Seq("canonical_id"), "left")
+        .join(stored.withColumnRenamed("id", "doc_id")
+          .withColumnRenamed("component", "old_canonical"),
+          Seq("doc_id"), "left")
+        .join(storedSurv, Seq("old_canonical"), "left")
+        .withColumn("survivor_id",
+          coalesce(col("new_survivor"), col("old_survivor"), col("doc_id")))
+        .withColumn("cluster_size",
+          count(lit(1)).over(Window.partitionBy("canonical_id")))
+        .select(col("doc_id"), col("canonical_id"), col("cluster_size"),
+          col("score"), col("survivor_id"),
+          (col("doc_id") === col("survivor_id")).cast("long").as("kept"),
+          (col("survivor_id") =!=
+            coalesce(col("old_survivor"), col("doc_id")))
+            .cast("long").as("repaired"),
+          col("touched"))
+    }),
+
     // ---- exact cosine top-k over embeddings (brute-force baseline) ---------
     "q25_knn_exact" -> ((s, d) => {
       val vecs = Tables.embeddingsWide(s, d)
@@ -2142,6 +2255,174 @@ object DataPipelineQueries extends Catalog {
          |LEFT JOIN bends be ON be.id = c.id
          |LEFT JOIN bcomp bc ON bc.id = c.id
          |LEFT JOIN troots tr ON tr.component = bc.component""".stripMargin
+    },
+
+    // base closure, touched roots, and the SURVIVOR closure (base pairs
+    // minus retracted endpoints) all re-derived from scratch — the
+    // operator's frontier restriction and pass-through are under the hash
+    "q188_cc_unfold" -> {
+      def frame(sfx: String, pred: String): String =
+        s"""w$sfx AS (SELECT doc_id, $wordsSql AS ws FROM documents
+           |          WHERE $pred),
+           |idx$sfx AS (SELECT doc_id, ws, unnest(range(len(ws)-2)) AS i
+           |            FROM w$sfx WHERE len(ws) >= 3),
+           |sh$sfx AS MATERIALIZED (SELECT DISTINCT doc_id,
+           |             array_to_string(ws[i+1:i+3], ' ') AS shingle
+           |           FROM idx$sfx),
+           |sizes$sfx AS MATERIALIZED (SELECT doc_id, count(*) AS n_sh FROM sh$sfx
+           |              GROUP BY 1),
+           |df$sfx AS MATERIALIZED (SELECT shingle, count(*) AS df FROM sh$sfx GROUP BY 1),
+           |gen$sfx AS MATERIALIZED (SELECT s.doc_id, s.shingle FROM sh$sfx s
+           |            JOIN df$sfx USING (shingle) WHERE df <= 5)""".stripMargin
+      def withinPairs(sfx: String): String =
+        s"""cand$sfx AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           |             FROM gen$sfx a JOIN gen$sfx b USING (shingle)
+           |             WHERE a.doc_id < b.doc_id),
+           |inter$sfx AS (SELECT id_a, id_b, count(*) AS inter FROM cand$sfx
+           |              JOIN sh$sfx sa ON sa.doc_id = id_a
+           |              JOIN sh$sfx sb ON sb.doc_id = id_b
+           |                AND sb.shingle = sa.shingle
+           |              GROUP BY 1, 2),
+           |pairs$sfx AS MATERIALIZED (SELECT id_a, id_b FROM inter$sfx
+           |              JOIN sizes$sfx na ON id_a = na.doc_id
+           |              JOIN sizes$sfx nb ON id_b = nb.doc_id
+           |              WHERE CAST(inter AS DOUBLE)
+           |                /(na.n_sh + nb.n_sh - inter) >= 0.1)""".stripMargin
+      s"""WITH RECURSIVE ${frame("b", "doc_id % 10 <> 7")},
+         |${withinPairs("b")},
+         |retr AS MATERIALIZED (SELECT doc_id AS r FROM documents
+         |        WHERE doc_id % 10 <> 7 AND doc_id % 10 = 3),
+         |bedges AS MATERIALIZED (SELECT id_a AS u, id_b AS v FROM pairsb
+         |          UNION SELECT id_b, id_a FROM pairsb),
+         |bverts AS (SELECT DISTINCT u AS id FROM bedges),
+         |breach(id, r) AS (
+         |  SELECT id, id FROM bverts
+         |  UNION
+         |  SELECT e.u, breach.r FROM bedges e JOIN breach ON e.v = breach.id),
+         |bcomp AS MATERIALIZED (SELECT id, min(r) AS component
+         |  FROM breach GROUP BY 1),
+         |troots AS MATERIALIZED (SELECT DISTINCT bc.component
+         |  FROM bcomp bc JOIN retr ON bc.id = retr.r),
+         |spairs AS MATERIALIZED (SELECT id_a, id_b FROM pairsb
+         |  WHERE id_a NOT IN (SELECT r FROM retr)
+         |    AND id_b NOT IN (SELECT r FROM retr)),
+         |sedges AS MATERIALIZED (SELECT id_a AS u, id_b AS v FROM spairs
+         |          UNION SELECT id_b, id_a FROM spairs),
+         |sverts AS (SELECT DISTINCT u AS id FROM sedges),
+         |sreach(id, r) AS (
+         |  SELECT id, id FROM sverts
+         |  UNION
+         |  SELECT e.u, sreach.r FROM sedges e JOIN sreach ON e.v = sreach.id),
+         |scomp AS MATERIALIZED (SELECT id, min(r) AS component
+         |  FROM sreach GROUP BY 1),
+         |surv AS (SELECT bc.id, bc.component AS basecomp FROM bcomp bc
+         |         WHERE bc.id NOT IN (SELECT r FROM retr)),
+         |final AS (SELECT s.id AS doc_id,
+         |    coalesce(sc.component, s.id) AS component,
+         |    CASE WHEN tr.component IS NOT NULL THEN 1 ELSE 0 END AS touched
+         |  FROM surv s
+         |  LEFT JOIN scomp sc ON sc.id = s.id
+         |  LEFT JOIN troots tr ON tr.component = s.basecomp)
+         |SELECT doc_id, component,
+         |  CAST(count(*) OVER (PARTITION BY component) AS BIGINT)
+         |    AS cluster_size,
+         |  CAST(touched AS BIGINT) AS touched
+         |FROM final""".stripMargin
+    },
+
+    // q188's two closures + BOTH survivorship argmaxes (base and final)
+    // re-derived from scratch: the final survivor per cluster equals the
+    // frontier repair because an untouched cluster's membership — hence
+    // its argmax — is unchanged, which is exactly the claim under test
+    "q189_takedown_cascade" -> {
+      def frame(sfx: String, pred: String): String =
+        s"""w$sfx AS (SELECT doc_id, $wordsSql AS ws FROM documents
+           |          WHERE $pred),
+           |idx$sfx AS (SELECT doc_id, ws, unnest(range(len(ws)-2)) AS i
+           |            FROM w$sfx WHERE len(ws) >= 3),
+           |sh$sfx AS MATERIALIZED (SELECT DISTINCT doc_id,
+           |             array_to_string(ws[i+1:i+3], ' ') AS shingle
+           |           FROM idx$sfx),
+           |sizes$sfx AS MATERIALIZED (SELECT doc_id, count(*) AS n_sh FROM sh$sfx
+           |              GROUP BY 1),
+           |df$sfx AS MATERIALIZED (SELECT shingle, count(*) AS df FROM sh$sfx GROUP BY 1),
+           |gen$sfx AS MATERIALIZED (SELECT s.doc_id, s.shingle FROM sh$sfx s
+           |            JOIN df$sfx USING (shingle) WHERE df <= 5)""".stripMargin
+      def withinPairs(sfx: String): String =
+        s"""cand$sfx AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           |             FROM gen$sfx a JOIN gen$sfx b USING (shingle)
+           |             WHERE a.doc_id < b.doc_id),
+           |inter$sfx AS (SELECT id_a, id_b, count(*) AS inter FROM cand$sfx
+           |              JOIN sh$sfx sa ON sa.doc_id = id_a
+           |              JOIN sh$sfx sb ON sb.doc_id = id_b
+           |                AND sb.shingle = sa.shingle
+           |              GROUP BY 1, 2),
+           |pairs$sfx AS MATERIALIZED (SELECT id_a, id_b FROM inter$sfx
+           |              JOIN sizes$sfx na ON id_a = na.doc_id
+           |              JOIN sizes$sfx nb ON id_b = nb.doc_id
+           |              WHERE CAST(inter AS DOUBLE)
+           |                /(na.n_sh + nb.n_sh - inter) >= 0.1)""".stripMargin
+      s"""WITH RECURSIVE ${frame("b", "doc_id % 10 <> 7")},
+         |${withinPairs("b")},
+         |retr AS MATERIALIZED (SELECT doc_id AS r FROM documents
+         |        WHERE doc_id % 10 <> 7 AND doc_id % 10 = 3),
+         |bedges AS MATERIALIZED (SELECT id_a AS u, id_b AS v FROM pairsb
+         |          UNION SELECT id_b, id_a FROM pairsb),
+         |bverts AS (SELECT DISTINCT u AS id FROM bedges),
+         |breach(id, r) AS (
+         |  SELECT id, id FROM bverts
+         |  UNION
+         |  SELECT e.u, breach.r FROM bedges e JOIN breach ON e.v = breach.id),
+         |bcomp AS MATERIALIZED (SELECT id, min(r) AS component
+         |  FROM breach GROUP BY 1),
+         |troots AS MATERIALIZED (SELECT DISTINCT bc.component
+         |  FROM bcomp bc JOIN retr ON bc.id = retr.r),
+         |spairs AS MATERIALIZED (SELECT id_a, id_b FROM pairsb
+         |  WHERE id_a NOT IN (SELECT r FROM retr)
+         |    AND id_b NOT IN (SELECT r FROM retr)),
+         |sedges AS MATERIALIZED (SELECT id_a AS u, id_b AS v FROM spairs
+         |          UNION SELECT id_b, id_a FROM spairs),
+         |sverts AS (SELECT DISTINCT u AS id FROM sedges),
+         |sreach(id, r) AS (
+         |  SELECT id, id FROM sverts
+         |  UNION
+         |  SELECT e.u, sreach.r FROM sedges e JOIN sreach ON e.v = sreach.id),
+         |scomp AS MATERIALIZED (SELECT id, min(r) AS component
+         |  FROM sreach GROUP BY 1),
+         |bscored AS MATERIALIZED (SELECT d.doc_id,
+         |    greatest(CAST(len(${TextSql.words}) AS BIGINT), 0) AS score,
+         |    coalesce(bc.component, d.doc_id) AS canonical
+         |  FROM documents d LEFT JOIN bcomp bc ON bc.id = d.doc_id
+         |  WHERE d.doc_id % 10 <> 7),
+         |branked AS (SELECT *, row_number() OVER (PARTITION BY canonical
+         |    ORDER BY score DESC, doc_id) AS rn FROM bscored),
+         |bbest AS MATERIALIZED (SELECT canonical, doc_id AS old_survivor
+         |        FROM branked WHERE rn = 1),
+         |fin AS MATERIALIZED (SELECT b.doc_id, b.score,
+         |    coalesce(sc.component, b.doc_id) AS canonical_id,
+         |    CASE WHEN tr.component IS NOT NULL THEN 1 ELSE 0 END AS touched,
+         |    bb.old_survivor
+         |  FROM bscored b
+         |  LEFT JOIN scomp sc ON sc.id = b.doc_id
+         |  LEFT JOIN troots tr ON tr.component = b.canonical
+         |  LEFT JOIN bbest bb ON bb.canonical = b.canonical
+         |  WHERE b.doc_id NOT IN (SELECT r FROM retr)),
+         |ranked AS (SELECT *,
+         |    row_number() OVER (PARTITION BY canonical_id
+         |      ORDER BY score DESC, doc_id) AS rn,
+         |    CAST(count(*) OVER (PARTITION BY canonical_id) AS BIGINT)
+         |      AS cluster_size
+         |  FROM fin),
+         |best AS (SELECT canonical_id, doc_id AS survivor_id
+         |         FROM ranked WHERE rn = 1)
+         |SELECT r.doc_id, r.canonical_id, r.cluster_size, r.score,
+         |  b.survivor_id,
+         |  CAST(CASE WHEN r.doc_id = b.survivor_id THEN 1 ELSE 0 END
+         |    AS BIGINT) AS kept,
+         |  CAST(CASE WHEN b.survivor_id <> r.old_survivor THEN 1 ELSE 0 END
+         |    AS BIGINT) AS repaired,
+         |  CAST(r.touched AS BIGINT) AS touched
+         |FROM ranked r JOIN best b USING (canonical_id)""".stripMargin
     },
 
     // portable SimHash oracle: FNV-1a token hashes -> 64 sign-sums -> unsigned

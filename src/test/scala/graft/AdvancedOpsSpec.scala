@@ -244,6 +244,32 @@ class ConnectedComponentsSpec extends AnyFunSuite with SparkTestBase {
     assert(folded.map(_._1).distinct.length === folded.length)
   }
 
+  test("unfold retracts vertices == run on surviving edges, splits included") {
+    // the deletion contract (round-16): dropping `touched`,
+    // unfold(run(E), E, R) equals run(E') ∪ singletons where E' strips
+    // every edge incident to R. The fixture exercises each regime:
+    // path 1-2-3-4 with 2 retracted — a BRIDGE, so the component SPLITS
+    // into singleton {1} and {3,4}; triangle 20-21-22 with 21 retracted —
+    // stays connected through the surviving (20,22) edge; (30,31)
+    // untouched — pass-through, touched = 0; (40,41) both retracted — the
+    // component vanishes; 999 retracted but never in the graph — no-op
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L),
+      (20L, 21L), (21L, 22L), (20L, 22L), (30L, 31L), (40L, 41L))
+    val retr = Seq(2L, 21L, 40L, 41L, 999L)
+    val labels = ConnectedComponents.run(e.toDF("a", "b"), "a", "b")
+    val out = ConnectedComponents
+      .unfold(labels, "id", "component", e.toDF("a", "b"), "a", "b",
+        retr.toDF("rid"), "rid")
+      .as[(Long, Long, Int)].collect()
+    val comp = out.map(x => x._1 -> x._2).toMap
+    assert(comp === Map(1L -> 1L, 3L -> 3L, 4L -> 3L,
+      20L -> 20L, 22L -> 20L, 30L -> 30L, 31L -> 30L))
+    val touched = out.map(x => x._1 -> x._3).toMap
+    assert(touched(30L) === 0 && touched(31L) === 0) // pass-through
+    assert(Seq(1L, 3L, 4L, 20L, 22L).forall(touched(_) === 1))
+    assert(out.map(_._1).distinct.length === out.length)
+  }
+
   test("star fixpoint handles merged clusters and preserves singletons") {
     // two chains bridged by one edge + a self-loop singleton + an isolated
     // pair — exercises re-rooting across the bridge and the left-join that
