@@ -119,8 +119,20 @@ object Dedup {
   def wordShingleHashes(docs: DataFrame, id: String, text: String,
                         n: Int): DataFrame = {
     import graft.plans.Fnv1a64Expression.fnv1a64
-    wordShingles(docs, id, text, n)
-      .select(col(id), fnv1a64(col("shingle")).as("shingle"))
+    // hash INSIDE the per-doc transform (the charShingleHashes shape,
+    // round-16): the generator explodes 8-byte longs, so even the
+    // distinct's own exchange — the first shuffle of every consumer —
+    // moves longs instead of n-word strings. Value-identical to hashing
+    // after the explode: fnv1a64 runs on exactly the same shingle string
+    // either way; only the point in the plan moves.
+    val words = col("__words")
+    val shingleArr = when(size(words) >= n,
+      transform(sequence(lit(0), size(words) - lit(n)),
+        i => fnv1a64(concat_ws(" ", slice(words, i + lit(1), lit(n))))))
+      .otherwise(array())
+    docs.select(col(id),
+        filter(split(normalizeText(col(text)), " "), w => w =!= "").as("__words"))
+      .select(col(id), explode(shingleArr).as("shingle")).distinct()
   }
 
   /** Candidate pairs from the shingle inverted index with their true Jaccard
@@ -131,7 +143,16 @@ object Dedup {
     */
   def jaccardPairs(docs: DataFrame, id: String, text: String, n: Int,
                    minJaccard: Double, maxShingleDf: Long = Long.MaxValue): DataFrame =
-    jaccardPairsFromShingles(wordShingles(docs, id, text, n), id,
+    // hashed shingle grain (round-16, the X21 trick applied to the whole
+    // q22 family): every downstream exchange — the distinct, the df
+    // aggregate, the inverted-index self-join, both size joins — moves
+    // 8-byte keys instead of n-word strings, and the sort-merge/hash
+    // probes compare longs. Outputs are counts and ids only, so the
+    // results are value-identical up to a cross-doc 64-bit collision
+    // (expected ≪ 1 through ~10⁹ distinct shingles; the oracle hash-check
+    // would catch one on any tested corpus — the [[wordShingleHashes]]
+    // argument, already load-bearing for q44/q100).
+    jaccardPairsFromShingles(wordShingleHashes(docs, id, text, n), id,
       minJaccard, maxShingleDf)
 
   /** [[jaccardPairs]] over an existing (id, shingle) frame — the composition
@@ -324,7 +345,22 @@ object Dedup {
                                     numHashes: Int,
                                     portable: Boolean = false): DataFrame = {
     import graft.plans.Fnv1a64Expression.fnv1a64
-    val baseHash = if (portable) fnv1a64(col("shingle")) else xxhash64(col("shingle"))
+    // a LONG shingle column is already the FNV-1a 64 of the shingle string
+    // ([[wordShingleHashes]]/[[charShingleHashes]] — round-16): use it as
+    // the base hash directly. Bit-identical to hashing the string here
+    // (same fnv1a64 on the same bytes), so signatures — and therefore the
+    // banded candidate sets — are unchanged whichever grain the caller
+    // feeds. Only the portable family composes this way; a caller wanting
+    // xxhash64-based signatures must pass string shingles.
+    val preHashed = sh.schema(sh.schema.fieldIndex("shingle")).dataType ==
+      org.apache.spark.sql.types.LongType
+    require(!preHashed || portable,
+      "pre-hashed (long) shingles carry the FNV-1a 64 family; " +
+        "non-portable xxhash64 signatures need string shingles")
+    val baseHash =
+      if (preHashed) col("shingle")
+      else if (portable) fnv1a64(col("shingle"))
+      else xxhash64(col("shingle"))
     val base = sh.withColumn("__h", baseHash)
     val mins = (0 until numHashes).map { i =>
       val fam = if (portable) fnv1a64(lit(i.toLong), col("__h"))
@@ -457,7 +493,13 @@ object Dedup {
     // measures cheaper than materializing it — re-confirmed after the
     // once-per-row projection fix made recompute even cheaper (sf0.1
     // median-of-3: 1.8s uncached vs 3.7s pinned)
-    val sh = wordShingles(docs, id, text, n)
+    // hashed shingle grain when portable (round-16): the two verify joins
+    // and the size aggregate move 8-byte keys, and the signature pass
+    // reuses the hash as its base (bit-identical signatures — see
+    // [[minHashSignaturesFromShingles]]); the xxhash64 family keeps the
+    // string grain its signatures are defined over
+    val sh = if (portable) wordShingleHashes(docs, id, text, n)
+             else wordShingles(docs, id, text, n)
     val sizes = sh.groupBy(col(id)).agg(count(lit(1)).as("n_sh"))
     val sigs = minHashSignaturesFromShingles(sh, id, numHashes, portable)
     minHashCandidatesFromSignatures(sigs, id, bands, numHashes / bands)

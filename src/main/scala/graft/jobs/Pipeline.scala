@@ -26,6 +26,20 @@ object Pipeline {
     * Path/arg order mirrors the DAG: events geo outBase date maxDistanceKm.
     * `processedAt` pins the recommendation mart's wall-clock instant for
     * reproducible runs; None keeps the reference's `current_timestamp()`.
+    *
+    * The three marts are INDEPENDENT (each reads only the events/geo
+    * inputs and writes its own path), so they are submitted concurrently
+    * from a small thread pool instead of back-to-back (round-16; guide
+    * §2.6 "overlap independent jobs"): each mart's plan is a chain of
+    * dozens of small stages whose tails leave most executor slots idle,
+    * and Spark's FIFO scheduler back-fills those slots with the next
+    * mart's tasks. Measured at sf0.1 local[32]: 19.4 s → ~11 s for the
+    * q75 storage round-trip, identical outputs and per-mart plans (the
+    * DAG edges the reference's Airflow graph declares are preserved —
+    * it, too, runs step 1 and step 2 with no ordering edge between them).
+    * On a real cluster the same overlap fills the tail of every stage
+    * with another job's tasks; job descriptions stay correct because
+    * Spark's are thread-local.
     */
   def run(spark: SparkSession, eventsPath: String, geoPath: String,
           outBase: String, date: String, maxDistanceKm: Double,
@@ -33,17 +47,39 @@ object Pipeline {
           zoneTier: String = "ref"): Unit = {
     val events = spark.read.parquet(eventsPath)
     val geo = spark.read.parquet(geoPath)
-    Sink.writePartitionedSorted(UserMartJob.transform(events, geo),
-      s"$outBase/user_mart", "act_city", Seq("user_id"))
-    Sink.writePartitionedSorted(ZoneMartJob.transform(events, geo),
-      s"$outBase/zone_mart", "month", Seq("week", "city_id"))
     // date slice read by partition path, as the reference does (:13-16)
     val eventsAtDate = spark.read.parquet(s"$eventsPath/date=$date")
-    Sink.writePartitionedSorted(
-      RecommendationJob.transform(events, eventsAtDate, geo, date,
-        maxDistanceKm, processedAt.getOrElse(current_timestamp()),
-        zoneTier = zoneTier),
-      s"$outBase/recommendations", "zone_id", Seq("user_left", "user_right"))
+    val marts: Seq[(String, () => Unit)] = Seq(
+      ("user_mart", () =>
+        Sink.writePartitionedSorted(UserMartJob.transform(events, geo),
+          s"$outBase/user_mart", "act_city", Seq("user_id"))),
+      ("zone_mart", () =>
+        Sink.writePartitionedSorted(ZoneMartJob.transform(events, geo),
+          s"$outBase/zone_mart", "month", Seq("week", "city_id"))),
+      ("recommendations", () =>
+        Sink.writePartitionedSorted(
+          RecommendationJob.transform(events, eventsAtDate, geo, date,
+            maxDistanceKm, processedAt.getOrElse(current_timestamp()),
+            zoneTier = zoneTier),
+          s"$outBase/recommendations", "zone_id",
+          Seq("user_left", "user_right"))))
+    // plain threads, not a global pool: 3 tasks, bounded lifetime, and a
+    // failure in any mart must fail the run (exceptions are re-thrown
+    // after all threads finish so no mart is silently skipped)
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = marts.map { case (name, work) =>
+      val t = new Thread(() => {
+        try {
+          spark.sparkContext.setJobDescription(s"pipeline: $name")
+          work()
+        } catch { case e: Throwable => errors.add(e) }
+        finally spark.sparkContext.setJobDescription(null)
+      }, s"graft-pipeline-$name")
+      t.start()
+      t
+    }
+    threads.foreach(_.join())
+    if (!errors.isEmpty) throw errors.peek()
   }
 
   /** CLI surface: events geo outBase date maxDistanceKm [processedAt]

@@ -187,8 +187,10 @@ object CorpusOps extends Catalog {
           col("doc_id").as("c_id")), Seq("fp"))
         .groupBy("doc_id").agg(min("c_id").as("exact_of"))
       val near = Dedup.crossJaccardPairs(
-          Dedup.wordShingles(incoming, "doc_id", "text", n = 3),
-          Dedup.wordShingles(corpus, "doc_id", "text", n = 3),
+          // hashed shingle grain (round-16): the cross inverted-index join
+          // and both size aggregates move 8-byte keys
+          Dedup.wordShingleHashes(incoming, "doc_id", "text", n = 3),
+          Dedup.wordShingleHashes(corpus, "doc_id", "text", n = 3),
           "doc_id", minJaccard = 0.1, maxShingleDf = 5L)
         .groupBy("id_a")
         .agg(min("id_b").as("near_of"),
@@ -302,6 +304,12 @@ object CorpusOps extends Catalog {
     // row is stable, not flaky. The KMV cousin (q97) hash-checks a portable
     // sketch VALUE; this row pins the HLL ERROR CONTRACT.
     "q66_approx_distinct" -> ((s, d) => {
+      // plain scan KEPT (round-16 A/B): widening the single-file events
+      // scan left the wall flat (2.94 -> 2.90 s at sf0.1) while CPU rose
+      // 2.5 -> 22.4 s — the rsd-1% HLL register set is large enough that
+      // 32 partial-agg tasks each building full per-group registers cost
+      // far more than the one serialized build they replace; the sketch
+      // merge, not the scan, is the floor here
       Tables.events(s, d).groupBy("event_type")
         .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users"),
           countDistinct(col("user_id")).as("exact_users"))

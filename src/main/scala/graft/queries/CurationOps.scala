@@ -733,8 +733,11 @@ object CurationOps extends Catalog {
     "q86_quality_verdict" -> ((s, d) => {
       val t = col("text")
       // the verdict expression is planned ONCE; keep derives from it.
-      // Plain scan: zero-exchange contract (PlanAuditSpec), as q80.
-      Tables.documents(s, d)
+      // Gated widen (round-16, as q80): zero-exchange contract pinned at
+      // sf0.001 (PlanAuditSpec); in the single-file mid-scale band the
+      // rule chain otherwise serializes on one core (sf0.1: 2.9 s wall
+      // for 2.6 CPU-s on the plain scan).
+      Tables.documentsWideMapOnly(s, d)
         .select(col("doc_id"),
           TextAnalysis.tokenCount(t).as("n_tokens"),
           TextAnalysis.qualityFirstFail(t).as("first_fail"))

@@ -202,8 +202,12 @@ object DataPipelineQueries extends Catalog {
       val incoming = docs.filter(col("doc_id") % 10 === 7)
       val corpus = docs.filter(col("doc_id") % 10 =!= 7)
       Dedup.crossMinHashNearDups(
-          Dedup.wordShingles(incoming, "doc_id", "text", n = 3),
-          Dedup.wordShingles(corpus, "doc_id", "text", n = 3),
+          // hashed shingle grain (round-16): long keys through the band
+          // join, both verify joins, and the size aggregates; signatures
+          // reuse the hash as their FNV base — bit-identical (see
+          // minHashSignaturesFromShingles)
+          Dedup.wordShingleHashes(incoming, "doc_id", "text", n = 3),
+          Dedup.wordShingleHashes(corpus, "doc_id", "text", n = 3),
           "doc_id", numHashes = 64, bands = 16, minJaccard = 0.5,
           portable = true)
         .select(col("id_a"), col("id_b"),
@@ -217,7 +221,9 @@ object DataPipelineQueries extends Catalog {
     // no shuffle — with exact-int quotients quantized at 1e-6 on both sides
     "q80_repetition_signals" -> ((s, d) => {
       val q6 = (c: org.apache.spark.sql.Column) => floor(c * 1e6 + 0.5) / 1e6
-      // gated widen (round 14): plain scan below 4 MiB — the zero-exchange
+      // gated widen (round 14; bound 4 MiB -> 512 KiB in round 16, re-
+      // measured: 2.19 -> ~0.5 s at sf0.1): plain scan below the gate — the
+      // zero-exchange
       // contract (PlanAuditSpec, pinned at sf0.001) and the round-11 A/B
       // win both live there — widened in the single-file mid-scale band,
       // where one parquet file under maxPartitionBytes serialized the
@@ -243,7 +249,9 @@ object DataPipelineQueries extends Catalog {
     // cross-frame shingle inverted index — never corpus x benchmark.
     "q81_decontamination" -> ((s, d) => {
       val docs = Tables.documentsWide(s, d)
-      val sh = Dedup.wordShingles(docs, "doc_id", "text", n = 5)
+      // hashed 5-gram grain (round-16): the inverted-index join between
+      // corpus and benchmark sides moves 8-byte keys; output is counts
+      val sh = Dedup.wordShingleHashes(docs, "doc_id", "text", n = 5)
       val hits = Dedup.contaminationOverlap(
           sh.filter(col("doc_id") % 25 =!= 11),
           sh.filter(col("doc_id") % 25 === 11), "doc_id")
@@ -286,8 +294,10 @@ object DataPipelineQueries extends Catalog {
       // materialization + cache reads cost more than re-running the
       // codegen'd explode per subtree, the same verdict Dedup recorded for
       // q22's single-pipeline shape
-      val shA = Dedup.wordShingles(incoming, "doc_id", "text", n = 3)
-      val shB = Dedup.wordShingles(corpus, "doc_id", "text", n = 3)
+      // hashed shingle grain (round-16, the q22-family switch): all ~10
+      // subtrees' exchanges and probes move longs instead of 3-word strings
+      val shA = Dedup.wordShingleHashes(incoming, "doc_id", "text", n = 3)
+      val shB = Dedup.wordShingleHashes(corpus, "doc_id", "text", n = 3)
       val prior = graft.operators.ConnectedComponents.run(
         Dedup.jaccardPairsFromShingles(shB, "doc_id",
             minJaccard = 0.1, maxShingleDf = 5L)
@@ -323,8 +333,10 @@ object DataPipelineQueries extends Catalog {
       val docs = Tables.documents(s, d)
       val incoming = docs.filter(col("doc_id") % 10 === 7)
       val corpus = docs.filter(col("doc_id") % 10 =!= 7)
-      val shA = Dedup.wordShingles(incoming, "doc_id", "text", n = 3)
-      val shB = Dedup.wordShingles(corpus, "doc_id", "text", n = 3)
+      // hashed shingle grain (round-16): the batch-edge generators move
+      // 8-byte keys end to end (the q22-family switch)
+      val shA = Dedup.wordShingleHashes(incoming, "doc_id", "text", n = 3)
+      val shB = Dedup.wordShingleHashes(corpus, "doc_id", "text", n = 3)
       val stored = Tables.ensureMaterialized(s, "cc_labels",
         Tables.contentKey(s"$d/documents.parquet", "j01df5base7"))(
         graft.operators.ConnectedComponents.run(
@@ -362,7 +374,7 @@ object DataPipelineQueries extends Catalog {
     "q188_cc_unfold" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val corpus = docs.filter(col("doc_id") % 10 =!= 7)
-      val shB = Dedup.wordShingles(corpus, "doc_id", "text", n = 3)
+      val shB = Dedup.wordShingleHashes(corpus, "doc_id", "text", n = 3)
       val key = Tables.contentKey(s"$d/documents.parquet", "j01df5base7")
       val storedEdges = Tables.ensureMaterialized(s, "cc_edges", key)(
         Dedup.jaccardPairsFromShingles(shB, "doc_id",
@@ -395,7 +407,7 @@ object DataPipelineQueries extends Catalog {
     "q189_takedown_cascade" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val corpus = docs.filter(col("doc_id") % 10 =!= 7)
-      val shB = Dedup.wordShingles(corpus, "doc_id", "text", n = 3)
+      val shB = Dedup.wordShingleHashes(corpus, "doc_id", "text", n = 3)
       val key = Tables.contentKey(s"$d/documents.parquet", "j01df5base7")
       val storedEdges = Tables.ensureMaterialized(s, "cc_edges", key)(
         Dedup.jaccardPairsFromShingles(shB, "doc_id",
@@ -833,14 +845,23 @@ object DataPipelineQueries extends Catalog {
     // guard — and the oracle carries the matching CASE WHEN len = 0.
     "q167_quality_rank_blend" -> ((s, d) => {
       val t = col("text")
-      val sig = Tables.documents(s, d).filter(t.isNotNull)
+      // plain scan KEPT (round-16 A/B): the q80/q86 widen was tried here
+      // both bare and with the sig projection pinned — wall 3.5 -> 2.2 s
+      // but CPU 3.5 -> 18.7 s (bare) / 21.4 s (pinned, jobs 15 -> 28):
+      // sig feeds three CDF folds plus the final assembly, and every
+      // variant re-paid the heavy rule chain per consumer or the cache
+      // machinery per run. A 6x CPU price inverts the win on any
+      // low-core epoch (the driver benches a reduced-core run), so the
+      // serialized scan stays until the folds can share one evaluation.
+      val sig = (
+        Tables.documents(s, d).filter(t.isNotNull)
         .select(col("doc_id"),
           TextAnalysis.tokenCount(t).as("n_tokens"),
           coalesce(floor(TextAnalysis.stopwordRatio(t) * 1e6 + 0.5)
             .cast("long"), lit(0L)).as("stop_micro"),
           (lit(1000000L) - coalesce(
             floor(TextAnalysis.punctRatio(t) * 1e6 + 0.5).cast("long"),
-            lit(0L))).as("negpunct_micro"))
+            lit(0L))).as("negpunct_micro")))
       val ranked = Seq(("n_tokens", "r_tokens"), ("stop_micro", "r_stop"),
           ("negpunct_micro", "r_punct"))
         .foldLeft(sig) { case (df, (v, r)) =>
@@ -1035,7 +1056,11 @@ object DataPipelineQueries extends Catalog {
           concat_ws(" ", col("ws")).as("text"))
         .unionByName(prefix(2, 5, 10000000L))
         .unionByName(prefix(4, 5, 20000000L))
-      val sh = Dedup.wordShingles(corpus, "doc_id", "text", n = 3)
+      // hashed shingle grain (round-16): the exhaustive-truth chain's two
+      // corpus-scale exchanges (df filter join + inverted-index self-join)
+      // and the signature pass's base all ride 8-byte FNV keys; signatures
+      // are bit-identical (the hash IS the portable family's base)
+      val sh = Dedup.wordShingleHashes(corpus, "doc_id", "text", n = 3)
       val truth = Dedup.jaccardPairsFromShingles(sh, "doc_id",
         minJaccard = 0.35)
       val cand = Dedup.minHashBandSweep(sh, "doc_id", numHashes = 64,

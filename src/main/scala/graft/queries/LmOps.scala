@@ -215,7 +215,8 @@ object LmOps extends Catalog {
     // (the q125 scale shape); the oracle replays the exact DP per
     // distinct word as a recursive CTE (UnigramSql).
     "q174_unigram_tokens" -> ((s, d) => {
-      // gated widen: the q80 posture — plain below 4 MiB, one exchange in
+      // gated widen: the q80 posture — plain below 512 KiB (round 16; was
+      // 4 MiB), one exchange in
       // the single-file mid-scale band (sf1: 6.7 s / 6.4 CPU-s on one
       // core plain), off again past 1 GiB where the scan is wide itself
       Tables.documentsWideMapOnly(s, d).select(col("doc_id"), col("lang"),

@@ -71,8 +71,11 @@ object Tables {
     * pinned widen lost to the plain scan (q130/q131/q146/q69 — model-fit
     * fan-outs over a cheap scan) were reverted to plain reads.
     * Fan-out-heavy catalog queries read through [[documentsWide]]/
-    * [[embeddingsWide]]; contractually map-only queries (q80/q84/q86,
-    * the zero-exchange plan specs) keep the plain scans.
+    * [[embeddingsWide]]; map-only faces (q80/q86/q174) take the
+    * LOWER-bounded gate ([[documentsWideMapOnly]]) so their zero-exchange
+    * plan spec holds at sf0.001 while the mid-scale single-file band
+    * still parallelizes; q84's literal-centroid projection keeps the
+    * plain scan outright.
     */
   /** CONTRACT (`hashKey`): the hash mode's balance claim assumes the key
     * column is unique (or near-unique) — a skewed key would produce a
@@ -137,7 +140,7 @@ object Tables {
     wide(embeddings(spark, d), minBytes = 2L << 20, hashKey = "vec_id")
 
   /** Gated-widen documents read for SINGLE-CONSUMER map-only faces
-    * (q80/q174): plain scan below a 4 MiB PLAN ESTIMATE — parquet scans
+    * (q80/q174): plain scan below a 512 KiB PLAN ESTIMATE — parquet scans
     * without CBO stats estimate at FILE bytes (sf0.1 documents ≈ 0.58 MB,
     * sf1 ≈ 5.9 MB), so the gate keeps sf0.001/0.01/0.1 on the plain scan
     * (their measured win — the
@@ -151,7 +154,18 @@ object Tables {
     * a mid-scale single-file device.
     */
   def documentsWideMapOnly(spark: SparkSession, d: String): DataFrame =
-    wide(documents(spark, d), minBytes = 4L << 20, hashKey = "doc_id")
+    // 512 KiB lower bound (round-16, was 4 MiB): the fixture ships ONE
+    // row group per file, so a single-file scan stays one task at every
+    // size — and by sf0.1 (≈0.58 MB file) the map-only faces' per-row
+    // expression chains already cost whole seconds serialized on one core
+    // (q80 2.2 s wall / 2.0 CPU-s ≈ 0.9 effective cores; q86 2.9/2.6).
+    // Re-measured A/B at sf0.1 (median-of-5, both directions twice): q80
+    // 2.19 → ~0.5 s, q86 2.86 → ~0.4 s widened — the round-11 "plain
+    // wins at sf0.1" verdict predates the heavier rule chains these faces
+    // grew (dup-ngram ratios, the C4/Gopher first-fail cascade). sf0.01
+    // (≈60 KB) stays on the plain scan with the round-11 win intact, and
+    // the zero-exchange contract stays pinned at sf0.001 (PlanAuditSpec).
+    wide(documents(spark, d), minBytes = 512L << 10, hashKey = "doc_id")
 
   /** events with `ts` as a session-TZ timestamp at µs precision, whatever the
     * file's physical encoding. The driver has shipped two encodings across
