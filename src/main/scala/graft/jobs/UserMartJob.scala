@@ -26,9 +26,20 @@ import graft.operators.NearestNeighborJoin
   */
 object UserMartJob {
 
-  /** Messages with their nearest city (project_step_1.py:19-37). */
+  /** Messages with their nearest city (project_step_1.py:19-37).
+    *
+    * The message projection rides the gated widen (round-16): the nearest
+    * join is a broadcast cross join whose ×|cities| fan-out runs INSIDE
+    * the message scan's tasks, and in the single-file mid-scale band that
+    * scan is one task — measured at sf0.1, q46's head stage was one task
+    * writing the full 2.5M-row (msgs × 25 cities) product to the window
+    * exchange in 2.7 s while 31 cores idled. One slim exchange of the
+    * 5-column message rows buys full-width fan-out; the plan-estimate
+    * gate keeps sf0.001/0.01 on the plain scan and passes anything past
+    * 1 GiB through untouched (a real events lake scans wide on its own).
+    */
   def messageGeo(events: DataFrame, geo: DataFrame): DataFrame = {
-    val msgs = events
+    val msgs = graft.sources.Tables.wide(events
       .filter(col("event_type") === "message")
       .select(
         col("event.message_from").as("user_id"),
@@ -36,7 +47,8 @@ object UserMartJob {
         coalesce(col("event.message_ts"), col("event.datetime"))
           .cast("timestamp").as("datetime"),
         col("lat").as("lat_message"),
-        col("lon").as("lon_message"))
+        col("lon").as("lon_message")),
+      minBytes = 1L << 20, hashKey = "message_id")
     NearestNeighborJoin
       .nearestAllTies(msgs, geo, "lat_message", "lat", "lon_message", "lon")
       .drop("lat_message", "lon_message", "lat", "lon")

@@ -400,11 +400,16 @@ object CurationOps extends Catalog {
     // grams + containment vs the smaller doc, hot boilerplate grams
     // (df > 32) excluded from pairing by contract (the quadratic guard)
     "q153_exact_substr_provenance" -> ((s, d) => {
-      // plain scan (round 12): the gram frame fans into df/index/sizes
-      // subtrees like the q22 chain — same widen-replay revert; this also
-      // answers the r11 verdict's q153 plan-change question (wall
-      // 1.75→3.26 s r10→r11 was the hash widen arriving at this site)
-      Dedup.exactSubstrProvenance(Tables.documents(s, d), "doc_id",
+      // widened scan again (round 16, reversing the round-12 revert with
+      // fresh numbers): the gram frame still fans into df/index/sizes
+      // subtrees, and the widen exchange still replays per subtree — CPU
+      // 4.2 → 10.7 s at local[32] (2.7 → 5.2 at local[8]) — but the
+      // plain scan had the whole gram explode serialized on ONE task
+      // (two 2.9 s single-task head stages at sf0.1), so the wall now
+      // wins at both core counts: 3.07 → 1.46 s (32), 2.24 → 1.42 (8).
+      // The query grew heavier since r11 (provenance columns, the df
+      // guard); the r12 measurement was honest then, this one is now.
+      Dedup.exactSubstrProvenance(Tables.documentsWide(s, d), "doc_id",
         "text", minTokens = 8, maxGramDf = 32)
     }),
 

@@ -164,8 +164,21 @@ object Relational extends Catalog {
     // ran twice (47% of the round-1 bench). The canonical pair set is just
     // `directed` relabeled; U1 symmetrize coverage lives in q32_sym_edges.
     "q12_supplier_part_pairs" -> ((s, d) => {
+      // the distinct's exchange is pre-keyed on (partkey, suppkey) at the
+      // session's full parallelism, and the self-join's on partkey is
+      // pinned the same way (round-16): AQE sizes post-shuffle partitions
+      // by INPUT bytes, so it coalesced the ~5 MB distinct output to 5
+      // partitions and the ×|suppliers-per-part| pair fan-out ran on 5
+      // tasks (measured: the pair stage was 2.0 s of the query's 3.0 s
+      // wall, max task == stage wall). Pinning costs nothing the join
+      // didn't already pay — the repartition IS the join's exchange, and
+      // both self-join sides reuse it (one Exchange in the plan) — and
+      // moves the partial distinct off the single-row-group scan task.
+      val n = s.sparkContext.defaultParallelism
       val sp = Tables.lineitem(s, d)
-        .select("l_partkey", "l_suppkey").distinct()
+        .select("l_partkey", "l_suppkey")
+        .repartition(n, col("l_partkey"))
+        .distinct()
       sp.join(
           sp.select(col("l_partkey"), col("l_suppkey").as("peer")),
           Seq("l_partkey"))
