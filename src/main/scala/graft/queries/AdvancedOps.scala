@@ -115,12 +115,19 @@ object AdvancedOps extends Catalog {
     "q135_overlap_join" -> ((s, d) => {
       val epoch = lit("1970-01-01").cast("date")
       val lo = datediff(col("l_shipdate"), epoch).cast("long")
-      val li = Tables.lineitem(s, d).select(
+      // gated widen (round-16): the bin-replication explode and the
+      // (key, bin) exchange write otherwise run inside the single-row-
+      // group scan task (measured: the head stage was one ~1.1 s task
+      // while 31 cores idled); one slim exchange of the 4-column
+      // interval rows first spreads both. Plain below 1 MiB, pass-through
+      // past 1 GiB where the scan splits naturally.
+      val li = graft.sources.Tables.wide(Tables.lineitem(s, d).select(
         col("l_partkey"),
         (col("l_orderkey") * 10 + col("l_linenumber")).as("item_id"),
         lo.as("lo_day"),
         (lo + lit(1L) +
-          (col("l_orderkey") * 7 + col("l_linenumber")) % 30).as("hi_day"))
+          (col("l_orderkey") * 7 + col("l_linenumber")) % 30).as("hi_day")),
+        minBytes = 1L << 20, hashKey = "item_id")
       IntervalJoin.overlapPairs(li, "l_partkey", "item_id",
           "lo_day", "hi_day", binWidth = 32.0)
         .withColumn("overlap_days",
