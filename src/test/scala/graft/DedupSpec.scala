@@ -635,6 +635,32 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
       .count() === 1)
   }
 
+  test("pre-hashed (long) shingles yield bit-identical portable signatures") {
+    // the round-16 hashed-grain contract: a LongType shingle column is
+    // fnv1a64(shingle string), and minHashSignaturesFromShingles uses it
+    // as the base hash DIRECTLY — signatures (hence banded candidate
+    // sets) must equal the string-grain portable family bit for bit
+    val fromStrings = Dedup.minHashSignaturesFromShingles(
+        Dedup.wordShingles(docs, "doc_id", "text", 3), "doc_id", 16,
+        portable = true)
+      .select(col("doc_id"), concat_ws(",", col("sig")).as("s"))
+      .as[(Long, String)].collect().toMap
+    val fromHashes = Dedup.minHashSignaturesFromShingles(
+        Dedup.wordShingleHashes(docs, "doc_id", "text", 3), "doc_id", 16,
+        portable = true)
+      .select(col("doc_id"), concat_ws(",", col("sig")).as("s"))
+      .as[(Long, String)].collect().toMap
+    assert(fromStrings === fromHashes)
+    // the xxhash64 family is defined over shingle STRINGS: a pre-hashed
+    // frame must be refused, not silently given different signatures
+    val e = intercept[IllegalArgumentException] {
+      Dedup.minHashSignaturesFromShingles(
+        Dedup.wordShingleHashes(docs, "doc_id", "text", 3), "doc_id", 16,
+        portable = false)
+    }
+    assert(e.getMessage.contains("pre-hashed"))
+  }
+
   test("band sweep: per-config candidates equal the direct formulation") {
     val sh = Dedup.wordShingles(docs, "doc_id", "text", 3)
     val sweep = Dedup.minHashBandSweep(sh, "doc_id", numHashes = 16,

@@ -95,6 +95,18 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     new java.io.File(s"$base/$mart").listFiles()
       .filter(_.isDirectory).map(_.getName).sorted.toSeq
 
+  test("a failing mart fails the concurrent run, not just its thread") {
+    // Pipeline.run submits the three marts from a thread pool (round-16
+    // overlap); an exception inside any mart's thread must surface to the
+    // caller — a silently-skipped mart would look like a successful run
+    // with a missing output. Injected failure: the geo path points at the
+    // EVENTS table, so every mart's plan analysis throws in its thread.
+    val out = Files.createTempDirectory("graft-failprop").toString + "/marts"
+    intercept[Throwable] {
+      Pipeline.run(spark, eventsPath, eventsPath, out, runDate, 100.0)
+    }
+  }
+
   test("mid-chain crash rerun is safe: marts identical to a clean run") {
     // the retry semantics the reference gets from Airflow
     // (/root/reference/src/dags/project_dag.py:29-69): a pipeline that
