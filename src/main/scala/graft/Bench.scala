@@ -188,6 +188,19 @@ object Bench {
       .config("spark.ui.retainedJobs", "100")
       .config("spark.ui.retainedStages", "100")
       .getOrCreate()
+    // local A/B experimentation hook (round-16): optional comma-separated
+    // k=v conf overrides, applied to the RUNTIME conf only. Unset (the
+    // driver's path) this is a no-op and the session above is bit-identical
+    // to every prior round's; set, it lets a conf hypothesis ride the
+    // bench's own warmup + median-of-N methodology instead of a noisy
+    // single-shot probe. Values must not contain commas.
+    sys.env.get("SPARK_GRAFT_EXTRA_CONF").foreach(_.split(',').foreach { kv =>
+      kv.split("=", 2) match {
+        case Array(k, v) => spark.conf.set(k.trim, v.trim)
+        case _ => throw new IllegalArgumentException(
+          s"SPARK_GRAFT_EXTRA_CONF entry '$kv' is not key=value")
+      }
+    })
     spark.sparkContext.setLogLevel("WARN")
     // Untimed warmup: initialize codegen, the vectorized parquet reader, and
     // shuffle machinery so the first timed query measures the query, not JVM

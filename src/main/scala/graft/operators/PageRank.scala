@@ -51,8 +51,25 @@ object PageRank {
     * other node and their mass is redistributed uniformly each iteration
     * instead of silently leaving the accounting, so general directed
     * graphs get correct centrality, not just symmetrized ones.
+    *
+    * `assumeSymmetric = true` is the caller's ASSERTION that every node
+    * appears as both a src and a dst — true by construction whenever the
+    * edge list was symmetrized (E ∪ swap(E), the co-occurrence/bipartite
+    * shape q109 builds). Two per-iteration structures are then provably
+    * no-ops and skipped (round-16, §1.2 "don't compute things you throw
+    * away"): the sink set is empty (every node has an out-edge), so the
+    * construction-time emptiness probe job never runs; and every node
+    * receives at least one contribution (it appears as dst), so the
+    * per-iteration `nodes ⟕ contrib` outer join — one sort-merge join of
+    * the full node set per iteration, there only to re-attach
+    * zero-in-degree nodes — collapses to `contrib` itself. Bit-identical
+    * output on any symmetric graph (spec-pinned); a FALSE assertion drops
+    * the src-only/dst-only nodes from the output — callers must own the
+    * symmetry, the operator cannot check it without the very jobs this
+    * flag removes.
     */
-  def pagerankInt(edges: DataFrame, iters: Int): DataFrame = {
+  def pagerankInt(edges: DataFrame, iters: Int,
+                  assumeSymmetric: Boolean = false): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     // edge list + out-degrees, the node universe, and the sink set are
     // iteration-invariant: pin once so the iterations don't re-run the
@@ -63,17 +80,18 @@ object PageRank {
     val nodes = graft.ext.Caches.pin(
       edges.select(col("src").as("node"))
         .unionByName(edges.select(col("dst").as("node"))).distinct())
-    val sinks = graft.ext.Caches.pin(
-      nodes.join(edges.select(col("src").as("node")).distinct(),
-        Seq("node"), "left_anti"))
     // ONE construction-time emptiness probe (an O(1)-result driver check,
     // not a per-iteration round-trip): a sink-free graph — every
     // symmetrized edge list, q109's shape — has D = 0 identically, so the
     // dangling aggregate would be pure overhead (+2 jobs/iteration,
     // measured ~15-45% wall on q109); skipping it produces bit-identical
     // ranks and the leaner round-7 plan. Graphs WITH sinks take the full
-    // accounting path below.
-    val hasSinks = !sinks.isEmpty
+    // accounting path below. Under `assumeSymmetric` the probe itself is
+    // skipped too — sink-freedom holds by construction.
+    lazy val sinks = graft.ext.Caches.pin(
+      nodes.join(edges.select(col("src").as("node")).distinct(),
+        Seq("node"), "left_anti"))
+    val hasSinks = !assumeSymmetric && !sinks.isEmpty
     val n = nodes.agg(count(lit(1)).as("__n"))
     var ranks = nodes.crossJoin(broadcast(n))
       .select(col("node"), expr(s"${Scale}L div __n").as("r"))
@@ -81,8 +99,16 @@ object PageRank {
       val contrib = ej.join(ranks, col("src") === col("node"))
         .select(col("dst"), expr("r div deg").as("c"))
         .groupBy("dst").agg(sum("c").as("csum"))
-      val base = nodes.join(contrib, col("node") === col("dst"), "left")
-        .crossJoin(broadcast(n))
+      // symmetric graph: every node appears as a dst, so contrib already
+      // carries one row per node and the outer join below would re-attach
+      // nothing — its sort-merge of the full node set per iteration is
+      // skipped outright
+      val base =
+        if (assumeSymmetric)
+          contrib.select(col("dst").as("node"), col("csum"))
+            .crossJoin(broadcast(n))
+        else nodes.join(contrib, col("node") === col("dst"), "left")
+          .crossJoin(broadcast(n))
       ranks =
         if (!hasSinks)
           base.select(col("node"),

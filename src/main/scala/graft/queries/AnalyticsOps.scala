@@ -151,7 +151,11 @@ object AnalyticsOps extends Catalog {
         .distinct()
       val edges = e0.select(col("s").as("src"), col("p").as("dst"))
         .unionByName(e0.select(col("p").as("src"), col("s").as("dst")))
-      PageRank.pagerankInt(edges, iters = 3)
+      // E ∪ swap(E): every node appears as src AND dst by construction, so
+      // the symmetric fast path (no sink probe, no per-iteration outer
+      // join against the node set) is bit-identical here — spec-pinned in
+      // AnalyticsSpec ("symmetric fast path matches the general path")
+      PageRank.pagerankInt(edges, iters = 3, assumeSymmetric = true)
     }),
 
     // ---- market-basket lift (association mining) ---------------------------

@@ -104,6 +104,23 @@ class AnalyticsSpec extends AnyFunSuite with SparkTestBase {
     assert(got(0L) > got(1L), "hub must outrank spokes")
   }
 
+  test("PageRank symmetric fast path matches the general path bit-for-bit") {
+    // symmetrized random graph (E ∪ swap(E)) — the q109 shape the flag
+    // exists for: the fast path must produce the identical rank map while
+    // skipping the sink probe and the per-iteration outer join
+    val e0 = spark.range(300).select(
+      (col("id") % 23).as("src"), (col("id") * 7919 % 23 + 100).as("dst"))
+    val edges = e0.unionByName(e0.select(col("dst").as("src"),
+      col("src").as("dst")))
+    val general = PageRank.pagerankInt(edges, iters = 3)
+      .as[(Long, Long)].collect().toMap
+    graft.ext.Caches.releaseAll()
+    val fast = PageRank.pagerankInt(edges, iters = 3,
+      assumeSymmetric = true).as[(Long, Long)].collect().toMap
+    graft.ext.Caches.releaseAll()
+    assert(fast === general)
+  }
+
   test("integer PageRank is bit-identical under repartitioning") {
     val edges = spark.range(500).select(
       (col("id") % 37).as("src"), (col("id") * 7919 % 37).as("dst"))
