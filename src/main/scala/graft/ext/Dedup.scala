@@ -152,7 +152,8 @@ object Dedup {
     // (expected ≪ 1 through ~10⁹ distinct shingles; the oracle hash-check
     // would catch one on any tested corpus — the [[wordShingleHashes]]
     // argument, already load-bearing for q44/q100).
-    jaccardPairsFromShingles(wordShingleHashes(docs, id, text, n), id,
+    jaccardPairsFromShingles(
+      wordShingleHashes(docs, id, text, n).localCheckpoint(false), id,
       minJaccard, maxShingleDf)
 
   /** [[jaccardPairs]] over an existing (id, shingle) frame — the composition

@@ -297,7 +297,9 @@ object DataPipelineQueries extends Catalog {
       // hashed shingle grain (round-16, the q22-family switch): all ~10
       // subtrees' exchanges and probes move longs instead of 3-word strings
       val shA = Dedup.wordShingleHashes(incoming, "doc_id", "text", n = 3)
+        .localCheckpoint(false)
       val shB = Dedup.wordShingleHashes(corpus, "doc_id", "text", n = 3)
+        .localCheckpoint(false)
       val prior = graft.operators.ConnectedComponents.run(
         Dedup.jaccardPairsFromShingles(shB, "doc_id",
             minJaccard = 0.1, maxShingleDf = 5L)
@@ -336,7 +338,9 @@ object DataPipelineQueries extends Catalog {
       // hashed shingle grain (round-16): the batch-edge generators move
       // 8-byte keys end to end (the q22-family switch)
       val shA = Dedup.wordShingleHashes(incoming, "doc_id", "text", n = 3)
+        .localCheckpoint(false)
       val shB = Dedup.wordShingleHashes(corpus, "doc_id", "text", n = 3)
+        .localCheckpoint(false)
       val stored = Tables.ensureMaterialized(s, "cc_labels",
         Tables.contentKey(s"$d/documents.parquet", "j01df5base7"))(
         graft.operators.ConnectedComponents.run(
