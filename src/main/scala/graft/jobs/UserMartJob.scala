@@ -39,7 +39,7 @@ object UserMartJob {
     * 1 GiB through untouched (a real events lake scans wide on its own).
     */
   def messageGeo(events: DataFrame, geo: DataFrame): DataFrame = {
-    val msgs = graft.sources.Tables.wide(events
+    val base = events
       .filter(col("event_type") === "message")
       .select(
         col("event.message_from").as("user_id"),
@@ -47,10 +47,34 @@ object UserMartJob {
         coalesce(col("event.message_ts"), col("event.datetime"))
           .cast("timestamp").as("datetime"),
         col("lat").as("lat_message"),
-        col("lon").as("lon_message")),
+        col("lon").as("lon_message"))
+    val msgs = graft.sources.Tables.wide(base,
       minBytes = 1L << 20, hashKey = "message_id")
-    NearestNeighborJoin
-      .nearestAllTies(msgs, geo, "lat_message", "lat", "lon_message", "lon")
+    // Decide on the DISTINCT coordinate set, attach by equi-join (round-16,
+    // guide §8 "decide with small rows"): the nearest city is a pure
+    // function of the point, yet the reference shape crossed EVERY message
+    // with the dim and shuffled the |msgs|×|cities| product into the
+    // (lat, lon) window — at sf0.1 that 2.5M-row exchange + window were
+    // q46's two hottest stages (17.8 + 9.7 CPU-s). The argmin now runs
+    // over the distinct points (the cross join, haversine, and window see
+    // |points| rows); one join replicates the winners back. Row-identical
+    // BY KEY ALGEBRA: ties survive (same point → same tied city set,
+    // UserMartSpec pins the tie/null fixture row-equal to the reference
+    // shape), null-coordinate rows drop exactly as before (the reference
+    // filter's `null === null` is false; an inner join on a null key
+    // matches nothing), and -0.0/NaN normalize identically in the window
+    // exchange and the join key. The distinct reads the UNWIDENED slim
+    // projection — the points side must not replay the widen exchange
+    // (the round-12 lesson), and the same trade rules out this device
+    // where src is a join pipeline: wiring it under the q49/q148
+    // candidate stream re-ran the whole pair generator (+28 jobs at the
+    // PlanAuditSpec scale) and was reverted — the marts' projected scans
+    // re-evaluate as one cheap scan.
+    val zoneOf = NearestNeighborJoin
+      .nearestAllTies(
+        base.select(col("lat_message"), col("lon_message")).distinct(),
+        geo, "lat_message", "lat", "lon_message", "lon")
+    msgs.join(zoneOf, Seq("lat_message", "lon_message"))
       .drop("lat_message", "lon_message", "lat", "lon")
   }
 

@@ -41,6 +41,7 @@ object NearestNeighborJoin {
       .drop("distance_min")
   }
 
+
   /** Deterministic nearest-one join: exactly one dim row per source row.
     *
     * @param srcKey   unique key column(s) of the source side (window partition)

@@ -73,6 +73,40 @@ class UserMartSpec extends AnyFunSuite with SparkTestBase {
     assert(strictCounts === loose)
   }
 
+  test("messageGeo's decide-on-points shape matches the reference cross join " +
+      "on ties and null coordinates") {
+    import org.apache.spark.sql.functions._
+    // two cities mirrored across the equator: the (0, 0) message is an
+    // EXACT haversine tie (same formula, symmetric inputs) and must emit
+    // one row per tied city, like the reference crossJoin + window-min;
+    // the null-coordinate message must vanish in both shapes
+    val tieGeo = Seq((1L, "North", 10.0, 20.0), (2L, "South", -10.0, 20.0))
+      .toDF("id", "city", "lat", "lon")
+    val evs = eventsDf(spark, Seq(
+      msg(1, "2022-05-01 12:00:00", 0.0, 20.0, id = 1),   // exact tie
+      msg(2, "2022-05-01 13:00:00", 9.0, 20.0, id = 2),   // clear North
+      EvRow(message_from = Some(3L), message_id = Some(3L),
+        message_ts = Some("2022-05-01 14:00:00"),
+        datetime = Some("2022-05-01 14:00:00"),
+        lat = None, lon = None)))                          // null coords
+    val got = UserMartJob.messageGeo(evs, tieGeo)
+    // the reference shape, verbatim (crossJoin + per-coordinate window-min)
+    val msgs = evs.filter(col("event_type") === "message").select(
+      col("event.message_from").as("user_id"), col("event.message_id"),
+      coalesce(col("event.message_ts"), col("event.datetime"))
+        .cast("timestamp").as("datetime"),
+      col("lat").as("lat_message"), col("lon").as("lon_message"))
+    val ref = graft.operators.NearestNeighborJoin
+      .nearestAllTies(msgs, tieGeo, "lat_message", "lat", "lon_message", "lon")
+      .drop("lat_message", "lon_message", "lat", "lon")
+    val cols = got.columns.sorted.map(col)
+    assert(got.select(cols: _*).collect().toSet
+      === ref.select(cols: _*).collect().toSet)
+    // the tie really is a tie: user 1 appears once per tied city
+    assert(got.filter(col("user_id") === 1).count() === 2)
+    assert(got.filter(col("user_id") === 3).count() === 0)
+  }
+
   test("local_time converts UTC to Australia/Sydney (+10h in May)") {
     val lt = row(5).select("local_time").as[java.sql.Timestamp].head()
     assert(lt.toString.startsWith("2022-05-03 22:00:00")) // 12:00 UTC + 10h AEST
