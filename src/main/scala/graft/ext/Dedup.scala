@@ -152,6 +152,17 @@ object Dedup {
     // (expected ≪ 1 through ~10⁹ distinct shingles; the oracle hash-check
     // would catch one on any tested corpus — the [[wordShingleHashes]]
     // argument, already load-bearing for q44/q100).
+    // lazy localCheckpoint (round-16): the shingle frame fans into the
+    // sizes/df/index subtrees and exchange reuse was NOT deduplicating the
+    // serialized explode across them (StageProbe on q54: two identical
+    // single-task 3.7 s explode stages). The round-12 A/B rejected pinning
+    // here, but that pin was the ROW CACHE over n-word STRING shingles
+    // (cache-materialization cost + 1.6× CC job inflation); the hashed
+    // grain stores 16-byte rows and the checkpoint adds no cache layer —
+    // jobs stay flat, the explode evaluates once (q22 CPU 4.6 → 2.1,
+    // q54 7.1 → 5.4 at sf0.1). Re-widening on top was re-tried and
+    // re-rejected: a 32-partition checkpoint turns every consumer stage
+    // into 32 short tasks (q54 CPU 5.4 → 31).
     jaccardPairsFromShingles(
       wordShingleHashes(docs, id, text, n).localCheckpoint(false), id,
       minJaccard, maxShingleDf)

@@ -289,11 +289,13 @@ object DataPipelineQueries extends Catalog {
       val incoming = docs.filter(col("doc_id") % 10 === 7)
       val corpus = docs.filter(col("doc_id") % 10 =!= 7)
       // the shingle frames feed ~10 subtrees (sizes/df/gen/inter across
-      // three pair pipelines), but do NOT pin them: measured at sf0.1,
-      // Caches.pin here runs 35.0 s vs 15.7 s recomputed — the row-cache
-      // materialization + cache reads cost more than re-running the
-      // codegen'd explode per subtree, the same verdict Dedup recorded for
-      // q22's single-pipeline shape
+      // three pair pipelines). Round-12 measured Caches.pin here at
+      // 35.0 s vs 15.7 s recomputed — the ROW-CACHE materialization +
+      // reads cost more than re-running the codegen'd explode per
+      // subtree. The round-16 lazy localCheckpoint is the cheaper pin the
+      // hashed grain enabled (16-byte rows, no cache layer, jobs flat):
+      // each frame's serialized explode evaluates once instead of per
+      // subtree — measured 9.3 → 7.9 s wall / 9.8 → 7.1 CPU-s at sf0.1.
       // hashed shingle grain (round-16, the q22-family switch): all ~10
       // subtrees' exchanges and probes move longs instead of 3-word strings
       val shA = Dedup.wordShingleHashes(incoming, "doc_id", "text", n = 3)
